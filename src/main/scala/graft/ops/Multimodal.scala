@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch decode / feature-extract as per-partition operators.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB (`FakeDecoder`); everything Spark-side —
+  * schema, batching, partitioning, operator signature — is real. At 100 TB the
+  * binary payloads stay columnar in parquet, the decode is a narrow map
+  * (mapPartitions, no shuffle), and metadata-only queries never touch bytes
+  * (parquet column pruning drops the payload column at the scan).
+  */
+object Multimodal {
+  import Tables.t
+
+  /** Typed decoded-media record (what a real image decoder would emit). */
+  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int, height: Int,
+                             channels: Int, features: Array[Float])
+
+  /** STUB decoder: a real implementation would decode image bytes (JPEG/PNG);
+    * offline we derive deterministic fake dimensions/features from the bytes. */
+  object FakeDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length.toLong
+      val feats = Array.tabulate(8)(i => ((n * (i + 3) + bytes(((i * 31) % bytes.length).toInt)) % 997).toFloat)
+      MediaMeta(id, n, (n % 640).toInt, ((n * 7) % 480).toInt, 3, feats)
+    }
+  }
+
+  /** Dataset-level decode operator: narrow mapPartitions, one decoder per
+    * partition (where a real codec would amortize init cost per batch). */
+  def decodeBatch(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it => it.map { case (id, bytes) => FakeDecoder.decode(id, bytes) } }
+  }
+
+  /** documents.text reinterpreted as an opaque binary payload column. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  val entries: Seq[Q] = Seq(
+    // ---- mm01: metadata extraction over binary payloads (exact oracle) ----
+    Q("mm01_media_meta",
+      (s, d) => {
+        val m = mediaTable(s, d)
+        val len = length(col("payload")).cast("bigint")
+        m.select(col("doc_id"),
+            len.as("byte_len"),
+            sha2(col("payload"), 256).as("sha"),
+            (len % 640).as("width"),
+            (len * 7 % 480).as("height"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+          sha256(text) AS sha,
+          octet_length(encode(text)) % 640 AS width,
+          octet_length(encode(text)) * 7 % 480 AS height
+          FROM documents ORDER BY doc_id""")),
+
+    // ---- mm02: typed batch-decode pipeline (stub kernel; rows-only check) ----
+    Q("mm02_media_decode",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val media = mediaTable(s, d).as[(Long, Array[Byte])]
+        decodeBatch(media)
+          .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("channels"),
+            round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 2).as("feat_sum"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish testdata: scan+filter,
+  * hash/broadcast joins, partial aggregation, windows, sort+limit, semi/anti
+  * joins, distinct aggregation, conditional aggregation, union.
+  *
+  * Scale notes (100 TB design): dimension tables (region/nation/supplier and
+  * sf-scaled customer) are broadcast explicitly so the big fact joins never
+  * shuffle the small side; aggregations rely on Spark's partial (map-side)
+  * aggregation; sort+limit uses TakeOrderedAndProject (no full sort).
+  */
+object Relational {
+  import Tables.t
+
+  private def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = t(s, d, "orders")
+
+  val entries: Seq[Q] = Seq(
+    // ---- q01: TPC-H Q1-style pricing summary (partial agg, single shuffle) ----
+    Q("q01_pricing_summary",
+      (s, d) => {
+        val l = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS sum_qty,
+        round(sum(l_extendedprice),2) AS sum_base_price,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        round(avg(l_quantity),4) AS avg_qty,
+        round(avg(l_extendedprice),4) AS avg_price,
+        round(avg(l_discount),4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q03: shipping priority (broadcast dim join + agg + top-k) ----
+    Q("q03_shipping_priority",
+      (s, d) => {
+        val c = broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
+        val o = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"),
+            col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+      },
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- q05: 5-way join, revenue by customer nation in ASIA ----
+    Q("q05_region_revenue",
+      (s, d) => {
+        val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+        val n = broadcast(t(s, d, "nation"))
+        val c = broadcast(t(s, d, "customer"))
+        val o = orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+        r.join(n, col("n_regionkey") === col("r_regionkey"))
+          .join(c, col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+          .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- q07: window function — each customer's single largest order ----
+    Q("q07_top_order_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+            round(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey, round(o_totalprice,2) AS total
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        WHERE rn = 1 ORDER BY custkey""")),
+
+    // ---- q08: global sort + limit (TakeOrderedAndProject, no full sort at scale) ----
+    Q("q08_top_orders",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"), col("o_orderstatus"))
+        .orderBy(col("total").desc, col("o_orderkey")).limit(20),
+      Some("""SELECT o_orderkey, round(o_totalprice,2) AS total, o_orderstatus
+        FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""")),
+
+    // ---- q09: distinct aggregation ----
+    Q("q09_distinct_customers",
+      (s, d) => orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- q10: anti join — customers with no orders ----
+    Q("q10_customers_without_orders",
+      (s, d) => t(s, d, "customer")
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""")),
+
+    // ---- q11: semi join — customers with a pending order ----
+    Q("q11_customers_with_pending",
+      (s, d) => t(s, d, "customer")
+        .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        ORDER BY c_custkey""")),
+
+    // ---- q12: group + having ----
+    Q("q12_frequent_customers",
+      (s, d) => orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_count"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+        .filter(col("order_count") > 12)
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS order_count, round(sum(o_totalprice),2) AS total_spent
+        FROM orders GROUP BY o_custkey HAVING count(*) > 12 ORDER BY o_custkey""")),
+
+    // ---- q13: conditional aggregation ----
+    Q("q13_conditional_agg",
+      (s, d) => lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("high_disc_price"),
+          sum(when(col("l_quantity") > 25, lit(1L)).otherwise(lit(0L))).as("big_qty_cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END),2) AS high_disc_price,
+        CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q14: union all ----
+    Q("q14_union_entities",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+        .unionAll(t(s, d, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+        .orderBy(col("kind"), col("id")),
+      Some("""SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        ORDER BY kind, id""")),
+
+    // ---- q15: event-time daily rollup (streaming-shaped agg in batch) ----
+    Q("q15_events_daily",
+      (s, d) => t(s, d, "events")
+        // ts arrives as long nanos (nanosAsLong); truncate to micros for Spark.
+        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        count(*) AS n, round(sum(value),2) AS sum_value
+        FROM events GROUP BY day, event_type ORDER BY day, event_type"""))
+  )
+}

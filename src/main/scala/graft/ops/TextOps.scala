@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: language ID (marker n-gram
+  * heuristic), quality scoring, token counting, and document fingerprinting.
+  *
+  * Every metric here is defined so the *same arithmetic* is expressible in both
+  * Spark and DuckDB (occurrence counts via the length-of-replace trick), so the
+  * oracle is exact, not approximate. All per-document — map-only at any scale.
+  */
+object TextOps {
+  import Tables.t
+
+  /** Languages in priority order (ties resolve to the earliest). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " a "),
+    "es" -> Seq(" el ", " la ", " y "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq(" zh ")) // placeholder marker; synthetic corpus is latin-script
+
+  private val stopwords = Seq(" the ", " a ", " and ", " of ", " to ")
+
+  /** #occurrences of literal `m` in `c` = (len(c) - len(replace(c, m)))/len(m). */
+  private def occ(c: Column, m: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(m), ""))) / m.length
+  private def occSql(c: String, m: String): String =
+    s"(len($c) - len(replace($c, '$m', ''))) / ${m.length}"
+
+  private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))
+  private val paddedSql = "(' ' || lower(text) || ' ')"
+
+  val entries: Seq[Q] = Seq(
+    // ---- tx01: language ID by marker-word occurrence score ----
+    Q("tx01_langid",
+      (s, d) => {
+        val p = padded(col("text"))
+        val scores = langMarkers.map { case (lg, ms) => lg -> ms.map(occ(p, _)).reduce(_ + _) }
+        // argmax with first-wins tie-break via a when() chain
+        val pred = scores.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
+          case (((lg, sc), i), els) =>
+            val laterMax = scores.drop(i + 1).map(_._2)
+            if (laterMax.isEmpty) els
+            else when(sc >= (if (laterMax.size == 1) laterMax.head else greatest(laterMax: _*)), lg).otherwise(els)
+        }
+        val best = greatest(scores.map(_._2): _*)
+        t(s, d, "documents")
+          .select(col("doc_id"), pred.as("pred_lang"), round(best, 4).as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sc = langMarkers.map { case (lg, ms) =>
+          lg -> ms.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
+        }
+        val caseExpr = sc.init.zipWithIndex.map { case ((lg, e), i) =>
+          val later = sc.drop(i + 1).map(_._2)
+          s"WHEN $e >= greatest(${later.mkString(", ")}) THEN '$lg'"
+        }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
+        val best = s"greatest(${sc.map(_._2).mkString(", ")})"
+        s"""SELECT doc_id, $caseExpr AS pred_lang, round($best, 4) AS score
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- tx02: quality scoring (length/punct/stopword ratios) ----
+    Q("tx02_quality",
+      (s, d) => {
+        val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
+        val stops = stopwords.map(occ(padded(col("text")), _)).reduce(_ + _)
+        val punctRatio = punct.cast("double") / length(col("text"))
+        val stopRatio = stops / nWords
+        val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * least(stopRatio * 5, lit(1.0))
+        t(s, d, "documents").select(col("doc_id"),
+            nWords.as("n_words"), punct.as("n_punct"),
+            round(punctRatio, 4).as("punct_ratio"),
+            round(stopRatio, 4).as("stop_ratio"),
+            round(score, 4).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopsSql = stopwords.map(m => occSql(paddedSql, m)).mkString(" + ")
+        s"""SELECT doc_id,
+            len(string_split_regex(trim(text), '\\s+')) AS n_words,
+            len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+            round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text), 4) AS punct_ratio,
+            round(($stopsSql) / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
+            round(0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+                + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))
+                + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0), 4) AS quality
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- tx03: token counting — whitespace + BPE-ish regex tokens ----
+    Q("tx03_tokens",
+      (s, d) => {
+        val ws = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val re = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("bigint")
+        t(s, d, "documents").select(col("doc_id"),
+            ws.as("ws_tokens"), re.as("re_tokens"),
+            round(length(col("text")).cast("double") / greatest(re, lit(1L)), 4).as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+          round(len(text)::DOUBLE / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 1), 4) AS chars_per_token
+          FROM documents ORDER BY doc_id"""))
+  )
+}
