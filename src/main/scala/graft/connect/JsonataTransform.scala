@@ -1,0 +1,50 @@
+package graft.connect
+
+import graft.jsonata.{Jsonata, JsonataExpr, JsonataException}
+
+/** The record-level transform operator (reference apply(),
+  * JsonataTransformation.java:88-120):
+  *   1. encode record (+ schemas as data) into a JSON envelope,
+  *   2. evaluate the configured JSONata expression with timeout/depth guards,
+  *   3. decode the result back into a typed record — `null` drops the record
+  *      (tombstone filtering).
+  *
+  * Empty/blank expression is an identity fast-path (reference :92). Compiled
+  * expressions are cached per JVM keyed by source (reference uses an LRU-100
+  * Guava cache, :57-80; a bounded ConcurrentHashMap mirrors that here and
+  * doubles as the executor-side cache for the Spark tier).
+  */
+object JsonataTransform {
+
+  final case class Config(expr: String = "", timeoutMs: Long = 5000L, maxDepth: Int = 1000)
+
+  private val MaxCacheSize = 100
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, JsonataExpr]()
+
+  def compile(expr: String): JsonataExpr = {
+    val cached = cache.get(expr)
+    if (cached != null) cached
+    else {
+      val compiled =
+        try Jsonata.compile(expr)
+        catch { case e: JsonataException => throw new DataException(s"Could not parse expression: ${e.getMessage}", e) }
+      if (cache.size >= MaxCacheSize) cache.clear() // simple bound, mirrors LRU cap intent
+      cache.put(expr, compiled)
+      compiled
+    }
+  }
+
+  /** Returns null to signal "drop this record". */
+  def apply(record: CRecord, config: Config): CRecord = {
+    if (record == null || config.expr == null || config.expr.trim.isEmpty) return record
+    val expr = compile(config.expr)
+    val envelope = RecordCodec.recordToJsonNode(record)
+    val result =
+      try expr.evaluate(envelope, config.timeoutMs, config.maxDepth)
+      catch {
+        case e: JsonataException => throw new DataException(s"Could not evaluate expression: ${e.getMessage}", e)
+      }
+    if (result == null) null
+    else RecordCodec.jsonNodeToRecord(record, result)
+  }
+}

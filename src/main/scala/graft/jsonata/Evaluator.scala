@@ -134,7 +134,7 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
         case a: ArrayNode => a.asScala.foreach(flat)
         case other => out.items += other
       }
-      o.properties().asScala.foreach(e => flat(e.getValue))
+      o.fields().asScala.foreach(e => flat(e.getValue))
       out
     case arr if isArrayLike(arr) =>
       val out = new JSeq()
@@ -154,7 +154,7 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
         case s: JSeq => s.items.foreach(recurse)
         case o: ObjectNode =>
           out.items += o
-          o.properties().asScala.foreach(e => recurse(e.getValue))
+          o.fields().asScala.foreach(e => recurse(e.getValue))
         case other => out.items += other
       }
       recurse(ctx)
@@ -566,8 +566,14 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
       TextNode.valueOf(stringify(l) + stringify(r))
     case "=" | "!=" =>
       val l = eval(lE, ctx, env); val r = eval(rE, ctx, env)
-      if (l == null || r == null) BooleanNode.valueOf(false)
-      else BooleanNode.valueOf(if (op == "=") deepEquals(l, r) else !deepEquals(l, r))
+      // "nothing" compares equal to JSON null: the reference's tombstone filter
+      // `value = null ? null : $` relies on a missing field equalling null
+      // (pinned by its filterTombstone test, reference Test.java:110-126)
+      def nullish(v: Any) = v == null || v.isInstanceOf[NullNode]
+      val eq =
+        if (nullish(l) || nullish(r)) nullish(l) && nullish(r)
+        else deepEquals(l, r)
+      BooleanNode.valueOf(if (op == "=") eq else !eq)
     case "<" | "<=" | ">" | ">=" =>
       val l = eval(lE, ctx, env); val r = eval(rE, ctx, env)
       if (l == null || r == null) undef
@@ -776,7 +782,7 @@ final case class TransformFn(t: Ast.TransformExpr, env: Frame, owner: Interp) ex
         val upd = interp.eval(t.update, m, env)
         upd match {
           case null =>
-          case o: ObjectNode => o.properties().asScala.foreach(e => m.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit)
+          case o: ObjectNode => o.fields().asScala.foreach(e => m.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit)
           case other => throw new JsonataException("T2011",
             s"transform update must evaluate to an object, got ${Values.typeName(other)}")
         }

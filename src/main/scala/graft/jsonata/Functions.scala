@@ -432,7 +432,7 @@ object Functions {
   private val fFormatNumber = b("formatNumber", "n-so?") { (a, _, _) =>
     val picture = text(a(1))
     val symbols = new java.text.DecimalFormatSymbols(java.util.Locale.US)
-    if (a(2) != null) a(2).asInstanceOf[ObjectNode].properties().asScala.foreach { e =>
+    if (a(2) != null) a(2).asInstanceOf[ObjectNode].fields().asScala.foreach { e =>
       val v = e.getValue.asText()
       e.getKey match {
         case "decimal-separator" => symbols.setDecimalSeparator(v.charAt(0))
@@ -603,7 +603,7 @@ object Functions {
     val out = new JSeq()
     def spread(v: Any): Unit = v match {
       case o: ObjectNode =>
-        o.properties().asScala.foreach { e =>
+        o.fields().asScala.foreach { e =>
           val single = nf.objectNode()
           single.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit
           out.items += single
@@ -618,7 +618,7 @@ object Functions {
   private val fMerge = b("merge", "a") { (a, _, _) =>
     val result = nf.objectNode()
     items(a(0)).foreach {
-      case o: ObjectNode => o.properties().asScala.foreach(e => result.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit)
+      case o: ObjectNode => o.fields().asScala.foreach(e => result.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit)
       case other => throw new JsonataException("T0412", s"$$merge items must be objects, got ${typeName(other)}")
     }
     result
@@ -628,7 +628,7 @@ object Functions {
     val o = a(0).asInstanceOf[ObjectNode]
     val f = a(1)
     val result = nf.objectNode()
-    o.properties().asScala.foreach { e =>
+    o.fields().asScala.foreach { e =>
       val keep = interp.invoke(f, Seq(e.getValue, tn(e.getKey), o).take(math.max(1, arity(f))), null)
       if (truthy(keep)) result.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue): Unit
     }
@@ -639,7 +639,7 @@ object Functions {
     val o = a(0).asInstanceOf[ObjectNode]
     val f = a(1)
     val out = new JSeq()
-    o.properties().asScala.foreach { e =>
+    o.fields().asScala.foreach { e =>
       val r = interp.invoke(f, Seq(e.getValue, tn(e.getKey)).take(math.max(1, arity(f))), null)
       if (r != null) out.items += r
     }

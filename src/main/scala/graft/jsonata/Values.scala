@@ -148,8 +148,8 @@ object Values {
       val xs = asIterable(x).toSeq; val ys = asIterable(y).toSeq
       xs.length == ys.length && xs.zip(ys).forall { case (i, j) => deepEquals(i, j) }
     case (x: ObjectNode, y: ObjectNode) =>
-      val xf = x.properties().asScala.map(e => e.getKey -> e.getValue).toMap
-      val yf = y.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+      val xf = x.fields().asScala.map(e => e.getKey -> e.getValue).toMap
+      val yf = y.fields().asScala.map(e => e.getKey -> e.getValue).toMap
       xf.keySet == yf.keySet && xf.forall { case (k, v) => deepEquals(v, yf(k)) }
     case _ => false
   }
@@ -165,7 +165,7 @@ object Values {
     case _: NullNode => ("null", 0)
     case x if isArrayLike(x) => asIterable(x).map(canonical).toVector
     case o: ObjectNode =>
-      o.properties().asScala.map(e => e.getKey -> canonical(e.getValue)).toMap
+      o.fields().asScala.map(e => e.getKey -> canonical(e.getValue)).toMap
     case other => other
   }
 
@@ -234,7 +234,7 @@ object Values {
         if (o.isEmpty) { sb.append("{}"); return }
         sb.append('{')
         var first = true
-        o.properties().asScala.foreach { e =>
+        o.fields().asScala.foreach { e =>
           if (!first) sb.append(',')
           if (prettify) { sb.append('\n'); sb.append(" " * (indent + 2)) }
           sb.append(quoteJson(e.getKey)).append(if (prettify) ": " else ":")
