@@ -1,8 +1,87 @@
 package graft.ops
 
-/** JSONata-engine-backed queries (the reference's core operator surface applied
-  * to the testdata). Populated once the jsonata package lands; kept separate so
-  * the relational/pipeline registry compiles independently. */
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.spark.JsonataDF
+
+/** The reference's core operator surface — JSONata expressions over record
+  * envelopes — exercised against the testdata tables with exact DuckDB
+  * oracles. Each query wraps rows as envelopes, evaluates a JSONata
+  * expression per record via the native Catalyst expression (narrow map, no
+  * shuffle), decodes the JSON result to typed columns, and orders totally for
+  * the driver's hash compare.
+  */
 object JsonataQueries {
-  val entries: Seq[Q] = Seq()
+  import Tables.t
+
+  private def q(name: String, table: String, expr: String, ddl: String,
+                order: Seq[String], oracle: Option[String]): Q =
+    Q(name,
+      (s, d) => {
+        val out = JsonataDF.transformAs(t(s, d, table), expr, StructType.fromDDL(ddl), topic = table)
+        out.orderBy(order.map(col).toIndexedSeq: _*)
+      },
+      oracle)
+
+  val entries: Seq[Q] = Seq(
+    // ---- jx01: predicate + projection + arithmetic (B2/B9/B15/B18) ----
+    q("jx01_filter_project", "events",
+      "value.event_type = 'click' ? {'event_id': value.event_id, 'user_id': value.user_id, 'v2': value.value * 2} : null",
+      "event_id BIGINT, user_id BIGINT, v2 DOUBLE",
+      Seq("event_id"),
+      Some("""SELECT event_id, user_id, value * 2 AS v2 FROM events
+        WHERE event_type = 'click' ORDER BY event_id""")),
+
+    // ---- jx02: dynamic JSON navigation via $eval over a JSON-string column ----
+    q("jx02_props_extract", "events",
+      "{'event_id': value.event_id, 'k': $eval(value.props).k}",
+      "event_id BIGINT, k BIGINT",
+      Seq("event_id"),
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+
+    // ---- jx03: string function library ($uppercase/$substring/$split/$count) ----
+    q("jx03_string_ops", "documents",
+      "{'doc_id': value.doc_id, 'up': $uppercase($substring(value.text, 0, 10)), 'nw': $count($split(value.text, ' '))}",
+      "doc_id BIGINT, up STRING, nw BIGINT",
+      Seq("doc_id"),
+      Some("""SELECT doc_id, upper(substr(text, 1, 10)) AS up,
+        len(string_split(text, ' ')) AS nw FROM documents ORDER BY doc_id""")),
+
+    // ---- jx04: tombstone drop (A3) — null result removes the record ----
+    q("jx04_tombstone", "documents",
+      "value.lang = 'en' ? {'doc_id': value.doc_id, 'lang': value.lang} : null",
+      "doc_id BIGINT, lang STRING",
+      Seq("doc_id"),
+      Some("SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id")),
+
+    // ---- jx05: restructure + concat + comparison (B11/B14/B18) ----
+    q("jx05_restructure", "orders",
+      "{'orderkey': value.o_orderkey, 'tag': value.o_orderstatus & '-' & $substring(value.o_orderpriority, 0, 1), 'big': value.o_totalprice > 150000}",
+      "orderkey BIGINT, tag STRING, big BOOLEAN",
+      Seq("orderkey"),
+      Some("""SELECT o_orderkey AS orderkey,
+        o_orderstatus || '-' || substr(o_orderpriority, 1, 1) AS tag,
+        o_totalprice > 150000 AS big FROM orders ORDER BY orderkey""")),
+
+    // ---- jx06: same operator through the SQL registration (spark.sql path) ----
+    Q("jx06_sql_udf",
+      (s, d) => {
+        graft.spark.JsonataFunctions.registerSql(s)
+        val df = t(s, d, "events")
+        df.createOrReplaceTempView("events_raw")
+        s.sql("""
+          SELECT CAST(get_json_object(out, '$.event_id') AS BIGINT) AS event_id,
+                 CAST(get_json_object(out, '$.total') AS DOUBLE) AS total
+          FROM (
+            SELECT jsonata(to_json(named_struct('value',
+                     named_struct('event_id', event_id, 'value', value))),
+                   '{''event_id'': value.event_id, ''total'': value.value + 1}') AS out
+            FROM events_raw) WHERE out IS NOT NULL
+          ORDER BY event_id""")
+      },
+      Some("SELECT event_id, value + 1 AS total FROM events ORDER BY event_id"))
+  )
 }

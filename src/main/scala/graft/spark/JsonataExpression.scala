@@ -1,0 +1,112 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.connect.JsonataTransform
+import graft.jsonata.{Ast, Jsonata, Values}
+
+/** Static analysis over a compiled JSONata AST, used for Catalyst integration:
+  *
+  *  - determinism: expressions touching $random/$shuffle/$now/$millis/$eval
+  *    must not be constant-folded or re-executed assuming stable results
+  *    (SURVEY.md §4.1);
+  *  - envelope field pruning: if the expression provably never references an
+  *    envelope field (no `$`/`$$`/wildcard/descendant/parent escape, no
+  *    object-introspection builtins, and the name never appears as a path
+  *    step), the field can be dropped before serialization (SURVEY.md §4.2).
+  */
+object JsonataAnalysis {
+  import Ast._
+
+  private val nondetFns = Set("random", "shuffle", "now", "millis", "eval")
+  private val introspectFns = Set("keys", "spread", "merge", "each", "sift", "lookup", "eval", "string", "type")
+
+  private def walk(a: Ast)(f: Ast => Unit): Unit = { f(a); Ast.children(a).foreach(walk(_)(f)) }
+
+  def isDeterministic(a: Ast): Boolean = {
+    var det = true
+    walk(a) {
+      case VarRef(n) if nondetFns(n) => det = false
+      case _ =>
+    }
+    det
+  }
+
+  /** None = must keep every envelope field; Some(names) = referenced superset. */
+  def referencedFields(a: Ast): Option[Set[String]] = {
+    var escape = false
+    var names = Set.empty[String]
+    walk(a) {
+      case VarRef("") | VarRef("$") => escape = true // $ / $$ expose the whole envelope
+      case Wildcard() | Descendant() | ParentRef() => escape = true
+      case VarRef(n) if introspectFns(n) => escape = true
+      case TransformExpr(_, _, _) => escape = true
+      case NameStep(n) => names += n
+      case _ =>
+    }
+    if (escape) None else Some(names)
+  }
+}
+
+/** `jsonata(jsonString, expr)` as a native Catalyst expression.
+  *
+  * CodegenFallback (the evaluator is interpreted), null-tolerant, returns the
+  * JSON-serialized result or null for "no match" (tombstone) — the Spark
+  * mapping of the reference's apply() (SURVEY.md §2.A A1/A3). The compiled AST
+  * lives in a per-JVM cache keyed by source, so executors compile once
+  * (SURVEY.md §2.A A12).
+  */
+case class JsonataExpression(
+    child: Expression,
+    exprSource: String,
+    timeoutMs: Long = 5000L,
+    maxDepth: Int = 1000)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val compiled = JsonataTransform.compile(exprSource)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
+
+  override def nullSafeEval(input: Any): Any = {
+    val node = Jsonata.parseJson(input.asInstanceOf[UTF8String].toString)
+    val out = compiled.evaluate(node, timeoutMs, maxDepth)
+    // no-match AND explicit null both drop the record (reference
+    // jsonNodeToRecord:295-297 treats a JSON-null result as a tombstone)
+    if (out == null || out.isNull) null
+    else UTF8String.fromString(Values.jsonSerialize(out, prettify = false))
+  }
+
+  override def prettyName: String = "jsonata"
+  override protected def withNewChildInternal(newChild: Expression): JsonataExpression =
+    copy(child = newChild)
+}
+
+object JsonataFunctions {
+  import org.apache.spark.sql.graftshim.Shims
+
+  /** Column function: evaluate a JSONata expression against a JSON-string column. */
+  def jsonata(json: Column, expr: String,
+              timeoutMs: Long = 5000L, maxDepth: Int = 1000): Column =
+    Shims.column(JsonataExpression(Shims.expression(json), expr, timeoutMs, maxDepth))
+
+  /** Register `jsonata(json, expr)` for SQL use (UDF form: the expression
+    * argument is dynamic, so the compile cache does the memoization). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("jsonata", (json: String, expr: String) => {
+      if (json == null) null
+      else {
+        val out = JsonataTransform.compile(expr).evaluate(Jsonata.parseJson(json))
+        if (out == null || out.isNull) null else Values.jsonSerialize(out, prettify = false)
+      }
+    })
+  }
+}

@@ -1,0 +1,93 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-side integration: the native jsonata expression over real parquet,
+  * tombstone filtering, SQL registration, and the envelope column-pruning
+  * optimization (the scan must not read fields the expression can't touch). */
+class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("jsonata-spark-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def events = spark.read.parquet(s"$sfDir/events.parquet")
+
+  test("transform filters tombstones and projects") {
+    val out = JsonataDF.transformAs(docs,
+      "value.lang = 'en' ? {'doc_id': value.doc_id, 'lang': value.lang} : null",
+      StructType.fromDDL("doc_id BIGINT, lang STRING"))
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(out.count() == expected)
+    assert(out.columns.toSeq == Seq("doc_id", "lang"))
+    assert(expected > 0)
+  }
+
+  test("envelope pruning reaches the parquet scan") {
+    val out = JsonataDF.transform(docs,
+      "value.lang = 'en' ? {'doc_id': value.doc_id} : null")
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    // `text` and `n_chars` are never referenced => must not be read
+    scans.foreach { fields =>
+      assert(!fields.contains("text"), s"scan reads unreferenced column: $fields")
+      assert(!fields.contains("n_chars"), s"scan reads unreferenced column: $fields")
+    }
+  }
+
+  test("$ escape disables pruning") {
+    val out = JsonataDF.transform(docs, "$.value.doc_id")
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }
+    scans.foreach(fields => assert(fields.contains("text")))
+  }
+
+  test("nondeterministic expressions are flagged") {
+    import graft.connect.JsonataTransform
+    assert(!JsonataAnalysis.isDeterministic(JsonataTransform.compile("$random()").ast))
+    assert(!JsonataAnalysis.isDeterministic(JsonataTransform.compile("value ~> $shuffle").ast))
+    assert(JsonataAnalysis.isDeterministic(JsonataTransform.compile("value.a + 1").ast))
+  }
+
+  test("sql registration evaluates jsonata in SQL") {
+    JsonataFunctions.registerSql(spark)
+    events.limit(10).createOrReplaceTempView("ev10")
+    val rows = spark.sql(
+      """SELECT jsonata(to_json(named_struct('value', named_struct('x', event_id))),
+                        'value.x + 1') AS y FROM ev10""").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString(0) != null))
+  }
+
+  test("numeric fidelity through the envelope") {
+    val out = JsonataDF.transformAs(events.limit(50),
+      "{'event_id': value.event_id, 'v2': value.value * 2}",
+      StructType.fromDDL("event_id BIGINT, v2 DOUBLE"))
+    val expected = events.limit(50).select(col("event_id"), (col("value") * 2).as("v2"))
+    val a = out.orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = expected.orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b)) // exact double equality: both sides IEEE-754 * 2
+  }
+}
