@@ -330,7 +330,7 @@ object Functions {
   private val fEval = b("eval", "s-x?") { (a, ctx, interp) =>
     val src = text(a(0))
     val expr =
-      try Jsonata.compile(src)
+      try Jsonata.compileCached(src)
       catch { case e: JsonataException => throw new JsonataException("D3120", s"$$eval parse error: ${e.getMessage}") }
     val input = if (a(1) == null) ctx else a(1)
     try expr.evaluateValue(input, interp)

@@ -55,6 +55,23 @@ object Jsonata {
   def compile(source: String): JsonataExpr =
     new JsonataExpr(source, Parser.parse(source))
 
+  private val evalCache = new java.util.concurrent.ConcurrentHashMap[String, JsonataExpr]()
+
+  /** Bounded compile cache for $eval: the argument is data, so repeated
+    * payload shapes (e.g. a JSON column with few distinct values) compile
+    * once. Cleared wholesale on overflow — same spirit as the reference's
+    * LRU-100 expression cache. */
+  def compileCached(source: String): JsonataExpr = {
+    val hit = evalCache.get(source)
+    if (hit != null) hit
+    else {
+      val compiled = compile(source)
+      if (evalCache.size >= 1000) evalCache.clear()
+      evalCache.put(source, compiled)
+      compiled
+    }
+  }
+
   /** Convenience: evaluate expression against a JSON string, returns JSON string
     * or null for "no match". */
   def evalString(expr: String, inputJson: String): String = {

@@ -72,16 +72,32 @@ object Dedup {
         FROM documents ORDER BY doc_id""")),
 
     // ---- dd03: exact 3-gram Jaccard near-dup pairs, blocked on (source, len/100) ----
+    // Scale shape: instead of a quadratic blocked cross join with per-pair
+    // array intersects, explode distinct shingle hashes and equi-join on the
+    // shingle — only pairs sharing at least one shingle are ever materialized
+    // (a pair with jaccard >= 0.3 necessarily shares one), then
+    // |A∩B| = count per pair and |A∪B| = |A|+|B|-|A∩B|. The shuffle key is the
+    // shingle hash, so AQE handles hot shingles; at 100 TB this is the only
+    // tractable exact form.
     Q("dd03_ngram_jaccard",
       (s, d) => {
         val base = t(s, d, "documents").select(
           col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
-          shingles(col("text")).as("sh"))
-        val a = base.select(col("doc_id").as("doc_a"), col("source"), col("lb"), col("sh").as("sh_a"))
-        val b = base.select(col("doc_id").as("doc_b"), col("source"), col("lb"), col("sh").as("sh_b"))
-        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-        val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-        a.join(b, Seq("source", "lb")).filter(col("doc_a") < col("doc_b"))
+          array_distinct(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
+          .withColumn("n", size(col("sh")))
+        val ex = base.select(col("doc_id"), col("source"), col("lb"), col("n"),
+          explode(col("sh")).as("h"))
+        val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("lb"),
+          col("n").as("n_a"), col("h"))
+        val b = ex.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+          col("lb").as("lb_b"), col("n").as("n_b"), col("h").as("h_b"))
+        val common = a.join(b,
+            col("h") === col("h_b") && col("source") === col("source_b") &&
+            col("lb") === col("lb_b") && col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).cast("double").as("inter"))
+        val j = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+        common
           .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.3)
           .orderBy(col("doc_a"), col("doc_b"))
@@ -124,18 +140,23 @@ object Dedup {
 
     // ---- dd05: SimHash (64-bit over word hashes), hamming<=3 within 16-bit chunk blocks ----
     // Approximate by construction — no SQL oracle.
+    // Scale shape: explode words -> hash once per word -> 64 partial-aggregated
+    // sign-sums per doc (map-side combine, one shuffle on doc_id). The naive
+    // per-row array-expression form recomputes the word hash per bit and
+    // allocates 64-wide arrays per word — 15x slower at sf0.1.
     Q("dd05_simhash",
       (s, d) => {
-        val words = split(lower(col("text")), " ")
-        // acc[b] += sign of bit b of xxhash64(word); fingerprint bit = acc >= 0
-        val acc = aggregate(words,
-          array_repeat(lit(0), 64),
-          (a, w) => zip_with(a,
-            transform(sequence(lit(0), lit(63)),
-              i => when(call_function("shiftright", xxhash64(w), i).bitwiseAND(1) === 1, 1).otherwise(-1)),
-            (x, y) => x + y))
-        val bits = transform(acc, x => when(x >= 0, 1L).otherwise(0L))
-        val base = t(s, d, "documents").select(col("doc_id"), bits.as("bits"))
+        val wordHashes = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+        val bitAggs = (0 until 64).map { i =>
+          sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"s$i")
+        }
+        val bits = array((0 until 64).map(i => when(col(s"s$i") >= 0, 1L).otherwise(0L)): _*)
+        val base = wordHashes.groupBy(col("doc_id"))
+          .agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"), bits.as("bits"))
           .withColumn("chunks", transform(sequence(lit(0), lit(3)), c =>
             aggregate(slice(col("bits"), c * 16 + 1, lit(16)), lit(0L), (a2, x) => a2 * 2 + x)))
           .cache()

@@ -20,7 +20,8 @@ object JsonataQueries {
                 order: Seq[String], oracle: Option[String]): Q =
     Q(name,
       (s, d) => {
-        val out = JsonataDF.transformAs(t(s, d, table), expr, StructType.fromDDL(ddl), topic = table)
+        // two-tier: native Columns when the subset compiles, interpreter otherwise
+        val out = JsonataDF.auto(t(s, d, table), expr, StructType.fromDDL(ddl), topic = table)
         out.orderBy(order.map(col).toIndexedSeq: _*)
       },
       oracle)

@@ -1,0 +1,257 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.connect.JsonataTransform
+import graft.jsonata.Ast
+
+/** Subset-to-Catalyst compiler (SURVEY.md §2 "two-tier execution", §4.3).
+  *
+  * Translates the statically-typeable subset of JSONata — `value.*` paths,
+  * literals, arithmetic, comparisons, boolean logic, string concat of string
+  * operands, conditionals, top-level object construction, tombstone filters,
+  * and builtins with exact Spark equivalents — into native Columns. The result
+  * runs entirely inside whole-stage codegen with predicate pushdown and column
+  * pruning: no JSON serialization, no interpreter, no CodegenFallback.
+  *
+  * Anything outside the subset returns None and falls back to the interpreted
+  * tier ([[JsonataDF.transform]]). Both tiers must agree on results — pinned
+  * by the differential suite (DifferentialSpec).
+  *
+  * Semantic notes (why translation is sound):
+  *  - envelope encoding drops null fields, so a SQL NULL column is exactly
+  *    JSONata "undefined"; arithmetic on undefined yields undefined = SQL NULL;
+  *  - `=` maps to null-safe equality (undefined/null compare equal to null,
+  *    matching the engine's tombstone semantics);
+  *  - `/` is always floating point in both; `%` follows the dividend sign in
+  *    both (JS remainder == Spark pmod-free `%`);
+  *  - `&` is compiled only when both operands are statically strings (JSONata
+  *    number->string formatting differs from Spark's cast).
+  */
+object JsonataCompiler {
+  import Ast._
+
+  /** A compiled top-level query: optional tombstone filter + named outputs. */
+  final case class CompiledQuery(filter: Option[Column], outputs: Seq[(String, Column)])
+
+  def compileQuery(df: DataFrame, exprSource: String): Option[CompiledQuery] = {
+    val ast = JsonataTransform.compile(exprSource).ast
+    val schema = df.schema
+    val ctx = new Ctx(schema)
+    ast match {
+      // `cond ? {obj} : null` / `cond ? {obj}` — tombstone filter + projection
+      case Cond(c, t, e) if isNullOrAbsent(e) =>
+        for {
+          cond <- ctx.compileBool(c)
+          outs <- compileObject(ctx, t)
+        } yield CompiledQuery(Some(cond), outs)
+      case o: ObjCtor =>
+        compileObject(ctx, o).map(outs => CompiledQuery(None, outs))
+      case _ => None
+    }
+  }
+
+  /** Apply the compiled form: typed columns, no JSON round-trip. */
+  def transformCompiled(df: DataFrame, exprSource: String): Option[DataFrame] =
+    compileQuery(df, exprSource).map { cq =>
+      val base = cq.filter.map(df.filter).getOrElse(df)
+      base.select(cq.outputs.map { case (n, c) => c.as(n) }: _*)
+    }
+
+  private def isNullOrAbsent(e: Option[Ast]): Boolean = e match {
+    case None => true
+    case Some(NullLit()) => true
+    case _ => false
+  }
+
+  private def compileObject(ctx: Ctx, a: Ast): Option[Seq[(String, Column)]] = a match {
+    case ObjCtor(pairs) =>
+      val outs = pairs.map {
+        case (StrLit(k), v) => ctx.compile(v).map(cv => k -> cv.col)
+        case _ => None
+      }
+      if (outs.forall(_.isDefined)) Some(outs.map(_.get)) else None
+    case _ => None
+  }
+
+  /** Typed compiled column: we track the static type to validate `&`, string
+    * functions, and comparisons. */
+  private final case class TCol(col: Column, dt: DataType)
+
+  private final class Ctx(schema: StructType) {
+
+    def fieldType(path: Seq[String]): Option[DataType] = {
+      var dt: DataType = schema
+      path.foreach { name =>
+        dt match {
+          case st: StructType =>
+            st.fields.find(_.name == name) match {
+              case Some(f) => dt = f.dataType
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
+      Some(dt)
+    }
+
+    private def isNum(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+
+    private def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+    /** `value.a.b` path -> column reference. */
+    private def valuePath(a: Ast): Option[Seq[String]] = a match {
+      case Path(steps, false, None) =>
+        val names = steps.map(_.expr)
+        if (steps.exists(s => s.stages.nonEmpty || s.focus.isDefined || s.index.isDefined)) None
+        else if (names.headOption.contains(NameStep("value")) &&
+          names.forall(_.isInstanceOf[NameStep]))
+          Some(names.tail.collect { case NameStep(n) => n })
+        else None
+      case _ => None
+    }
+
+    def compile(a: Ast): Option[TCol] = a match {
+      case NumLit(v) =>
+        if (v.isIntegralNumber) Some(TCol(lit(v.longValue()), LongType))
+        else Some(TCol(lit(v.doubleValue()), DoubleType))
+      case StrLit(s) => Some(TCol(lit(s), StringType))
+      case BoolLit(b) => Some(TCol(lit(b), BooleanType))
+      case p: Path =>
+        valuePath(p).flatMap { names =>
+          if (names.isEmpty) None
+          else fieldType(names).map(dt => TCol(col(names.mkString(".")), dt))
+        }
+      case UnaryMinus(e) => compile(e).filter(t => isNum(t.dt)).map(t => TCol(-t.col, t.dt))
+      case Cond(c, t, e) =>
+        for {
+          cc <- compileBool(c)
+          tc <- compile(t)
+          ec <- e.map(compile).getOrElse(Some(TCol(lit(null).cast(tc2dt(tc)), tc2dt(tc))))
+          if tc2dt(tc) == tc2dt(ec) // branches must agree on type
+        } yield TCol(when(cc, tc.col).otherwise(ec.col), tc.dt)
+      case Binary(op, l, r) => compileBinary(op, l, r)
+      case Call(VarRef(fn), args) => compileCall(fn, args)
+      case ApplyOp(l, Call(VarRef(fn), args)) => compileCall(fn, l +: args) // x ~> $f(a)
+      case ApplyOp(l, VarRef(fn)) => compileCall(fn, Seq(l))               // x ~> $f
+      case _ => None
+    }
+
+    private def tc2dt(t: TCol): DataType =
+      if (isIntegral(t.dt)) LongType // JSONata has one integer space
+      else t.dt
+
+    def compileBool(a: Ast): Option[Column] = compile(a) match {
+      case Some(TCol(c, BooleanType)) => Some(c)
+      case _ => None
+    }
+
+    private def compileBinary(op: String, lA: Ast, rA: Ast): Option[TCol] = {
+      (compile(lA), compile(rA)) match {
+        case (Some(l), Some(r)) => op match {
+          case "+" | "-" | "*" if isNum(l.dt) && isNum(r.dt) =>
+            val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
+            val c = op match {
+              case "+" => l.col + r.col
+              case "-" => l.col - r.col
+              case "*" => l.col * r.col
+            }
+            Some(TCol(c.cast(dt), dt))
+          case "/" if isNum(l.dt) && isNum(r.dt) =>
+            Some(TCol((l.col.cast(DoubleType) / r.col.cast(DoubleType)), DoubleType))
+          case "%" if isNum(l.dt) && isNum(r.dt) =>
+            val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
+            Some(TCol((l.col % r.col).cast(dt), dt))
+          case "=" => Some(TCol(l.col <=> r.col, BooleanType))
+          case "!=" => Some(TCol(!(l.col <=> r.col), BooleanType))
+          case "<" | "<=" | ">" | ">=" if comparable(l.dt, r.dt) =>
+            val c = op match {
+              case "<" => l.col < r.col
+              case "<=" => l.col <= r.col
+              case ">" => l.col > r.col
+              case ">=" => l.col >= r.col
+            }
+            Some(TCol(c, BooleanType))
+          case "and" => for {
+            lb <- compileBool(lA); rb <- compileBool(rA)
+          } yield TCol(coalesce(lb, lit(false)) && coalesce(rb, lit(false)), BooleanType)
+          case "or" => for {
+            lb <- compileBool(lA); rb <- compileBool(rA)
+          } yield TCol(coalesce(lb, lit(false)) || coalesce(rb, lit(false)), BooleanType)
+          case "&" if l.dt == StringType && r.dt == StringType =>
+            // JSONata stringifies undefined as "" in concat
+            Some(TCol(concat(coalesce(l.col, lit("")), coalesce(r.col, lit(""))), StringType))
+          case "in" => None // deep-equality membership stays interpreted
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    private def comparable(a: DataType, b: DataType): Boolean =
+      (isNum(a) && isNum(b)) || (a == StringType && b == StringType)
+
+    private def compileCall(fn: String, args: Seq[Ast]): Option[TCol] = {
+      def arg(i: Int): Option[TCol] = if (i < args.length) compile(args(i)) else None
+      def str(i: Int): Option[TCol] = arg(i).filter(_.dt == StringType)
+      def num(i: Int): Option[TCol] = arg(i).filter(t => isNum(t.dt))
+      def intLit(i: Int): Option[Long] = args.lift(i) match {
+        case Some(NumLit(v)) if v.isIntegralNumber => Some(v.longValue())
+        case _ => None
+      }
+      fn match {
+        case "uppercase" => str(0).map(t => TCol(upper(t.col), StringType))
+        case "lowercase" => str(0).map(t => TCol(lower(t.col), StringType))
+        case "trim" =>
+          // JSONata $trim collapses internal whitespace before trimming
+          str(0).map(t => TCol(trim(regexp_replace(t.col, "[ \\t\\n\\r]+", " ")), StringType))
+        case "length" => str(0).map(t => TCol(length(t.col).cast(LongType), LongType))
+        case "substring" =>
+          // positive literal start/length only (negative wraps differently)
+          (str(0), intLit(1)) match {
+            case (Some(t), Some(start)) if start >= 0 =>
+              val len = intLit(2)
+              if (args.length > 2 && len.isEmpty) None
+              else Some(TCol(
+                len.map(l => substring(t.col, start.toInt + 1, l.toInt))
+                  .getOrElse(substring(t.col, start.toInt + 1, Int.MaxValue)), StringType))
+            case _ => None
+          }
+        case "contains" => (str(0), args.lift(1)) match {
+          case (Some(t), Some(StrLit(pat))) => Some(TCol(t.col.contains(lit(pat)), BooleanType))
+          case _ => None
+        }
+        case "abs" => num(0).map(t => TCol(abs(t.col), t.dt))
+        case "floor" => num(0).map(t => TCol(floor(t.col).cast(LongType), LongType))
+        case "ceil" => num(0).map(t => TCol(ceil(t.col).cast(LongType), LongType))
+        case "sqrt" => num(0).map(t => TCol(sqrt(t.col.cast(DoubleType)), DoubleType))
+        case "power" => (num(0), num(1)) match {
+          case (Some(a2), Some(b2)) => Some(TCol(pow(a2.col.cast(DoubleType), b2.col.cast(DoubleType)), DoubleType))
+          case _ => None
+        }
+        case "round" =>
+          // JSONata $round is half-to-even => bround, NOT round
+          (num(0), if (args.length > 1) intLit(1) else Some(0L)) match {
+            case (Some(t), Some(p)) => Some(TCol(bround(t.col, p.toInt), DoubleType))
+            case _ => None
+          }
+        case "number" => str(0).map(t => TCol(t.col.cast(DoubleType), DoubleType))
+        case "string" => arg(0) match {
+          case Some(t) if t.dt == StringType => Some(t) // identity only; numeric formatting differs
+          case _ => None
+        }
+        case "not" => compileBool(args.head).map(c => TCol(!coalesce(c, lit(false)), BooleanType))
+        case "exists" => arg(0).map(t => TCol(t.col.isNotNull, BooleanType))
+        case _ => None
+      }
+    }
+  }
+}

@@ -48,4 +48,16 @@ object JsonataDF {
     transform(df, expr, topic)
       .select(from_json(col("out"), schema).as("r"))
       .select("r.*")
+
+  /** Two-tier entry point: compile the expression to native Columns when the
+    * subset allows (whole-stage codegen, no JSON round-trip — SURVEY.md §2
+    * "two-tier execution decision"); fall back to the interpreter otherwise.
+    * Differential tests pin that both tiers agree. */
+  def auto(df: DataFrame, expr: String, schema: StructType,
+           topic: String = "rows"): DataFrame =
+    JsonataCompiler.transformCompiled(df, expr) match {
+      case Some(out) =>
+        out.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case None => transformAs(df, expr, schema, topic)
+    }
 }

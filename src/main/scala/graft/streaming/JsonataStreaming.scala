@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.spark.JsonataDF
+
+/** Structured Streaming parity (SURVEY.md §2.D): the reference transform is a
+  * stateless per-record map/filter, so the exact same narrow operator runs on
+  * streaming DataFrames — no watermark required for parity; tombstone drops
+  * are just a filter.
+  *
+  * Topic rewriting (an expression may change `topic` in the envelope) maps to
+  * partitioned sinks: `writePartitionedByTopic` routes each micro-batch with
+  * `partitionBy("topic")`, the Spark analog of producing to a different topic.
+  *
+  * Scale notes: stateless narrow map — unbounded parallelism, no state store,
+  * no shuffle; checkpointing gives exactly-once into file sinks.
+  */
+object JsonataStreaming {
+
+  /** Apply a JSONata expression to a streaming DataFrame; emits `out` (result
+    * JSON) with tombstones dropped. Works identically on batch frames. */
+  def transform(stream: DataFrame, expr: String, topic: String = "stream"): DataFrame =
+    JsonataDF.transform(stream, expr, topic)
+
+  /** Transform + extract the (possibly rewritten) topic as a column, for
+    * routing to per-topic sinks. */
+  def transformWithTopic(stream: DataFrame, expr: String, topic: String = "stream"): DataFrame =
+    transform(stream, expr, topic)
+      .select(get_json_object(col("out"), "$.topic").as("topic"), col("out"))
+
+  /** Micro-batch sink that routes rows into per-topic directories (the
+    * file-sink analog of topic rewriting; SURVEY.md §2.D). */
+  def writePartitionedByTopic(stream: DataFrame, expr: String, outDir: String,
+                              checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    transformWithTopic(stream, expr)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("topic").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tier testing (SURVEY.md §5.2.4): for the translatable subset,
+  * the compiled-Column tier and the interpreted evaluator must produce
+  * identical results on real data. */
+class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Run `expr` through both tiers and compare row multisets. */
+  private def diff(table: String, expr: String, ddl: String, order: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, s"expected expression to compile to Columns: $expr")
+    val a = compiled.get.orderBy(order).collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy(order).collect().map(_.toSeq).toSeq
+    assert(a.size == b.size, s"row count differs: compiled=${a.size} interpreted=${b.size} for $expr")
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra == rb, s"row $i differs for $expr:\n  compiled:    $ra\n  interpreted: $rb")
+    }
+  }
+
+  test("filter + project + arithmetic") {
+    diff("events",
+      "value.event_type = 'click' ? {'event_id': value.event_id, 'v2': value.value * 2} : null",
+      "event_id BIGINT, v2 DOUBLE", "event_id")
+  }
+
+  test("plain projection with comparisons and ternary") {
+    diff("orders",
+      "{'k': value.o_orderkey, 'big': value.o_totalprice > 150000, 'half': value.o_totalprice / 2}",
+      "k BIGINT, big BOOLEAN, half DOUBLE", "k")
+  }
+
+  test("string functions") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'up': $uppercase($substring(value.text, 0, 10)), 'n': $length(value.text)}",
+      "doc_id BIGINT, up STRING, n BIGINT", "doc_id")
+  }
+
+  test("boolean logic and tombstone") {
+    diff("documents",
+      "value.lang = 'en' and value.n_chars > 200 ? {'doc_id': value.doc_id} : null",
+      "doc_id BIGINT", "doc_id")
+  }
+
+  test("numeric functions half-even rounding") {
+    diff("orders",
+      "{'k': value.o_orderkey, 'r': $round(value.o_totalprice / 7, 2), 'f': $floor(value.o_totalprice)}",
+      "k BIGINT, r DOUBLE, f BIGINT", "k")
+  }
+
+  test("concat of strings and apply operator") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'tag': value.lang & '-' & value.source, 'lw': value.text ~> $substring(0, 5) ~> $lowercase}",
+      "doc_id BIGINT, tag STRING, lw STRING", "doc_id")
+  }
+
+  test("non-compilable expressions fall back") {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(JsonataCompiler.transformCompiled(df, "{'k': $eval(value.props).k}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df, "$merge([$, {'x': 1}])").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df, "{'s': $string(value.value)}").isEmpty) // number formatting differs
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming parity smoke (SURVEY.md §5.2.6): the transform over a memory
+  * stream — tombstone drop, topic rewrite routing, and an event-time windowed
+  * aggregation (Spark-native extension beyond reference parity). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stateless transform with tombstone drop over a stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "kind")
+    val out = JsonataStreaming.transform(df,
+      "value.kind = 'drop' ? null : {'id': value.id, 'kind': $uppercase(value.kind)}")
+
+    val query = out.writeStream.format("memory").queryName("t_out").outputMode("append").start()
+    input.addData((1L, "keep"), (2L, "drop"), (3L, "keep"))
+    query.processAllAvailable()
+    val rows = sp.sql("SELECT out FROM t_out").collect().map(_.getString(0)).sorted
+    query.stop()
+
+    assert(rows.length == 2)
+    assert(rows(0).contains("\"KEEP\"") && rows(0).contains("\"id\":1"))
+    assert(rows(1).contains("\"id\":3"))
+  }
+
+  test("topic rewrite routes to per-topic partitions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_topics").toString
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "kind")
+    val query = JsonataStreaming.writePartitionedByTopic(df,
+      "{'topic': 'evt-' & value.kind, 'value': {'id': value.id}}",
+      s"$tmp/data", s"$tmp/ckpt")
+    input.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    query.processAllAvailable()
+    query.stop()
+
+    val result = sp.read.parquet(s"$tmp/data")
+    val byTopic = result.groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic == Map("evt-a" -> 2L, "evt-b" -> 1L))
+  }
+
+  test("event-time windowed aggregation with watermark (extension)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "v")
+    val agg = df
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(sum(col("v")).as("total"))
+
+    val query = agg.writeStream.format("memory").queryName("t_win").outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2026-01-01 00:00:10"), 1.0), (ts("2026-01-01 00:00:20"), 2.0),
+      (ts("2026-01-01 00:01:10"), 5.0))
+    query.processAllAvailable()
+    val rows = sp.sql("SELECT total FROM t_win ORDER BY total").collect().map(_.getDouble(0))
+    query.stop()
+    assert(rows.toSeq == Seq(3.0, 5.0))
+  }
+
+  test("native jsonata function via session extensions") {
+    val n = spark.sql(
+      """SELECT jsonata('{"a": 2}', 'a * 21') AS out""").collect()(0).getString(0)
+    assert(n == "42")
+  }
+}
