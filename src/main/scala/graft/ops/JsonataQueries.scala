@@ -37,7 +37,7 @@ object JsonataQueries {
 
     // ---- jx02: dynamic JSON navigation via $eval over a JSON-string column ----
     q("jx02_props_extract", "events",
-      "{'event_id': value.event_id, 'k': $eval(value.props).k}",
+      "{'event_id': value.event_id, 'k': $eval(value.props, {}).k}",
       "event_id BIGINT, k BIGINT",
       Seq("event_id"),
       Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

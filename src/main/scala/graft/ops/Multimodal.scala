@@ -60,6 +60,23 @@ object Multimodal {
           octet_length(encode(text)) * 7 % 480 AS height
           FROM documents ORDER BY doc_id""")),
 
+    // ---- mm03: frame sampling — fixed-stride windows over the binary payload ----
+    // The Spark shape of video frame-sampling: slice the opaque payload at a
+    // fixed stride, fingerprint each window (map-only, payload column never
+    // shuffled). Exact oracle via BLOB substr + sha256.
+    Q("mm03_frame_sample",
+      (s, d) => {
+        val m = mediaTable(s, d)
+        val frames = posexplode(transform(sequence(lit(0), lit(3)), i =>
+          sha2(substring(col("payload"), (i * 64 + 1).cast("int"), lit(64)), 256)))
+        m.select(col("doc_id"), frames.as(Seq("frame", "sha")))
+          .orderBy(col("doc_id"), col("frame"))
+      },
+      // corpus is pure ASCII, so char slicing == byte slicing (checked)
+      Some("""SELECT doc_id, i AS frame, sha256(substring(text, i*64+1, 64)) AS sha
+          FROM documents, generate_series(0, 3) AS t(i)
+          ORDER BY doc_id, frame""")),
+
     // ---- mm02: typed batch-decode pipeline (stub kernel; rows-only check) ----
     Q("mm02_media_decode",
       (s, d) => {

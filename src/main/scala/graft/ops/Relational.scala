@@ -176,6 +176,17 @@ object Relational {
         UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
         ORDER BY kind, id""")),
 
+    // ---- q16: hierarchical rollup (GROUPING SETS — one shuffle, Expand) ----
+    Q("q16_rollup",
+      (s, d) => orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice),2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // ---- q15: event-time daily rollup (streaming-shaped agg in batch) ----
     Q("q15_events_daily",
       (s, d) => t(s, d, "events")

@@ -93,6 +93,26 @@ object TextOps {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // ---- tx04: document fingerprinting — polynomial rolling hash over words ----
+    // h := (h*131 + len(word)*31 + code(first char)) mod 1e9+7 — identical
+    // modular arithmetic on both sides, so the oracle is exact. Map-only.
+    Q("tx04_fingerprint_hash",
+      (s, d) => {
+        val words = split(lower(trim(col("text"))), "\\s+")
+        val fp = aggregate(words, lit(0L),
+          (h, w) => (h * 131 + length(w) * 31 + ascii(w)) % 1000000007L)
+        t(s, d, "documents")
+          .select(col("doc_id"), fp.as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                w -> CAST(len(w)*31 + ascii(w) AS BIGINT))),
+            (h, x) -> (h * 131 + x) % 1000000007) AS fp
+          FROM documents ORDER BY doc_id""")),
+
     // ---- tx03: token counting — whitespace + BPE-ish regex tokens ----
     Q("tx03_tokens",
       (s, d) => {

@@ -25,7 +25,6 @@ object JsonataAnalysis {
   import Ast._
 
   private val nondetFns = Set("random", "shuffle", "now", "millis", "eval")
-  private val introspectFns = Set("keys", "spread", "merge", "each", "sift", "lookup", "eval", "string", "type")
 
   private def walk(a: Ast)(f: Ast => Unit): Unit = { f(a); Ast.children(a).foreach(walk(_)(f)) }
 
@@ -38,18 +37,33 @@ object JsonataAnalysis {
     det
   }
 
-  /** None = must keep every envelope field; Some(names) = referenced superset. */
+  /** None = must keep every envelope field; Some(names) = referenced superset.
+    *
+    * Soundness: any field access ultimately names the field with a NameStep
+    * (including through variables bound from sub-trees), so collecting every
+    * NameStep over-approximates the read set — UNLESS the expression can reach
+    * the envelope root without naming fields: `$`/`$$`, wildcards/descendants,
+    * parent steps, transforms, zero-arg context-injected builtins, or a
+    * 1-arg $eval (whose dynamic expression runs against the call context).
+    * A 2-arg $eval evaluates against its explicit context argument only. */
   def referencedFields(a: Ast): Option[Set[String]] = {
     var escape = false
     var names = Set.empty[String]
-    walk(a) {
+    def scan(node: Ast): Unit = node match {
+      case Call(VarRef("eval"), args) if args.length >= 2 => args.foreach(scan)
+      case Call(VarRef("eval"), _) => escape = true
+      case Call(proc @ VarRef(fn), args) =>
+        // zero-arg contextable builtins read the whole context ($string() etc.);
+        // $now/$millis/$random take no input at all
+        if (args.isEmpty && !Set("now", "millis", "random")(fn)) escape = true
+        else { scan(proc); args.foreach(scan) }
       case VarRef("") | VarRef("$") => escape = true // $ / $$ expose the whole envelope
       case Wildcard() | Descendant() | ParentRef() => escape = true
-      case VarRef(n) if introspectFns(n) => escape = true
       case TransformExpr(_, _, _) => escape = true
-      case NameStep(n) => names += n
-      case _ =>
+      case NameStep(n) => names += n; Ast.children(node).foreach(scan)
+      case other => Ast.children(other).foreach(scan)
     }
+    scan(a)
     if (escape) None else Some(names)
   }
 }

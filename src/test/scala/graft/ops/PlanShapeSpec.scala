@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (the 100 TB checklist, SURVEY.md §4):
+  * dimension joins must broadcast, top-k must not globally sort, aggregations
+  * must partial-aggregate, compiled-tier filters must push to the parquet
+  * scan, and scans must prune to referenced columns. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val q = graft.SparkEntry.queries(name)
+    q(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("q05 region revenue: all dimension joins broadcast, no sort-merge join") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not shuffle both sides")
+  }
+
+  test("q03 shipping priority: broadcast customer dim") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q08 top orders: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q01 pricing summary: partial (map-side) aggregation present") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), "expected partial aggregate functions in plan")
+  }
+
+  test("jx01 compiled tier: predicate pushed to parquet scan") {
+    val p = plan("jx01_filter_project")
+    assert(p.contains("PushedFilters: [EqualNullSafe(event_type,click)]"), p.take(3000))
+    assert(!p.contains("jsonata"), "jx01 must run on the compiled tier, not the interpreter")
+    // unreferenced columns (ts, props) must not be read
+    assert(!p.contains("props"), "scan must prune unreferenced columns")
+  }
+
+  test("jx02 interpreted tier: scan prunes to referenced fields only") {
+    val p = plan("jx02_props_extract")
+    assert(p.contains("jsonata"), "jx02 ($eval) must use the interpreted tier")
+    assert(p.contains("props") && p.contains("event_id"), p.take(3000))
+    assert(!p.contains("user_id"), "scan must prune unreferenced columns")
+  }
+
+  test("tx02 quality: map-only (no shuffle before the final sort)") {
+    val p = plan("tx02_quality")
+    // a per-document metric needs exactly the one exchange introduced by orderBy
+    assert(p.split("Exchange").length - 1 <= 1, p.take(2000))
+  }
+
+  test("dd01 exact dedup: partial aggregation on the hash key") {
+    val p = plan("dd01_dedup_exact")
+    assert(p.contains("partial_"))
+  }
+}
