@@ -67,6 +67,25 @@ object JsonataQueries {
         o_orderstatus || '-' || substr(o_orderpriority, 1, 1) AS tag,
         o_totalprice > 150000 AS big FROM orders ORDER BY orderkey""")),
 
+    // ---- jx07: the reference's removeEmail pattern at scale — $sift/$merge/
+    //      lambda schema-as-data rewrite per record (reference Test.java:63-108) ----
+    q("jx07_schema_rewrite", "documents",
+      """(
+        $dropText := function($v, $k) { $k != 'text' };
+        $schema := {"type": "STRUCT", "fields": {
+          "doc_id": {"name": "doc_id", "index": 0, "schema": {"type": "INT64"}},
+          "text": {"name": "text", "index": 1, "schema": {"type": "STRING"}},
+          "lang": {"name": "lang", "index": 2, "schema": {"type": "STRING"}},
+          "source": {"name": "source", "index": 3, "schema": {"type": "STRING"}},
+          "n_chars": {"name": "n_chars", "index": 4, "schema": {"type": "INT64"}}}};
+        $newSchema := $merge([$schema, {"fields": $sift($schema.fields, $dropText)}]);
+        $merge([$sift(value, $dropText), {"nf": $count($keys($newSchema.fields))}])
+      )""",
+      "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, nf BIGINT",
+      Seq("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars, 4 AS nf
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -24,7 +24,7 @@ object JsonataDF {
   /** Envelope JSON column for a row, pruned to the fields `expr` can read. */
   def envelopeFor(df: DataFrame, topic: String, expr: String): Column = {
     val ast = JsonataTransform.compile(expr).ast
-    val keep = JsonataAnalysis.referencedFields(ast) match {
+    val keep = JsonataAnalysis.referencedValueFields(ast) match {
       case Some(names) => df.columns.filter(names.contains)
       case None => df.columns
     }

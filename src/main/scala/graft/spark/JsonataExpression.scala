@@ -37,18 +37,35 @@ object JsonataAnalysis {
     det
   }
 
-  /** None = must keep every envelope field; Some(names) = referenced superset.
+  /** Which fields of the envelope's `value` object can the expression read?
+    * None = all of them (the expression reaches `value` — or the whole
+    * envelope — without naming sub-fields); Some(names) = a sound superset.
     *
-    * Soundness: any field access ultimately names the field with a NameStep
-    * (including through variables bound from sub-trees), so collecting every
-    * NameStep over-approximates the read set — UNLESS the expression can reach
-    * the envelope root without naming fields: `$`/`$$`, wildcards/descendants,
-    * parent steps, transforms, zero-arg context-injected builtins, or a
-    * 1-arg $eval (whose dynamic expression runs against the call context).
-    * A 2-arg $eval evaluates against its explicit context argument only. */
-  def referencedFields(a: Ast): Option[Set[String]] = {
+    * Soundness argument: `value`'s sub-fields can only be reached (a) by a
+    * path step immediately following a `value` step — those names are
+    * collected — or (b) by obtaining the `value` object (or the envelope root)
+    * wholesale and introspecting it. Case (b) escapes: a path that *ends* at
+    * `value` (including bare `value` used as a function argument), a `value`
+    * step carrying predicates/bindings, `$`/`$$`, wildcard/descendant/parent
+    * steps, transforms, zero-arg context-injected builtins, and 1-arg $eval
+    * (whose dynamic expression runs against the call context). A 2-arg $eval
+    * evaluates against its explicit context argument only, so it is safe. */
+  def referencedValueFields(a: Ast): Option[Set[String]] = {
     var escape = false
     var names = Set.empty[String]
+    def scanPath(steps: Vector[Step]): Unit =
+      steps.zipWithIndex.foreach { case (st, i) =>
+        st.expr match {
+          case NameStep("value") =>
+            if (st.stages.nonEmpty || st.focus.isDefined || st.index.isDefined) escape = true
+            else if (i + 1 < steps.length) steps(i + 1).expr match {
+              case NameStep(n) => names += n
+              case _ => escape = true
+            }
+            else escape = true // path yields the whole value object
+          case _ =>
+        }
+      }
     def scan(node: Ast): Unit = node match {
       case Call(VarRef("eval"), args) if args.length >= 2 => args.foreach(scan)
       case Call(VarRef("eval"), _) => escape = true
@@ -60,7 +77,22 @@ object JsonataAnalysis {
       case VarRef("") | VarRef("$") => escape = true // $ / $$ expose the whole envelope
       case Wildcard() | Descendant() | ParentRef() => escape = true
       case TransformExpr(_, _, _) => escape = true
-      case NameStep(n) => names += n; Ast.children(node).foreach(scan)
+      case NameStep("value") => escape = true // bare `value` outside a path
+      case p: Path =>
+        scanPath(p.steps)
+        // recurse into non-name step exprs, stages and the group
+        p.steps.foreach { st =>
+          st.expr match {
+            case NameStep(_) =>
+            case e => scan(e)
+          }
+          st.stages.foreach {
+            case FilterStage(e) => scan(e)
+            case SortStage(ts) => ts.foreach(t => scan(t.expr))
+            case IndexStage(_) =>
+          }
+        }
+        p.group.foreach(scan)
       case other => Ast.children(other).foreach(scan)
     }
     scan(a)

@@ -56,6 +56,21 @@ class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("whole-object value access keeps every field (pruning soundness)") {
+    import graft.connect.JsonataTransform
+    // $sift(value, ...) reads value wholesale: pruning must keep all fields
+    val ast = JsonataTransform.compile("$sift(value, function($v,$k){ $k != 'text' })").ast
+    assert(JsonataAnalysis.referencedValueFields(ast).isEmpty)
+    val out = JsonataDF.transformAs(docs,
+      "$sift(value, function($v,$k){ $k != 'text' })",
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, lang STRING"))
+    val row = out.orderBy("doc_id").limit(1).collect()(0)
+    assert(!row.isNullAt(0) && !row.isNullAt(1))
+    // while navigation-only access still prunes
+    val ast2 = JsonataTransform.compile("{'id': value.doc_id}").ast
+    assert(JsonataAnalysis.referencedValueFields(ast2) == Some(Set("doc_id")))
+  }
+
   test("$ escape disables pruning") {
     val out = JsonataDF.transform(docs, "$.value.doc_id")
     val scans = out.queryExecution.executedPlan.collect {
