@@ -81,4 +81,8 @@ object Jsonata {
   }
 
   def parseJson(s: String): JsonNode = mapper.readTree(s)
+
+  /** Parse UTF-8 bytes directly (hot path for the Spark tier: avoids the
+    * UTF8String -> java.lang.String copy per record). */
+  def parseJsonBytes(bytes: Array[Byte]): JsonNode = mapper.readTree(bytes)
 }

@@ -39,7 +39,7 @@ object Dedup {
 
   /** doc_id + minhash signature (64 longs) per document — single shuffle. */
   private def minhashSigs(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sh = Tables.spread(docs).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = Array.tabulate(P) { i =>
       min((col("h") * permA(i) + permB(i)).bitwiseAND(lit(Mask))).as(s"m$i")
@@ -81,12 +81,14 @@ object Dedup {
     // tractable exact form.
     Q("dd03_ngram_jaccard",
       (s, d) => {
-        val base = t(s, d, "documents").select(
+        val base = Tables.spread(t(s, d, "documents")).select(
           col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
           array_distinct(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
           .withColumn("n", size(col("sh")))
+        // cache the exploded doc-shingle relation: both sides of the self-join
+        // read it (without this, shingling runs twice); disk-spillable at scale
         val ex = base.select(col("doc_id"), col("source"), col("lb"), col("n"),
-          explode(col("sh")).as("h"))
+          explode(col("sh")).as("h")).persist()
         val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("lb"),
           col("n").as("n_a"), col("h"))
         val b = ex.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
@@ -146,7 +148,7 @@ object Dedup {
     // allocates 64-wide arrays per word — 15x slower at sf0.1.
     Q("dd05_simhash",
       (s, d) => {
-        val wordHashes = t(s, d, "documents")
+        val wordHashes = Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
           .select(col("doc_id"), xxhash64(col("w")).as("h"))
         val bitAggs = (0 until 64).map { i =>

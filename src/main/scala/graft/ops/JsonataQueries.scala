@@ -21,7 +21,7 @@ object JsonataQueries {
     Q(name,
       (s, d) => {
         // two-tier: native Columns when the subset compiles, interpreter otherwise
-        val out = JsonataDF.auto(t(s, d, table), expr, StructType.fromDDL(ddl), topic = table)
+        val out = JsonataDF.auto(Tables.spread(t(s, d, table)), expr, StructType.fromDDL(ddl), topic = table)
         out.orderBy(order.map(col).toIndexedSeq: _*)
       },
       oracle)
@@ -90,7 +90,7 @@ object JsonataQueries {
     Q("jx06_sql_udf",
       (s, d) => {
         graft.spark.JsonataFunctions.registerSql(s)
-        val df = t(s, d, "events")
+        val df = Tables.spread(t(s, d, "events"))
         df.createOrReplaceTempView("events_raw")
         s.sql("""
           SELECT CAST(get_json_object(out, '$.event_id') AS BIGINT) AS event_id,

@@ -25,4 +25,16 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Ensure enough input splits for compute-heavy per-row operators.
+    *
+    * The local testdata files are ~1 MB: a single parquet row group = a single
+    * scan partition = one core doing all the work. A production deployment
+    * reads thousands of splits, so this is a no-op there (the scan partition
+    * count already exceeds the parallelism) — locally it adds one tiny shuffle
+    * to unlock every core. Only used where per-row compute dominates I/O. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -176,6 +176,39 @@ object Relational {
         UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
         ORDER BY kind, id""")),
 
+    // ---- q17: small-quantity revenue vs per-part average (TPC-H Q17 shape:
+    //      self-join against an aggregated subquery; both sides shuffle on
+    //      l_partkey once, AQE picks the join strategy) ----
+    Q("q17_small_quantity",
+      (s, d) => {
+        val l = lineitem(s, d)
+        val avgQ = l.groupBy(col("l_partkey").as("pk"))
+          .agg((avg(col("l_quantity")) * 0.2).as("lim"))
+        l.join(avgQ, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("lim"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem, (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+                        FROM lineitem GROUP BY l_partkey) a
+        WHERE l_partkey = pk AND l_quantity < lim""")),
+
+    // ---- q18: running total per customer (window frame: rows unbounded preceding) ----
+    Q("q18_running_total",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running"))
+          .orderBy(col("custkey"), col("orderkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        FROM orders WHERE o_custkey <= 100 ORDER BY custkey, orderkey""")),
+
     // ---- q16: hierarchical rollup (GROUPING SETS — one shuffle, Expand) ----
     Q("q16_rollup",
       (s, d) => orders(s, d)

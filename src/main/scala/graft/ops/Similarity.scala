@@ -26,7 +26,7 @@ object Similarity {
 
   /** embeddings with vec (double) + precomputed norm. */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings").select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
+    Tables.spread(t(s, d, "embeddings")).select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
 
   // 16 deterministic pseudo-random hyperplanes over dim 64 (seeded LCG, no RNG state).

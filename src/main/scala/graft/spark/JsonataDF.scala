@@ -60,4 +60,17 @@ object JsonataDF {
         out.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       case None => transformAs(df, expr, schema, topic)
     }
+
+  /** `import graft.spark.JsonataDF.syntax._` enables
+    * `df.jsonataTransform("expr")` — the Dataset-level operator surface
+    * (SURVEY.md §2.E). */
+  object syntax {
+    implicit final class JsonataOps(private val df: DataFrame) {
+      def jsonataTransform(expr: String): DataFrame = transform(df, expr)
+      def jsonataTransformAs(expr: String, schema: StructType): DataFrame =
+        transformAs(df, expr, schema)
+      def jsonataAuto(expr: String, schema: StructType): DataFrame =
+        auto(df, expr, schema)
+    }
+  }
 }

@@ -123,7 +123,7 @@ case class JsonataExpression(
     JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
 
   override def nullSafeEval(input: Any): Any = {
-    val node = Jsonata.parseJson(input.asInstanceOf[UTF8String].toString)
+    val node = Jsonata.parseJsonBytes(input.asInstanceOf[UTF8String].getBytes)
     val out = compiled.evaluate(node, timeoutMs, maxDepth)
     // no-match AND explicit null both drop the record (reference
     // jsonNodeToRecord:295-297 treats a JSON-null result as a tombstone)
