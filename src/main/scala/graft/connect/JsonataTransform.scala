@@ -16,7 +16,26 @@ import graft.jsonata.{Jsonata, JsonataExpr, JsonataException}
   */
 object JsonataTransform {
 
-  final case class Config(expr: String = "", timeoutMs: Long = 5000L, maxDepth: Int = 1000)
+  /** 3-key configuration mirroring the reference's ConfigDef (`expr` STRING "",
+    * `timeout.ms` LONG 5000, `max.depth` INT 1000 — reference
+    * JsonataTransformationConfig.java:31-54). Validated at construction
+    * (analysis time), like Connect's ConfigDef does. */
+  final case class Config(expr: String = "", timeoutMs: Long = 5000L, maxDepth: Int = 1000) {
+    if (expr == null) throw new DataException("expr must not be null")
+    if (timeoutMs < 0) throw new DataException(s"timeout.ms must be >= 0, got $timeoutMs")
+    if (maxDepth < 1) throw new DataException(s"max.depth must be >= 1, got $maxDepth")
+  }
+
+  /** Connect-style string-keyed configuration entry point. */
+  def configFrom(settings: Map[String, String]): Config = {
+    try Config(
+      settings.getOrElse("expr", ""),
+      settings.get("timeout.ms").map(_.trim.toLong).getOrElse(5000L),
+      settings.get("max.depth").map(_.trim.toInt).getOrElse(1000))
+    catch {
+      case e: NumberFormatException => throw new DataException(s"invalid config value: ${e.getMessage}")
+    }
+  }
 
   private val MaxCacheSize = 100
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, JsonataExpr]()

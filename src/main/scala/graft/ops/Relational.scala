@@ -220,6 +220,29 @@ object Relational {
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // ---- q19: skew-mitigated fact-dim join via explicit salting ----
+    // events.user_id is a skewable join key: the dim side is replicated
+    // SALT times with a salt column, the fact side hashes into a salt bucket,
+    // and the join runs on (key, salt) — the manual form of what AQE's skew
+    // join does, kept explicit here so the oracle pins correctness of the
+    // technique (results identical to the unsalted join).
+    Q("q19_salted_join",
+      (s, d) => {
+        val salt = 8
+        val fact = t(s, d, "events")
+          .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salt)).cast("int"))
+        val dim = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            explode(sequence(lit(0), lit(salt - 1))).as("salt"))
+        fact.join(dim, col("user_id") === col("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- q15: event-time daily rollup (streaming-shaped agg in batch) ----
     Q("q15_events_daily",
       (s, d) => t(s, d, "events")

@@ -148,6 +148,33 @@ class EdgeCaseSpec extends AnyFunSuite {
   t("block in path is per-item", "library.books.(price * 2)", lib, "[20,40,30]")
   t("context in nested fn", "library.books.$string(price)", lib, """["10","20","15"]""")
 
+  // ---- nondeterministic functions: shape-only assertions ----
+  t("$shuffle preserves multiset", "$sort($shuffle([3,1,2]))", "{}", "[1,2,3]")
+  t("$random in range", "( $r := $random(); $r >= 0 and $r < 1 )", "{}", "true")
+  t("$millis stable within evaluation", "$millis() = $millis()", "{}", "true")
+
+  // ---- URL coding full forms ----
+  t("$encodeUrl keeps reserved", "$encodeUrl('http://a.c/?x=1 2')", "{}",
+    "\"http://a.c/?x=1%202\"")
+  t("$decodeUrl", "$decodeUrl('http://a.c/?x=1%202')", "{}", "\"http://a.c/?x=1 2\"")
+
+  // ---- $assert / $error ----
+  t("$assert passes", "( $assert(1 = 1, 'nope'); 'ok' )", "{}", "\"ok\"")
+  test("$assert failure raises D3141") {
+    val e = intercept[JsonataException](Jsonata.evalString("$assert(1 = 2, 'boom')", "{}"))
+    assert(e.code == "D3141" && e.getMessage.contains("boom"))
+  }
+
+  // ---- config validation (A14) ----
+  test("config validation rejects bad values") {
+    import graft.connect.{DataException, JsonataTransform}
+    assertThrows[DataException](JsonataTransform.Config("x", timeoutMs = -1))
+    assertThrows[DataException](JsonataTransform.Config("x", maxDepth = 0))
+    assertThrows[DataException](JsonataTransform.configFrom(Map("timeout.ms" -> "abc")))
+    val c = JsonataTransform.configFrom(Map("expr" -> "$", "timeout.ms" -> "100"))
+    assert(c.timeoutMs == 100L && c.maxDepth == 1000)
+  }
+
   // ---- order-by stability ----
   t("sort is stable on ties", "library.books^(ties).title",
     """{"library": {"books": [
