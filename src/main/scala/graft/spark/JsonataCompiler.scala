@@ -155,6 +155,18 @@ object JsonataCompiler {
     }
 
     private def compileBinary(op: String, lA: Ast, rA: Ast): Option[TCol] = {
+      if (op == "in") return (compile(lA), rA) match {
+        // literal-array membership compiles to isin; deep-equality membership
+        // over computed arrays stays interpreted
+        case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
+          val vals = items.collect { case StrLit(s2) => s2 }
+          Some(TCol(l.col.isin(vals: _*), BooleanType))
+        case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[NumLit]) =>
+          val vals = items.collect { case NumLit(v) =>
+            if (v.isIntegralNumber) v.longValue(): Any else v.doubleValue(): Any }
+          Some(TCol(l.col.isin(vals: _*), BooleanType))
+        case _ => None
+      }
       (compile(lA), compile(rA)) match {
         case (Some(l), Some(r)) => op match {
           case "+" | "-" | "*" if isNum(l.dt) && isNum(r.dt) =>
@@ -189,7 +201,7 @@ object JsonataCompiler {
           case "&" if l.dt == StringType && r.dt == StringType =>
             // JSONata stringifies undefined as "" in concat
             Some(TCol(concat(coalesce(l.col, lit("")), coalesce(r.col, lit(""))), StringType))
-          case "in" => None // deep-equality membership stays interpreted
+          case "in" => None // handled above (rhs is not a compilable scalar)
           case _ => None
         }
         case _ => None

@@ -77,6 +77,12 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT, tag STRING, lw STRING", "doc_id")
   }
 
+  test("in-membership over literal arrays") {
+    diff("documents",
+      "value.lang in ['en', 'de'] ? {'doc_id': value.doc_id, 'lang': value.lang} : null",
+      "doc_id BIGINT, lang STRING", "doc_id")
+  }
+
   test("non-compilable expressions fall back") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     assert(JsonataCompiler.transformCompiled(df, "{'k': $eval(value.props).k}").isEmpty)

@@ -92,6 +92,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(3.0, 5.0))
   }
 
+  test("streaming exact dedup within watermark (training-pipeline extension)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text")
+
+    val query = df.writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2026-01-01 00:00:01"), "a"), (ts("2026-01-01 00:00:02"), "b"),
+      (ts("2026-01-01 00:00:03"), "a"), (ts("2026-01-01 00:00:04"), "c"),
+      (ts("2026-01-01 00:00:05"), "b"))
+    query.processAllAvailable()
+    val rows = sp.sql("SELECT text FROM t_dedup").collect().map(_.getString(0)).sorted
+    query.stop()
+    assert(rows.toSeq == Seq("a", "b", "c"))
+  }
+
   test("native jsonata function via session extensions") {
     val n = spark.sql(
       """SELECT jsonata('{"a": 2}', 'a * 21') AS out""").collect()(0).getString(0)
