@@ -61,6 +61,24 @@ object JsonataDF {
       case None => transformAs(df, expr, schema, topic)
     }
 
+  /** Full record-envelope transform: for DataFrames already shaped like
+    * Connect records — columns among `topic` (string), `kafkaPartition` (int),
+    * `key`, `value` (any type incl. struct), `timestamp` (long), `headers`
+    * (array<struct<key,value>>) — the whole record is reified, the expression
+    * may rewrite any payload part (topic routing, key/value restructuring,
+    * header edits), and tombstones drop. This is the Spark surface of the
+    * reference's apply() over complete records (reference
+    * JsonataTransformation.java:133-156). */
+  def transformRecords(df: DataFrame, expr: String,
+                       timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame = {
+    val known = Seq("topic", "kafkaPartition", "key", "value", "timestamp", "headers")
+    val present = known.filter(df.columns.contains)
+    require(present.nonEmpty, s"transformRecords needs at least one of: ${known.mkString(", ")}")
+    val envelope = to_json(struct(present.map(col): _*))
+    df.select(JsonataFunctions.jsonata(envelope, expr, timeoutMs, maxDepth).as("out"))
+      .filter(col("out").isNotNull)
+  }
+
   /** `import graft.spark.JsonataDF.syntax._` enables
     * `df.jsonataTransform("expr")` — the Dataset-level operator surface
     * (SURVEY.md §2.E). */

@@ -96,6 +96,29 @@ class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(0) != null))
   }
 
+  test("full record envelope: topic rewrite, header access, tombstone") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(
+      "topic STRING, kafkaPartition INT, key STRING, " +
+      "value STRUCT<id: BIGINT, kind: STRING>, timestamp BIGINT, " +
+      "headers ARRAY<STRUCT<key: STRING, value: STRING>>")
+    val rows = java.util.Arrays.asList(
+      Row("t1", 0, "k1", Row(1L, "keep"), 100L, Seq(Row("h1", "v1"))),
+      Row("t1", 0, "k2", Row(2L, "drop"), 200L, Seq(Row("h1", "v2"))))
+    val df = spark.createDataFrame(rows, schema)
+    val out = JsonataDF.transformRecords(df,
+      """value.kind = 'drop' ? null : $merge([$, {
+           'topic': topic & '-' & value.kind,
+           'value': $merge([value, {'h': headers[0].value}])
+         }])""")
+    val got = out.collect().map(_.getString(0))
+    assert(got.length == 1)
+    assert(got(0).contains("\"topic\":\"t1-keep\""))
+    assert(got(0).contains("\"h\":\"v1\""))
+    assert(got(0).contains("\"key\":\"k1\"") && got(0).contains("\"timestamp\":100"))
+  }
+
   test("numeric fidelity through the envelope") {
     val out = JsonataDF.transformAs(events.limit(50),
       "{'event_id': value.event_id, 'v2': value.value * 2}",
