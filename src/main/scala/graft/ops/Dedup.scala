@@ -37,7 +37,11 @@ object Dedup {
   private val permA: Array[Long] = Array.tabulate(P)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
   private val permB: Array[Long] = Array.tabulate(P)(i => 6364136223846793005L * (i + 7) + 1442695040888963407L)
 
-  /** doc_id + minhash signature (64 longs) per document — single shuffle. */
+  /** doc_id + minhash signature (64 longs) per document — explode distinct
+    * shingle hashes, then 64 partial-aggregated min()s in a single shuffle on
+    * doc_id (map-side combine keeps the shuffle narrow). Per-row array-
+    * expression variants were measured slower end-to-end: the 64-term
+    * expression tree costs ~7s of one-time codegen per JVM. */
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val sh = Tables.spread(docs).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
