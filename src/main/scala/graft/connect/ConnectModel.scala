@@ -1,6 +1,6 @@
 package graft.connect
 
-import scala.collection.immutable.{ListMap, VectorMap}
+import scala.collection.immutable.ListMap
 
 /** Minimal Kafka-Connect-equivalent data model (Schema/Struct/logical types),
   * re-implemented from the public Connect API semantics since connect-api jars
