@@ -37,17 +37,28 @@ object JsonataTransform {
     }
   }
 
-  private val MaxCacheSize = 100
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, JsonataExpr]()
+  private[connect] val MaxCacheSize = 100
+  // Access-order LRU capped at 100, matching the reference's Guava cache
+  // (JsonataTransformation.java:57-63): inserting entry N+1 evicts only the
+  // least-recently-used expression, so a workload cycling >100 expressions
+  // degrades gracefully instead of recompiling everything.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, JsonataExpr](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, JsonataExpr]): Boolean =
+        size() > MaxCacheSize
+    })
+
+  /** Test hook: whether `expr` is currently cached (touches nothing). */
+  private[connect] def isCached(expr: String): Boolean =
+    cache.synchronized(cache.containsKey(expr))
 
   def compile(expr: String): JsonataExpr = {
-    val cached = cache.get(expr)
+    val cached = cache.get(expr) // get() marks the entry most-recently-used
     if (cached != null) cached
     else {
       val compiled =
         try Jsonata.compile(expr)
         catch { case e: JsonataException => throw new DataException(s"Could not parse expression: ${e.getMessage}", e) }
-      if (cache.size >= MaxCacheSize) cache.clear() // simple bound, mirrors LRU cap intent
       cache.put(expr, compiled)
       compiled
     }

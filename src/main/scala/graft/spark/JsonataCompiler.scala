@@ -53,9 +53,18 @@ object JsonataCompiler {
     }
   }
 
-  /** Apply the compiled form: typed columns, no JSON round-trip. */
+  /** Apply the compiled form: typed columns, no JSON round-trip.
+    *
+    * Runs with ANSI mode off so compiled arithmetic never throws where the
+    * interpreted tier would not (Spark 4 defaults ANSI on). Remaining pinned
+    * divergence: `long` overflow beyond ±2^63 wraps here where the engine
+    * promotes to double — both representations have already lost exactness
+    * above 2^53, and the guard rails (non-zero literal divisors, type-agreeing
+    * equality, numeric-only $number) keep every error-raising engine case on
+    * the interpreted tier. */
   def transformCompiled(df: DataFrame, exprSource: String): Option[DataFrame] =
     compileQuery(df, exprSource).map { cq =>
+      df.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
       val base = cq.filter.map(df.filter).getOrElse(df)
       base.select(cq.outputs.map { case (n, c) => c.as(n) }: _*)
     }
@@ -158,13 +167,16 @@ object JsonataCompiler {
       if (op == "in") return (compile(lA), rA) match {
         // literal-array membership compiles to isin; deep-equality membership
         // over computed arrays stays interpreted
+        // isin is NULL for a NULL operand, but the engine returns false for an
+        // undefined left side — coalesce pins false-on-undefined (visible when
+        // the membership is projected, not just filtered on).
         case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
           val vals = items.collect { case StrLit(s2) => s2 }
-          Some(TCol(l.col.isin(vals: _*), BooleanType))
+          Some(TCol(coalesce(l.col.isin(vals: _*), lit(false)), BooleanType))
         case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[NumLit]) =>
           val vals = items.collect { case NumLit(v) =>
             if (v.isIntegralNumber) v.longValue(): Any else v.doubleValue(): Any }
-          Some(TCol(l.col.isin(vals: _*), BooleanType))
+          Some(TCol(coalesce(l.col.isin(vals: _*), lit(false)), BooleanType))
         case _ => None
       }
       (compile(lA), compile(rA)) match {
@@ -177,13 +189,21 @@ object JsonataCompiler {
               case "*" => l.col * r.col
             }
             Some(TCol(c.cast(dt), dt))
-          case "/" if isNum(l.dt) && isNum(r.dt) =>
+          // `/` and `%` compile only with a provably non-zero literal divisor:
+          // the engine raises D3030 (Infinity/NaN) or D1030 (integral %0) on a
+          // zero divisor, where Spark non-ANSI yields NULL — a data-dependent
+          // divisor must take the interpreted tier to preserve the error.
+          case "/" if isNum(l.dt) && isNum(r.dt) && nonZeroLit(rA) =>
             Some(TCol((l.col.cast(DoubleType) / r.col.cast(DoubleType)), DoubleType))
-          case "%" if isNum(l.dt) && isNum(r.dt) =>
+          case "%" if isNum(l.dt) && isNum(r.dt) && nonZeroLit(rA) =>
             val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
             Some(TCol((l.col % r.col).cast(dt), dt))
-          case "=" => Some(TCol(l.col <=> r.col, BooleanType))
-          case "!=" => Some(TCol(!(l.col <=> r.col), BooleanType))
+          // `=`/`!=` require static type agreement: Spark's null-safe equality
+          // would coerce string<->numeric (both to double), but JSONata deep
+          // equality is false across types — a cross-type comparison must take
+          // the interpreted tier.
+          case "=" if typeAgree(l.dt, r.dt) => Some(TCol(l.col <=> r.col, BooleanType))
+          case "!=" if typeAgree(l.dt, r.dt) => Some(TCol(!(l.col <=> r.col), BooleanType))
           case "<" | "<=" | ">" | ">=" if comparable(l.dt, r.dt) =>
             val c = op match {
               case "<" => l.col < r.col
@@ -210,6 +230,19 @@ object JsonataCompiler {
 
     private def comparable(a: DataType, b: DataType): Boolean =
       (isNum(a) && isNum(b)) || (a == StringType && b == StringType)
+
+    /** Equality compiles only when both operands share a JSONata type class
+      * (number/string/boolean) — cross-type `=` is false in the engine, but
+      * Spark would implicitly coerce (or refuse to resolve) the comparison. */
+    private def typeAgree(a: DataType, b: DataType): Boolean =
+      comparable(a, b) || (a == BooleanType && b == BooleanType)
+
+    /** Literal, numeric, and not zero — safe as a compiled divisor. */
+    private def nonZeroLit(a: Ast): Boolean = a match {
+      case NumLit(v) => v.doubleValue() != 0.0
+      case UnaryMinus(NumLit(v)) => v.doubleValue() != 0.0
+      case _ => false
+    }
 
     private def compileCall(fn: String, args: Seq[Ast]): Option[TCol] = {
       def arg(i: Int): Option[TCol] = if (i < args.length) compile(args(i)) else None
@@ -255,7 +288,10 @@ object JsonataCompiler {
             case (Some(t), Some(p)) => Some(TCol(bround(t.col, p.toInt), DoubleType))
             case _ => None
           }
-        case "number" => str(0).map(t => TCol(t.col.cast(DoubleType), DoubleType))
+        // $number compiles only for already-numeric input (identity in both
+        // tiers); a string argument must take the interpreter — the engine
+        // raises D3030 on an unparseable string where cast() yields NULL.
+        case "number" => num(0).map(t => TCol(t.col.cast(DoubleType), DoubleType))
         case "string" => arg(0) match {
           case Some(t) if t.dt == StringType => Some(t) // identity only; numeric formatting differs
           case _ => None

@@ -89,4 +89,47 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "$merge([$, {'x': 1}])").isEmpty)
     assert(JsonataCompiler.transformCompiled(df, "{'s': $string(value.value)}").isEmpty) // number formatting differs
   }
+
+  test("cross-type equality falls back (engine deep-equals is false across types)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // string column vs numeric literal: Spark would coerce both to double
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.lang = 5}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id != 'x'}").isEmpty)
+    // boolean vs string would not even resolve in Spark — must fall back, not throw
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': (value.n_chars > 1) = 'true'}").isEmpty)
+    // same-class comparisons still compile
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.lang = 'en'}").isDefined)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id = 5}").isDefined)
+  }
+
+  test("data-dependent divisor falls back (engine raises D3030/D1030 on zero)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id / value.n_chars}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id % value.n_chars}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id / 0}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id / 4}").isDefined)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id % -3}").isDefined)
+  }
+
+  test("$number compiles numeric input only (string parse errors stay interpreted)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': $number(value.text)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': $number(value.n_chars)}").isDefined)
+  }
+
+  test("in-membership on an undefined operand projects false in both tiers") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "en"), Row(2L, null), Row(3L, "fr")).asJava,
+      StructType.fromDDL("doc_id BIGINT, lang STRING"))
+    val expr = "{'doc_id': value.doc_id, 'm': value.lang in ['en', 'de']}"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined)
+    val a = compiled.get.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL("doc_id BIGINT, m BOOLEAN"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on null-operand membership:\n  compiled:    $a\n  interpreted: $b")
+    assert(a(1) == Seq(2L, false), s"undefined operand must project false, got ${a(1)}")
+  }
 }
