@@ -1,7 +1,9 @@
 package graft.spark
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Add, Divide, EvalMode, Multiply, Remainder, Subtract, UnaryMinus => CUnaryMinus}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types._
 
 import graft.connect.JsonataTransform
@@ -55,8 +57,10 @@ object JsonataCompiler {
 
   /** Apply the compiled form: typed columns, no JSON round-trip.
     *
-    * Runs with ANSI mode off so compiled arithmetic never throws where the
-    * interpreted tier would not (Spark 4 defaults ANSI on). Remaining pinned
+    * Arithmetic is emitted as explicit `EvalMode.LEGACY` Catalyst expressions,
+    * so compiled math never throws where the interpreted tier would not,
+    * regardless of the session's `spark.sql.ansi.enabled` (Spark 4 defaults
+    * ANSI on) — and without mutating any session conf. Remaining pinned
     * divergence: `long` overflow beyond ±2^63 wraps here where the engine
     * promotes to double — both representations have already lost exactness
     * above 2^53, and the guard rails (non-zero literal divisors, type-agreeing
@@ -64,7 +68,6 @@ object JsonataCompiler {
     * the interpreted tier. */
   def transformCompiled(df: DataFrame, exprSource: String): Option[DataFrame] =
     compileQuery(df, exprSource).map { cq =>
-      df.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
       val base = cq.filter.map(df.filter).getOrElse(df)
       base.select(cq.outputs.map { case (n, c) => c.as(n) }: _*)
     }
@@ -139,7 +142,8 @@ object JsonataCompiler {
           if (names.isEmpty) None
           else fieldType(names).map(dt => TCol(col(names.mkString(".")), dt))
         }
-      case UnaryMinus(e) => compile(e).filter(t => isNum(t.dt)).map(t => TCol(-t.col, t.dt))
+      case Ast.UnaryMinus(e) => compile(e).filter(t => isNum(t.dt))
+        .map(t => TCol(Shims.column(CUnaryMinus(Shims.expression(t.col), failOnError = false)), t.dt))
       case Cond(c, t, e) =>
         for {
           cc <- compileBool(c)
@@ -170,10 +174,16 @@ object JsonataCompiler {
         // isin is NULL for a NULL operand, but the engine returns false for an
         // undefined left side — coalesce pins false-on-undefined (visible when
         // the membership is projected, not just filtered on).
-        case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
+        // The LHS static type must match the literal element type: Spark's isin
+        // coerces string<->numeric ('5' in [5] -> true) where the engine's deep
+        // equality is false across types — cross-type membership stays on the
+        // interpreted tier.
+        case (Some(l), ArrCtor(items))
+            if l.dt == StringType && items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
           val vals = items.collect { case StrLit(s2) => s2 }
           Some(TCol(coalesce(l.col.isin(vals: _*), lit(false)), BooleanType))
-        case (Some(l), ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[NumLit]) =>
+        case (Some(l), ArrCtor(items))
+            if isNum(l.dt) && items.nonEmpty && items.forall(_.isInstanceOf[NumLit]) =>
           val vals = items.collect { case NumLit(v) =>
             if (v.isIntegralNumber) v.longValue(): Any else v.doubleValue(): Any }
           Some(TCol(coalesce(l.col.isin(vals: _*), lit(false)), BooleanType))
@@ -183,21 +193,16 @@ object JsonataCompiler {
         case (Some(l), Some(r)) => op match {
           case "+" | "-" | "*" if isNum(l.dt) && isNum(r.dt) =>
             val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
-            val c = op match {
-              case "+" => l.col + r.col
-              case "-" => l.col - r.col
-              case "*" => l.col * r.col
-            }
-            Some(TCol(c.cast(dt), dt))
+            Some(TCol(legacyArith(op, l.col, r.col).cast(dt), dt))
           // `/` and `%` compile only with a provably non-zero literal divisor:
           // the engine raises D3030 (Infinity/NaN) or D1030 (integral %0) on a
-          // zero divisor, where Spark non-ANSI yields NULL — a data-dependent
+          // zero divisor, where Spark legacy-mode yields NULL — a data-dependent
           // divisor must take the interpreted tier to preserve the error.
           case "/" if isNum(l.dt) && isNum(r.dt) && nonZeroLit(rA) =>
-            Some(TCol((l.col.cast(DoubleType) / r.col.cast(DoubleType)), DoubleType))
+            Some(TCol(legacyArith("/", l.col.cast(DoubleType), r.col.cast(DoubleType)), DoubleType))
           case "%" if isNum(l.dt) && isNum(r.dt) && nonZeroLit(rA) =>
             val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
-            Some(TCol((l.col % r.col).cast(dt), dt))
+            Some(TCol(legacyArith("%", l.col, r.col).cast(dt), dt))
           // `=`/`!=` require static type agreement: Spark's null-safe equality
           // would coerce string<->numeric (both to double), but JSONata deep
           // equality is false across types — a cross-type comparison must take
@@ -226,6 +231,20 @@ object JsonataCompiler {
         }
         case _ => None
       }
+    }
+
+    /** Arithmetic with explicit legacy (non-throwing) eval mode — the compiled
+      * tier must not inherit the session's ANSI setting (a conf-dependent tier
+      * would silently change semantics per session). */
+    private def legacyArith(op: String, l: Column, r: Column): Column = {
+      val (le, re) = (Shims.expression(l), Shims.expression(r))
+      Shims.column(op match {
+        case "+" => Add(le, re, EvalMode.LEGACY)
+        case "-" => Subtract(le, re, EvalMode.LEGACY)
+        case "*" => Multiply(le, re, EvalMode.LEGACY)
+        case "/" => Divide(le, re, EvalMode.LEGACY)
+        case "%" => Remainder(le, re, EvalMode.LEGACY)
+      })
     }
 
     private def comparable(a: DataType, b: DataType): Boolean =
@@ -288,10 +307,12 @@ object JsonataCompiler {
             case (Some(t), Some(p)) => Some(TCol(bround(t.col, p.toInt), DoubleType))
             case _ => None
           }
-        // $number compiles only for already-numeric input (identity in both
-        // tiers); a string argument must take the interpreter — the engine
-        // raises D3030 on an unparseable string where cast() yields NULL.
-        case "number" => num(0).map(t => TCol(t.col.cast(DoubleType), DoubleType))
+        // $number compiles only for already-numeric input, where it is an
+        // identity in both tiers — the operand keeps its integral/double static
+        // type ($number(42) is 42, not 42.0). A string argument must take the
+        // interpreter: the engine raises D3030 on an unparseable string where
+        // cast() yields NULL.
+        case "number" => num(0)
         case "string" => arg(0) match {
           case Some(t) if t.dt == StringType => Some(t) // identity only; numeric formatting differs
           case _ => None

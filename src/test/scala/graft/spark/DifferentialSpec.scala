@@ -117,6 +117,34 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(docs, "{'m': $number(value.n_chars)}").isDefined)
   }
 
+  test("cross-type in-membership falls back (isin would coerce '5' -> 5)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // string column vs numeric literal array / numeric column vs string array
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.lang in [5, 6]}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id in ['5', '6']}").isEmpty)
+    // matching type classes still compile
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.doc_id in [5, 6]}").isDefined)
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': value.lang in ['en']}").isDefined)
+  }
+
+  test("$number on an integral keeps the integral type (identity, not a double cast)") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'n': $number(value.n_chars), 'p': $number(value.n_chars) % 2}",
+      "doc_id BIGINT, n BIGINT, p BIGINT", "doc_id")
+  }
+
+  test("compiled arithmetic ignores the session ANSI setting (no conf mutation)") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      diff("orders",
+        "{'k': value.o_orderkey, 's': value.o_totalprice * 3 - 1, 'd': value.o_totalprice / -7}",
+        "k BIGINT, s DOUBLE, d DOUBLE", "k")
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+        "transformCompiled must not mutate the session ANSI conf")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("in-membership on an undefined operand projects false in both tiers") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
