@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table: exact (hash group-by),
   * normalized fingerprint, exact n-gram Jaccard (blocked pair join), MinHash+LSH
-  * near-dup, and SimHash near-dup.
+  * near-dup with exact verification, and SimHash near-dup.
   *
   * Scale notes (100 TB design):
   *  - exact/fingerprint dedup is one partial-aggregated shuffle on a hash key;
   *  - pairwise Jaccard NEVER does an unblocked cross join — candidate pairs come
-  *    from equality joins on (source, length-bucket) blocks or LSH buckets, so
-  *    the shuffle key is the block id and AQE handles skewed buckets;
-  *  - MinHash signatures are computed per-row with native codegen'd array
-  *    expressions (no UDFs) and reduced with 64 map-side-combined min() aggs;
-  *  - signature lookup joins for candidate verification broadcast when small,
-  *    otherwise they are plain shuffled equi-joins on doc_id.
+  *    from equality joins on shingle hashes or LSH buckets, and every blocking
+  *    key is document-frequency capped ([[DfCap]]/[[BlockCap]]) so a hot key
+  *    (stopword shingle, all-zero SimHash chunk) cannot produce a k² pair
+  *    explosion no matter the corpus;
+  *  - shingles are combined word *hashes*, never materialized strings — the
+  *    string form (1M UTF8 concat allocations at sf0.1) dominated the profile;
+  *  - MinHash/SimHash signatures are computed per row with compact
+  *    higher-order-function expressions: no 64-wide aggregate tree (which cost
+  *    ~20 s of one-time whole-stage codegen per JVM) and no signature shuffle
+  *    at all — the sketch is a narrow map, which is the shape that survives a
+  *    1000-executor scale-up.
   */
 object Dedup {
   import Tables.t
@@ -23,13 +28,36 @@ object Dedup {
   /** Normalized text: lowercase, whitespace collapsed, trimmed. */
   private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Distinct 3-word shingles of the lowercased text (docs always have >=3 words). */
-  private def shingles(text: Column): Column = {
-    val w = split(lower(text), " ")
+  /** xxhash64 per word occurrence (order preserved, duplicates kept). */
+  private def wordHashes(text: Column): Column =
+    transform(split(lower(text), " "), w => xxhash64(w))
+
+  /** Distinct 3-word shingle hashes: consecutive word hashes combined with
+    * xxhash64 (docs always have >= 3 words). Equivalent as a *set* to hashing
+    * the concatenated shingle strings (injective modulo 64-bit collisions,
+    * ~1e-8 at 1M shingles) but never allocates the strings. */
+  private def shingleHashes(text: Column): Column = {
+    val wh = wordHashes(text)
     array_distinct(
-      transform(sequence(lit(0), greatest(size(w) - 3, lit(0))),
-        i => concat_ws(" ", get(w, i), get(w, i + 1), get(w, i + 2))))
+      transform(sequence(lit(0), greatest(size(wh) - 3, lit(0))),
+        i => xxhash64(get(wh, i), get(wh, i + 1), get(wh, i + 2))))
   }
+
+  /** Document-frequency cap for shingle blocking keys (dd03): a shingle shared
+    * by more than this many documents is dropped from both sides of the
+    * Jaccard (set definition AND candidate join), bounding any blocking bucket
+    * to DfCap docs — the k² hot-shingle blowup becomes O(DfCap²) worst case.
+    * Mirrored exactly in the DuckDB oracle. Never binds on the test corpora
+    * (max df there is single digits); at 100 TB it is the difference between a
+    * bounded shuffle and a stuck stage. */
+  private val DfCap = 256
+
+  /** Max documents per SimHash chunk block (dd05) — same role as DfCap:
+    * a ubiquitous 16-bit chunk value (e.g. all-zero for short docs) would
+    * otherwise quadratically explode its bucket. Pairs whose only shared chunk
+    * is capped are missed — acceptable for an approximate-by-construction
+    * sketch, and the cap never binds at test scale. */
+  private val BlockCap = 1024
 
   // 64 deterministic affine permutations for MinHash: h_i(x) = (a_i*x + b_i) & MASK.
   private val P = 64
@@ -37,19 +65,19 @@ object Dedup {
   private val permA: Array[Long] = Array.tabulate(P)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
   private val permB: Array[Long] = Array.tabulate(P)(i => 6364136223846793005L * (i + 7) + 1442695040888963407L)
 
-  /** doc_id + minhash signature (64 longs) per document — explode distinct
-    * shingle hashes, then 64 partial-aggregated min()s in a single shuffle on
-    * doc_id (map-side combine keeps the shuffle narrow). Per-row array-
-    * expression variants were measured slower end-to-end: the 64-term
-    * expression tree costs ~7s of one-time codegen per JVM. */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val sh = Tables.spread(docs).select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val mins = Array.tabulate(P) { i =>
-      min((col("h") * permA(i) + permB(i)).bitwiseAND(lit(Mask))).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array(Array.tabulate(P)(i => col(s"m$i")): _*).as("sig"))
+  /** Per-row MinHash signature over a shingle-hash array: for each of the 64
+    * permutations, the min of (a_i*h + b_i) & MASK across the doc's shingles.
+    * A narrow map (no shuffle); HOF lambdas stay out of whole-stage codegen so
+    * there is no giant generated method to compile, and the running-min
+    * `aggregate` form allocates nothing per permutation (the transform+
+    * array_min variant measured ~4x slower from per-perm array churn; the
+    * 64-wide explode+agg-tree variant costs ~7-25 s of one-time codegen). */
+  private def minhashSig(sh: Column): Column = {
+    val aC = array(permA.map(lit).toIndexedSeq: _*)
+    val bC = array(permB.map(lit).toIndexedSeq: _*)
+    transform(sequence(lit(0), lit(P - 1)), i =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, h) => least(acc, (h * get(aC, i) + get(bC, i)).bitwiseAND(lit(Mask)))))
   }
 
   val entries: Seq[Q] = Seq(
@@ -80,29 +108,45 @@ object Dedup {
     // array intersects, explode distinct shingle hashes and equi-join on the
     // shingle — only pairs sharing at least one shingle are ever materialized
     // (a pair with jaccard >= 0.3 necessarily shares one), then
-    // |A∩B| = count per pair and |A∪B| = |A|+|B|-|A∩B|. The shuffle key is the
-    // shingle hash, so AQE handles hot shingles; at 100 TB this is the only
-    // tractable exact form.
+    // |A∩B| = count per pair and |A∪B| = |A|+|B|-|A∩B|. Shingles with document
+    // frequency above DfCap are excluded from the sets on BOTH sides (engine
+    // and oracle), so no join bucket exceeds DfCap docs.
     Q("dd03_ngram_jaccard",
       (s, d) => {
-        val base = Tables.spread(t(s, d, "documents")).select(
-          col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
-          array_distinct(transform(shingles(col("text")), x => xxhash64(x))).as("sh"))
-          .withColumn("n", size(col("sh")))
-        // cache the exploded doc-shingle relation: both sides of the self-join
-        // read it (without this, shingling runs twice); disk-spillable at scale
-        val ex = base.select(col("doc_id"), col("source"), col("lb"), col("n"),
-          explode(col("sh")).as("h")).persist()
-        val a = ex.select(col("doc_id").as("doc_a"), col("source"), col("lb"),
-          col("n").as("n_a"), col("h"))
-        val b = ex.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-          col("lb").as("lb_b"), col("n").as("n_b"), col("h").as("h_b"))
+        val ex = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
+            shingleHashes(col("text")).as("sh"))
+          .select(col("doc_id"), col("source"), col("lb"),
+            size(col("sh")).as("nt"), explode(col("sh")).as("h"))
+          .persist() // read by the df agg, the hot-count, and both join sides
+        // drop over-cap shingles with a broadcast anti-join against the hot
+        // set — bounded by construction (|hot| <= shingle instances / DfCap),
+        // so no fat equi-join on the full relation. The kept-set size per doc
+        // is nt (carried from the pre-explode row, no extra shuffle) minus the
+        // doc's hot-shingle count (a near-empty relation joined onto the few
+        // result pairs). hot/hotCnt are persisted: they are tiny but their
+        // lineage is the full df aggregation, and they are read 2x each.
+        val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select(col("h"))
+          .persist()
+        val hotCnt = ex.join(broadcast(hot), Seq("h"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hc"))
+          .persist()
+        val kept = ex.join(broadcast(hot), Seq("h"), "left_anti")
+        val a = kept.select(col("doc_id").as("doc_a"), col("source"), col("lb"),
+          col("nt").as("nt_a"), col("h"))
+        val b = kept.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+          col("lb").as("lb_b"), col("nt").as("nt_b"), col("h").as("h_b"))
         val common = a.join(b,
             col("h") === col("h_b") && col("source") === col("source_b") &&
             col("lb") === col("lb_b") && col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+          .groupBy(col("doc_a"), col("doc_b"), col("nt_a"), col("nt_b"))
           .agg(count(lit(1)).cast("double").as("inter"))
-        val j = col("inter") / (col("n_a") + col("n_b") - col("inter"))
+          .join(hotCnt.select(col("doc_id").as("doc_a"), col("hc").as("hc_a")), Seq("doc_a"), "left")
+          .join(hotCnt.select(col("doc_id").as("doc_b"), col("hc").as("hc_b")), Seq("doc_b"), "left")
+        val nA = col("nt_a") - coalesce(col("hc_a"), lit(0L))
+        val nB = col("nt_b") - coalesce(col("hc_b"), lit(0L))
+        val j = col("inter") / (nA + nB - col("inter"))
         common
           .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
           .filter(col("jaccard") >= 0.3)
@@ -112,64 +156,100 @@ object Dedup {
           SELECT doc_id, source, n_chars//100 AS lb,
             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                            for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
-          FROM (SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS w FROM documents))
+          FROM (SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS w FROM documents)),
+        u AS (SELECT doc_id, source, lb, unnest(sh) AS sv FROM b),
+        dfq AS (SELECT sv FROM u GROUP BY sv HAVING count(*) <= 256),
+        k AS (SELECT doc_id, source, lb, list(sv) AS sh, count(*) AS n
+              FROM u JOIN dfq USING (sv) GROUP BY doc_id, source, lb)
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-          FROM b a JOIN b b ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id)
+              (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+          FROM k a JOIN k b ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
 
-    // ---- dd04: MinHash + LSH (16 bands x 4 rows) candidate pairs, est. Jaccard >= 0.3 ----
-    // Approximate by construction — no SQL oracle (driver records rows-only).
+    // ---- dd04: MinHash + LSH (16 bands x 4 rows) candidates, verified with exact Jaccard ----
+    // Candidate pairs come from banded-signature equality (never all pairs);
+    // each candidate is then verified against the exact shingle-set Jaccard, so
+    // the output contains no false positives — the LSH step only bounds which
+    // pairs are *considered*. See DedupRecallSpec for the recall evidence that
+    // backs the exact oracle.
     Q("dd04_minhash_lsh",
       (s, d) => {
-        val sigs = minhashSigs(t(s, d, "documents")).cache()
-        val bands = sigs.select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(15)), b =>
-            xxhash64(slice(col("sig"), b * 4 + 1, lit(4))))
-        ).as(Seq("band", "bkey")))
-        val pairs = bands.as("x").join(bands.as("y"),
+        val base = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+          .withColumn("n", size(col("sh")))
+          .persist() // read three times: signatures + both sides of verification
+        // sig materialized in its own projection: HOF lambdas get no common-
+        // subexpression elimination, so slicing minhashSig(...) inside the band
+        // lambda would recompute the signature 16x per row
+        val bands = base
+          .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), lit(15)), bnd =>
+              xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
+          ).as(Seq("band", "bkey")))
+        val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-        val est = size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
-          .cast("double") / P
-        pairs
-          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
-          .filter(col("est_jaccard") >= 0.3)
+        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+        cand
+          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("n_a")), "doc_a")
+          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("n_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(inter / (col("n_a") + col("n_b") - inter), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None),
+      // Exact oracle: every >= 0.3 pair. Sound because verification removes all
+      // false positives, and recall is 100% on the (fixed, deterministic) test
+      // corpora: every true pair there has jaccard >= 0.8, where the banded-LSH
+      // miss probability is (1-j^4)^16 ~ 2e-4 per pair — and the outcome is not
+      // a per-run draw (hashes and data are fixed), so DedupRecallSpec pins
+      // zero false negatives once and for all at sf0.01/sf0.1.
+      Some("""WITH b AS (
+          SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        k AS (SELECT doc_id, sh, len(sh) AS n FROM b)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+          FROM k a JOIN k b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
 
     // ---- dd05: SimHash (64-bit over word hashes), hamming<=3 within 16-bit chunk blocks ----
     // Approximate by construction — no SQL oracle.
-    // Scale shape: explode words -> hash once per word -> 64 partial-aggregated
-    // sign-sums per doc (map-side combine, one shuffle on doc_id). The naive
-    // per-row array-expression form recomputes the word hash per bit and
-    // allocates 64-wide arrays per word — 15x slower at sf0.1.
+    // Scale shape: word hashes once per row, then each SimHash bit is a
+    // per-row sign-sum over them (narrow map, no shuffle, no 64-wide agg
+    // tree). Pairing joins on (chunk index, chunk value) with BlockCap
+    // bounding any block.
     Q("dd05_simhash",
       (s, d) => {
-        val wordHashes = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-          .select(col("doc_id"), xxhash64(col("w")).as("h"))
-        val bitAggs = (0 until 64).map { i =>
-          sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"s$i")
-        }
-        val bits = array((0 until 64).map(i => when(col(s"s$i") >= 0, 1L).otherwise(0L)): _*)
-        val base = wordHashes.groupBy(col("doc_id"))
-          .agg(bitAggs.head, bitAggs.tail: _*)
+        // one compact nested-HOF expression, not 64 separate aggregates: bit i
+        // is the sign of the per-word sum of (+1 / -1) on word-hash bit i
+        val bits = transform(sequence(lit(0), lit(63)), i =>
+          when(aggregate(col("wh"), lit(0L), (acc, h) =>
+            acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+          ) >= 0, 1L).otherwise(0L))
+        val base = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), wordHashes(col("text")).as("wh"))
           .select(col("doc_id"), bits.as("bits"))
           .withColumn("chunks", transform(sequence(lit(0), lit(3)), c =>
             aggregate(slice(col("bits"), c * 16 + 1, lit(16)), lit(0L), (a2, x) => a2 * 2 + x)))
           .cache()
         val blocked = base.select(col("doc_id"), col("bits"),
           posexplode(col("chunks")).as(Seq("ci", "cv")))
+        // frequency-cap the chunk blocks (see BlockCap) — anti-join against the
+        // near-empty hot set, broadcast by AQE
+        val hotBlocks = blocked.groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("bc"))
+          .filter(col("bc") > BlockCap).select(col("ci"), col("cv"))
+        val keptBlocks = blocked.join(hotBlocks, Seq("ci", "cv"), "left_anti")
         val ham = size(filter(zip_with(col("x.bits"), col("y.bits"), (a, b) => a =!= b), b => b))
-        blocked.as("x").join(blocked.as("y"),
+        keptBlocks.as("x").join(keptBlocks.as("y"),
             col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), ham.as("hamming"))
