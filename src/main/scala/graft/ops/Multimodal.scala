@@ -77,7 +77,12 @@ object Multimodal {
           FROM documents, generate_series(0, 3) AS t(i)
           ORDER BY doc_id, frame""")),
 
-    // ---- mm02: typed batch-decode pipeline (stub kernel; rows-only check) ----
+    // ---- mm02: typed batch-decode pipeline ----
+    // The decode KERNEL is a stub (offline container), but the stub is
+    // deterministic integer arithmetic over the payload bytes — so the whole
+    // pipeline (binary column -> mapPartitions decode -> typed projection) has
+    // an exact SQL oracle: the corpus is pure ASCII, so byte k of the payload
+    // is ascii(substring(text, k+1, 1)).
     Q("mm02_media_decode",
       (s, d) => {
         val spark = s
@@ -88,6 +93,14 @@ object Multimodal {
             round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 2).as("feat_sum"))
           .orderBy(col("doc_id"))
       },
-      None)
+      // FakeDecoder.decode: feats[i] = (n*(i+3) + byte[(i*31) % n]) % 997 for
+      // i in 0..7; width = n % 640; height = n*7 % 480; channels = 3.
+      Some("""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        f AS (SELECT doc_id,
+                sum((n*(i+3) + ascii(substring(text, ((i*31) % n) + 1, 1))) % 997) AS fs
+              FROM m, generate_series(0, 7) AS t(i) GROUP BY doc_id)
+        SELECT m.doc_id, n AS byte_len, n % 640 AS width, n*7 % 480 AS height,
+          3 AS channels, round(CAST(fs AS DOUBLE), 2) AS feat_sum
+        FROM m JOIN f USING (doc_id) ORDER BY m.doc_id"""))
   )
 }

@@ -29,20 +29,35 @@ object Similarity {
     Tables.spread(t(s, d, "embeddings")).select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
 
-  // 16 deterministic pseudo-random hyperplanes over dim 64 (seeded LCG, no RNG state).
-  private val planes: Array[Array[Double]] = Array.tabulate(16) { p =>
-    Array.tabulate(64) { dd =>
-      val x = (1103515245L * (p * 131 + dd + 1) + 12345L) & 0x7fffffffL
-      x.toDouble / 0x7fffffffL.toDouble - 0.5
+  /** Multi-table hyperplane LSH: L tables x B bits of deterministic
+    * pseudo-random hyperplanes (seeded LCG, no RNG state). Short codes + many
+    * tables is the recall dial for low-similarity corpora: a neighbor at
+    * cosine c agrees with a random hyperplane with p = 1 - acos(c)/pi, lands
+    * in the same B-bit bucket with p^B, and is found by at least one of L
+    * tables with 1-(1-p^B)^L. The test embeddings are near-random (top-3
+    * neighbors at cos 0.31-0.45), so B=5/L=16 trades ~40% candidate fraction
+    * for ~0.7+ recall — SimilarityRecallSpec pins both sides of that trade.
+    * At 100 TB, B scales with log(corpus/bucket-target); the L-way index
+    * blowup is the standard multi-table storage cost. */
+  private val NumTables = 16
+  private val NumBits = 5
+  private val planes: Array[Array[Array[Double]]] = Array.tabulate(NumTables) { tb =>
+    Array.tabulate(NumBits) { b =>
+      Array.tabulate(64) { dd =>
+        val x = (1103515245L * ((tb * NumBits + b) * 131 + dd + 1) + 12345L) & 0x7fffffffL
+        x.toDouble / 0x7fffffffL.toDouble - 0.5
+      }
     }
   }
 
-  private def lshCode(vec: Column): Column = {
-    val bits = planes.zipWithIndex.map { case (pl, i) =>
-      val plc = array(pl.map(lit): _*)
-      when(dot(plc, vec) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** Array of L bucket codes for a vector (one per table), as a single
+    * constant-folded nested-literal expression — no UDF. */
+  private def lshCodes(vec: Column): Column = {
+    val planesLit = array(planes.map(tbl =>
+      array(tbl.map(p => array(p.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    transform(sequence(lit(0), lit(NumTables - 1)), tb =>
+      aggregate(sequence(lit(0), lit(NumBits - 1)), lit(0L), (acc, b) =>
+        acc * 2 + when(dot(get(get(planesLit, tb), b), vec) >= 0, 1L).otherwise(0L)))
   }
 
   val entries: Seq[Q] = Seq(
@@ -92,17 +107,30 @@ object Similarity {
           FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
 
-    // ---- ss03: LSH-bucketed approximate NN — scans only the query's bucket ----
-    // Approximate by construction — no SQL oracle (rows-only check).
+    // ---- ss03: multi-table LSH approximate NN — each query scans only its ----
+    // ---- buckets' union, never the full corpus ----
+    // Approximate by construction — no SQL oracle (rows-only check);
+    // SimilarityRecallSpec pins recall and candidate fraction vs ss01's exact
+    // top-k on the same queries.
     Q("ss03_ann_lsh",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val v = vecs(s, d).withColumn("code", lshCode(col("vec"))).cache()
+        val v = vecs(s, d).withColumn("codes", lshCodes(col("vec"))).cache()
+        // bucket index: L rows per vector, keyed (table, code) — the 100 TB
+        // shape is this exact relation bucket-partitioned on disk
+        val idx = v.select(col("vec_id"), col("vec"), col("nrm"),
+          posexplode(col("codes")).as(Seq("tb", "code")))
         val q = broadcast(v.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"), col("code")))
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"),
+            posexplode(col("codes")).as(Seq("tb", "code"))))
+        // distinct candidate pairs from any colliding table, then exact cosine
+        val cand = q.join(idx, Seq("tb", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("vec"), col("nrm"))
+          .dropDuplicates("q_id", "vec_id")
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
-        q.join(v, Seq("code")).filter(col("vec_id") =!= col("q_id"))
+        cand
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
           .withColumn("rank", row_number().over(w))
