@@ -42,6 +42,38 @@ object JsonataDF {
     df.select(JsonataFunctions.jsonata(envelopeFor(df, topic, expr), expr, timeoutMs, maxDepth).as("out"))
       .filter(col("out").isNotNull)
 
+  /** Permissive transform — the per-record error policy (Spark analog of
+    * Connect `errors.tolerance=all` + DLQ routing; reference wraps eval
+    * failures per record, JsonataTransformation.java:96-107). One poison
+    * record cannot fail the job: the output has
+    *   - `out`    — the transformed JSON (null on error),
+    *   - `error`  — the captured failure message (null on success),
+    *   - `record` — the original record envelope, kept ONLY on error rows so
+    *                a DLQ sink can replay them (null on success: no width
+    *                cost on the happy path).
+    * Tombstones (null result, no error) are dropped as in [[transform]].
+    * Stateless narrow map — works unchanged under Structured Streaming. */
+  def transformPermissive(df: DataFrame, expr: String, topic: String = "rows",
+                          timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame =
+    df.select(envelopeFor(df, topic, expr).as("env"))
+      // the explode(array(..)) is a deliberate single-evaluation barrier: a
+      // bare struct alias gets inlined by CollapseProject / filter pushdown,
+      // re-running the evaluator 2-3x per record; a Generate's output is an
+      // attribute, so the downstream field extractions and the tombstone
+      // filter cannot duplicate the call (pinned by ErrorPolicySpec's plan test)
+      .select(col("env"), explode(array(
+        JsonataFunctions.jsonataTry(col("env"), expr, timeoutMs, maxDepth))).as("r"))
+      .select(col("r.out").as("out"), col("r.error").as("error"),
+        when(col("r.error").isNotNull, col("env")).as("record"))
+      .filter(col("out").isNotNull || col("error").isNotNull)
+
+  /** The error rows of [[transformPermissive]] — a ready-to-sink DLQ frame. */
+  def deadLetters(df: DataFrame, expr: String, topic: String = "rows",
+                  timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame =
+    transformPermissive(df, expr, topic, timeoutMs, maxDepth)
+      .filter(col("error").isNotNull)
+      .select(col("record"), col("error"))
+
   /** Transform + decode the JSON result back to typed columns. */
   def transformAs(df: DataFrame, expr: String, schema: StructType,
                   topic: String = "rows"): DataFrame =

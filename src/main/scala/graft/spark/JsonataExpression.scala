@@ -5,11 +5,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.connect.JsonataTransform
-import graft.jsonata.{Ast, Jsonata, Values}
+import graft.jsonata.{Ast, Jsonata, JsonataException, Values}
 
 /** Static analysis over a compiled JSONata AST, used for Catalyst integration:
   *
@@ -107,22 +107,36 @@ object JsonataAnalysis {
   * mapping of the reference's apply() (SURVEY.md §2.A A1/A3). The compiled AST
   * lives in a per-JVM cache keyed by source, so executors compile once
   * (SURVEY.md §2.A A12).
+  *
+  * `permissive = true` is the per-record error policy (the Spark analog of
+  * Connect's errors.tolerance=all + DLQ routing around the reference's
+  * DataException wrap, JsonataTransformation.java:96-107): the result becomes
+  * `struct<out string, error string>`, and a record whose evaluation raises —
+  * type error, timeout, depth overflow, malformed input JSON — yields
+  * (null, message) instead of failing the job. Expression *parse* errors still
+  * throw at analysis time in both modes: a bad expression is a config error,
+  * not a data error.
   */
 case class JsonataExpression(
     child: Expression,
     exprSource: String,
     timeoutMs: Long = 5000L,
-    maxDepth: Int = 1000)
+    maxDepth: Int = 1000,
+    permissive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
 
-  override def dataType: DataType = StringType
+  override def dataType: DataType =
+    if (permissive)
+      StructType(Seq(StructField("out", StringType, nullable = true),
+        StructField("error", StringType, nullable = true)))
+    else StringType
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean =
     JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
 
-  override def nullSafeEval(input: Any): Any = {
+  private def evalOne(input: Any): UTF8String = {
     val node = Jsonata.parseJsonBytes(input.asInstanceOf[UTF8String].getBytes)
     val out = compiled.evaluate(node, timeoutMs, maxDepth)
     // no-match AND explicit null both drop the record (reference
@@ -131,7 +145,17 @@ case class JsonataExpression(
     else UTF8String.fromString(Values.jsonSerialize(out, prettify = false))
   }
 
-  override def prettyName: String = "jsonata"
+  override def nullSafeEval(input: Any): Any =
+    if (!permissive) evalOne(input)
+    else try InternalRow(evalOne(input), null)
+    catch {
+      case e: JsonataException =>
+        InternalRow(null, UTF8String.fromString(s"Could not evaluate expression: ${e.getMessage}"))
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        InternalRow(null, UTF8String.fromString(s"Could not parse record JSON: ${e.getMessage}"))
+    }
+
+  override def prettyName: String = if (permissive) "jsonata_try" else "jsonata"
   override protected def withNewChildInternal(newChild: Expression): JsonataExpression =
     copy(child = newChild)
 }
@@ -144,14 +168,36 @@ object JsonataFunctions {
               timeoutMs: Long = 5000L, maxDepth: Int = 1000): Column =
     Shims.column(JsonataExpression(Shims.expression(json), expr, timeoutMs, maxDepth))
 
-  /** Register `jsonata(json, expr)` for SQL use (UDF form: the expression
-    * argument is dynamic, so the compile cache does the memoization). */
+  /** Permissive variant: `struct<out, error>` per record — evaluation errors
+    * are captured, never thrown (the DLQ analog; see [[JsonataExpression]]). */
+  def jsonataTry(json: Column, expr: String,
+                 timeoutMs: Long = 5000L, maxDepth: Int = 1000): Column =
+    Shims.column(JsonataExpression(Shims.expression(json), expr, timeoutMs, maxDepth,
+      permissive = true))
+
+  /** Register `jsonata(json, expr)` and `jsonata_try(json, expr)` for SQL use
+    * (UDF form: the expression argument is dynamic, so the compile cache does
+    * the memoization). `jsonata_try` returns `struct<out, error>` like the
+    * permissive Column form. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("jsonata", (json: String, expr: String) => {
       if (json == null) null
       else {
         val out = JsonataTransform.compile(expr).evaluate(Jsonata.parseJson(json))
         if (out == null || out.isNull) null else Values.jsonSerialize(out, prettify = false)
+      }
+    })
+    spark.udf.register("jsonata_try", (json: String, expr: String) => {
+      if (json == null) (null: String, null: String)
+      else try {
+        val out = JsonataTransform.compile(expr).evaluate(Jsonata.parseJson(json))
+        (if (out == null || out.isNull) null else Values.jsonSerialize(out, prettify = false),
+          null: String)
+      } catch {
+        case e: JsonataException =>
+          (null, s"Could not evaluate expression: ${e.getMessage}")
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          (null, s"Could not parse record JSON: ${e.getMessage}")
       }
     })
   }
