@@ -74,12 +74,27 @@ object JsonataDF {
       .filter(col("error").isNotNull)
       .select(col("record"), col("error"))
 
-  /** Transform + decode the JSON result back to typed columns. */
+  /** Transform + decode to typed columns — direct tree-in/tree-out codec
+    * ([[JsonataRowExpression]]): the pruned value struct feeds the evaluator
+    * as an in-memory Jackson tree and the result decodes straight into the
+    * declared schema. No to_json/from_json round-trip. The explode(array(..))
+    * is the same single-evaluation barrier as in [[transformPermissive]]. */
   def transformAs(df: DataFrame, expr: String, schema: StructType,
-                  topic: String = "rows"): DataFrame =
-    transform(df, expr, topic)
-      .select(from_json(col("out"), schema).as("r"))
+                  topic: String = "rows",
+                  timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
+    val ast = JsonataTransform.compile(expr).ast
+    val keep = JsonataAnalysis.referencedValueFields(ast) match {
+      case Some(names) => df.columns.filter(names.contains)
+      case None => df.columns
+    }
+    val valueStruct = struct(keep.map(col).toIndexedSeq: _*)
+    val rowExpr = Shims.column(JsonataRowExpression(
+      Shims.expression(valueStruct), expr, schema, topic, timeoutMs, maxDepth))
+    df.select(explode(array(rowExpr)).as("r"))
+      .filter(col("r").isNotNull)
       .select("r.*")
+  }
 
   /** Two-tier entry point: compile the expression to native Columns when the
     * subset allows (whole-stage codegen, no JSON round-trip — SURVEY.md §2

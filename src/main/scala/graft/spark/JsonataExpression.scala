@@ -160,6 +160,50 @@ case class JsonataExpression(
     copy(child = newChild)
 }
 
+/** Typed record transform: struct in, declared struct out — no JSON text
+  * anywhere on the hot path.
+  *
+  * Where [[JsonataExpression]] round-trips JSON strings (row -> to_json ->
+  * Jackson parse -> eval -> serialize -> from_json -> row: two parses and two
+  * serializations per record), this expression converts the InternalRow to a
+  * Jackson tree directly, evaluates, and decodes the result tree into the
+  * declared output schema — the reference's tree-in/tree-out apply()
+  * (JsonataTransformation.java:133-156) mapped onto Catalyst. Null return =
+  * tombstone (the whole struct is null; callers filter it).
+  */
+case class JsonataRowExpression(
+    child: Expression,
+    exprSource: String,
+    outputSchema: StructType,
+    topic: String = "rows",
+    timeoutMs: Long = 5000L,
+    maxDepth: Int = 1000)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val compiled = JsonataTransform.compile(exprSource)
+  @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = outputSchema
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
+
+  override def nullSafeEval(input: Any): Any = {
+    val env = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+    env.put("topic", topic)
+    env.put("kafkaPartition", 0)
+    env.set[com.fasterxml.jackson.databind.JsonNode]("value",
+      RowJson.rowToJson(input.asInstanceOf[InternalRow], childSchema))
+    val out = compiled.evaluate(env, timeoutMs, maxDepth)
+    if (out == null || out.isNull) null
+    else RowJson.jsonToRow(out, outputSchema)
+  }
+
+  override def prettyName: String = "jsonata_row"
+  override protected def withNewChildInternal(newChild: Expression): JsonataRowExpression =
+    copy(child = newChild)
+}
+
 object JsonataFunctions {
   import org.apache.spark.sql.graftshim.Shims
 

@@ -27,5 +27,27 @@ object ThroughputBench extends App {
   measure("removeEmail-class rewrite",
     "( $drop := function($v,$k){ $k != 'props' }; $merge([$, {'value': $sift(value, $drop)}]) )")
   measure("tombstone filter", "value.event_type = 'error' ? null : $")
+
+  // typed output path: direct tree-in/tree-out codec (JsonataRowExpression)
+  // vs the old to_json -> eval -> from_json double round-trip
+  locally {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    val expr = "{'event_id': value.event_id, 'user_id': value.user_id, 'v2': value.value * 2, 'et': $uppercase(value.event_type)}"
+    val ddl = "event_id BIGINT, user_id BIGINT, v2 DOUBLE, et STRING"
+    def run(label: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[thr] $label: ${n / sec}%.0f rec/s (kept $out of $n, ${sec}%.2f s)")
+    }
+    run("typed: to_json/from_json round-trip") {
+      JsonataDF.transform(events, expr)
+        .select(from_json(col("out"), StructType.fromDDL(ddl)).as("r")).select("r.*").count()
+    }
+    run("typed: direct row codec") {
+      JsonataDF.transformAs(events, expr, StructType.fromDDL(ddl)).count()
+    }
+  }
   spark.stop()
 }
