@@ -688,14 +688,19 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
 
   def invoke(f: Any, args: Seq[Any], ctx: Any, name: String = "<fn>"): Any = f match {
     case b: Builtin => b.call(args, ctx, this)
-    case LambdaFn(params, body, closure, _) =>
+    case LambdaFn(params, body, closure, sig) =>
       depth += 1
       if (depth > maxDepth)
         throw new JsonataException("U1001", s"stack overflow: recursion depth limit ($maxDepth) exceeded")
       try {
+        // typed signature: validate/coerce per call (T0410 on violation)
+        val effArgs = sig match {
+          case Some(s) => Signature.validate(s, args, ctx, name)
+          case None => args
+        }
         val frame = new Frame(closure)
         params.zipWithIndex.foreach { case (pn, i) =>
-          frame.bind(pn, if (i < args.length) args(i) else undef)
+          frame.bind(pn, if (i < effArgs.length) effArgs(i) else undef)
         }
         eval(body, ctx, frame)
       } finally depth -= 1
