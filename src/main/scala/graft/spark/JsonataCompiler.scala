@@ -187,6 +187,18 @@ object JsonataCompiler {
           val vals = items.collect { case NumLit(v) =>
             if (v.isIntegralNumber) v.longValue(): Any else v.doubleValue(): Any }
           Some(TCol(coalesce(l.col.isin(vals: _*), lit(false)), BooleanType))
+        // integral range membership: x in [lo..hi] -> bounds check. Only for
+        // integral LHS (the engine's deep equality would accept 2.0 in [1..3],
+        // but a double column needs the is-integer check — stays interpreted).
+        // Ranges beyond the engine's D2014 materialization cap stay interpreted
+        // so the error is preserved.
+        case (Some(l), ArrCtor(Seq(RangeExpr(loA, hiA)))) if isIntegral(l.dt) =>
+          (intLitOf(loA), intLitOf(hiA)) match {
+            case (Some(lo), Some(hi)) if hi - lo <= 10000000L =>
+              if (lo > hi) Some(TCol(lit(false), BooleanType)) // empty range
+              else Some(TCol(coalesce(l.col >= lo && l.col <= hi, lit(false)), BooleanType))
+            case _ => None
+          }
         case _ => None
       }
       (compile(lA), compile(rA)) match {
@@ -263,6 +275,13 @@ object JsonataCompiler {
       case _ => false
     }
 
+    /** Integral literal value (with unary minus), for range bounds. */
+    private def intLitOf(a: Ast): Option[Long] = a match {
+      case NumLit(v) if v.isIntegralNumber => Some(v.longValue())
+      case UnaryMinus(NumLit(v)) if v.isIntegralNumber => Some(-v.longValue())
+      case _ => None
+    }
+
     private def compileCall(fn: String, args: Seq[Ast]): Option[TCol] = {
       def arg(i: Int): Option[TCol] = if (i < args.length) compile(args(i)) else None
       def str(i: Int): Option[TCol] = arg(i).filter(_.dt == StringType)
@@ -319,6 +338,73 @@ object JsonataCompiler {
         }
         case "not" => compileBool(args.head).map(c => TCol(!coalesce(c, lit(false)), BooleanType))
         case "exists" => arg(0).map(t => TCol(t.col.isNotNull, BooleanType))
+        // $substringBefore/After: FIRST occurrence; the whole string when the
+        // separator is absent (locate = 0). Non-empty literal separator only
+        // (empty-separator edge semantics stay interpreted).
+        case "substringBefore" => (str(0), args.lift(1)) match {
+          case (Some(t), Some(StrLit(sep))) if sep.nonEmpty =>
+            val pos = locate(sep, t.col)
+            Some(TCol(when(pos === 0, t.col)
+              .otherwise(t.col.substr(lit(1), pos - 1)), StringType))
+          case _ => None
+        }
+        case "substringAfter" => (str(0), args.lift(1)) match {
+          case (Some(t), Some(StrLit(sep))) if sep.nonEmpty =>
+            val pos = locate(sep, t.col)
+            Some(TCol(when(pos === 0, t.col)
+              .otherwise(t.col.substr(pos + sep.length, lit(Int.MaxValue))), StringType))
+          case _ => None
+        }
+        // $pad never truncates (unlike bare lpad/rpad) — guard on length;
+        // literal width/pad only; negative width pads left
+        case "pad" =>
+          val padStr = args.lift(2) match {
+            case None => Some(" ")
+            case Some(StrLit(p)) if p.nonEmpty => Some(p)
+            case _ => None
+          }
+          (str(0), args.lift(1).flatMap(intLitOf), padStr) match {
+            case (Some(t), Some(w), Some(p)) =>
+              val target = math.abs(w).toInt
+              val padded = if (w < 0) lpad(t.col, target, p) else rpad(t.col, target, p)
+              Some(TCol(when(length(t.col) >= target, t.col).otherwise(padded), StringType))
+            case _ => None
+          }
+        // $split with a non-empty literal separator: quoted (the engine treats
+        // a string separator literally, Spark's split takes a regex); limit -1
+        // keeps trailing empties like the engine. 2-arg form only.
+        case "split" => (str(0), args.lift(1)) match {
+          case (Some(t), Some(StrLit(sep))) if sep.nonEmpty && args.length == 2 =>
+            Some(TCol(split(t.col, java.util.regex.Pattern.quote(sep), -1),
+              ArrayType(StringType)))
+          case _ => None
+        }
+        // $join over a compiled $split result (provably no null elements —
+        // array_join silently drops nulls where the engine raises T0412, so
+        // arbitrary array columns stay interpreted); literal separator.
+        case "join" =>
+          val sep = args.lift(1) match {
+            case None => Some("")
+            case Some(StrLit(s2)) => Some(s2)
+            case _ => None
+          }
+          (args.headOption, sep) match {
+            case (Some(sp @ Call(VarRef("split"), _)), Some(s2)) =>
+              compile(sp).collect {
+                case t if t.dt.isInstanceOf[ArrayType] =>
+                  TCol(array_join(t.col, s2), StringType)
+              }
+            case _ => None
+          }
+        // $count: arrays count elements (undefined -> 0); scalars count 1
+        case "count" if args.length == 1 => arg(0).map { t =>
+          t.dt match {
+            case _: ArrayType =>
+              TCol(when(t.col.isNull, lit(0L)).otherwise(size(t.col).cast(LongType)), LongType)
+            case _ =>
+              TCol(when(t.col.isNull, lit(0L)).otherwise(lit(1L)), LongType)
+          }
+        }
         case _ => None
       }
     }

@@ -145,6 +145,44 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("substringBefore/After: first occurrence; whole string when absent") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'b': $substringBefore(value.text, 'the'), " +
+        "'a': $substringAfter(value.text, 'the'), 'miss': $substringAfter(value.lang, 'zz')}",
+      "doc_id BIGINT, b STRING, a STRING, miss STRING", "doc_id")
+  }
+
+  test("pad pads both directions and never truncates") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'r': $pad(value.lang, 8, '.'), 'l': $pad(value.lang, -8), " +
+        "'no': $pad(value.text, 4, 'x')}",
+      "doc_id BIGINT, r STRING, l STRING, no STRING", "doc_id")
+  }
+
+  test("split+count fusion and join-of-split round-trip") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'nw': $count($split(value.text, ' ')), " +
+        "'j': $join($split(value.lang, '-'), '_'), 'one': $count(value.lang)}",
+      "doc_id BIGINT, nw BIGINT, j STRING, one BIGINT", "doc_id")
+  }
+
+  test("integral range membership compiles; double LHS falls back") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'in': value.n_chars in [200..400], 'out': value.doc_id in [5..1]}",
+      "doc_id BIGINT, in BOOLEAN, out BOOLEAN", "doc_id")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(JsonataCompiler.transformCompiled(ev, "{'m': value.value in [1..10]}").isEmpty,
+      "double column in integral range must stay interpreted (2.0 in [1..3] is true in the engine)")
+  }
+
+  test("jx03's expression compiles fully to native Columns") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expr = "{'doc_id': value.doc_id, 'up': $uppercase($substring(value.text, 0, 10)), " +
+      "'nw': $count($split(value.text, ' '))}"
+    assert(JsonataCompiler.transformCompiled(docs, expr).isDefined,
+      "jx03 should now run on the compiled tier")
+  }
+
   test("in-membership on an undefined operand projects false in both tiers") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
