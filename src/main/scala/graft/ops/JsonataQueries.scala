@@ -86,6 +86,23 @@ object JsonataQueries {
       Some("""SELECT doc_id, lang, source, n_chars, 4 AS nf
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx08: variant envelope tier (SURVEY §1.4) — the transform emits ----
+    // ---- VariantType; downstream traversal is native try_variant_get     ----
+    // ---- (binary-encoded, codegen'd), never a JSON re-parse              ----
+    Q("jx08_variant_props",
+      (s, d) => {
+        val df = Tables.spread(t(s, d, "events"))
+        val env = to_json(struct(struct(col("event_id"), col("props")).as("value")))
+        df.select(graft.spark.JsonataFunctions.jsonataVariant(env,
+            "{'event_id': value.event_id, 'props': $eval(value.props, {})}").as("v"))
+          .select(
+            try_variant_get(col("v"), "$.event_id", "bigint").as("event_id"),
+            try_variant_get(col("v"), "$.props.k", "bigint").as("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

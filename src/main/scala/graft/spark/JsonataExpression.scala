@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType, VariantType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.connect.JsonataTransform
@@ -204,6 +204,56 @@ case class JsonataRowExpression(
     copy(child = newChild)
 }
 
+/** Variant envelope tier (SURVEY.md §1.4 design target): `jsonata_variant`
+  * evaluates against a JSON-string OR VariantType input and returns
+  * `VariantType` — the binary-encoded dynamic-column format — instead of a
+  * JSON string. Downstream traversal stays native (`variant_get` /
+  * `try_variant_get`, codegen'd, shreddable at the scan) rather than
+  * re-parsing JSON text per access. The result tree feeds Spark's
+  * VariantBuilder through a Jackson tree-traversing parser — no JSON text is
+  * produced on the output side. Tombstone (null / JSON-null result) stays a
+  * SQL NULL. The JSON-string tier ([[JsonataExpression]]) remains the
+  * fallback surface.
+  */
+case class JsonataVariantExpression(
+    child: Expression,
+    exprSource: String,
+    timeoutMs: Long = 5000L,
+    maxDepth: Int = 1000)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val compiled = JsonataTransform.compile(exprSource)
+  @transient private lazy val inputIsVariant = child.dataType == VariantType
+
+  override def dataType: DataType = VariantType
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
+
+  override def nullSafeEval(input: Any): Any = {
+    val node =
+      if (inputIsVariant) {
+        val vv = input.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+        // variant -> tree via its JSON form (input-side fast path would need a
+        // binary walker; the hot output side below is already text-free)
+        Jsonata.parseJson(new org.apache.spark.types.variant.Variant(
+          vv.getValue, vv.getMetadata).toJson(java.time.ZoneOffset.UTC))
+      } else Jsonata.parseJsonBytes(input.asInstanceOf[UTF8String].getBytes)
+    val out = compiled.evaluate(node, timeoutMs, maxDepth)
+    if (out == null || out.isNull) null
+    else {
+      val p = out.traverse() // tree-traversing parser: no JSON text produced
+      p.nextToken() // position on the first token (the String overload does this itself)
+      val v = org.apache.spark.types.variant.VariantBuilder.parseJson(p, false)
+      new org.apache.spark.unsafe.types.VariantVal(v.getValue, v.getMetadata)
+    }
+  }
+
+  override def prettyName: String = "jsonata_variant"
+  override protected def withNewChildInternal(newChild: Expression): JsonataVariantExpression =
+    copy(child = newChild)
+}
+
 object JsonataFunctions {
   import org.apache.spark.sql.graftshim.Shims
 
@@ -211,6 +261,12 @@ object JsonataFunctions {
   def jsonata(json: Column, expr: String,
               timeoutMs: Long = 5000L, maxDepth: Int = 1000): Column =
     Shims.column(JsonataExpression(Shims.expression(json), expr, timeoutMs, maxDepth))
+
+  /** Variant-output tier: evaluate against a JSON-string or variant column,
+    * return VariantType (see [[JsonataVariantExpression]]). */
+  def jsonataVariant(json: Column, expr: String,
+                     timeoutMs: Long = 5000L, maxDepth: Int = 1000): Column =
+    Shims.column(JsonataVariantExpression(Shims.expression(json), expr, timeoutMs, maxDepth))
 
   /** Permissive variant: `struct<out, error>` per record — evaluation errors
     * are captured, never thrown (the DLQ analog; see [[JsonataExpression]]). */
