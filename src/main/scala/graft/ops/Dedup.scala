@@ -113,12 +113,17 @@ object Dedup {
     // and oracle), so no join bucket exceeds DfCap docs.
     Q("dd03_ngram_jaccard",
       (s, d) => {
-        val ex = Tables.spread(t(s, d, "documents"))
+        // cache the COMPACT per-doc array form (5k rows at sf0.1), not the
+        // exploded 1M-row relation: columnar cache materialization of the
+        // exploded form cost ~3.7 s; re-exploding from cached arrays per
+        // consumer is native and cheap (measured ~1.5 s faster end-to-end)
+        val base = Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
             shingleHashes(col("text")).as("sh"))
-          .select(col("doc_id"), col("source"), col("lb"),
-            size(col("sh")).as("nt"), explode(col("sh")).as("h"))
-          .persist() // read by the df agg, the hot-count, and both join sides
+          .withColumn("nt", size(col("sh")))
+          .persist()
+        val ex = base.select(col("doc_id"), col("source"), col("lb"), col("nt"),
+          explode(col("sh")).as("h"))
         // drop over-cap shingles with a broadcast anti-join against the hot
         // set — bounded by construction (|hot| <= shingle instances / DfCap),
         // so no fat equi-join on the full relation. The kept-set size per doc

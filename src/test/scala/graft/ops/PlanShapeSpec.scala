@@ -79,4 +79,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("dd01_dedup_exact")
     assert(p.contains("partial_"))
   }
+
+  test("dd03 jaccard: hot-shingle cap is a broadcast anti-join; no cartesian") {
+    val p = plan("dd03_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "df-cap must anti-join against a broadcast hot set\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), "pairing must stay an equi-join on blocking keys")
+  }
+
+  test("dd04 minhash: candidate verification joins, no cartesian; signature is a narrow map") {
+    val p = plan("dd04_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    // the signature must not introduce its own shuffle: only the band self-join,
+    // distinct, verification joins and final sort may exchange
+    assert(p.contains("InMemoryTableScan"), "shingle arrays should be cached and reused")
+  }
+
+  test("ss03 ANN: query side broadcasts; corpus is never cross-joined") {
+    val p = plan("ss03_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("jx03 now runs on the compiled tier (split+count fused)") {
+    val p = plan("jx03_string_ops")
+    assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))
+  }
+
+  test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
+    val p = plan("jx08_variant_props")
+    assert(p.contains("variant_get"), p.take(2000))
+    assert(!p.contains("from_json") && !p.contains("get_json_object"),
+      "variant traversal must not re-parse JSON text")
+  }
+
+  test("mm01 metadata: payload bytes feed the projection, not a shuffle") {
+    val p = plan("mm01_media_meta")
+    // metadata extraction is map-only + the final orderBy exchange
+    assert(p.split("Exchange").length - 1 <= 1, p.take(2000))
+  }
 }
