@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom-state streaming (flatMapGroupsWithState): event-time sessionization
+  * with a gap timeout — sessions close either by a later event past the gap
+  * or by the watermark passing the idle deadline. */
+class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sessions close on gap and on watermark timeout; state stays bounded per key") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "0 seconds")
+      .as[Sessionize.Event]
+
+    val out = Sessionize.sessions(events, gapMs = 1000L)
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two bursts separated by > gap; user 2: one burst
+    input.addData((1L, 1000L, 1.0), (1L, 1200L, 2.0), (2L, 1100L, 5.0))
+    query.processAllAvailable()
+    // second burst for user 1 closes their first session inline
+    input.addData((1L, 5000L, 3.0))
+    query.processAllAvailable()
+    val afterGap = sp.sql("SELECT * FROM sessions").as[Sessionize.Session].collect().toSet
+    // user 1's first session closed inline by the gap; user 2's may already be
+    // closed by the watermark (now 5000, past their 2100 deadline); user 1's
+    // second session (deadline 6000) must still be open
+    assert(afterGap.contains(Sessionize.Session(1L, 1000L, 1200L, 2L, 3.0)), s"got $afterGap")
+    assert(!afterGap.exists(s => s.user_id == 1L && s.start == 5000L),
+      s"user 1's second session closed too early: $afterGap")
+
+    // advancing the watermark far past every deadline times out the idle
+    // sessions (user 2's burst and user 1's second burst)
+    input.addData((99L, 100000L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 200000L, 0.0))
+    query.processAllAvailable()
+    val all = sp.sql("SELECT * FROM sessions").as[Sessionize.Session].collect().toSet
+    query.stop()
+
+    assert(all.contains(Sessionize.Session(2L, 1100L, 1100L, 1L, 5.0)), s"user 2 session missing: $all")
+    assert(all.contains(Sessionize.Session(1L, 5000L, 5000L, 1L, 3.0)), s"user 1 second session missing: $all")
+  }
+
+  test("out-of-order events within the gap merge into one session") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "10 seconds")
+      .as[Sessionize.Event]
+    val out = Sessionize.sessions(events, gapMs = 1000L)
+    val query = out.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+
+    input.addData((7L, 2000L, 1.0), (7L, 1500L, 1.0), (7L, 2400L, 1.0))
+    query.processAllAvailable()
+    input.addData((7L, 9000L, 9.0)) // past the gap: closes the merged session
+    query.processAllAvailable()
+    val got = sp.sql("SELECT * FROM sessions2").as[Sessionize.Session].collect().toSet
+    query.stop()
+    assert(got == Set(Sessionize.Session(7L, 1500L, 2400L, 3L, 3.0)), s"got $got")
+  }
+}
