@@ -35,12 +35,31 @@ object JsonataDF {
       valueStruct.as("value")))
   }
 
+  /** The pruned value struct for `expr` over `df`'s columns. */
+  private def prunedStruct(df: DataFrame, expr: String): Column = {
+    val ast = JsonataTransform.compile(expr).ast
+    val keep = JsonataAnalysis.referencedValueFields(ast) match {
+      case Some(names) => df.columns.filter(names.contains)
+      case None => df.columns
+    }
+    struct(keep.map(col).toIndexedSeq: _*)
+  }
+
   /** Apply a JSONata expression over a DataFrame; result is one JSON-string
-    * column `out`; tombstones (null results) are filtered out. */
+    * column `out`; tombstones (null results) are filtered out.
+    *
+    * The evaluator reads the pruned value struct directly (no to_json, no
+    * input parse — one serialization per record, of the result). The
+    * explode(array(..)) is a single-evaluation barrier: filter pushdown would
+    * otherwise inline the evaluator into the tombstone filter AND the
+    * projection, running it up to 3x per record (pinned by JsonataSparkSpec). */
   def transform(df: DataFrame, expr: String, topic: String = "rows",
-                timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame =
-    df.select(JsonataFunctions.jsonata(envelopeFor(df, topic, expr), expr, timeoutMs, maxDepth).as("out"))
-      .filter(col("out").isNotNull)
+                timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
+    val e = Shims.column(JsonataRowJsonExpression(
+      Shims.expression(prunedStruct(df, expr)), expr, topic, timeoutMs, maxDepth))
+    df.select(explode(array(e)).as("out")).filter(col("out").isNotNull)
+  }
 
   /** Permissive transform — the per-record error policy (Spark analog of
     * Connect `errors.tolerance=all` + DLQ routing; reference wraps eval
@@ -54,18 +73,18 @@ object JsonataDF {
     * Tombstones (null result, no error) are dropped as in [[transform]].
     * Stateless narrow map — works unchanged under Structured Streaming. */
   def transformPermissive(df: DataFrame, expr: String, topic: String = "rows",
-                          timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame =
-    df.select(envelopeFor(df, topic, expr).as("env"))
-      // the explode(array(..)) is a deliberate single-evaluation barrier: a
-      // bare struct alias gets inlined by CollapseProject / filter pushdown,
-      // re-running the evaluator 2-3x per record; a Generate's output is an
-      // attribute, so the downstream field extractions and the tombstone
-      // filter cannot duplicate the call (pinned by ErrorPolicySpec's plan test)
-      .select(col("env"), explode(array(
-        JsonataFunctions.jsonataTry(col("env"), expr, timeoutMs, maxDepth))).as("r"))
-      .select(col("r.out").as("out"), col("r.error").as("error"),
-        when(col("r.error").isNotNull, col("env")).as("record"))
+                          timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
+    // direct struct input; the expression serializes the original envelope
+    // into `record` only for error rows. explode(array(..)) is the
+    // single-evaluation barrier (see transform).
+    val e = Shims.column(JsonataRowJsonExpression(
+      Shims.expression(prunedStruct(df, expr)), expr, topic, timeoutMs, maxDepth,
+      permissive = true))
+    df.select(explode(array(e)).as("r"))
+      .select(col("r.out").as("out"), col("r.error").as("error"), col("r.record").as("record"))
       .filter(col("out").isNotNull || col("error").isNotNull)
+  }
 
   /** The error rows of [[transformPermissive]] — a ready-to-sink DLQ frame. */
   def deadLetters(df: DataFrame, expr: String, topic: String = "rows",
@@ -118,12 +137,14 @@ object JsonataDF {
     * JsonataTransformation.java:133-156). */
   def transformRecords(df: DataFrame, expr: String,
                        timeoutMs: Long = 5000L, maxDepth: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shims
     val known = Seq("topic", "kafkaPartition", "key", "value", "timestamp", "headers")
     val present = known.filter(df.columns.contains)
     require(present.nonEmpty, s"transformRecords needs at least one of: ${known.mkString(", ")}")
-    val envelope = to_json(struct(present.map(col): _*))
-    df.select(JsonataFunctions.jsonata(envelope, expr, timeoutMs, maxDepth).as("out"))
-      .filter(col("out").isNotNull)
+    val e = Shims.column(JsonataRowJsonExpression(
+      Shims.expression(struct(present.map(col): _*)), expr, timeoutMs = timeoutMs,
+      maxDepth = maxDepth, wrapValue = false))
+    df.select(explode(array(e)).as("out")).filter(col("out").isNotNull)
   }
 
   /** `import graft.spark.JsonataDF.syntax._` enables

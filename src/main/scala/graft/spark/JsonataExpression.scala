@@ -204,6 +204,80 @@ case class JsonataRowExpression(
     copy(child = newChild)
 }
 
+/** JSON-string output with a direct struct input: encode InternalRow ->
+  * Jackson tree (no to_json, no input parse), evaluate, serialize the result
+  * once. One text operation per record where the string-column form
+  * ([[JsonataExpression]]) needs three (to_json + parse + serialize).
+  *
+  * `wrapValue = true` builds the standard `{topic, kafkaPartition, value}`
+  * envelope around the row; `false` treats the row itself as the envelope
+  * (the transformRecords surface, where the caller reifies topic/key/value/
+  * headers columns directly).
+  *
+  * `permissive = true` is the same per-record error policy as
+  * [[JsonataExpression]], with the original envelope serialized into the
+  * third field ONLY for error rows (DLQ replay) — `struct<out, error,
+  * record>`.
+  */
+case class JsonataRowJsonExpression(
+    child: Expression,
+    exprSource: String,
+    topic: String = "rows",
+    timeoutMs: Long = 5000L,
+    maxDepth: Int = 1000,
+    wrapValue: Boolean = true,
+    permissive: Boolean = false)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val compiled = JsonataTransform.compile(exprSource)
+  @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType =
+    if (permissive)
+      StructType(Seq(
+        StructField("out", StringType, nullable = true),
+        StructField("error", StringType, nullable = true),
+        StructField("record", StringType, nullable = true)))
+    else StringType
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean =
+    JsonataAnalysis.isDeterministic(compiled.ast) && child.deterministic
+
+  private def envelopeOf(input: Any): com.fasterxml.jackson.databind.JsonNode = {
+    val row = RowJson.rowToJson(input.asInstanceOf[InternalRow], childSchema)
+    if (!wrapValue) row
+    else {
+      val env = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
+      env.put("topic", topic)
+      env.put("kafkaPartition", 0)
+      env.set[com.fasterxml.jackson.databind.JsonNode]("value", row)
+      env
+    }
+  }
+
+  private def evalOne(env: com.fasterxml.jackson.databind.JsonNode): UTF8String = {
+    val out = compiled.evaluate(env, timeoutMs, maxDepth)
+    if (out == null || out.isNull) null
+    else UTF8String.fromString(Values.jsonSerialize(out, prettify = false))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val env = envelopeOf(input)
+    if (!permissive) evalOne(env)
+    else try InternalRow(evalOne(env), null, null)
+    catch {
+      case e: JsonataException =>
+        InternalRow(null,
+          UTF8String.fromString(s"Could not evaluate expression: ${e.getMessage}"),
+          UTF8String.fromString(Values.jsonSerialize(env, prettify = false)))
+    }
+  }
+
+  override def prettyName: String = if (permissive) "jsonata_try" else "jsonata"
+  override protected def withNewChildInternal(newChild: Expression): JsonataRowJsonExpression =
+    copy(child = newChild)
+}
+
 /** Variant envelope tier (SURVEY.md §1.4 design target): `jsonata_variant`
   * evaluates against a JSON-string OR VariantType input and returns
   * `VariantType` — the binary-encoded dynamic-column format — instead of a

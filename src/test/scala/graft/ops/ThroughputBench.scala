@@ -11,7 +11,10 @@ object ThroughputBench extends App {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
-  val events = Tables.spread(spark.read.parquet("/root/testdata/sf0.1/events.parquet")).cache()
+  // 10x the sf0.1 events (1M rows): per-record rates at 100k rows are ±30%
+  // noise from fixed job overhead (~0.15 s)
+  val one = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+  val events = Tables.spread(Seq.fill(10)(one).reduce(_ unionAll _)).cache()
   val n = events.count() // materialize cache
 
   def measure(label: String, expr: String): Unit = {
@@ -29,24 +32,28 @@ object ThroughputBench extends App {
   measure("tombstone filter", "value.event_type = 'error' ? null : $")
 
   // typed output path: direct tree-in/tree-out codec (JsonataRowExpression)
-  // vs the old to_json -> eval -> from_json double round-trip
+  // vs decoding the JSON-string output with from_json. Both are fully
+  // materialized through the noop sink — count() would prune the decode away
+  // on one side and not the other.
   locally {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.types.StructType
     val expr = "{'event_id': value.event_id, 'user_id': value.user_id, 'v2': value.value * 2, 'et': $uppercase(value.event_type)}"
     val ddl = "event_id BIGINT, user_id BIGINT, v2 DOUBLE, et STRING"
-    def run(label: String)(f: => Long): Unit = {
-      f // warm
-      val t0 = System.nanoTime(); val out = f
+    def run(label: String)(f: => DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[thr] $label: ${n / sec}%.0f rec/s (kept $out of $n, ${sec}%.2f s)")
+      println(f"[thr] $label: ${n / sec}%.0f rec/s (${sec}%.2f s)")
     }
-    run("typed: to_json/from_json round-trip") {
+    run("typed: JSON-string out + from_json decode") {
       JsonataDF.transform(events, expr)
-        .select(from_json(col("out"), StructType.fromDDL(ddl)).as("r")).select("r.*").count()
+        .select(from_json(col("out"), StructType.fromDDL(ddl)).as("r")).select("r.*")
     }
     run("typed: direct row codec") {
-      JsonataDF.transformAs(events, expr, StructType.fromDDL(ddl)).count()
+      JsonataDF.transformAs(events, expr, StructType.fromDDL(ddl))
     }
   }
   spark.stop()

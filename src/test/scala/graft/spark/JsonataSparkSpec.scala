@@ -42,6 +42,14 @@ class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected > 0)
   }
 
+  test("transform evaluates once per record (tombstone filter must not duplicate the call)") {
+    val out = JsonataDF.transform(docs, "value.lang = 'en' ? null : {'id': value.doc_id}")
+    val plan = out.queryExecution.executedPlan.toString
+    val evals = "jsonata".r.findAllIn(plan).length
+    assert(evals == 1,
+      s"expected exactly one evaluator call in the plan (filter pushdown would run it 3x), found $evals:\n$plan")
+  }
+
   test("envelope pruning reaches the parquet scan") {
     val out = JsonataDF.transform(docs,
       "value.lang = 'en' ? {'doc_id': value.doc_id} : null")
