@@ -55,20 +55,41 @@ object Jsonata {
   def compile(source: String): JsonataExpr =
     new JsonataExpr(source, Parser.parse(source))
 
-  private val evalCache = new java.util.concurrent.ConcurrentHashMap[String, JsonataExpr]()
+  private final class CacheEntry(val expr: JsonataExpr) {
+    val touched = new java.util.concurrent.atomic.AtomicLong()
+  }
+  private val evalClock = new java.util.concurrent.atomic.AtomicLong()
+  private val evalCache = new java.util.concurrent.ConcurrentHashMap[String, CacheEntry]()
+  private val EvalCacheMax = 1000
 
-  /** Bounded compile cache for $eval: the argument is data, so repeated
+  /** Bounded LRU compile cache for $eval: the argument is data, so repeated
     * payload shapes (e.g. a JSON column with few distinct values) compile
-    * once. Cleared wholesale on overflow — same spirit as the reference's
-    * LRU-100 expression cache. */
+    * once. Same lock-free stamp-LRU as the main expression cache
+    * (JsonataTransform) — overflow evicts only the least-recently-used
+    * entries, so a workload cycling >1000 shapes degrades gracefully. */
   def compileCached(source: String): JsonataExpr = {
     val hit = evalCache.get(source)
-    if (hit != null) hit
+    if (hit != null) { hit.touched.set(evalClock.incrementAndGet()); hit.expr }
     else {
-      val compiled = compile(source)
-      if (evalCache.size >= 1000) evalCache.clear()
-      evalCache.put(source, compiled)
-      compiled
+      val entry = new CacheEntry(compile(source))
+      entry.touched.set(evalClock.incrementAndGet())
+      val prev = evalCache.putIfAbsent(source, entry)
+      if (prev != null) { prev.touched.set(evalClock.incrementAndGet()); prev.expr }
+      else {
+        if (evalCache.size() > EvalCacheMax) evalCache.synchronized {
+          while (evalCache.size() > EvalCacheMax) {
+            var lruKey: String = null
+            var lruStamp = Long.MaxValue
+            evalCache.forEach { (k, v) =>
+              val s = v.touched.get()
+              if (s < lruStamp) { lruStamp = s; lruKey = k }
+            }
+            if (lruKey == null) return entry.expr
+            evalCache.remove(lruKey)
+          }
+        }
+        entry.expr
+      }
     }
   }
 

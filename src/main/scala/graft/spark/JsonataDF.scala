@@ -21,21 +21,10 @@ import graft.connect.JsonataTransform
   */
 object JsonataDF {
 
-  /** Envelope JSON column for a row, pruned to the fields `expr` can read. */
-  def envelopeFor(df: DataFrame, topic: String, expr: String): Column = {
-    val ast = JsonataTransform.compile(expr).ast
-    val keep = JsonataAnalysis.referencedValueFields(ast) match {
-      case Some(names) => df.columns.filter(names.contains)
-      case None => df.columns
-    }
-    val valueStruct = struct(keep.map(col).toIndexedSeq: _*)
-    to_json(struct(
-      lit(topic).as("topic"),
-      lit(0).as("kafkaPartition"),
-      valueStruct.as("value")))
-  }
-
-  /** The pruned value struct for `expr` over `df`'s columns. */
+  /** The pruned value struct for `expr` over `df`'s columns. Envelope
+    * construction itself ({topic, kafkaPartition, value}) happens inside
+    * [[JsonataRowJsonExpression]] directly from the row — no JSON text on the
+    * input side. */
   private def prunedStruct(df: DataFrame, expr: String): Column = {
     val ast = JsonataTransform.compile(expr).ast
     val keep = JsonataAnalysis.referencedValueFields(ast) match {

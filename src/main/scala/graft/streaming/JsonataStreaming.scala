@@ -30,6 +30,27 @@ object JsonataStreaming {
     transform(stream, expr, topic)
       .select(get_json_object(col("out"), "$.topic").as("topic"), col("out"))
 
+  /** Micro-batch sink with dead-letter routing: good records land in
+    * `outDir`, poison records (captured per-record errors, never a failed
+    * stream — see JsonataDF.transformPermissive) land in `dlqDir` with the
+    * original envelope and the error message. The Spark analog of Connect's
+    * `errors.tolerance=all` + `errors.deadletterqueue.topic.name`. */
+  def writeWithDeadLetters(stream: DataFrame, expr: String, outDir: String,
+                           dlqDir: String, checkpointDir: String,
+                           topic: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
+    JsonataDF.transformPermissive(stream, expr, topic)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        b.filter(col("error").isNull).select("out").write.mode("append").parquet(outDir)
+        val dlq = b.filter(col("error").isNotNull).select("record", "error")
+        if (!dlq.isEmpty) dlq.write.mode("append").parquet(dlqDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+
   /** Micro-batch sink that routes rows into per-topic directories (the
     * file-sink analog of topic rewriting; SURVEY.md §2.D). */
   def writePartitionedByTopic(stream: DataFrame, expr: String, outDir: String,

@@ -98,6 +98,31 @@ class ErrorPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("error").isNotNull).count() == 1)
   }
 
+  test("streaming DLQ sink: good records and dead letters land in separate directories") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "s")
+    val query = graft.streaming.JsonataStreaming.writeWithDeadLetters(
+      df, "{'id': value.id, 'n': $number(value.s)}",
+      s"$tmp/out", s"$tmp/dlq", s"$tmp/ckpt")
+    input.addData((1L, "1"), (2L, "oops"), (3L, "3"))
+    query.processAllAvailable()
+    query.stop()
+
+    val good = sp.read.parquet(s"$tmp/out")
+    val dlq = sp.read.parquet(s"$tmp/dlq")
+    assert(good.count() == 2)
+    val d = dlq.collect()
+    assert(d.length == 1)
+    assert(d(0).getAs[String]("error").contains("D3030"))
+    assert(d(0).getAs[String]("record").contains("oops"))
+  }
+
   test("streaming: poison records flow to the DLQ filter, stream keeps running") {
     val sp = spark
     import sp.implicits._
