@@ -32,12 +32,18 @@ object Bench {
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
+      spark.sharedState.cacheManager.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries persist() intermediates for intra-query reuse; dropping them
+      // between queries keeps one query's leftover cache from GC-taxing the
+      // next (single-run timings otherwise swing by seconds)
+      spark.sharedState.cacheManager.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
