@@ -89,22 +89,31 @@ object Similarity {
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     // ---- ss02: embedding near-duplicate pairs, label-blocked, cosine >= 0.4 ----
+    // The blocking key is frequency-capped like the dedup blockers (Dedup.DfCap
+    // rationale): a label holding more than LabelCap vectors would make its
+    // block quadratic at scale, so over-cap labels are excluded on BOTH sides
+    // (engine and oracle). Never binds on the test corpora.
     Q("ss02_embed_neardup",
       (s, d) => {
         val v = vecs(s, d)
-        val a = v.select(col("vec_id").as("id_a"), col("label"), col("vec").as("va"), col("nrm").as("na"))
-        val b = v.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vb"), col("nrm").as("nb"))
+        val hotLabels = v.groupBy(col("label")).agg(count(lit(1)).as("lc"))
+          .filter(col("lc") > 100000).select(col("label"))
+        val kept = v.join(broadcast(hotLabels), Seq("label"), "left_anti")
+        val a = kept.select(col("vec_id").as("id_a"), col("label"), col("vec").as("va"), col("nrm").as("na"))
+        val b = kept.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vb"), col("nrm").as("nb"))
         a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4).as("cos"))
           .filter(col("cos") >= 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          k AS (SELECT * FROM v WHERE label IN
+            (SELECT label FROM v GROUP BY label HAVING count(*) <= 100000))
         SELECT id_a, id_b, cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
-          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+          FROM k a JOIN k b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
 
     // ---- ss03: multi-table LSH approximate NN — each query scans only its ----
