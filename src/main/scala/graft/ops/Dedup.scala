@@ -80,6 +80,36 @@ object Dedup {
         (acc, h) => least(acc, (h * get(aC, i) + get(bC, i)).bitwiseAND(lit(Mask)))))
   }
 
+  /** dd04's pipeline: banded-LSH candidates verified against exact
+    * shingle-set Jaccard (no false positives; recall evidence in
+    * DedupRecallSpec). Shared by dd04 and the dd06 clustering pass. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist() // read three times: signatures + both sides of verification
+    // sig materialized in its own projection: HOF lambdas get no common-
+    // subexpression elimination, so slicing minhashSig(...) inside the band
+    // lambda would recompute the signature 16x per row
+    val bands = base
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(15)), bnd =>
+          xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
+      ).as(Seq("band", "bkey")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("n_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / (col("n_a") + col("n_b") - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- dd01: exact dedup — keep min doc_id per identical text ----
     Q("dd01_dedup_exact",
@@ -180,33 +210,7 @@ object Dedup {
     // pairs are *considered*. See DedupRecallSpec for the recall evidence that
     // backs the exact oracle.
     Q("dd04_minhash_lsh",
-      (s, d) => {
-        val base = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-          .withColumn("n", size(col("sh")))
-          .persist() // read three times: signatures + both sides of verification
-        // sig materialized in its own projection: HOF lambdas get no common-
-        // subexpression elimination, so slicing minhashSig(...) inside the band
-        // lambda would recompute the signature 16x per row
-        val bands = base
-          .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-          .select(col("doc_id"), posexplode(
-            transform(sequence(lit(0), lit(15)), bnd =>
-              xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
-          ).as(Seq("band", "bkey")))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-        val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("n_a")), "doc_a")
-          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("n_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(inter / (col("n_a") + col("n_b") - inter), 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => verifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
       // Exact oracle: every >= 0.3 pair. Sound because verification removes all
       // false positives, and recall is 100% on the (fixed, deterministic) test
       // corpora: every true pair there has jaccard >= 0.8, where the banded-LSH
@@ -225,6 +229,64 @@ object Dedup {
               (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
           FROM k a JOIN k b ON a.doc_id < b.doc_id)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
+
+    // ---- dd06: near-dup clustering — connected components over the verified ----
+    // ---- pairs, cluster id = min doc_id in the component ----
+    // The pipeline step after pair detection: pick one representative per
+    // dup cluster. Iterative min-label propagation (the standard Spark
+    // connected-components shape): each round every node takes the min of its
+    // own label and its neighbors' labels; converges in O(component diameter)
+    // rounds — near-dup clusters are near-cliques, so 1-2 rounds in practice.
+    // The driver loop only reads per-round aggregate counts (convergence
+    // check), never row data.
+    Q("dd06_dup_clusters",
+      (s, d) => {
+        val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .persist()
+        var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+          .persist()
+        var delta = 1L
+        var iter = 0
+        while (delta > 0 && iter < 20) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), "doc_b")
+            .groupBy(col("doc_a")).agg(min(col("nc")).as("nmin"))
+            .select(col("doc_a").as("doc_id"), col("nmin"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            .persist()
+          delta = next.join(labels.select(col("doc_id"), col("cluster").as("prev")), "doc_id")
+            .filter(col("cluster") =!= col("prev")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        labels.orderBy(col("doc_id"))
+      },
+      // transitive closure via recursive CTE over the same >= 0.3 pairs
+      Some("""WITH RECURSIVE b AS (
+          SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        k AS (SELECT doc_id, sh, len(sh) AS n FROM b),
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jacc
+            FROM k a JOIN k b ON a.doc_id < b.doc_id)
+          WHERE round(jacc, 4) >= 0.3),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (SELECT u, v FROM edges
+                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        SELECT u AS doc_id, least(u, min(v)) AS cluster
+        FROM reach GROUP BY u ORDER BY doc_id""")),
 
     // ---- dd05: SimHash (64-bit over word hashes), hamming<=3 within 16-bit chunk blocks ----
     // Approximate by construction — no SQL oracle.

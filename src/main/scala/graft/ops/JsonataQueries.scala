@@ -110,14 +110,13 @@ object JsonataQueries {
         val df = Tables.spread(t(s, d, "events"))
         df.createOrReplaceTempView("events_raw")
         s.sql("""
-          SELECT CAST(get_json_object(out, '$.event_id') AS BIGINT) AS event_id,
-                 CAST(get_json_object(out, '$.total') AS DOUBLE) AS total
-          FROM (
-            SELECT jsonata(to_json(named_struct('value',
+          SELECT r.event_id, r.total FROM (
+            SELECT from_json(jsonata(to_json(named_struct('value',
                      named_struct('event_id', event_id, 'value', value))),
-                   '{''event_id'': value.event_id, ''total'': value.value + 1}') AS out
-            FROM events_raw) WHERE out IS NOT NULL
-          ORDER BY event_id""")
+                   '{''event_id'': value.event_id, ''total'': value.value + 1}'),
+                   'event_id BIGINT, total DOUBLE') AS r
+            FROM events_raw) WHERE r IS NOT NULL
+          ORDER BY r.event_id""")
       },
       Some("SELECT event_id, value + 1 AS total FROM events ORDER BY event_id"))
   )

@@ -253,6 +253,31 @@ object Relational {
         .orderBy(col("day"), col("event_type")),
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         count(*) AS n, round(sum(value),2) AS sum_value
-        FROM events GROUP BY day, event_type ORDER BY day, event_type"""))
+        FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // ---- q20: exact grouped quantiles (continuous interpolation) ----
+    // Exact `percentile` rather than approx_percentile so DuckDB's
+    // quantile_cont (same linear-interpolation definition) is an exact oracle;
+    // partial aggregation still applies (per-group sorted buffers merge
+    // map-side). For 100 TB pipelines approx_percentile (t-digest, fixed-size
+    // sketch) is the drop-in swap on the same plan shape.
+    Q("q20_quantiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        // one percentile aggregate with an array of targets: a single
+        // per-group buffer instead of four
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(get(col("ps"), lit(0)), 2).as("p25"),
+          round(get(col("ps"), lit(1)), 2).as("p50"),
+          round(get(col("ps"), lit(2)), 2).as("p75"),
+          round(get(col("ps"), lit(3)), 2).as("p95"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+          round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+          round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+          round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
