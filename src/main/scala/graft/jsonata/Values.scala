@@ -186,14 +186,44 @@ object Values {
         val l = d.toLong
         if (l.toDouble == d) l.toString
         else new java.math.BigDecimal(d).toBigInteger.toString
-      } else {
-        // JS-like shortest representation
-        val s = d.toString
-        if (s.endsWith(".0")) s.dropRight(2)
-        else s.replace("E", "e").replace("e-", "e-").replace("e", if (s.contains("E-")) "e" else "e+")
-          .replace("e+-", "e-")
-      }
+      } else jsDouble(d)
     }
+  }
+
+  /** ECMA-262 Number::toString: SHORTEST round-tripping digits, formatted per
+    * the JS notation rules — decimal for exponents in (-6, 21], exponential
+    * with a bare mantissa otherwise ("1e+21", not "1.0e+21"; "0.0001", not
+    * "1.0E-4"). Java <= 18 Double.toString is not shortest-round-trip (Ryu
+    * landed in 19) — e.g. it prints 2.5e22 as "2.4999999999999998E22" — so
+    * the shortest digit count is found by binary search over BigDecimal
+    * roundings (the round-trip property is monotone in precision). */
+  private def jsDouble(d: Double): String = {
+    if (d == 0.0) return "0" // JS String(-0) is "0"
+    val neg = d < 0
+    val a = math.abs(d)
+    // smallest precision whose rounding round-trips
+    var lo = 1
+    var hi = 17
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (new java.math.BigDecimal(a, new java.math.MathContext(mid)).doubleValue() == a) hi = mid
+      else lo = mid + 1
+    }
+    val bd = new java.math.BigDecimal(a, new java.math.MathContext(lo))
+    val unscaled = bd.unscaledValue.toString
+    val digits = unscaled.reverse.dropWhile(_ == '0').reverse
+    // value = 0.<digits> * 10^k  (k = digits before the decimal point)
+    val k = bd.precision - bd.scale
+    val n = digits.length
+    val body =
+      if (n <= k && k <= 21) digits + "0" * (k - n)
+      else if (0 < k && k <= 21) digits.substring(0, k) + "." + digits.substring(k)
+      else if (-6 < k && k <= 0) "0." + "0" * (-k) + digits
+      else {
+        val m = if (n == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        m + "e" + (if (k - 1 >= 0) "+" else "") + (k - 1)
+      }
+    if (neg) "-" + body else body
   }
 
   /** $string() semantics: strings unchanged; others JSON-serialized. */
