@@ -288,34 +288,41 @@ object Dedup {
         SELECT u AS doc_id, least(u, min(v)) AS cluster
         FROM reach GROUP BY u ORDER BY doc_id""")),
 
-    // ---- dd05: SimHash (64-bit over word hashes), hamming<=3 within 16-bit chunk blocks ----
-    // Approximate by construction — no SQL oracle.
-    // Scale shape: word hashes once per row, then each SimHash bit is a
-    // per-row sign-sum over them (narrow map, no shuffle, no 64-wide agg
-    // tree). Pairing joins on (chunk index, chunk value) with BlockCap
-    // bounding any block.
+    // ---- dd05: SimHash (32-bit over md5 word hashes), hamming<=3 within ----
+    // ---- 8-bit chunk blocks — EXACT oracle ----
+    // Word hashes are the first 32 bits of md5 (not xxhash64) precisely so
+    // DuckDB can reproduce them — that upgrades dd05 from a rows-only check
+    // to an exact oracle. The chunk blocking is LOSSLESS here by pigeonhole:
+    // hamming <= 3 bit differences across 4 chunks forces at least one chunk
+    // equal, so the blocked join finds every qualifying pair (the BlockCap
+    // frequency cap is mirrored in the oracle and never binds at test scale).
+    // Scale shape: word hashes once per row, each SimHash bit a per-row
+    // sign-sum (narrow map, no shuffle, no wide agg tree); pairing joins on
+    // (chunk index, chunk value); hamming is one xor + bit_count.
     Q("dd05_simhash",
       (s, d) => {
-        // one compact nested-HOF expression, not 64 separate aggregates: bit i
-        // is the sign of the per-word sum of (+1 / -1) on word-hash bit i
-        val bits = transform(sequence(lit(0), lit(63)), i =>
-          when(aggregate(col("wh"), lit(0L), (acc, h) =>
-            acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        val wh = transform(split(lower(col("text")), " "), w =>
+          conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+        // assemble the 32-bit value directly: acc*2 + sign-bit from bit 31
+        // down to bit 0 (one compact nested HOF, no 32 separate aggregates)
+        val sim = aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) =>
+          acc * 2 + when(aggregate(col("wh"), lit(0L), (a2, h) =>
+            a2 + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
           ) >= 0, 1L).otherwise(0L))
         val base = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), wordHashes(col("text")).as("wh"))
-          .select(col("doc_id"), bits.as("bits"))
+          .select(col("doc_id"), wh.as("wh"))
+          .select(col("doc_id"), sim.as("sim"))
           .withColumn("chunks", transform(sequence(lit(0), lit(3)), c =>
-            aggregate(slice(col("bits"), c * 16 + 1, lit(16)), lit(0L), (a2, x) => a2 * 2 + x)))
+            call_function("shiftright", col("sim"), c * 8).bitwiseAND(255)))
           .cache()
-        val blocked = base.select(col("doc_id"), col("bits"),
+        val blocked = base.select(col("doc_id"), col("sim"),
           posexplode(col("chunks")).as(Seq("ci", "cv")))
         // frequency-cap the chunk blocks (see BlockCap) — anti-join against the
         // near-empty hot set, broadcast by AQE
         val hotBlocks = blocked.groupBy(col("ci"), col("cv")).agg(count(lit(1)).as("bc"))
           .filter(col("bc") > BlockCap).select(col("ci"), col("cv"))
         val keptBlocks = blocked.join(hotBlocks, Seq("ci", "cv"), "left_anti")
-        val ham = size(filter(zip_with(col("x.bits"), col("y.bits"), (a, b) => a =!= b), b => b))
+        val ham = bit_count(col("x.sim").bitwiseXOR(col("y.sim")))
         keptBlocks.as("x").join(keptBlocks.as("y"),
             col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -324,6 +331,22 @@ object Dedup {
           .filter(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None)
+      Some("""WITH wh AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)),
+        bits AS (SELECT doc_id, i,
+            CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+                 THEN (1::BIGINT << i) ELSE 0 END AS bv
+          FROM wh, generate_series(0, 31) AS t(i) GROUP BY doc_id, i),
+        sim AS (SELECT doc_id, sum(bv)::BIGINT AS s FROM bits GROUP BY doc_id),
+        ch AS (SELECT doc_id, s, c, (s >> (8*c)) & 255 AS cv
+               FROM sim, generate_series(0, 3) AS t(c)),
+        hot AS (SELECT c, cv FROM ch GROUP BY c, cv HAVING count(*) > 1024),
+        kept AS (SELECT ch.* FROM ch ANTI JOIN hot USING (c, cv))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.s, b.s)) AS hamming
+        FROM kept a JOIN kept b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+        ORDER BY doc_a, doc_b"""))
   )
 }
