@@ -233,36 +233,51 @@ object Dedup {
     // ---- dd06: near-dup clustering — connected components over the verified ----
     // ---- pairs, cluster id = min doc_id in the component ----
     // The pipeline step after pair detection: pick one representative per
-    // dup cluster. Iterative min-label propagation (the standard Spark
-    // connected-components shape): each round every node takes the min of its
-    // own label and its neighbors' labels; converges in O(component diameter)
-    // rounds — near-dup clusters are near-cliques, so 1-2 rounds in practice.
-    // The driver loop only reads per-round aggregate counts (convergence
-    // check), never row data.
+    // dup cluster. Min-label propagation with pointer jumping:
+    //  - each round every node takes the min of its own label and its
+    //    neighbors' labels, then compresses one pointer hop
+    //    (label := label(label)), so convergence is O(log diameter) rounds,
+    //    not O(diameter);
+    //  - edges and per-round labels are localCheckpoint'ed — persist() alone
+    //    does NOT truncate the logical plan, so without the checkpoint every
+    //    round re-analyzes (and AQE re-plans) the entire upstream LSH
+    //    pipeline, and driver-side planning dominates the runtime (this was
+    //    the 88 s pathology in BENCH_r03; on a real cluster use
+    //    checkpoint/localCheckpoint the same way);
+    //  - the convergence flag is computed in the SAME materialization as the
+    //    new labels (a `changed` column aggregated from the checkpointed
+    //    rows), not a second join+count job per round.
     Q("dd06_dup_clusters",
       (s, d) => {
         val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
         val edges = pairs
           .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .persist()
+          .localCheckpoint()
         var labels = edges.select(col("doc_a").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("cluster"))
-          .persist()
-        var delta = 1L
+          .localCheckpoint()
+        var converged = false
         var iter = 0
-        while (delta > 0 && iter < 20) {
+        while (!converged && iter < 25) {
           val nbrMin = edges
             .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), "doc_b")
             .groupBy(col("doc_a")).agg(min(col("nc")).as("nmin"))
             .select(col("doc_a").as("doc_id"), col("nmin"))
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("cluster").as("prev"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+          // pointer jumping: follow the new label one hop (labels are doc_ids,
+          // so c1 always resolves in the same relation)
+          val next = stepped
+            .join(stepped.select(col("doc_id").as("jid"), col("c1").as("jc")),
+              col("c1") === col("jid"), "left")
             .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-            .persist()
-          delta = next.join(labels.select(col("doc_id"), col("cluster").as("prev")), "doc_id")
-            .filter(col("cluster") =!= col("prev")).count()
-          labels.unpersist()
-          labels = next
+              least(col("c1"), coalesce(col("jc"), col("c1"))).as("cluster"),
+              (least(col("c1"), coalesce(col("jc"), col("c1"))) =!= col("prev")).as("changed"))
+            .localCheckpoint()
+          converged = !next
+            .agg(coalesce(max(col("changed")), lit(false))).first().getBoolean(0)
+          labels = next.select(col("doc_id"), col("cluster"))
           iter += 1
         }
         labels.orderBy(col("doc_id"))
