@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Add, EvalMode, Multiply}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 /** Deduplication operators over the `documents` table: exact (hash group-by),
   * normalized fingerprint, exact n-gram Jaccard (blocked pair join), MinHash+LSH
@@ -59,6 +61,16 @@ object Dedup {
     * sketch, and the cap never binds at test scale. */
   private val BlockCap = 1024
 
+  /** Wrapping 64-bit multiply/add as explicit legacy-mode Catalyst nodes: the
+    * MinHash permutations rely on overflow wrap-around, and Spark 4 defaults
+    * ANSI on (overflow would throw). Building the eval mode into the
+    * expression keeps the sketch session-independent — no
+    * `spark.sql.ansi.enabled` mutation anywhere. */
+  private def wrapMul(a: Column, b: Column): Column =
+    Shims.column(Multiply(Shims.expression(a), Shims.expression(b), EvalMode.LEGACY))
+  private def wrapAdd(a: Column, b: Column): Column =
+    Shims.column(Add(Shims.expression(a), Shims.expression(b), EvalMode.LEGACY))
+
   // 64 deterministic affine permutations for MinHash: h_i(x) = (a_i*x + b_i) & MASK.
   private val P = 64
   private val Mask = (1L << 61) - 1
@@ -77,7 +89,7 @@ object Dedup {
     val bC = array(permB.map(lit).toIndexedSeq: _*)
     transform(sequence(lit(0), lit(P - 1)), i =>
       aggregate(sh, lit(Long.MaxValue),
-        (acc, h) => least(acc, (h * get(aC, i) + get(bC, i)).bitwiseAND(lit(Mask)))))
+        (acc, h) => least(acc, wrapAdd(wrapMul(h, get(aC, i)), get(bC, i)).bitwiseAND(lit(Mask)))))
   }
 
   /** dd04's pipeline: banded-LSH candidates verified against exact
