@@ -18,6 +18,9 @@ object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
+  /** Max vectors per label block in ss02 (mirrored in the DuckDB oracle). */
+  private val LabelCap = 1000
+
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -92,12 +95,17 @@ object Similarity {
     // The blocking key is frequency-capped like the dedup blockers (Dedup.DfCap
     // rationale): a label holding more than LabelCap vectors would make its
     // block quadratic at scale, so over-cap labels are excluded on BOTH sides
-    // (engine and oracle). Never binds on the test corpora.
+    // (engine and oracle). LabelCap = 1000 is a REAL bound: worst case a block
+    // contributes LabelCap^2/2 = 500k pairs — one comfortably-sized task — so
+    // total pair work is <= 500k * numBlocks no matter how skewed the label
+    // distribution gets (the previous 100k cap allowed 5e9-pair blocks, which
+    // is a stuck stage, not a guard). Never binds on the test corpora (max
+    // label size 218 at sf0.1).
     Q("ss02_embed_neardup",
       (s, d) => {
         val v = vecs(s, d)
         val hotLabels = v.groupBy(col("label")).agg(count(lit(1)).as("lc"))
-          .filter(col("lc") > 100000).select(col("label"))
+          .filter(col("lc") > LabelCap).select(col("label"))
         val kept = v.join(broadcast(hotLabels), Seq("label"), "left_anti")
         val a = kept.select(col("vec_id").as("id_a"), col("label"), col("vec").as("va"), col("nrm").as("na"))
         val b = kept.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vb"), col("nrm").as("nb"))
@@ -109,7 +117,7 @@ object Similarity {
       },
       Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
           k AS (SELECT * FROM v WHERE label IN
-            (SELECT label FROM v GROUP BY label HAVING count(*) <= 100000))
+            (SELECT label FROM v GROUP BY label HAVING count(*) <= 1000))
         SELECT id_a, id_b, cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             round(list_cosine_similarity(a.vec, b.vec), 4) AS cos

@@ -308,10 +308,10 @@ case class JsonataVariantExpression(
     val node =
       if (inputIsVariant) {
         val vv = input.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
-        // variant -> tree via its JSON form (input-side fast path would need a
-        // binary walker; the hot output side below is already text-free)
-        Jsonata.parseJson(new org.apache.spark.types.variant.Variant(
-          vv.getValue, vv.getMetadata).toJson(java.time.ZoneOffset.UTC))
+        // direct binary walk — no JSON text on the input side (VariantJson
+        // pins equivalence with the old toJson+parse form)
+        VariantJson.toJsonNode(new org.apache.spark.types.variant.Variant(
+          vv.getValue, vv.getMetadata))
       } else Jsonata.parseJsonBytes(input.asInstanceOf[UTF8String].getBytes)
     val out = compiled.evaluate(node, timeoutMs, maxDepth)
     if (out == null || out.isNull) null

@@ -56,5 +56,31 @@ object ThroughputBench extends App {
       JsonataDF.transformAs(events, expr, StructType.fromDDL(ddl))
     }
   }
+  // variant tier: variant INPUT (binary walker, no input-side text) must beat
+  // or match the JSON-string input on the same expression/output
+  locally {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    import graft.spark.JsonataFunctions
+    val expr = "{'k2': $.k * 2}"
+    // pre-materialize both input forms so only the evaluator path differs
+    val varIn = events.select(parse_json(col("props")).as("p")).cache()
+    val strIn = events.select(col("props").as("p")).cache()
+    varIn.write.format("noop").mode("overwrite").save()
+    strIn.write.format("noop").mode("overwrite").save()
+    def run(label: String)(f: => DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[thr] $label: ${n / sec}%.0f rec/s (${sec}%.2f s)")
+    }
+    run("variant tier: JSON-string input") {
+      strIn.select(JsonataFunctions.jsonataVariant(col("p"), expr).as("v"))
+    }
+    run("variant tier: variant input (binary walker)") {
+      varIn.select(JsonataFunctions.jsonataVariant(col("p"), expr).as("v"))
+    }
+  }
   spark.stop()
 }

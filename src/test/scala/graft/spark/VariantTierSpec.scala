@@ -84,6 +84,27 @@ class VariantTierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("from_json"), "no JSON re-parse on the traversal side")
   }
 
+  test("VariantJson binary walker == toJson+reparse on representative trees") {
+    import org.apache.spark.types.variant.VariantBuilder
+    val samples = Seq(
+      """{"a":1,"b":-2147483649,"c":2147483647,"d":9007199254740993}""",
+      """{"x":1.5,"y":-0.25,"z":1e30,"w":2.5e-7}""",
+      """{"dec":1.23,"dec0":5.00,"big":123456789012345678901234567890}""",
+      """{"s":"héllo \"q\" \u2028","empty":"","nested":{"a":[1,2,{"b":null}]}}""",
+      """[true,false,null,{},[],{"k":[{"v":0.1}]}]""",
+      """"bare string"""", "42", "-7.5", "null", "true", "[]", "{}")
+    samples.foreach { s =>
+      val v = VariantBuilder.parseJson(s, false)
+      val variant = new org.apache.spark.types.variant.Variant(v.getValue, v.getMetadata)
+      val walked = VariantJson.toJsonNode(variant)
+      val reparsed = graft.jsonata.Jsonata.parseJson(variant.toJson(java.time.ZoneOffset.UTC))
+      assert(walked == reparsed, s"walker diverged on $s:\n$walked\n$reparsed")
+      // node TYPES must match too (IntNode(1) != LongNode(1) under equals, but
+      // assert the textual shape as well for belt and braces)
+      assert(walked.toString == reparsed.toString, s"serialized form diverged on $s")
+    }
+  }
+
   test("numeric fidelity: longs, doubles, booleans, strings through variant") {
     val sp = spark
     import sp.implicits._
