@@ -103,6 +103,24 @@ object JsonataQueries {
       Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events ORDER BY event_id""")),
 
+    // ---- jx09: jx06's query through the NATIVE SQL functions — struct in, ----
+    // ---- typed struct out, zero JSON text ops per record (vs jx06's       ----
+    // ---- to_json + parse + serialize + from_json string-UDF surface)      ----
+    Q("jx09_sql_typed",
+      (s, d) => {
+        graft.spark.JsonataFunctions.registerNativeSql(s)
+        val df = Tables.spread(t(s, d, "events"))
+        df.createOrReplaceTempView("events_native")
+        s.sql("""
+          SELECT r.event_id, r.total FROM (
+            SELECT jsonata_typed(named_struct('event_id', event_id, 'value', value),
+                     '{''event_id'': value.event_id, ''total'': value.value + 1}',
+                     'event_id BIGINT, total DOUBLE') AS r
+            FROM events_native) WHERE r IS NOT NULL
+          ORDER BY r.event_id""")
+      },
+      Some("SELECT event_id, value + 1 AS total FROM events ORDER BY event_id")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

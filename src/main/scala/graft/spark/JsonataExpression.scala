@@ -183,6 +183,12 @@ case class JsonataRowExpression(
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
   @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct input, got ${child.dataType.sql}")
+
   override def dataType: DataType = outputSchema
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean =
@@ -231,6 +237,12 @@ case class JsonataRowJsonExpression(
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
   @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct input, got ${child.dataType.sql}")
 
   override def dataType: DataType =
     if (permissive)
@@ -373,6 +385,49 @@ object JsonataFunctions {
         case e: com.fasterxml.jackson.core.JacksonException =>
           (null, s"Could not parse record JSON: ${e.getMessage}")
       }
+    })
+    registerNativeSql(spark)
+  }
+
+  /** Extract a foldable string argument (the JSONata source / output DDL must
+    * be a literal — it shapes the plan, it cannot vary per row). */
+  private def foldableString(e: Expression, what: String): String = e match {
+    case lit if lit.foldable && lit.dataType == StringType =>
+      val v = lit.eval(null)
+      if (v == null) throw new IllegalArgumentException(s"$what must not be NULL")
+      v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a string literal, got ${e.sql}")
+  }
+
+  /** Direct-codec SQL surface — the struct path the Column API already has
+    * (JsonataRowJsonExpression / JsonataRowExpression), reachable from
+    * `spark.sql`:
+    *
+    *  - `jsonata_row(struct, 'expr')` -> JSON string: the input row is encoded
+    *    straight to a Jackson tree (no `to_json`), one serialization on the
+    *    way out — 1 text op/record where the string-UDF form needs 3;
+    *  - `jsonata_typed(struct, 'expr', 'a INT, b STRING')` -> typed struct:
+    *    tree-in/tree-out with the declared schema — 0 text ops/record, the
+    *    SQL analog of `JsonataDF.transformAs`. NULL result = tombstone
+    *    (filter with `IS NOT NULL`).
+    *
+    * Both wrap the struct as the standard `{topic, kafkaPartition, value}`
+    * envelope, matching every other entry point. */
+  def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Shims.registerFunction(spark, "jsonata_row", {
+      case Seq(child, exprArg) =>
+        JsonataRowJsonExpression(child, foldableString(exprArg, "jsonata_row expression"))
+      case args => throw new IllegalArgumentException(
+        s"jsonata_row(struct, 'expr') takes 2 arguments, got ${args.length}")
+    })
+    Shims.registerFunction(spark, "jsonata_typed", {
+      case Seq(child, exprArg, ddlArg) =>
+        JsonataRowExpression(child,
+          foldableString(exprArg, "jsonata_typed expression"),
+          StructType.fromDDL(foldableString(ddlArg, "jsonata_typed output schema")))
+      case args => throw new IllegalArgumentException(
+        s"jsonata_typed(struct, 'expr', 'ddl') takes 3 arguments, got ${args.length}")
     })
   }
 }

@@ -104,6 +104,51 @@ class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(0) != null))
   }
 
+  test("native SQL functions: jsonata_typed is struct-in/struct-out with no JSON text ops") {
+    JsonataFunctions.registerNativeSql(spark)
+    events.limit(100).createOrReplaceTempView("ev100")
+    val out = spark.sql(
+      """SELECT r.event_id, r.total FROM (
+           SELECT jsonata_typed(named_struct('event_id', event_id, 'value', value),
+                    '{''event_id'': value.event_id, ''total'': value.value + 1}',
+                    'event_id BIGINT, total DOUBLE') AS r
+           FROM ev100) WHERE r IS NOT NULL ORDER BY r.event_id""")
+    val expected = spark.sql(
+      "SELECT event_id, value + 1 AS total FROM ev100 ORDER BY event_id")
+    assert(out.collect().toSeq == expected.collect().toSeq)
+    // the whole point: no to_json/from_json anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("to_json") && !plan.contains("from_json"),
+      s"native SQL path must not round-trip JSON text:\n$plan")
+  }
+
+  test("native SQL functions: jsonata_row emits JSON with struct input, tombstones filter") {
+    JsonataFunctions.registerNativeSql(spark)
+    docs.limit(50).createOrReplaceTempView("docs50")
+    val rows = spark.sql(
+      """SELECT jsonata_row(named_struct('lang', lang, 'doc_id', doc_id),
+                  'value.lang = ''en'' ? {''id'': value.doc_id} : null') AS j
+         FROM docs50""").collect()
+    val expected = docs.limit(50).filter(col("lang") === "en").count()
+    assert(rows.count(_.getString(0) != null) == expected)
+    assert(rows.filter(_.getString(0) != null).forall(_.getString(0).startsWith("{\"id\":")))
+  }
+
+  test("native SQL functions: non-literal expression argument is rejected") {
+    JsonataFunctions.registerNativeSql(spark)
+    events.limit(5).createOrReplaceTempView("ev5")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT jsonata_typed(named_struct('value', value), event_type, 'x INT')
+           FROM ev5""").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT jsonata_row(event_id, 'value') FROM ev5").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("struct"))
+  }
+
   test("full record envelope: topic rewrite, header access, tombstone") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
