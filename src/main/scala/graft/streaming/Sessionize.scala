@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark-native custom-state extension beyond reference parity (SURVEY.md
   * §2.D "north-star extensions"): event-time sessionization with a gap
@@ -59,5 +59,73 @@ object Sessionize {
             closed.result().iterator
           }
       }
+  }
+
+  /** The same sessionization on the `transformWithState` API (Spark 4.x's
+    * successor to flatMapGroupsWithState: typed per-key state variables +
+    * explicit event-time timers, RocksDB-backed). Semantics are identical to
+    * [[sessions]] — one open session per key, closed inline by a past-gap
+    * event or by a timer once the watermark passes last + gap — and the spec
+    * runs both implementations through the same scenarios.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`); the older [[sessions]] runs on
+    * any provider. */
+  def sessionsTws(events: Dataset[Event], gapMs: Long): Dataset[Session] =
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[Session])
+
+  /** One open session per key in a ValueState; a single registered event-time
+    * timer at last + gap closes it if no later event arrives first. Stale
+    * timers are deleted on every update, so state AND timer count are O(1)
+    * per active key — the bound that survives an unbounded key space. */
+  private final class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toVector.sortBy(_.ts)
+      var open = if (session.exists()) Some(session.get()) else None
+      val hadTimer = open.isDefined
+      val closed = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        open match {
+          case Some(s) if e.ts - s.last > gapMs =>
+            closed += Session(user, s.start, s.last, s.n, s.sum)
+            open = Some(SessionState(e.ts, e.ts, 1L, e.value))
+          case Some(s) =>
+            open = Some(SessionState(s.start, math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
+          case None =>
+            open = Some(SessionState(e.ts, e.ts, 1L, e.value))
+        }
+      }
+      open.foreach { s =>
+        session.update(s)
+        if (hadTimer) getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Session] =
+      if (session.exists()) {
+        val s = session.get()
+        // a stale timer (event arrived after registration, new timer pending)
+        // must not close the still-active session
+        if (s.last + gapMs <= expired.getExpiryTimeInMs) {
+          session.clear()
+          Iterator.single(Session(user, s.start, s.last, s.n, s.sum))
+        } else Iterator.empty
+      } else Iterator.empty
   }
 }

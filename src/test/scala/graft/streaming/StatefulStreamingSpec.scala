@@ -1,14 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Custom-state streaming (flatMapGroupsWithState): event-time sessionization
-  * with a gap timeout — sessions close either by a later event past the gap
-  * or by the watermark passing the idle deadline. */
+/** Custom-state streaming: event-time sessionization with a gap timeout —
+  * sessions close either by a later event past the gap or by the watermark
+  * passing the idle deadline. Both implementations (flatMapGroupsWithState
+  * and the Spark 4.x transformWithState/StatefulProcessor form) run the same
+  * scenarios. */
 class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -19,6 +21,9 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
+      // transformWithState requires the RocksDB provider; fMGWS runs on any
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -26,7 +31,12 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("sessions close on gap and on watermark timeout; state stays bounded per key") {
+  private type Sessionizer = (Dataset[Sessionize.Event], Long) => Dataset[Sessionize.Session]
+  private val impls: Seq[(String, Sessionizer)] = Seq(
+    "fmgws" -> (Sessionize.sessions(_, _)),
+    "tws" -> (Sessionize.sessionsTws(_, _)))
+
+  private def gapAndTimeoutScenario(name: String, sessionize: Sessionizer): Unit = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -37,8 +47,8 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withWatermark("ets", "0 seconds")
       .as[Sessionize.Event]
 
-    val out = Sessionize.sessions(events, gapMs = 1000L)
-    val query = out.writeStream.format("memory").queryName("sessions")
+    val out = sessionize(events, 1000L)
+    val query = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
 
     // user 1: two bursts separated by > gap; user 2: one burst
@@ -47,7 +57,7 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // second burst for user 1 closes their first session inline
     input.addData((1L, 5000L, 3.0))
     query.processAllAvailable()
-    val afterGap = sp.sql("SELECT * FROM sessions").as[Sessionize.Session].collect().toSet
+    val afterGap = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
     // user 1's first session closed inline by the gap; user 2's may already be
     // closed by the watermark (now 5000, past their 2100 deadline); user 1's
     // second session (deadline 6000) must still be open
@@ -61,14 +71,14 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.processAllAvailable()
     input.addData((99L, 200000L, 0.0))
     query.processAllAvailable()
-    val all = sp.sql("SELECT * FROM sessions").as[Sessionize.Session].collect().toSet
+    val all = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
     query.stop()
 
     assert(all.contains(Sessionize.Session(2L, 1100L, 1100L, 1L, 5.0)), s"user 2 session missing: $all")
     assert(all.contains(Sessionize.Session(1L, 5000L, 5000L, 1L, 3.0)), s"user 1 second session missing: $all")
   }
 
-  test("out-of-order events within the gap merge into one session") {
+  private def outOfOrderScenario(name: String, sessionize: Sessionizer): Unit = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -78,16 +88,25 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("ets", timestamp_millis(col("ts")))
       .withWatermark("ets", "10 seconds")
       .as[Sessionize.Event]
-    val out = Sessionize.sessions(events, gapMs = 1000L)
-    val query = out.writeStream.format("memory").queryName("sessions2")
+    val out = sessionize(events, 1000L)
+    val query = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
 
     input.addData((7L, 2000L, 1.0), (7L, 1500L, 1.0), (7L, 2400L, 1.0))
     query.processAllAvailable()
     input.addData((7L, 9000L, 9.0)) // past the gap: closes the merged session
     query.processAllAvailable()
-    val got = sp.sql("SELECT * FROM sessions2").as[Sessionize.Session].collect().toSet
+    val got = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
     query.stop()
     assert(got == Set(Sessionize.Session(7L, 1500L, 2400L, 3L, 3.0)), s"got $got")
+  }
+
+  impls.foreach { case (impl, fn) =>
+    test(s"[$impl] sessions close on gap and on watermark timeout; state stays bounded per key") {
+      gapAndTimeoutScenario(s"sessions_gap_$impl", fn)
+    }
+    test(s"[$impl] out-of-order events within the gap merge into one session") {
+      outOfOrderScenario(s"sessions_ooo_$impl", fn)
+    }
   }
 }
