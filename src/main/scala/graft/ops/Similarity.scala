@@ -63,6 +63,16 @@ object Similarity {
         acc * 2 + when(dot(get(get(planesLit, tb), b), vec) >= 0, 1L).otherwise(0L)))
   }
 
+  /** ss04 IVF parameters: anchors are the deterministic corpus sample
+    * `vec_id % AnchorStride == AnchorOffset` (~N/61 coarse centroids — the
+    * sampled-centroid variant of IVF, standard when k-means training is
+    * overkill); each query probes its NProbe nearest anchors. Deterministic
+    * end-to-end, so the DuckDB oracle reproduces the algorithm exactly (the
+    * check pins the pipeline, recall is pinned separately by spec). */
+  private val AnchorStride = 61
+  private val AnchorOffset = 7
+  private val NProbe = 4
+
   val entries: Seq[Q] = Seq(
     // ---- ss01: brute-force cosine top-5 per query vector (exact oracle) ----
     Q("ss01_cosine_topk",
@@ -123,6 +133,76 @@ object Similarity {
             round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
           FROM k a JOIN k b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
+
+    // ---- ss04: IVF approximate NN — inverted-file index over sampled     ----
+    // ---- coarse centroids; queries scan only their NProbe probed buckets  ----
+    // The other standard ANN scale path next to LSH (ss03): partition the
+    // corpus by nearest coarse centroid, search only the probed partitions.
+    // Scale shape: centroids are a broadcast relation; bucket assignment is a
+    // broadcast nested-loop + map-side-combined argmax (the N×K intermediate
+    // never shuffles — partial aggregation collapses it to one row per vector
+    // before the exchange); the candidate join keys on the centroid id, i.e.
+    // exactly the relation a 100 TB deployment stores bucket-partitioned.
+    // Deterministic (sampled anchors, fixed NProbe, no RNG) => EXACT oracle.
+    Q("ss04_ann_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = vecs(s, d)
+        val anchors = broadcast(v
+          .filter(col("vec_id") % AnchorStride === AnchorOffset)
+          .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
+        // assignment: argmax_a cosine(v, a), ties to the smaller anchor id —
+        // max(struct(cos, -aid)) is the partial-aggregatable encoding of that
+        val asn = v.crossJoin(anchors)
+          .select(col("vec_id"), col("vec"), col("nrm"), col("aid"),
+            cosine(col("vec"), col("av"), col("nrm"), col("an")).as("ac"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("ac"), (-col("aid")).as("naid"))).as("m"),
+            first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), (-col("m.naid")).as("aid"), col("vec"), col("nrm"))
+        val q = v.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
+        val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))
+        val probes = broadcast(q.crossJoin(anchors)
+          .select(col("q_id"), col("qv"), col("qn"), col("aid"),
+            cosine(col("qv"), col("av"), col("qn"), col("an")).as("pc"))
+          .withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
+          .select(col("q_id"), col("qv"), col("qn"), col("aid")))
+        // each vector lives in exactly one bucket and probes are distinct
+        // anchors, so (q_id, vec_id) pairs are already unique — no dedup
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        probes.join(asn, Seq("aid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS aid, vec AS av FROM v WHERE vec_id % 61 = 7),
+          asn AS (SELECT vec_id, aid FROM (
+              SELECT v.vec_id, a.aid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          probes AS (SELECT q_id, aid FROM (
+              SELECT q.q_id, a.aid,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
+              FROM q CROSS JOIN a) WHERE rn <= 4),
+          sims AS (SELECT p.q_id, s.vec_id,
+                     list_cosine_similarity(q.qv, v.vec) AS cos
+                   FROM probes p JOIN asn s USING (aid)
+                   JOIN q ON p.q_id = q.q_id JOIN v ON s.vec_id = v.vec_id
+                   WHERE s.vec_id <> p.q_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM sims)
+        SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ---- ss03: multi-table LSH approximate NN — each query scans only its ----
     // ---- buckets' union, never the full corpus ----

@@ -113,6 +113,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "variant traversal must not re-parse JSON text")
   }
 
+  test("ss04 IVF: anchors broadcast into assignment; candidate join is a broadcast hash join on the bucket key") {
+    val p = plan("ss04_ann_ivf")
+    // assignment = broadcast nested loop over the small anchor relation,
+    // collapsed map-side by partial aggregation before any exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_"), "argmax assignment must partial-aggregate\n" + p.take(3000))
+    // probes join the bucketed corpus on aid — an equi-join, never a cartesian
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("mm01 metadata: payload bytes feed the projection, not a shuffle") {
     val p = plan("mm01_media_meta")
     // metadata extraction is map-only + the final orderBy exchange

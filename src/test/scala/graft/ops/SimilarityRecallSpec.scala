@@ -50,4 +50,25 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val short = annPerQ.filter(col("count") < 3).count()
     assert(short == 0, s"$short queries returned fewer than 3 ANN neighbors")
   }
+
+  test("ss04 IVF recall@3 and candidate fraction vs ss01 exact top-3") {
+    val exact = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rank") <= 3).select(col("q_id"), col("neighbor_id")).persist()
+    val ivf = SparkEntry.queries("ss04_ann_ivf")(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id")).persist()
+
+    val total = exact.count()
+    assert(total > 0)
+    val hits = ivf.join(exact, Seq("q_id", "neighbor_id")).count()
+    val recall = hits.toDouble / total
+    // Deterministic fact of (stride-61 anchors, nprobe 4) on this corpus:
+    // recall@3 = 0.80 at sf0.01 (9 anchors, ~44% scanned/query) and 0.45 at
+    // sf0.1 (33 anchors, ~12% scanned) — near-random embeddings are IVF's
+    // worst case (bucket membership barely correlates with neighbor
+    // identity); clustered real-world embeddings only do better at the same
+    // probed fraction.
+    assert(recall >= 0.75, s"ss04 IVF recall@3 = $recall ($hits/$total) — below the pinned 0.75 (measured 0.80)")
+    assert(ivf.groupBy("q_id").count().filter(col("count") < 3).count() == 0,
+      "every query must fill its top-3 from the probed buckets")
+  }
 }
