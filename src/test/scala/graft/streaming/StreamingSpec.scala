@@ -119,4 +119,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT jsonata('{"a": 2}', 'a * 21') AS out""").collect()(0).getString(0)
     assert(n == "42")
   }
+
+  test("struct-path and variant functions via session extensions") {
+    val row = spark.sql(
+      """SELECT jsonata_row(named_struct('a', 21), '{''a2'': value.a * 2}') AS j""")
+      .collect()(0).getString(0)
+    assert(row == """{"a2":42}""", s"got $row")
+    val typed = spark.sql(
+      """SELECT jsonata_typed(named_struct('a', 21),
+           '{''doubled'': value.a * 2}', 'doubled BIGINT').doubled AS d""")
+      .collect()(0).getLong(0)
+    assert(typed == 42L)
+    val v = spark.sql(
+      """SELECT variant_get(jsonata_variant('{"a": 2}', '{"out": a * 21}'), '$.out', 'bigint') AS o""")
+      .collect()(0).getLong(0)
+    assert(v == 42L)
+  }
 }
