@@ -66,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             litString(args(2), "jsonata_typed output schema")))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jsonata_row_try"),
+      new ExpressionInfo(classOf[JsonataRowJsonExpression].getName, "jsonata_row_try"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException("jsonata_row_try(struct, 'expr')")
+        JsonataRowJsonExpression(args.head,
+          litString(args(1), "jsonata_row_try expression"), permissive = true)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("jsonata_variant"),
       new ExpressionInfo(classOf[JsonataVariantExpression].getName, "jsonata_variant"),
       (args: Seq[Expression]) => {

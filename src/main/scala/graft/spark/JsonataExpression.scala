@@ -410,7 +410,11 @@ object JsonataFunctions {
     *  - `jsonata_typed(struct, 'expr', 'a INT, b STRING')` -> typed struct:
     *    tree-in/tree-out with the declared schema — 0 text ops/record, the
     *    SQL analog of `JsonataDF.transformAs`. NULL result = tombstone
-    *    (filter with `IS NOT NULL`).
+    *    (filter with `IS NOT NULL`);
+    *  - `jsonata_row_try(struct, 'expr')` -> `struct<out, error, record>`:
+    *    the permissive per-record error policy (DLQ analog) on the struct
+    *    path — poison records yield (null, message, original-envelope JSON)
+    *    instead of failing the job.
     *
     * Both wrap the struct as the standard `{topic, kafkaPartition, value}`
     * envelope, matching every other entry point. */
@@ -428,6 +432,13 @@ object JsonataFunctions {
           StructType.fromDDL(foldableString(ddlArg, "jsonata_typed output schema")))
       case args => throw new IllegalArgumentException(
         s"jsonata_typed(struct, 'expr', 'ddl') takes 3 arguments, got ${args.length}")
+    })
+    Shims.registerFunction(spark, "jsonata_row_try", {
+      case Seq(child, exprArg) =>
+        JsonataRowJsonExpression(child,
+          foldableString(exprArg, "jsonata_row_try expression"), permissive = true)
+      case args => throw new IllegalArgumentException(
+        s"jsonata_row_try(struct, 'expr') takes 2 arguments, got ${args.length}")
     })
   }
 }

@@ -134,6 +134,25 @@ class JsonataSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.filter(_.getString(0) != null).forall(_.getString(0).startsWith("{\"id\":")))
   }
 
+  test("native SQL functions: jsonata_row_try captures per-record errors with the envelope") {
+    JsonataFunctions.registerNativeSql(spark)
+    docs.limit(20).createOrReplaceTempView("docs20")
+    // $number(lang) raises D3030 on every row ('en'/'de'/... are not numbers),
+    // except none parse — so also include doc_id to get good rows
+    val rows = spark.sql(
+      """SELECT r.out, r.error, r.record FROM (
+           SELECT jsonata_row_try(named_struct('lang', lang, 'doc_id', doc_id),
+             'value.doc_id < 5 ? {''id'': value.doc_id} : {''n'': $number(value.lang)}') AS r
+           FROM docs20)""").collect()
+    val good = rows.filter(_.getString(1) == null)
+    val bad = rows.filter(_.getString(1) != null)
+    assert(good.nonEmpty && bad.nonEmpty, s"expected both outcomes, got ${rows.length} rows")
+    assert(good.forall(r => r.getString(0).startsWith("{\"id\":")))
+    assert(bad.forall(r => r.getString(0) == null
+      && r.getString(1).contains("Could not evaluate expression")
+      && r.getString(2).contains("\"lang\"")), "error rows must carry the replayable envelope")
+  }
+
   test("native SQL functions: non-literal expression argument is rejected") {
     JsonataFunctions.registerNativeSql(spark)
     events.limit(5).createOrReplaceTempView("ev5")
