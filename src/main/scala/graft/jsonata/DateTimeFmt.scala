@@ -251,19 +251,24 @@ object IntegerFmt {
   private val scales = Seq(1000000000000L -> "trillion", 1000000000L -> "billion",
     1000000L -> "million", 1000L -> "thousand", 100L -> "hundred")
 
-  def toWords(n0: Long): String = {
-    if (n0 < 0) "minus " + toWords(-n0)
-    else if (n0 < 20) ones(n0.toInt)
-    else if (n0 < 100) {
-      val t = tens((n0 / 10).toInt)
-      if (n0 % 10 == 0) t else s"$t-${ones((n0 % 10).toInt)}"
-    } else scales.find(n0 >= _._1) match {
+  def toWords(n0: Long): String =
+    if (n0 < 0) "minus " + toWords(-n0) else lookup(n0, prev = false)
+
+  /** Mirrors jsonata-js datetime.js `lookup(num, prev, ord)` separators: a
+    * remainder under 100 joins with " and ", a remainder of 100+ joins with
+    * ", " — recursively at every magnitude ("one million, two hundred and
+    * thirty-four thousand, five hundred and sixty-seven"). */
+  private def lookup(num: Long, prev: Boolean): String = {
+    if (num <= 19) (if (prev) " and " else "") + ones(num.toInt)
+    else if (num < 100) {
+      val base = (if (prev) " and " else "") + tens((num / 10).toInt)
+      val rem = num % 10
+      if (rem > 0) s"$base-${ones(rem.toInt)}" else base
+    } else scales.find(num >= _._1) match {
       case Some((scale, word)) =>
-        val head = s"${toWords(n0 / scale)} $word"
-        val rest = n0 % scale
-        if (rest == 0) head
-        else if (rest < 100) s"$head and ${toWords(rest)}"
-        else s"$head ${toWords(rest)}"
+        val head = (if (prev) ", " else "") + lookup(num / scale, prev = false) + " " + word
+        val rem = num % scale
+        if (rem > 0) head + lookup(rem, prev = true) else head
       case None => ones(0)
     }
   }
@@ -355,7 +360,7 @@ object IntegerFmt {
   }
 
   private def wordsToNumber(s0: String): Long = {
-    val s = s0.replace(" and ", " ").replace("-", " ")
+    val s = s0.replace(",", " ").replace(" and ", " ").replace("-", " ")
       .replaceAll("(first|second|third|fifth|eighth|ninth|twelfth)$", "")
     val unitMap = ones.zipWithIndex.map { case (w, i) => w -> i.toLong }.toMap ++
       tens.zipWithIndex.collect { case (w, i) if w.nonEmpty => w -> (i * 10L) }
