@@ -443,10 +443,23 @@ object Functions {
         case "zero-digit" => symbols.setZeroDigit(v.charAt(0))
         case "infinity" => symbols.setInfinity(v)
         case "nan" => symbols.setNaN(v)
+        case "exponent-separator" => symbols.setExponentSeparator(v)
         case _ =>
       }
     }
-    val df = new java.text.DecimalFormat(picture, symbols)
+    // XPath F&O scientific notation: the exponent separator is lowercase 'e'
+    // ("00.000e0" -> "12.346e2"), while DecimalFormat's pattern char is 'E'.
+    // Translate an 'e' that starts an exponent part (followed by a digit
+    // token) and emit it back through the symbols' separator.
+    val hasXPathExponent = picture.exists(c => c == 'e') &&
+      "e[0#]".r.findFirstIn(picture).isDefined
+    val dfPicture =
+      if (hasXPathExponent) {
+        if (a(2) == null || !a(2).asInstanceOf[ObjectNode].has("exponent-separator"))
+          symbols.setExponentSeparator("e")
+        picture.replaceAll("e(?=[0#])", "E")
+      } else picture
+    val df = new java.text.DecimalFormat(dfPicture, symbols)
     df.setRoundingMode(java.math.RoundingMode.HALF_EVEN)
     tn(df.format(dbl(a(0))))
   }

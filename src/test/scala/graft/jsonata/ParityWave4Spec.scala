@@ -76,6 +76,26 @@ class ParityWave4Spec extends AnyFunSuite {
   t("$formatInteger words", "$formatInteger(2789, 'w')", "{}",
     "\"two thousand, seven hundred and eighty-nine\"")
 
+  // ---- $formatNumber scientific notation (XPath 'e' exponent separator) ----
+  t("$formatNumber scientific", "$formatNumber(1234.5678, '00.000e0')", "{}", "\"12.346e2\"")
+  t("$formatNumber scientific negative exponent", "$formatNumber(0.234, '0.0e0')", "{}", "\"2.3e-1\"")
+  t("$formatNumber regex surface unaffected", "$formatNumber(1234.5678, '#,##0.00')", "{}", "\"1,234.57\"")
+
+  // ---- regex surface ----
+  t("$replace with lambda replacement",
+    "$replace('abc', /b/, function($m){ $uppercase($m.match) })", "{}", "\"aBc\"")
+  t("$match structure", "$match('ababab', /ab/)[1]", "{}",
+    """{"match": "ab", "index": 2, "groups": []}""")
+  t("case-insensitive flag", "$match('ABC', /abc/i).match", "{}", "\"ABC\"")
+  t("$split on regex", "$split('a1b2c', /\\d/)", "{}", """["a", "b", "c"]""")
+  t("$contains with regex", "$contains('hello', /l+/)", "{}", "true")
+
+  // ---- datetime picture names ----
+  t("weekday name", "$fromMillis(0, '[FNn]')", "{}", "\"Thursday\"")
+  t("ordinal day + month name", "$fromMillis(0, '[D1o] [MNn]')", "{}", "\"1st January\"")
+  t("roman year", "$fromMillis(1510067557121, '[YI]')", "{}", "\"MMXVII\"")
+  t("date-only toMillis", "$toMillis('1970-01-01')", "{}", "0")
+
   // ---- truthiness of composite values ----
   t("empty array is falsy", "[] ? 'y' : 'n'", "{}", "\"n\"")
   t("array of falsy values is falsy", "[0, false, ''] ? 'y' : 'n'", "{}", "\"n\"")
