@@ -101,6 +101,75 @@ object Multimodal {
               FROM m, generate_series(0, 7) AS t(i) GROUP BY doc_id)
         SELECT m.doc_id, n AS byte_len, n % 640 AS width, n*7 % 480 AS height,
           3 AS channels, round(CAST(fs AS DOUBLE), 2) AS feat_sum
-        FROM m JOIN f USING (doc_id) ORDER BY m.doc_id"""))
+        FROM m JOIN f USING (doc_id) ORDER BY m.doc_id""")),
+
+    // ---- mm04: resize — aspect-preserving target dims + stride-downsampled ----
+    // ---- payload fingerprint ----
+    // The Spark shape of image/video resizing: pure per-row arithmetic for the
+    // output geometry (fit the stub WxH into a 224-box, integer math so the
+    // oracle is exact) plus a 1-D "pixel" downsample of the opaque payload —
+    // every k-th byte, k sized so ~256 samples survive — fingerprinted per
+    // row. Map-only; the payload column never shuffles; a real kernel swaps
+    // into the same slot as FakeDecoder does for mm02.
+    Q("mm04_resize",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = length(col("text")).cast("bigint") // ASCII corpus: chars == bytes
+        val w = n % 640
+        val h = (n * 7) % 480
+        val mx = greatest(w, h, lit(1L))
+        val k = floor((n + 255) / lit(256)).cast("bigint") // ceil(n/256)
+        val ds = array_join(
+          transform(sequence(lit(1L), n, k), i => col("text").substr(i.cast("int"), lit(1))), "")
+        docs.select(col("doc_id"), w.as("width"), h.as("height"),
+            floor(w * 224 / mx).cast("bigint").as("out_w"),
+            floor(h * 224 / mx).cast("bigint").as("out_h"),
+            md5(ds).as("ds_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        dims AS (SELECT doc_id, n, n % 640 AS w, n*7 % 480 AS h FROM m),
+        idx AS (SELECT i FROM generate_series(1, 4096) AS t(i)),
+        ds AS (SELECT m.doc_id,
+                 string_agg(substring(m.text, CAST(i AS INT), 1), '' ORDER BY i) AS dstr
+               FROM m JOIN idx ON i <= m.n AND ((i - 1) % ((m.n + 255) // 256)) = 0
+               GROUP BY m.doc_id)
+        SELECT d.doc_id, w AS width, h AS height,
+          w*224 // greatest(w, h, 1) AS out_w,
+          h*224 // greatest(w, h, 1) AS out_h,
+          md5(dstr) AS ds_md5
+        FROM dims d JOIN ds USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- mm05: feature extraction — per-payload feature vector statistics ----
+    // Runs the typed Dataset decode operator (the same mapPartitions kernel
+    // slot as mm02) and reduces the 8-dim stub feature vector to L2 norm and
+    // argmax — the metadata a training pipeline keeps when the raw vector
+    // moves to a separate embedding table. Integer-exact stub arithmetic =>
+    // exact oracle.
+    Q("mm05_features",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val media = mediaTable(s, d).as[(Long, Array[Byte])]
+        val f = transform(col("features"), x => x.cast("long"))
+        decodeBatch(media)
+          .select(col("doc_id"), f.as("f"))
+          .select(col("doc_id"),
+            round(sqrt(aggregate(col("f"), lit(0L), (a, x) => a + x * x).cast("double")), 2).as("feat_norm"),
+            (array_position(col("f"), array_max(col("f"))) - 1).cast("bigint").as("feat_argmax"),
+            array_max(col("f")).as("feat_max"),
+            array_min(col("f")).as("feat_min"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        f AS (SELECT doc_id, i,
+                (n*(i+3) + ascii(substring(text, ((i*31) % n) + 1, 1))) % 997 AS v
+              FROM m, generate_series(0, 7) AS t(i)),
+        agg AS (SELECT doc_id, round(sqrt(CAST(sum(v*v) AS DOUBLE)), 2) AS feat_norm,
+                  max(v) AS feat_max, min(v) AS feat_min FROM f GROUP BY doc_id),
+        am AS (SELECT f.doc_id, min(i) AS feat_argmax
+               FROM f JOIN agg USING (doc_id) WHERE v = feat_max GROUP BY f.doc_id)
+        SELECT a.doc_id, feat_norm, feat_argmax, feat_max, feat_min
+        FROM agg a JOIN am USING (doc_id) ORDER BY a.doc_id"""))
   )
 }
