@@ -114,11 +114,15 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    // raw jaccard, threshold on the raw value: both engines compute the same
+    // single division on identical integer counts (bit-identical doubles), so
+    // a raw >= 0.3 test can never disagree — an engine-side round() before the
+    // threshold could (Spark and DuckDB round differently at ulp boundaries)
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("n_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (col("n_a") + col("n_b") - inter), 4).as("jaccard"))
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
   }
 
@@ -194,8 +198,9 @@ object Dedup {
         val nA = col("nt_a") - coalesce(col("hc_a"), lit(0L))
         val nB = col("nt_b") - coalesce(col("hc_b"), lit(0L))
         val j = col("inter") / (nA + nB - col("inter"))
+        // raw jaccard + raw threshold (see verifiedPairs note)
         common
-          .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
           .filter(col("jaccard") >= 0.3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -210,8 +215,8 @@ object Dedup {
               FROM u JOIN dfq USING (sv) GROUP BY doc_id, source, lb)
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
           FROM k a JOIN k b ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
 
@@ -237,8 +242,8 @@ object Dedup {
         k AS (SELECT doc_id, sh, len(sh) AS n FROM b)
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
           FROM k a JOIN k b ON a.doc_id < b.doc_id)
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
 
@@ -307,7 +312,7 @@ object Dedup {
               len(list_intersect(a.sh, b.sh))::DOUBLE /
                 (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jacc
             FROM k a JOIN k b ON a.doc_id < b.doc_id)
-          WHERE round(jacc, 4) >= 0.3),
+          WHERE jacc >= 0.3),
         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
         reach(u, v) AS (SELECT u, v FROM edges

@@ -154,8 +154,10 @@ object Multimodal {
         val f = transform(col("features"), x => x.cast("long"))
         decodeBatch(media)
           .select(col("doc_id"), f.as("f"))
+          // raw norm (sqrt of identical integer sums is bit-identical in both
+          // engines; engine-side round() can flip at ulp boundaries)
           .select(col("doc_id"),
-            round(sqrt(aggregate(col("f"), lit(0L), (a, x) => a + x * x).cast("double")), 2).as("feat_norm"),
+            sqrt(aggregate(col("f"), lit(0L), (a, x) => a + x * x).cast("double")).as("feat_norm"),
             (array_position(col("f"), array_max(col("f"))) - 1).cast("bigint").as("feat_argmax"),
             array_max(col("f")).as("feat_max"),
             array_min(col("f")).as("feat_min"))
@@ -165,7 +167,7 @@ object Multimodal {
         f AS (SELECT doc_id, i,
                 (n*(i+3) + ascii(substring(text, ((i*31) % n) + 1, 1))) % 997 AS v
               FROM m, generate_series(0, 7) AS t(i)),
-        agg AS (SELECT doc_id, round(sqrt(CAST(sum(v*v) AS DOUBLE)), 2) AS feat_norm,
+        agg AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS feat_norm,
                   max(v) AS feat_max, min(v) AS feat_min FROM f GROUP BY doc_id),
         am AS (SELECT f.doc_id, min(i) AS feat_argmax
                FROM f JOIN agg USING (doc_id) WHERE v = feat_max GROUP BY f.doc_id)

@@ -267,17 +267,22 @@ object Relational {
         // one percentile aggregate with an array of targets: a single
         // per-group buffer instead of four
         .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+        // raw doubles, no round(): both engines interpolate lo + (hi-lo)*frac
+        // on identical inputs, so the values agree to the last ulp, while a
+        // 2dp round can flip on a value 1 ulp below a .xx5 boundary (seen at
+        // sf0.001: 52724.244999999995 rounded .24 by Spark, .25 by DuckDB).
+        // The driver compares floats at 6dp, which absorbs ulp-level noise.
         .select(col("l_returnflag"),
-          round(get(col("ps"), lit(0)), 2).as("p25"),
-          round(get(col("ps"), lit(1)), 2).as("p50"),
-          round(get(col("ps"), lit(2)), 2).as("p75"),
-          round(get(col("ps"), lit(3)), 2).as("p95"))
+          get(col("ps"), lit(0)).as("p25"),
+          get(col("ps"), lit(1)).as("p50"),
+          get(col("ps"), lit(2)).as("p75"),
+          get(col("ps"), lit(3)).as("p95"))
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-          round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-          round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-          round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-          round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+          quantile_cont(l_extendedprice, 0.25) AS p25,
+          quantile_cont(l_extendedprice, 0.5) AS p50,
+          quantile_cont(l_extendedprice, 0.75) AS p75,
+          quantile_cont(l_extendedprice, 0.95) AS p95
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -88,7 +88,10 @@ object Similarity {
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+          // raw cos (the rank ordering already proves both engines compute
+          // bit-identical cosines; engine-side round() is the only thing that
+          // can diverge — see the tx01 note in TextOps)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -98,7 +101,7 @@ object Similarity {
           ranked AS (SELECT q_id, vec_id, cos,
                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                      FROM sims)
-        SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+        SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     // ---- ss02: embedding near-duplicate pairs, label-blocked, cosine >= 0.4 ----
@@ -119,9 +122,10 @@ object Similarity {
         val kept = v.join(broadcast(hotLabels), Seq("label"), "left_anti")
         val a = kept.select(col("vec_id").as("id_a"), col("label"), col("vec").as("va"), col("nrm").as("na"))
         val b = kept.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vb"), col("nrm").as("nb"))
+        // raw cos + raw threshold (see ss01/tx01 notes)
         a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(cosine(col("va"), col("vb"), col("na"), col("nb")), 4).as("cos"))
+            cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
           .filter(col("cos") >= 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -130,7 +134,7 @@ object Similarity {
             (SELECT label FROM v GROUP BY label HAVING count(*) <= 1000))
         SELECT id_a, id_b, cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+            list_cosine_similarity(a.vec, b.vec) AS cos
           FROM k a JOIN k b ON a.label = b.label AND a.vec_id < b.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
 
@@ -177,7 +181,7 @@ object Similarity {
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -201,7 +205,7 @@ object Similarity {
           ranked AS (SELECT q_id, vec_id, cos,
                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                      FROM sims)
-        SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos, CAST(rank AS INT) AS rank
+        SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ---- ss03: multi-table LSH approximate NN — each query scans only its ----

@@ -46,8 +46,13 @@ object TextOps {
             else when(sc >= (if (laterMax.size == 1) laterMax.head else greatest(laterMax: _*)), lg).otherwise(els)
         }
         val best = greatest(scores.map(_._2): _*)
+        // raw double score, no round(): Spark and DuckDB round() implementations
+        // differ at ulp-level .xxx5 boundaries (BigDecimal HALF_UP vs float
+        // scale-and-round), while the raw doubles are bit-identical — the
+        // driver's comparator normalizes BOTH sides with the same rounding, so
+        // raw values can never flip. Same reasoning in tx02/q20/ss*/dd* below.
         t(s, d, "documents")
-          .select(col("doc_id"), pred.as("pred_lang"), round(best, 4).as("score"))
+          .select(col("doc_id"), pred.as("pred_lang"), best.as("score"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -59,7 +64,7 @@ object TextOps {
           s"WHEN $e >= greatest(${later.mkString(", ")}) THEN '$lg'"
         }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
         val best = s"greatest(${sc.map(_._2).mkString(", ")})"
-        s"""SELECT doc_id, $caseExpr AS pred_lang, round($best, 4) AS score
+        s"""SELECT doc_id, $caseExpr AS pred_lang, $best AS score
             FROM documents ORDER BY doc_id"""
       }),
 
@@ -73,11 +78,13 @@ object TextOps {
         val stopRatio = stops / nWords
         val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
           lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * least(stopRatio * 5, lit(1.0))
+        // raw ratios/score (see tx01 note): engine-side round() flipped one
+        // sf0.1 row (quality 0.84025-boundary: Spark .8402, DuckDB .8403)
         t(s, d, "documents").select(col("doc_id"),
             nWords.as("n_words"), punct.as("n_punct"),
-            round(punctRatio, 4).as("punct_ratio"),
-            round(stopRatio, 4).as("stop_ratio"),
-            round(score, 4).as("quality"))
+            punctRatio.as("punct_ratio"),
+            stopRatio.as("stop_ratio"),
+            score.as("quality"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -85,11 +92,11 @@ object TextOps {
         s"""SELECT doc_id,
             len(string_split_regex(trim(text), '\\s+')) AS n_words,
             len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-            round((len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text), 4) AS punct_ratio,
-            round(($stopsSql) / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
-            round(0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+            (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text) AS punct_ratio,
+            ($stopsSql) / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+            0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
                 + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))
-                + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0), 4) AS quality
+                + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0) AS quality
             FROM documents ORDER BY doc_id"""
       }),
 

@@ -49,7 +49,7 @@ class DedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("n_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (col("n_a") + col("n_b") - inter), 4).as("jaccard"))
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
 
     val got = SparkEntry.queries("dd04_minhash_lsh")(spark, sfDir)
