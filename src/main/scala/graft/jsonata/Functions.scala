@@ -447,17 +447,20 @@ object Functions {
         case _ =>
       }
     }
-    // XPath F&O scientific notation: the exponent separator is lowercase 'e'
-    // ("00.000e0" -> "12.346e2"), while DecimalFormat's pattern char is 'E'.
-    // Translate an 'e' that starts an exponent part (followed by a digit
-    // token) and emit it back through the symbols' separator.
-    val hasXPathExponent = picture.exists(c => c == 'e') &&
-      "e[0#]".r.findFirstIn(picture).isDefined
+    // XPath F&O scientific notation: the exponent separator defaults to
+    // lowercase 'e' ("00.000e0" -> "12.346e2") and is overridable via the
+    // exponent-separator option, while DecimalFormat's pattern char is 'E'.
+    // Translate a separator that starts an exponent part (followed by a digit
+    // token) and emit it back through the symbols' separator. Pictures with
+    // quoted literal sections are left untouched (the literal could contain
+    // the separator char; quoting is DecimalFormat territory anyway).
+    val expSep = Option(a(2)).map(_.asInstanceOf[ObjectNode])
+      .flatMap(o => Option(o.get("exponent-separator"))).map(_.asText).getOrElse("e")
+    val sepQ = java.util.regex.Pattern.quote(expSep)
     val dfPicture =
-      if (hasXPathExponent) {
-        if (a(2) == null || !a(2).asInstanceOf[ObjectNode].has("exponent-separator"))
-          symbols.setExponentSeparator("e")
-        picture.replaceAll("e(?=[0#])", "E")
+      if (!picture.contains("'") && s"$sepQ[0#]".r.findFirstIn(picture).isDefined) {
+        symbols.setExponentSeparator(expSep)
+        picture.replaceAll(s"$sepQ(?=[0#])", "E")
       } else picture
     val df = new java.text.DecimalFormat(dfPicture, symbols)
     df.setRoundingMode(java.math.RoundingMode.HALF_EVEN)

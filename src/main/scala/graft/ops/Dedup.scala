@@ -61,6 +61,15 @@ object Dedup {
     * sketch, and the cap never binds at test scale. */
   private val BlockCap = 1024
 
+  /** Free the storage blocks behind a `localCheckpoint`ed DataFrame. Its
+    * persisted RDD lives under the plan's LogicalRDD leaf, NOT in the cache
+    * manager, so `df.unpersist()` would be a no-op. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Wrapping 64-bit multiply/add as explicit legacy-mode Catalyst nodes: the
     * MinHash permutations rely on overflow wrap-around, and Spark 4 defaults
     * ANSI on (overflow would throw). Building the eval mode into the
@@ -275,14 +284,19 @@ object Dedup {
           .localCheckpoint()
         var converged = false
         var iter = 0
+        var prevCheckpoint: DataFrame = labels // released once round 0's next is materialized
         while (!converged && iter < 25) {
           val nbrMin = edges
             .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), "doc_b")
             .groupBy(col("doc_a")).agg(min(col("nc")).as("nmin"))
             .select(col("doc_a").as("doc_id"), col("nmin"))
+          // checkpointed BEFORE the self-join below: both join sides read the
+          // materialized blocks, so the edges-join-labels aggregation runs
+          // once per round, not twice
           val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"), col("cluster").as("prev"),
               least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+            .localCheckpoint()
           // pointer jumping: follow the new label one hop (labels are doc_ids,
           // so c1 always resolves in the same relation)
           val next = stepped
@@ -294,9 +308,19 @@ object Dedup {
             .localCheckpoint()
           converged = !next
             .agg(coalesce(max(col("changed")), lit(false))).first().getBoolean(0)
+          // release this round's intermediate and the previous round's labels:
+          // localCheckpoint blocks bypass the cache manager, so without an
+          // explicit unpersist up to 25 generations of label RDDs would sit in
+          // executor storage until the driver's ContextCleaner happens to GC
+          // them (evicting deliberately-cached datasets at scale)
+          releaseCheckpoint(stepped)
+          releaseCheckpoint(prevCheckpoint)
+          prevCheckpoint = next
           labels = next.select(col("doc_id"), col("cluster"))
           iter += 1
         }
+        // the returned plan reads only the LAST round's blocks — edges can go
+        releaseCheckpoint(edges)
         labels.orderBy(col("doc_id"))
       },
       // transitive closure via recursive CTE over the same >= 0.3 pairs

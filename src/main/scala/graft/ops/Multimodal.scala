@@ -41,6 +41,10 @@ object Multimodal {
   def mediaTable(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** mm04: max payload index the downsample may touch (mirrored in the
+    * oracle's constant generate_series bound). */
+  private val SampleCap = 4096
+
   val entries: Seq[Q] = Seq(
     // ---- mm01: metadata extraction over binary payloads (exact oracle) ----
     Q("mm01_media_meta",
@@ -119,8 +123,14 @@ object Multimodal {
         val h = (n * 7) % 480
         val mx = greatest(w, h, lit(1L))
         val k = floor((n + 255) / lit(256)).cast("bigint") // ceil(n/256)
+        // SampleCap bounds the sampled index range on BOTH sides (the oracle's
+        // generate_series can only take a constant): a defined part of the
+        // operator like Dedup.DfCap, not an implicit assumption — payloads
+        // longer than the cap are fingerprinted over their first SampleCap
+        // bytes (corpus max is 577, so it never binds on testdata)
         val ds = array_join(
-          transform(sequence(lit(1L), n, k), i => col("text").substr(i.cast("int"), lit(1))), "")
+          transform(sequence(lit(1L), least(n, lit(SampleCap.toLong)), k),
+            i => col("text").substr(i.cast("int"), lit(1))), "")
         docs.select(col("doc_id"), w.as("width"), h.as("height"),
             floor(w * 224 / mx).cast("bigint").as("out_w"),
             floor(h * 224 / mx).cast("bigint").as("out_h"),
@@ -132,7 +142,7 @@ object Multimodal {
         idx AS (SELECT i FROM generate_series(1, 4096) AS t(i)),
         ds AS (SELECT m.doc_id,
                  string_agg(substring(m.text, CAST(i AS INT), 1), '' ORDER BY i) AS dstr
-               FROM m JOIN idx ON i <= m.n AND ((i - 1) % ((m.n + 255) // 256)) = 0
+               FROM m JOIN idx ON i <= least(m.n, 4096) AND ((i - 1) % ((m.n + 255) // 256)) = 0
                GROUP BY m.doc_id)
         SELECT d.doc_id, w AS width, h AS height,
           w*224 // greatest(w, h, 1) AS out_w,

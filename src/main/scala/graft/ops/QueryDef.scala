@@ -37,13 +37,30 @@ object Tables {
     *
     * The local testdata files are ~1 MB: a single parquet row group = a single
     * scan partition = one core doing all the work. A production deployment
-    * reads thousands of splits, so this is a no-op there (`inputFiles` already
-    * exceeds the parallelism) — locally it adds one tiny shuffle to unlock
-    * every core. Only used where per-row compute dominates I/O. `inputFiles`
-    * is a file listing, not an RDD materialization, so the check itself costs
-    * no physical planning. */
+    * reads thousands of splits, so this is a no-op there — locally it adds one
+    * tiny shuffle to unlock every core. Only used where per-row compute
+    * dominates I/O.
+    *
+    * The estimate counts SPLITS, not files: the scan chops large files at
+    * `maxPartitionBytes`, so a few big splittable files parallelize fine on
+    * their own and must not be rewarded with a full-table shuffle (file COUNT
+    * alone would do exactly that). File stats are driver-side listings with an
+    * early exit once the estimate clears the target — no physical planning. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= target) return df
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val hconf = sc.hadoopConfiguration
+    var splits = 0L
+    val it = files.iterator
+    while (it.hasNext && splits < target) {
+      val p = new org.apache.hadoop.fs.Path(it.next())
+      val len = try p.getFileSystem(hconf).getFileStatus(p).getLen catch { case _: Exception => 0L }
+      splits += math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }
+    if (splits < target) df.repartition(target) else df
   }
 }

@@ -24,63 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[JsonataFunctions.registerSql]] / `registerNativeSql`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def litString(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
-  }
-  private def litLong(e: Expression, dflt: Long): Long = e match {
-    case Literal(v, _) => v.toString.toLong
-    case _ => dflt
-  }
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("jsonata"),
-      new ExpressionInfo(classOf[JsonataExpression].getName, "jsonata"),
-      (args: Seq[Expression]) => {
-        if (args.length < 2 || args.length > 4)
-          throw new IllegalArgumentException("jsonata(json, expr[, timeoutMs[, maxDepth]])")
-        JsonataExpression(
-          args.head,
-          litString(args(1), "jsonata expression"),
-          if (args.length > 2) litLong(args(2), 5000L) else 5000L,
-          if (args.length > 3) litLong(args(3), 1000L).toInt else 1000)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("jsonata_row"),
-      new ExpressionInfo(classOf[JsonataRowJsonExpression].getName, "jsonata_row"),
-      (args: Seq[Expression]) => {
-        if (args.length != 2)
-          throw new IllegalArgumentException("jsonata_row(struct, 'expr')")
-        JsonataRowJsonExpression(args.head, litString(args(1), "jsonata_row expression"))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("jsonata_typed"),
-      new ExpressionInfo(classOf[JsonataRowExpression].getName, "jsonata_typed"),
-      (args: Seq[Expression]) => {
-        if (args.length != 3)
-          throw new IllegalArgumentException("jsonata_typed(struct, 'expr', 'ddl')")
-        JsonataRowExpression(args.head,
-          litString(args(1), "jsonata_typed expression"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            litString(args(2), "jsonata_typed output schema")))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("jsonata_row_try"),
-      new ExpressionInfo(classOf[JsonataRowJsonExpression].getName, "jsonata_row_try"),
-      (args: Seq[Expression]) => {
-        if (args.length != 2)
-          throw new IllegalArgumentException("jsonata_row_try(struct, 'expr')")
-        JsonataRowJsonExpression(args.head,
-          litString(args(1), "jsonata_row_try expression"), permissive = true)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("jsonata_variant"),
-      new ExpressionInfo(classOf[JsonataVariantExpression].getName, "jsonata_variant"),
-      (args: Seq[Expression]) => {
-        if (args.length != 2)
-          throw new IllegalArgumentException("jsonata_variant(json_or_variant, 'expr')")
-        JsonataVariantExpression(args.head, litString(args(1), "jsonata_variant expression"))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // one builder list shared with JsonataFunctions.registerNativeSql — the
+    // two registration surfaces cannot drift
+    JsonataFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[JsonataExpression].getName, name),
+        builder))
+    }
 }

@@ -400,6 +400,55 @@ object JsonataFunctions {
       s"$what must be a string literal, got ${e.sql}")
   }
 
+  private def foldableLong(e: Expression, what: String): Long = e match {
+    case lit if lit.foldable =>
+      val v = lit.eval(null)
+      if (v == null) throw new IllegalArgumentException(s"$what must not be NULL")
+      v.toString.toLong
+    case _ => throw new IllegalArgumentException(s"$what must be a literal, got ${e.sql}")
+  }
+
+  /** Shared native-function builders — ONE definition behind both SQL
+    * registration surfaces (post-startup [[registerNativeSql]] and the
+    * startup [[GraftExtensions]] catalog injection), so argument validation
+    * cannot drift between them. */
+  private[spark] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "jsonata" -> {
+      case args if args.length >= 2 && args.length <= 4 =>
+        JsonataExpression(args.head, foldableString(args(1), "jsonata expression"),
+          if (args.length > 2) foldableLong(args(2), "jsonata timeoutMs") else 5000L,
+          if (args.length > 3) foldableLong(args(3), "jsonata maxDepth").toInt else 1000)
+      case _ => throw new IllegalArgumentException(
+        "jsonata(json, 'expr'[, timeoutMs[, maxDepth]])")
+    },
+    "jsonata_row" -> {
+      case Seq(child, exprArg) =>
+        JsonataRowJsonExpression(child, foldableString(exprArg, "jsonata_row expression"))
+      case args => throw new IllegalArgumentException(
+        s"jsonata_row(struct, 'expr') takes 2 arguments, got ${args.length}")
+    },
+    "jsonata_row_try" -> {
+      case Seq(child, exprArg) =>
+        JsonataRowJsonExpression(child,
+          foldableString(exprArg, "jsonata_row_try expression"), permissive = true)
+      case args => throw new IllegalArgumentException(
+        s"jsonata_row_try(struct, 'expr') takes 2 arguments, got ${args.length}")
+    },
+    "jsonata_typed" -> {
+      case Seq(child, exprArg, ddlArg) =>
+        JsonataRowExpression(child,
+          foldableString(exprArg, "jsonata_typed expression"),
+          StructType.fromDDL(foldableString(ddlArg, "jsonata_typed output schema")))
+      case args => throw new IllegalArgumentException(
+        s"jsonata_typed(struct, 'expr', 'ddl') takes 3 arguments, got ${args.length}")
+    },
+    "jsonata_variant" -> {
+      case Seq(child, exprArg) =>
+        JsonataVariantExpression(child, foldableString(exprArg, "jsonata_variant expression"))
+      case args => throw new IllegalArgumentException(
+        s"jsonata_variant(json_or_variant, 'expr') takes 2 arguments, got ${args.length}")
+    })
+
   /** Direct-codec SQL surface — the struct path the Column API already has
     * (JsonataRowJsonExpression / JsonataRowExpression), reachable from
     * `spark.sql`:
@@ -418,27 +467,11 @@ object JsonataFunctions {
     *
     * Both wrap the struct as the standard `{topic, kafkaPartition, value}`
     * envelope, matching every other entry point. */
-  def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Shims.registerFunction(spark, "jsonata_row", {
-      case Seq(child, exprArg) =>
-        JsonataRowJsonExpression(child, foldableString(exprArg, "jsonata_row expression"))
-      case args => throw new IllegalArgumentException(
-        s"jsonata_row(struct, 'expr') takes 2 arguments, got ${args.length}")
-    })
-    Shims.registerFunction(spark, "jsonata_typed", {
-      case Seq(child, exprArg, ddlArg) =>
-        JsonataRowExpression(child,
-          foldableString(exprArg, "jsonata_typed expression"),
-          StructType.fromDDL(foldableString(ddlArg, "jsonata_typed output schema")))
-      case args => throw new IllegalArgumentException(
-        s"jsonata_typed(struct, 'expr', 'ddl') takes 3 arguments, got ${args.length}")
-    })
-    Shims.registerFunction(spark, "jsonata_row_try", {
-      case Seq(child, exprArg) =>
-        JsonataRowJsonExpression(child,
-          foldableString(exprArg, "jsonata_row_try expression"), permissive = true)
-      case args => throw new IllegalArgumentException(
-        s"jsonata_row_try(struct, 'expr') takes 2 arguments, got ${args.length}")
-    })
-  }
+  def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    // the struct/variant surface only: the name `jsonata` stays bound to the
+    // dynamic-expression UDF that registerSql installs (the catalog-extension
+    // route, GraftExtensions, binds the native form instead)
+    builders.filter(_._1 != "jsonata").foreach { case (name, b) =>
+      Shims.registerFunction(spark, name, b)
+    }
 }

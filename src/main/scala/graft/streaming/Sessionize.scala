@@ -47,7 +47,9 @@ object Sessionize {
                   closed += Session(user, s.start, s.last, s.n, s.sum)
                   open = Some(SessionState(e.ts, e.ts, 1L, e.value))
                 case Some(s) =>
-                  open = Some(SessionState(s.start, math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
+                  // an in-watermark out-of-order event can precede the open
+                  // session's first event — the session start must move back
+                  open = Some(SessionState(math.min(s.start, e.ts), math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
                 case None =>
                   open = Some(SessionState(e.ts, e.ts, 1L, e.value))
               }
@@ -103,7 +105,7 @@ object Sessionize {
             closed += Session(user, s.start, s.last, s.n, s.sum)
             open = Some(SessionState(e.ts, e.ts, 1L, e.value))
           case Some(s) =>
-            open = Some(SessionState(s.start, math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
+            open = Some(SessionState(math.min(s.start, e.ts), math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
           case None =>
             open = Some(SessionState(e.ts, e.ts, 1L, e.value))
         }

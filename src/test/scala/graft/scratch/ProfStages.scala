@@ -21,6 +21,9 @@ object ProfStages {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // this scratch copy of the minhash pipeline uses raw * / + (not the
+      // production EvalMode.LEGACY nodes) and relies on 64-bit wrap-around
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

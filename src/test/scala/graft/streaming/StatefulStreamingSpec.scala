@@ -101,12 +101,42 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(Sessionize.Session(7L, 1500L, 2400L, 3L, 3.0)), s"got $got")
   }
 
+  private def crossBatchBackwardScenario(name: String, sessionize: Sessionizer): Unit = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "10 seconds")
+      .as[Sessionize.Event]
+    val out = sessionize(events, 1000L)
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    // a LATER batch delivers an in-watermark event older than the open
+    // session's first event: the session must extend backwards (start=1500)
+    input.addData((9L, 2000L, 1.0))
+    query.processAllAvailable()
+    input.addData((9L, 1500L, 2.0))
+    query.processAllAvailable()
+    input.addData((9L, 9000L, 9.0)) // past the gap: closes the merged session
+    query.processAllAvailable()
+    val got = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
+    query.stop()
+    assert(got == Set(Sessionize.Session(9L, 1500L, 2000L, 2L, 3.0)), s"got $got")
+  }
+
   impls.foreach { case (impl, fn) =>
     test(s"[$impl] sessions close on gap and on watermark timeout; state stays bounded per key") {
       gapAndTimeoutScenario(s"sessions_gap_$impl", fn)
     }
     test(s"[$impl] out-of-order events within the gap merge into one session") {
       outOfOrderScenario(s"sessions_ooo_$impl", fn)
+    }
+    test(s"[$impl] a later batch's older in-watermark event extends the session backwards") {
+      crossBatchBackwardScenario(s"sessions_back_$impl", fn)
     }
   }
 }
