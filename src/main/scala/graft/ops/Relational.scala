@@ -49,6 +49,66 @@ object Relational {
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
 
     // ---- q03: shipping priority (broadcast dim join + agg + top-k) ----
+    // ---- q02: cheapest supplier per (filtered) part — broadcast dims + ----
+    // ---- one window shuffle keyed on the part ----
+    Q("q02_cheapest_supplier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        val pt = t(s, d, "part").filter(col("p_size") >= 40)
+          .select(col("p_partkey"), col("p_name"))
+        val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+        val w = Window.partitionBy(col("p_partkey"))
+          .orderBy(col("unit_price"), col("l_suppkey"))
+        li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("unit_price"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH j AS (
+          SELECT p_partkey, p_name, l_suppkey,
+            l_extendedprice / l_quantity AS unit_price,
+            row_number() OVER (PARTITION BY p_partkey
+              ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size >= 40)
+        SELECT p_partkey, p_name, s_name, unit_price
+        FROM j JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rn = 1 ORDER BY p_partkey""")),
+
+    // ---- q04: EXISTS-subquery as a left-semi join — orders with a late ----
+    // ---- shipment (> 60 days after order date), counted per priority ----
+    Q("q04_late_shipment_priority",
+      (s, d) => {
+        val o = orders(s, d)
+        val li = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+            AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q06: forecast revenue — scan-with-pushed-filters + single agg, ----
+    // ---- no join at all (the pure filter-agg shape) ----
+    Q("q06_forecast_revenue",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some("""SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
+
     Q("q03_shipping_priority",
       (s, d) => {
         val c = broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
