@@ -113,6 +113,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "variant traversal must not re-parse JSON text")
   }
 
+  test("q06 filter-agg: predicates reach the parquet scan, no join anywhere") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    assert(!p.contains("Join"), "q06 is a pure scan+filter+agg\n" + p.take(2000))
+    assert(p.contains("partial_"), "aggregate must partial-combine map-side")
+  }
+
+  test("q04 EXISTS: planned as a semi join with partial-aggregated counts") {
+    val p = plan("q04_late_shipment_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("partial_"))
+  }
+
   test("ss04 IVF: anchors broadcast into assignment; candidate join is a broadcast hash join on the bucket key") {
     val p = plan("ss04_ann_ivf")
     // assignment = broadcast nested loop over the small anchor relation,
