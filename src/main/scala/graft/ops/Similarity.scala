@@ -210,9 +210,10 @@ object Similarity {
 
     // ---- ss03: multi-table LSH approximate NN — each query scans only its ----
     // ---- buckets' union, never the full corpus ----
-    // Approximate by construction — no SQL oracle (rows-only check);
-    // SimilarityRecallSpec pins recall and candidate fraction vs ss01's exact
-    // top-k on the same queries.
+    // Approximate wrt true NN, but DETERMINISTIC end-to-end: the hyperplanes
+    // are pure integer LCG arithmetic, so the oracle rebuilds them in SQL and
+    // replays the exact pipeline (codes -> bucket join -> exact cosine top-3).
+    // SimilarityRecallSpec separately pins recall vs ss01's exact top-k.
     Q("ss03_ann_lsh",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -236,9 +237,31 @@ object Similarity {
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
-      None)
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          p AS (SELECT tb, b,
+                  list(((1103515245 * ((tb*5 + b)*131 + d + 1) + 12345) & 2147483647)
+                       / 2147483647.0 - 0.5 ORDER BY d) AS plane
+                FROM generate_series(0,15) t1(tb), generate_series(0,4) t2(b),
+                     generate_series(0,63) t3(d)
+                GROUP BY tb, b),
+          codes AS (SELECT vec_id, tb,
+                      sum(CASE WHEN list_dot_product(plane, vec) >= 0
+                               THEN 1 << (4 - b) ELSE 0 END)::BIGINT AS code
+                    FROM v CROSS JOIN p GROUP BY vec_id, tb),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          qc AS (SELECT c.vec_id AS q_id, c.tb, c.code FROM codes c JOIN q ON c.vec_id = q.q_id),
+          cand AS (SELECT DISTINCT qc.q_id, c.vec_id
+                   FROM qc JOIN codes c ON qc.tb = c.tb AND qc.code = c.code
+                   WHERE c.vec_id <> qc.q_id),
+          sims AS (SELECT cand.q_id, cand.vec_id, list_cosine_similarity(q.qv, v.vec) AS cos
+                   FROM cand JOIN q USING (q_id) JOIN v ON cand.vec_id = v.vec_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM sims)
+        SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   )
 }
