@@ -48,12 +48,10 @@ object Relational {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
 
-    // ---- q03: shipping priority (broadcast dim join + agg + top-k) ----
     // ---- q02: cheapest supplier per (filtered) part — broadcast dims + ----
     // ---- one window shuffle keyed on the part ----
     Q("q02_cheapest_supplier",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
         val pt = t(s, d, "part").filter(col("p_size") >= 40)
@@ -104,11 +102,15 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue")),
-      Some("""SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem
+        // rounded 2dp: a 12k-term double SUM is summation-order-dependent
+        // (partial-agg merge order), unlike the bit-identical per-row values
+        // elsewhere — same convention as every other SUM oracle in this file
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")),
 
+    // ---- q03: shipping priority (broadcast dim join + agg + top-k) ----
     Q("q03_shipping_priority",
       (s, d) => {
         val c = broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
