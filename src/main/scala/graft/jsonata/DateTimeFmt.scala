@@ -252,7 +252,11 @@ object IntegerFmt {
     1000000L -> "million", 1000L -> "thousand", 100L -> "hundred")
 
   def toWords(n0: Long): String =
-    if (n0 < 0) "minus " + toWords(-n0) else lookup(n0, prev = false)
+    if (n0 == Long.MinValue)
+      // -Long.MinValue == Long.MinValue: negation would recurse forever
+      throw new JsonataException("D3130", "integer out of range for word formatting")
+    else if (n0 < 0) "minus " + toWords(-n0)
+    else lookup(n0, prev = false)
 
   /** Mirrors jsonata-js datetime.js `lookup(num, prev, ord)` separators: a
     * remainder under 100 joins with " and ", a remainder of 100+ joins with

@@ -25,7 +25,10 @@ object Multimodal {
   object FakeDecoder {
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length.toLong
-      val feats = Array.tabulate(8)(i => ((n * (i + 3) + bytes(((i * 31) % bytes.length).toInt)) % 997).toFloat)
+      // empty payload is a legal input: byte contribution 0 (the corpora have
+      // no empty docs, so the SQL oracles need no mirror of this guard)
+      def byteAt(i: Int): Long = if (bytes.isEmpty) 0L else bytes((i * 31) % bytes.length).toLong
+      val feats = Array.tabulate(8)(i => ((n * (i + 3) + byteAt(i)) % 997).toFloat)
       MediaMeta(id, n, (n % 640).toInt, ((n * 7) % 480).toInt, 3, feats)
     }
   }
@@ -127,10 +130,11 @@ object Multimodal {
         // generate_series can only take a constant): a defined part of the
         // operator like Dedup.DfCap, not an implicit assumption — payloads
         // longer than the cap are fingerprinted over their first SampleCap
-        // bytes (corpus max is 577, so it never binds on testdata)
-        val ds = array_join(
+        // bytes (corpus max is 577, so it never binds on testdata). An empty
+        // payload (n=0 => stride 0, sequence would throw) fingerprints "".
+        val ds = when(n === 0, lit("")).otherwise(array_join(
           transform(sequence(lit(1L), least(n, lit(SampleCap.toLong)), k),
-            i => col("text").substr(i.cast("int"), lit(1))), "")
+            i => col("text").substr(i.cast("int"), lit(1))), ""))
         docs.select(col("doc_id"), w.as("width"), h.as("height"),
             floor(w * 224 / mx).cast("bigint").as("out_w"),
             floor(h * 224 / mx).cast("bigint").as("out_h"),

@@ -51,16 +51,26 @@ object Tables {
     val target = sc.defaultParallelism
     val files = df.inputFiles
     if (files.length >= target) return df
-    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // Mirror FilePartition.maxSplitBytes: Spark shrinks the split size to
+    // ~totalBytes/parallelism (floored at openCost) when that fills the
+    // cluster, so a few medium splittable files already become `target` scan
+    // partitions without any shuffle — estimating with the static 128 MB cap
+    // alone would undercount splits and trigger a pointless full repartition.
+    // files.length < target here, so statting every file is a bounded number
+    // of driver-side calls.
+    def conf(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get(key, dflt))
+    val maxBytes = conf("spark.sql.files.maxPartitionBytes", "128MB")
+    val openCost = conf("spark.sql.files.openCostInBytes", "4MB")
     val hconf = sc.hadoopConfiguration
-    var splits = 0L
-    val it = files.iterator
-    while (it.hasNext && splits < target) {
-      val p = new org.apache.hadoop.fs.Path(it.next())
-      val len = try p.getFileSystem(hconf).getFileStatus(p).getLen catch { case _: Exception => 0L }
-      splits += math.max(1L, (len + maxBytes - 1) / maxBytes)
+    val lens = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(hconf).getFileStatus(p).getLen catch { case _: Exception => 0L }
     }
+    val bytesPerCore = (lens.sum + openCost * files.length) / math.max(target, 1)
+    val maxSplit = math.min(maxBytes, math.max(openCost, bytesPerCore))
+    val splits = lens.map(len => math.max(1L, (len + maxSplit - 1) / maxSplit)).sum
     if (splits < target) df.repartition(target) else df
   }
 }

@@ -100,6 +100,19 @@ object JsonataAnalysis {
   }
 }
 
+/** Analysis-time input validation shared by the jsonata expressions: a
+  * wrong-typed column becomes a clean AnalysisException instead of an
+  * executor-side ClassCastException mid-job. */
+trait JsonataInputCheck { self: UnaryExpression =>
+  protected def acceptedInput: String
+  protected def acceptsInput(dt: DataType): Boolean
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (acceptsInput(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires $acceptedInput input, got ${child.dataType.sql}")
+}
+
 /** `jsonata(jsonString, expr)` as a native Catalyst expression.
   *
   * CodegenFallback (the evaluator is interpreted), null-tolerant, returns the
@@ -123,9 +136,12 @@ case class JsonataExpression(
     timeoutMs: Long = 5000L,
     maxDepth: Int = 1000,
     permissive: Boolean = false)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with JsonataInputCheck {
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
+
+  override protected def acceptedInput: String = "a JSON string"
+  override protected def acceptsInput(dt: DataType): Boolean = dt == StringType
 
   override def dataType: DataType =
     if (permissive)
@@ -178,16 +194,13 @@ case class JsonataRowExpression(
     topic: String = "rows",
     timeoutMs: Long = 5000L,
     maxDepth: Int = 1000)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with JsonataInputCheck {
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
   @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType.isInstanceOf[StructType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a struct input, got ${child.dataType.sql}")
+  override protected def acceptedInput: String = "a struct"
+  override protected def acceptsInput(dt: DataType): Boolean = dt.isInstanceOf[StructType]
 
   override def dataType: DataType = outputSchema
   override def nullable: Boolean = true
@@ -233,16 +246,13 @@ case class JsonataRowJsonExpression(
     maxDepth: Int = 1000,
     wrapValue: Boolean = true,
     permissive: Boolean = false)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with JsonataInputCheck {
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
   @transient private lazy val childSchema = child.dataType.asInstanceOf[StructType]
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType.isInstanceOf[StructType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a struct input, got ${child.dataType.sql}")
+  override protected def acceptedInput: String = "a struct"
+  override protected def acceptsInput(dt: DataType): Boolean = dt.isInstanceOf[StructType]
 
   override def dataType: DataType =
     if (permissive)
@@ -306,10 +316,14 @@ case class JsonataVariantExpression(
     exprSource: String,
     timeoutMs: Long = 5000L,
     maxDepth: Int = 1000)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with JsonataInputCheck {
 
   @transient private lazy val compiled = JsonataTransform.compile(exprSource)
   @transient private lazy val inputIsVariant = child.dataType == VariantType
+
+  override protected def acceptedInput: String = "a JSON string or variant"
+  override protected def acceptsInput(dt: DataType): Boolean =
+    dt == StringType || dt == VariantType
 
   override def dataType: DataType = VariantType
   override def nullable: Boolean = true
@@ -466,7 +480,12 @@ object JsonataFunctions {
     *    instead of failing the job.
     *
     * Both wrap the struct as the standard `{topic, kafkaPartition, value}`
-    * envelope, matching every other entry point. */
+    * envelope, matching every other entry point.
+    *
+    * NOTE: like `spark.udf.register`, this (re)binds the function names
+    * session-wide — an explicit, caller-opted API action (the registry demo
+    * queries call it), not a hidden side effect; a session temp function the
+    * caller already registered under one of these names is replaced. */
   def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit =
     // the struct/variant surface only: the name `jsonata` stays bound to the
     // dynamic-expression UDF that registerSql installs (the catalog-extension

@@ -38,29 +38,41 @@ object Sessionize {
             state.remove()
             Iterator.single(Session(user, s.start, s.last, s.n, s.sum))
           } else {
-            val sorted = batch.toVector.sortBy(_.ts)
-            var open = state.getOption
-            val closed = Vector.newBuilder[Session]
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.ts - s.last > gapMs =>
-                  closed += Session(user, s.start, s.last, s.n, s.sum)
-                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
-                case Some(s) =>
-                  // an in-watermark out-of-order event can precede the open
-                  // session's first event — the session start must move back
-                  open = Some(SessionState(math.min(s.start, e.ts), math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
-                case None =>
-                  open = Some(SessionState(e.ts, e.ts, 1L, e.value))
-              }
-            }
+            val (closed, open) = mergeBatch(user, state.getOption, batch.toVector, gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** Merge the prior open session (if any) and a batch of events into
+    * gap-separated sessions: all but the LATEST group close immediately, the
+    * latest stays open. Sorting the prior state AMONG the events by start
+    * time makes every cross-batch shape correct: an in-watermark event older
+    * than the open session merges backwards when within the gap, and forms
+    * its own (immediately closed) session when a full gap earlier — the gap
+    * invariant holds for every emitted session regardless of how events are
+    * split across micro-batches. */
+  private def mergeBatch(user: Long, prior: Option[SessionState], batch: Seq[Event],
+                         gapMs: Long): (Vector[Session], Option[SessionState]) = {
+    val items = (prior.toSeq ++ batch.map(e => SessionState(e.ts, e.ts, 1L, e.value)))
+      .sortBy(st => (st.start, st.last))
+    val closed = Vector.newBuilder[Session]
+    var open: Option[SessionState] = None
+    items.foreach { it =>
+      open match {
+        case Some(s) if it.start - s.last > gapMs =>
+          closed += Session(user, s.start, s.last, s.n, s.sum)
+          open = Some(it)
+        case Some(s) => // sorted by start, so s.start <= it.start
+          open = Some(SessionState(s.start, math.max(s.last, it.last), s.n + it.n, s.sum + it.sum))
+        case None => open = Some(it)
+      }
+    }
+    (closed.result(), open)
   }
 
   /** The same sessionization on the `transformWithState` API (Spark 4.x's
@@ -95,27 +107,14 @@ object Sessionize {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[Session] = {
-      val sorted = rows.toVector.sortBy(_.ts)
-      var open = if (session.exists()) Some(session.get()) else None
-      val hadTimer = open.isDefined
-      val closed = Vector.newBuilder[Session]
-      sorted.foreach { e =>
-        open match {
-          case Some(s) if e.ts - s.last > gapMs =>
-            closed += Session(user, s.start, s.last, s.n, s.sum)
-            open = Some(SessionState(e.ts, e.ts, 1L, e.value))
-          case Some(s) =>
-            open = Some(SessionState(math.min(s.start, e.ts), math.max(s.last, e.ts), s.n + 1, s.sum + e.value))
-          case None =>
-            open = Some(SessionState(e.ts, e.ts, 1L, e.value))
-        }
-      }
+      val prior = if (session.exists()) Some(session.get()) else None
+      val (closed, open) = mergeBatch(user, prior, rows.toVector, gapMs)
       open.foreach { s =>
         session.update(s)
-        if (hadTimer) getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (prior.isDefined) getHandle.listTimers().foreach(getHandle.deleteTimer)
         getHandle.registerTimer(s.last + gapMs)
       }
-      closed.result().iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,

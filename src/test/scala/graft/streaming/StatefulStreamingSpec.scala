@@ -128,9 +128,43 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(Sessionize.Session(9L, 1500L, 2000L, 2L, 3.0)), s"got $got")
   }
 
+  private def crossBatchSeparateScenario(name: String, sessionize: Sessionizer): Unit = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "10 seconds")
+      .as[Sessionize.Event]
+    val out = sessionize(events, 1000L)
+    val query = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+
+    // a later batch delivers in-watermark events a FULL GAP older than the
+    // open session: they must form their own (immediately closed) session —
+    // merging them would put >gap between events of one session
+    input.addData((11L, 5000L, 5.0))
+    query.processAllAvailable()
+    input.addData((11L, 1500L, 1.0), (11L, 1600L, 2.0))
+    query.processAllAvailable()
+    val early = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
+    assert(early.contains(Sessionize.Session(11L, 1500L, 1600L, 2L, 3.0)),
+      s"late pair must close as its own session, got $early")
+    input.addData((11L, 9000L, 9.0)) // past the gap: closes the 5000 session
+    query.processAllAvailable()
+    val all = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session].collect().toSet
+    query.stop()
+    assert(all.contains(Sessionize.Session(11L, 5000L, 5000L, 1L, 5.0)), s"got $all")
+  }
+
   impls.foreach { case (impl, fn) =>
     test(s"[$impl] sessions close on gap and on watermark timeout; state stays bounded per key") {
       gapAndTimeoutScenario(s"sessions_gap_$impl", fn)
+    }
+    test(s"[$impl] a later batch's events a full gap before the open session close separately") {
+      crossBatchSeparateScenario(s"sessions_sep_$impl", fn)
     }
     test(s"[$impl] out-of-order events within the gap merge into one session") {
       outOfOrderScenario(s"sessions_ooo_$impl", fn)
