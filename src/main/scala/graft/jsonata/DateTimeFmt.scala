@@ -213,7 +213,7 @@ object DateTimeFmt {
     val m = java.util.regex.Pattern.compile(re.toString).matcher(s.trim)
     if (!m.matches()) throw new JsonataException("D3136", s"'$s' does not match picture '$pic'")
     var year = 1970; var month = 1; var day = 1; var hour = 0; var minute = 0; var second = 0; var milli = 0
-    var pm = false; var h12 = -1
+    var pm = false; var h12 = -1; var dayOfYear = -1
     var offset: ZoneOffset = ZoneOffset.UTC
     comps.zipWithIndex.foreach { case (c, i) =>
       val g = m.group(i + 1)
@@ -222,6 +222,7 @@ object DateTimeFmt {
         case 'M' => month = if (g.forall(_.isDigit)) g.toInt
           else MonthNames.indexWhere(_.toLowerCase.startsWith(g.toLowerCase)) + 1
         case 'D' => day = g.toInt
+        case 'd' => dayOfYear = g.toInt
         case 'H' => hour = g.toInt
         case 'h' => h12 = g.toInt
         case 'P' => pm = g.toLowerCase.startsWith("p")
@@ -234,6 +235,11 @@ object DateTimeFmt {
       }
     }
     if (h12 >= 0) hour = (h12 % 12) + (if (pm) 12 else 0)
+    if (dayOfYear > 0) {
+      // [d] day-of-year overrides month/day (mirrors the formatting side)
+      val d0 = java.time.LocalDate.ofYearDay(year, dayOfYear)
+      month = d0.getMonthValue; day = d0.getDayOfMonth
+    }
     ZonedDateTime.of(year, month, day, hour, minute, second, milli * 1000000, offset)
       .toInstant.toEpochMilli
   }

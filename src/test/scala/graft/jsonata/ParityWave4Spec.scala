@@ -95,6 +95,10 @@ class ParityWave4Spec extends AnyFunSuite {
   t("ordinal day + month name", "$fromMillis(0, '[D1o] [MNn]')", "{}", "\"1st January\"")
   t("roman year", "$fromMillis(1510067557121, '[YI]')", "{}", "\"MMXVII\"")
   t("date-only toMillis", "$toMillis('1970-01-01')", "{}", "0")
+  t("toMillis month-name picture", "$toMillis('7 Nov 2017', '[D] [MNn,3-3] [Y]')", "{}", "1510012800000")
+  t("toMillis day-of-year picture round-trips fromMillis",
+    "$toMillis($fromMillis(1510012800000, '[Y]-[d]'), '[Y]-[d]')", "{}", "1510012800000")
+  t("toMillis time-only picture", "$toMillis('13:45', '[H]:[m]')", "{}", "49500000")
 
   // ---- truthiness of composite values ----
   t("empty array is falsy", "[] ? 'y' : 'n'", "{}", "\"n\"")
