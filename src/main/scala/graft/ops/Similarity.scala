@@ -262,6 +262,27 @@ object Similarity {
                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                      FROM sims)
         SELECT q_id, vec_id AS neighbor_id, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---- ss05: per-label embedding centroids (elementwise mean vector) ----
+    // The building block for IVF training, cluster drift monitoring, and
+    // class-prototype classifiers. posexplode -> partial agg: the dim x N
+    // intermediate combines map-side to one row per (label, dim) before the
+    // single shuffle — 64 x |labels| rows however large the corpus. Output
+    // stays exploded (label, dim, centroid); zip back with array_agg when a
+    // vector shape is needed.
+    Q("ss05_label_centroids",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(asD(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), avg(col("x")).as("centroid"))
+        // raw double centroid (see ss01 note): per-group means of <=~200
+        // values agree far below the driver's 6dp normalization
+        .select(col("label"), col("dim"), col("n"), col("centroid"))
+        .orderBy(col("label"), col("dim")),
+      Some("""WITH x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, 64) t(i))
+          SELECT label, CAST(dim AS INT) AS dim, count(*) AS n, avg(x) AS centroid
+          FROM x GROUP BY label, dim ORDER BY label, dim"""))
   )
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as builtins: as-of join and range
+  * join — the two workhorses of event/feature alignment in training-data
+  * pipelines (point-in-time-correct feature lookup, attribution windows).
+  *
+  * Both are implemented in the shape that survives 100 TB:
+  *  - [[AsofJoin]] is the union + single-window formulation: both sides
+  *    shuffle ONCE on the join key, one per-key sort-merge pass emits every
+  *    match — no range-join explosion, no per-row probe of the build side,
+  *    and the state per key is one running "latest right row" (the
+  *    distributed analog of a sorted merge_asof).
+  *  - [[RangeJoin]] buckets time into fixed windows sized to the query span,
+  *    so every candidate pair comes from an equi-join on (key, bucket) — at
+  *    most two buckets per left row — and a residual filter keeps exactness.
+  *    Pair work is bounded by per-bucket occupancy, never |L|x|R|.
+  */
+object AsofJoin {
+
+  /** Backward as-of join: for each left row, the single right row with the
+    * greatest `rightTime <= leftTime` on the same key (ties on time resolve
+    * to the greatest right payload, deterministically). Left rows with no
+    * match keep null payload columns (left-outer semantics).
+    *
+    * Requirements: `left`/`right` column names are disjoint; both time
+    * columns share one type/epoch. Plan shape: Union -> one Exchange on the
+    * key -> one Sort -> Window -> Filter (pinned by PlanShapeSpec).
+    */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right columns must be disjoint, shared: $overlap")
+    val payload = right.columns.filterNot(_ == rightKey).toSeq
+    val pType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+    // right rows carry the payload struct; left rows a typed NULL struct so
+    // last(ignoreNulls) skips them (struct(null,..) would NOT be null)
+    val rightTagged = right.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__p")) ++
+        left.columns.toSeq.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftTagged = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(pType).as("__p")) ++ left.columns.toSeq.map(col): _*)
+    // at equal time, side=0 sorts first so an exactly-simultaneous right row
+    // IS visible to the left row; among equal-time right rows the greatest
+    // payload struct sorts last and wins — the deterministic tie-break the
+    // oracle mirrors with ORDER BY time DESC, payload DESC
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightTagged.unionAll(leftTagged)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.toSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}
+
+object RangeJoin {
+
+  /** All pairs (l, r) on the same key with
+    * `l.time + loOffset <= r.time < l.time + hiOffset`, via bucketed
+    * blocking: right rows key on their time bucket (width = hiOffset -
+    * loOffset), left rows probe the (at most two) buckets their window can
+    * overlap, and a residual predicate keeps the join exact. Inner join;
+    * callers wanting unmatched left rows re-join the aggregate (see rj01). */
+  def bucketed(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               loOffset: Long, hiOffset: Long): DataFrame = {
+    require(hiOffset > loOffset, "empty range window")
+    val width = hiOffset - loOffset
+    // integral floor-division bucketing (times are non-negative epochs here;
+    // DIV truncates toward zero = floor for the supported domain)
+    val rb = right.withColumn("__b", expr(s"$rightTime DIV ${width}L"))
+    val lb = left.withColumn("__b",
+      explode(array_distinct(array(
+        expr(s"($leftTime + ${loOffset}L) DIV ${width}L"),
+        expr(s"($leftTime + ${hiOffset}L - 1) DIV ${width}L")))))
+    lb.join(rb, lb("__b") === rb("__b") && col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) + loOffset &&
+        col(rightTime) < col(leftTime) + hiOffset)
+      .drop("__b")
+  }
+}
+
+/** Registry queries exercising the temporal operators with exact oracles. */
+object Temporal {
+  import Tables.t
+
+  /** events.ts arrives as long nanos (see Tables.eventsSchema); DuckDB reads
+    * the same column as a timestamp — both sides floor to epoch millis. */
+  private def eventsMs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000000L").as("e_ms"), col("event_type"), col("value"))
+
+  private val HourMs = 3600000L
+
+  val entries: Seq[Q] = Seq(
+    // ---- aj01: as-of join — the customer's latest order as of each event ----
+    // Point-in-time-correct feature lookup: no order newer than the event
+    // leaks in (the classic training-data leakage bug a naive join has).
+    Q("aj01_asof_latest_order",
+      (s, d) => {
+        val ev = eventsMs(s, d).select(col("event_id"), col("user_id"), col("e_ms"), col("value"))
+        // o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        // cast to instant is exact and matches DuckDB's epoch_ms on the naive
+        // timestamp
+        val od = t(s, d, "orders").select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+        AsofJoin.backward(ev, od, "user_id", "o_custkey", "e_ms", "o_ms")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS e_ms, value FROM events),
+          o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms, o_orderkey, o_totalprice FROM orders),
+          j AS (SELECT e.event_id, e.user_id, e.e_ms, e.value,
+                  o.o_ms, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_ms DESC, o.o_orderkey DESC, o.o_totalprice DESC) AS rn
+                FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.o_ms <= e.e_ms)
+        SELECT event_id, user_id, e_ms, value, o_ms, o_orderkey, o_totalprice
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // ---- rj01: range join — same-user events in the 6 hours before each ----
+    // ---- error event (attribution-window shape) ----
+    Q("rj01_error_attribution",
+      (s, d) => {
+        val ev = eventsMs(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("e_ms"))
+        val all = ev.select(col("user_id").as("f_user"), col("e_ms").as("f_ms"), col("value"))
+        val pairs = RangeJoin.bucketed(err, all, "user_id", "f_user", "e_ms", "f_ms",
+          -6 * HourMs, 0L)
+        val agg = pairs.groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        err.join(agg, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n"), lit(0L)).as("n_prior"),
+            round(coalesce(col("sv"), lit(0.0)), 2).as("sum_prior"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS t_ms, event_type, value FROM events),
+          e AS (SELECT event_id, user_id, t_ms FROM ev WHERE event_type = 'error')
+        SELECT e.event_id, count(f.value) AS n_prior,
+          round(coalesce(sum(f.value), 0), 2) AS sum_prior
+        FROM e LEFT JOIN ev f ON f.user_id = e.user_id
+          AND f.t_ms >= e.t_ms - 21600000 AND f.t_ms < e.t_ms
+        GROUP BY e.event_id ORDER BY e.event_id"""))
+  )
+}

@@ -32,19 +32,55 @@ object TextOps {
   private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))
   private val paddedSql = "(' ' || lower(text) || ' ')"
 
+  /** tx01's language argmax (first-wins tie-break via a when() chain), shared
+    * with the pp01 pipeline so both stages are provably the same predicate. */
+  private def predLangCol: Column = {
+    val p = padded(col("text"))
+    val scores = langMarkers.map { case (lg, ms) => lg -> ms.map(occ(p, _)).reduce(_ + _) }
+    scores.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
+      case (((lg, sc), i), els) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        if (laterMax.isEmpty) els
+        else when(sc >= (if (laterMax.size == 1) laterMax.head else greatest(laterMax: _*)), lg).otherwise(els)
+    }
+  }
+
+  private val predLangSql: String = {
+    val sc = langMarkers.map { case (lg, ms) =>
+      lg -> ms.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
+    }
+    sc.init.zipWithIndex.map { case ((lg, e), i) =>
+      val later = sc.drop(i + 1).map(_._2)
+      s"WHEN $e >= greatest(${later.mkString(", ")}) THEN '$lg'"
+    }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
+  }
+
+  /** tx02's quality score, shared with pp01 (same raw-double arithmetic on
+    * both engines, so a threshold on it filters identically). */
+  private def qualityCol: Column = {
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
+    val stops = stopwords.map(occ(padded(col("text")), _)).reduce(_ + _)
+    val punctRatio = punct.cast("double") / length(col("text"))
+    val stopRatio = stops / nWords
+    lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * least(stopRatio * 5, lit(1.0))
+  }
+
+  private val qualitySql: String = {
+    val stopsSql = stopwords.map(m => occSql(paddedSql, m)).mkString(" + ")
+    s"""0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+        + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))
+        + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0)"""
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- tx01: language ID by marker-word occurrence score ----
     Q("tx01_langid",
       (s, d) => {
         val p = padded(col("text"))
         val scores = langMarkers.map { case (lg, ms) => lg -> ms.map(occ(p, _)).reduce(_ + _) }
-        // argmax with first-wins tie-break via a when() chain
-        val pred = scores.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
-          case (((lg, sc), i), els) =>
-            val laterMax = scores.drop(i + 1).map(_._2)
-            if (laterMax.isEmpty) els
-            else when(sc >= (if (laterMax.size == 1) laterMax.head else greatest(laterMax: _*)), lg).otherwise(els)
-        }
+        val pred = predLangCol
         val best = greatest(scores.map(_._2): _*)
         // raw double score, no round(): Spark and DuckDB round() implementations
         // differ at ulp-level .xxx5 boundaries (BigDecimal HALF_UP vs float
@@ -59,12 +95,8 @@ object TextOps {
         val sc = langMarkers.map { case (lg, ms) =>
           lg -> ms.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
         }
-        val caseExpr = sc.init.zipWithIndex.map { case ((lg, e), i) =>
-          val later = sc.drop(i + 1).map(_._2)
-          s"WHEN $e >= greatest(${later.mkString(", ")}) THEN '$lg'"
-        }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
         val best = s"greatest(${sc.map(_._2).mkString(", ")})"
-        s"""SELECT doc_id, $caseExpr AS pred_lang, $best AS score
+        s"""SELECT doc_id, $predLangSql AS pred_lang, $best AS score
             FROM documents ORDER BY doc_id"""
       }),
 
@@ -76,8 +108,7 @@ object TextOps {
         val stops = stopwords.map(occ(padded(col("text")), _)).reduce(_ + _)
         val punctRatio = punct.cast("double") / length(col("text"))
         val stopRatio = stops / nWords
-        val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * least(stopRatio * 5, lit(1.0))
+        val score = qualityCol
         // raw ratios/score (see tx01 note): engine-side round() flipped one
         // sf0.1 row (quality 0.84025-boundary: Spark .8402, DuckDB .8403)
         t(s, d, "documents").select(col("doc_id"),
@@ -94,9 +125,7 @@ object TextOps {
             len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
             (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text) AS punct_ratio,
             ($stopsSql) / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
-            0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
-                + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))
-                + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0) AS quality
+            $qualitySql AS quality
             FROM documents ORDER BY doc_id"""
       }),
 
@@ -134,6 +163,51 @@ object TextOps {
           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
           round(len(text)::DOUBLE / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 1), 4) AS chars_per_token
-          FROM documents ORDER BY doc_id"""))
+          FROM documents ORDER BY doc_id""")),
+
+    // ---- tx05: vocabulary build — corpus-wide top-50 token frequencies ----
+    // The explode -> partial-agg -> TakeOrdered shape: token counts combine
+    // map-side before the single shuffle, and the top-k never sorts the full
+    // vocabulary (TakeOrderedAndProject) — the word-count plan that holds at
+    // any corpus size.
+    Q("tx05_vocab",
+      (s, d) => t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50),
+      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS token
+            FROM documents)
+          SELECT token, count(*) AS cnt FROM toks
+          GROUP BY token ORDER BY cnt DESC, token LIMIT 50""")),
+
+    // ---- pp01: composite training-data filter — quality gate + language ----
+    // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
+    // Reuses tx01's language argmax and tx02's quality score verbatim (shared
+    // column builders above), then keeps the lowest doc_id per normalized-text
+    // fingerprint. All map-only until one window shuffle on the fingerprint.
+    Q("pp01_clean_corpus",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), nWords.as("n_words"),
+            qualityCol.as("quality"), predLangCol.as("pred_lang"))
+          .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("n_words"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text,
+              len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              $qualitySql AS quality, $predLangSql AS pred_lang
+            FROM documents),
+          f AS (SELECT doc_id, n_words, quality, md5(lower(trim(text))) AS fp
+                FROM q WHERE quality >= 0.5 AND pred_lang = 'en'),
+          k AS (SELECT doc_id, n_words, quality,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        SELECT doc_id, n_words, quality FROM k WHERE rn = 1 ORDER BY doc_id"""))
   )
 }

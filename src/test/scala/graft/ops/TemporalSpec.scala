@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AsofJoin/RangeJoin semantics against naive reference implementations, plus
+  * the plan-shape guarantees that make them 100 TB-safe (single exchange for
+  * as-of; no cartesian/BNLJ for the bucketed range join). */
+class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ev = Tables.t(spark, sfDir, "events")
+    .select(col("event_id"), col("user_id"), expr("ts DIV 1000000L").as("e_ms"), col("value"))
+
+  private def od = Tables.t(spark, sfDir, "orders")
+    .select(col("o_custkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+      col("o_orderkey"), col("o_totalprice"))
+
+  test("asof matches the naive join+row_number reference on real tables") {
+    val fast = AsofJoin.backward(ev, od, "user_id", "o_custkey", "e_ms", "o_ms")
+      .orderBy(col("event_id")).collect().toSeq
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_ms").desc_nulls_last, col("o_orderkey").desc_nulls_last,
+        col("o_totalprice").desc_nulls_last)
+    val naive = ev.join(od, col("user_id") === col("o_custkey") && col("o_ms") <= col("e_ms"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("e_ms"), col("value"),
+        col("o_ms"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("asof: unmatched left rows keep null payload; exact-time right row matches") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 99L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7L), (10L, 60L, 5L))
+      .toDF("rk", "rt", "payload")
+    val out = AsofJoin.backward(left, right, "k", "rk", "t", "rt")
+      .orderBy(col("id")).collect()
+    // id=1: exact-time rt=100 visible; id=2: only rt<=50 -> none; id=3: no key
+    assert(out(0).getAs[Long]("payload") == 7L)
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+    assert(out(2).isNullAt(out(2).fieldIndex("payload")))
+  }
+
+  test("asof: equal-time right rows tie-break to the greatest payload deterministically") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val right = Seq((1L, 100L, 3L), (1L, 100L, 9L), (1L, 100L, 6L)).toDF("rk", "rt", "p")
+    val out = AsofJoin.backward(left, right, "k", "rk", "t", "rt").collect()
+    assert(out.head.getAs[Long]("p") == 9L)
+  }
+
+  test("asof operator plan: exactly one exchange (both sides shuffle once, together)") {
+    val p = AsofJoin.backward(ev, od, "user_id", "o_custkey", "e_ms", "o_ms")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must not be a join at all — union + window")
+  }
+
+  test("range join matches the naive inequality join on real tables") {
+    val err = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("user_id"), col("e_ms"))
+    val all = ev.select(col("user_id").as("f_user"), col("e_ms").as("f_ms"), col("value"))
+    val lo = -6 * 3600000L
+    val hi = 0L
+    val fast = RangeJoin.bucketed(err, all, "user_id", "f_user", "e_ms", "f_ms", lo, hi)
+      .select(col("event_id"), col("f_ms")).orderBy(col("event_id"), col("f_ms"))
+      .collect().toSeq
+    val naive = err.join(all, col("user_id") === col("f_user") &&
+        col("f_ms") >= col("e_ms") + lo && col("f_ms") < col("e_ms") + hi)
+      .select(col("event_id"), col("f_ms")).orderBy(col("event_id"), col("f_ms"))
+      .collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("range join plan: equi-join on (key, bucket), no cartesian or nested loop") {
+    val err = ev.select(col("event_id"), col("user_id"), col("e_ms"))
+    val all = ev.select(col("user_id").as("f_user"), col("e_ms").as("f_ms"), col("value"))
+    val p = RangeJoin.bucketed(err, all, "user_id", "f_user", "e_ms", "f_ms", -3600000L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must block on buckets:\n${p.take(3000)}")
+  }
+
+  test("range join boundary: window [t+lo, t+hi) is half-open on both engines' ms grid") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 1L, 1000L)).toDF("id", "k", "t")
+    // rt at exactly t+lo (in), t+hi-1 (in), t+hi (out), t+lo-1 (out)
+    val right = Seq((1L, 900L), (1L, 1099L), (1L, 1100L), (1L, 899L)).toDF("rk", "rt")
+    val got = RangeJoin.bucketed(left, right, "k", "rk", "t", "rt", -100L, 100L)
+      .select(col("rt")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(900L, 1099L))
+  }
+}
