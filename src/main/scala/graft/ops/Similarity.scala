@@ -21,8 +21,13 @@ object Similarity {
   /** Max vectors per label block in ss02 (mirrored in the DuckDB oracle). */
   private val LabelCap = 1000
 
+  /** Codegen'd native dot product (bit-identical to the HOF
+    * aggregate-over-zip_with formulation it replaced — same left-to-right FP
+    * order, pinned by VectorExpressionsSpec — so every oracle is unaffected;
+    * the HOF form was CodegenFallback and allocated the products array per
+    * candidate pair). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.spark.VectorExpressions.dot(a, b)
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)

@@ -1,0 +1,92 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector arithmetic for the similarity/ANN operators.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is correct but runs on higher-order functions, which are CodegenFallback
+  * (interpreted lambda per element) AND materialize the intermediate
+  * products array per pair. For the all-pairs/top-k workloads in ss01-ss05
+  * the dot product is the innermost loop over millions of candidate pairs,
+  * so it is implemented here as a single Catalyst expression with
+  * `doGenCode`: one fused multiply-add loop inside whole-stage codegen, no
+  * allocation.
+  *
+  * Semantics are IDENTICAL to the HOF formulation (pinned by
+  * VectorExpressionsSpec): same left-to-right FP summation order (bit-exact
+  * results, so the DuckDB oracles are unaffected), NULL when either array is
+  * NULL, when lengths differ (zip_with pads with null → null sum), or when
+  * any element is null; empty arrays give 0.0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // AbstractDataType (and with it ExpectsInputTypes' implicit coercion) is
+  // private[sql]; callers cast to array<double> explicitly and this check
+  // rejects anything else at analysis
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    val n = l.numElements()
+    if (n != r.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (l.isNullAt(i) || r.isNullAt(i)) return null
+      acc += l.getDouble(i) * r.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $l.getDouble($i) * $r.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Codegen'd dot product over two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+}
