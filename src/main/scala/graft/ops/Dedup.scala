@@ -1,9 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Add, EvalMode, Multiply}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.Shims
 
 /** Deduplication operators over the `documents` table: exact (hash group-by),
   * normalized fingerprint, exact n-gram Jaccard (blocked pair join), MinHash+LSH
@@ -70,17 +68,9 @@ object Dedup {
       case _ =>
     }
 
-  /** Wrapping 64-bit multiply/add as explicit legacy-mode Catalyst nodes: the
-    * MinHash permutations rely on overflow wrap-around, and Spark 4 defaults
-    * ANSI on (overflow would throw). Building the eval mode into the
-    * expression keeps the sketch session-independent — no
-    * `spark.sql.ansi.enabled` mutation anywhere. */
-  private def wrapMul(a: Column, b: Column): Column =
-    Shims.column(Multiply(Shims.expression(a), Shims.expression(b), EvalMode.LEGACY))
-  private def wrapAdd(a: Column, b: Column): Column =
-    Shims.column(Add(Shims.expression(a), Shims.expression(b), EvalMode.LEGACY))
-
   // 64 deterministic affine permutations for MinHash: h_i(x) = (a_i*x + b_i) & MASK.
+  // The wrap-around 64-bit arithmetic lives inside the native MinHashSignature
+  // kernel (Java long ops wrap; session-independent — no ansi conf mutation).
   private val P = 64
   private val Mask = (1L << 61) - 1
   private val permA: Array[Long] = Array.tabulate(P)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
@@ -88,18 +78,18 @@ object Dedup {
 
   /** Per-row MinHash signature over a shingle-hash array: for each of the 64
     * permutations, the min of (a_i*h + b_i) & MASK across the doc's shingles.
-    * A narrow map (no shuffle); HOF lambdas stay out of whole-stage codegen so
-    * there is no giant generated method to compile, and the running-min
-    * `aggregate` form allocates nothing per permutation (the transform+
-    * array_min variant measured ~4x slower from per-perm array churn; the
-    * 64-wide explode+agg-tree variant costs ~7-25 s of one-time codegen). */
-  private def minhashSig(sh: Column): Column = {
-    val aC = array(permA.map(lit).toIndexedSeq: _*)
-    val bC = array(permB.map(lit).toIndexedSeq: _*)
-    transform(sequence(lit(0), lit(P - 1)), i =>
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, h) => least(acc, wrapAdd(wrapMul(h, get(aC, i)), get(bC, i)).bitwiseAND(lit(Mask)))))
-  }
+    * A narrow map (no shuffle), now a single fused codegen'd expression
+    * (graft.spark.MinHashSignature): one pass over the shingles with the
+    * 64-permutation loop in JIT'd code. Bit-identical to the nested-HOF
+    * running-min form it replaced (Java long arithmetic wraps exactly like
+    * the EvalMode.LEGACY nodes; pinned by SketchExpressionsSpec), so the
+    * DuckDB oracle that replays the permutations in SQL is unaffected. The
+    * HOF history, for the record: transform+array_min ~4x slower than the
+    * running-min aggregate; 64-wide explode+agg-tree ~7-25 s one-time
+    * codegen; the aggregate form itself paid 64·n interpreted lambda steps
+    * per doc — the native kernel removes that class entirely. */
+  private def minhashSig(sh: Column): Column =
+    graft.spark.SketchExpressions.minhashSig(sh, permA.toIndexedSeq, permB.toIndexedSeq, Mask)
 
   /** dd04's pipeline: banded-LSH candidates verified against exact
     * shingle-set Jaccard (no false positives; recall evidence in
@@ -359,12 +349,10 @@ object Dedup {
       (s, d) => {
         val wh = transform(split(lower(col("text")), " "), w =>
           conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-        // assemble the 32-bit value directly: acc*2 + sign-bit from bit 31
-        // down to bit 0 (one compact nested HOF, no 32 separate aggregates)
-        val sim = aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) =>
-          acc * 2 + when(aggregate(col("wh"), lit(0L), (a2, h) =>
-            a2 + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-          ) >= 0, 1L).otherwise(0L))
+        // fused codegen'd sign-sum kernel (graft.spark.SimHash32): one pass
+        // over the word hashes instead of 32 interpreted-HOF folds;
+        // bit-identical to the nested-aggregate form (SketchExpressionsSpec)
+        val sim = graft.spark.SketchExpressions.simhash32(col("wh"))
         val base = Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), wh.as("wh"))
           .select(col("doc_id"), sim.as("sim"))

@@ -1,0 +1,173 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native sketch kernels for the dedup operators.
+  *
+  * The HOF formulations (transform-over-perms of aggregate-over-hashes for
+  * MinHash; aggregate-over-bits of aggregate-over-hashes for SimHash) are
+  * CodegenFallback: every permutation/bit × every hash is an interpreted
+  * lambda step — 64·n and 32·n per document. These expressions fuse each
+  * sketch into one pass over the hash array with the permutation/bit loop
+  * unrolled inside JIT-compiled code, inside whole-stage codegen.
+  *
+  * Arithmetic is IDENTICAL to the HOF forms (Java long ops wrap exactly like
+  * the EvalMode.LEGACY Multiply/Add nodes they replace), so the DuckDB
+  * oracles that replay the sketches in SQL are unaffected — pinned
+  * bit-for-bit by SketchExpressionsSpec. Null ELEMENTS are skipped (they
+  * cannot occur in the callers' hash arrays — xxhash64/md5 of non-null words
+  * — the skip only defines totality); a null ARRAY yields null.
+  */
+case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], mask: Long)
+  extends UnaryExpression {
+
+  require(a.length == b.length && a.nonEmpty, "permutation coefficient arrays must align")
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+  private def nPerms: Int = a.length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val accs = Array.fill(nPerms)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var p = 0
+        while (p < nPerms) {
+          val v = (h * aArr(p) + bArr(p)) & mask
+          if (v < accs(p)) accs(p) = v
+          p += 1
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(accs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val n = ctx.freshName("n")
+      val accs = ctx.freshName("accs")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $in.numElements();
+         |final long[] $accs = new long[$nPerms];
+         |java.util.Arrays.fill($accs, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$in.isNullAt($j)) {
+         |    final long $h = $in.getLong($j);
+         |    for (int $p = 0; $p < $nPerms; $p++) {
+         |      final long $v = ($h * $aRef[$p] + $bRef[$p]) & ${mask}L;
+         |      if ($v < $accs[$p]) $accs[$p] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($accs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash over a word-hash array: bit i is set when the sign-sum of
+  * the hashes' bit i (±1 per hash) is non-negative — including the empty
+  * array (all sums 0 → all 32 bits set), matching the HOF fold it replaces. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Long](32)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < 32) {
+          cnt(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var sim = 0L
+    var i = 31
+    while (i >= 0) {
+      sim = sim * 2 + (if (cnt(i) >= 0) 1L else 0L)
+      i -= 1
+    }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val sim = ctx.freshName("sim")
+      s"""
+         |final int $n = $in.numElements();
+         |final long[] $cnt = new long[32];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$in.isNullAt($j)) {
+         |    final long $h = $in.getLong($j);
+         |    for (int $i = 0; $i < 32; $i++) {
+         |      $cnt[$i] += ((($h >> $i) & 1L) == 1L) ? 1L : -1L;
+         |    }
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $i = 31; $i >= 0; $i--) {
+         |  $sim = $sim * 2 + (($cnt[$i] >= 0L) ? 1L : 0L);
+         |}
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  /** Codegen'd MinHash signature: per permutation i, min over the hash array
+    * of (a(i)*h + b(i)) & mask. Empty array → all Long.MaxValue. */
+  def minhashSig(hashes: Column, a: Seq[Long], b: Seq[Long], mask: Long): Column =
+    Shims.column(MinHashSignature(Shims.expression(hashes), a, b, mask))
+
+  /** Codegen'd 32-bit SimHash over a word-hash array. */
+  def simhash32(hashes: Column): Column =
+    Shims.column(SimHash32(Shims.expression(hashes)))
+}
