@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[JsonataFunctions.registerSql]] / `registerNativeSql`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     // one builder list shared with JsonataFunctions.registerNativeSql — the
     // two registration surfaces cannot drift
     JsonataFunctions.builders.foreach { case (name, builder) =>
@@ -33,4 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[JsonataExpression].getName, name),
         builder))
     }
+    VectorExpressions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
+  }
 }

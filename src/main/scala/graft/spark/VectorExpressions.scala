@@ -89,4 +89,20 @@ object VectorExpressions {
   /** Codegen'd dot product over two `array<double>` columns. */
   def dot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+
+  /** SQL builders, injected at startup by [[GraftExtensions]] and installable
+    * post-startup via [[registerNativeSql]] (one definition, like the jsonata
+    * family): `vec_dot(array<double>, array<double>)` → double. Cosine
+    * composes in SQL: `vec_dot(a,b)/(sqrt(vec_dot(a,a))*sqrt(vec_dot(b,b)))`. */
+  private[spark] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => throw new IllegalArgumentException(
+        s"vec_dot(array<double>, array<double>) takes 2 arguments, got ${args.length}")
+    })
+
+  /** Session-wide registration of the vector surface (same caveats as
+    * [[JsonataFunctions.registerNativeSql]]). */
+  def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
 }

@@ -85,6 +85,24 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.isNullAt(0))
   }
 
+  test("vec_dot reachable from SQL via registerNativeSql; cosine composes") {
+    VectorExpressions.registerNativeSql(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .createOrReplaceTempView("vx")
+    val r = spark.sql(
+      """SELECT vec_dot(vec, vec) AS d,
+                vec_dot(vec, vec) / (sqrt(vec_dot(vec, vec)) * sqrt(vec_dot(vec, vec))) AS cos1
+         FROM vx LIMIT 5""").collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getDouble(0) > 0)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12) // self-cosine = 1
+    }
+    val bad = intercept[Exception](spark.sql("SELECT vec_dot(array(1.0))").collect())
+    assert(bad.getMessage.contains("takes 2 arguments"), bad.getMessage)
+  }
+
   test("stays inside whole-stage codegen on a parquet-backed scan") {
     // local relations constant-fold, so the codegen pin needs a real scan
     val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
