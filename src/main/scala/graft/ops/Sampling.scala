@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting / sharding operators a training-data pipeline needs
+  * around the cleaning steps: deterministic train/val/test assignment and
+  * token-budget shard packing.
+  *
+  * Scale notes (100 TB design):
+  *  - split assignment is a pure per-row hash — map-only, reproducible across
+  *    runs/engines (md5-based, like dd02's fingerprint — NOT xxhash, which
+  *    DuckDB cannot replay), so the oracle is exact and a re-run never
+  *    reassigns a document;
+  *  - shard packing needs a GLOBAL running token total, which a naive
+  *    unpartitioned window computes in ONE task — the classic scale trap.
+  *    [[Sampling.packShards]] uses the two-level prefix sum instead: block
+  *    subtotals (tiny relation) get block offsets from a window over #blocks
+  *    rows, then a window PARTITIONED by block (parallel) adds intra-block
+  *    running sums to the broadcast offsets. Work per task is one block; the
+  *    only unpartitioned window runs over the block-summary relation
+  *    (rows = docs / BlockSize), not the corpus.
+  */
+object Sampling {
+  import Tables.t
+
+  /** Deterministic 0-99 bucket from a key column: first 8 md5 hex digits as
+    * an integer (the dd02/dd05 scheme — bit-reproducible in DuckDB via
+    * ('0x' || substr(md5(k), 1, 8))::BIGINT). */
+  private def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+  private def hashBucketSql(key: String): String =
+    s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  private val splitOfSql =
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+
+  /** Docs per block in the two-level prefix sum; at 100 TB this is sized so
+    * #blocks (the only unpartitioned window) stays small while blocks stay
+    * larger than a scheduling quantum. */
+  private val BlockSize = 500L
+
+  /** Tokens per packed shard (whitespace tokens, the tx03 definition). */
+  private val ShardTokens = 4096L
+
+  val entries: Seq[Q] = Seq(
+    // ---- sp01: deterministic train/val/test split (80/10/10 by doc hash) ----
+    Q("sp01_hash_split",
+      (s, d) => {
+        val b = hashBucket(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), splitOf(b).as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, n_chars, ${hashBucketSql("doc_id")} AS bucket FROM documents),
+          a AS (SELECT doc_id, n_chars, $splitOfSql AS split FROM b)
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY split ORDER BY split""")),
+
+    // ---- sp02: stratified view of the same split — per (lang, split) ----
+    // Same hash assignment; the strata report shows the split is balanced
+    // within every language (what a per-language-quota sampler checks).
+    Q("sp02_stratified_split",
+      (s, d) => {
+        val b = hashBucket(col("doc_id"))
+        t(s, d, "documents")
+          .select(col("lang"), splitOf(b).as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, lang, ${hashBucketSql("doc_id")} AS bucket FROM documents)
+        SELECT lang, $splitOfSql AS split, count(*) AS n_docs
+        FROM b GROUP BY lang, split ORDER BY lang, split""")),
+
+    // ---- sp03: token-budget shard packing (greedy sequential, 4096/shard) ----
+    // A doc goes to the shard where its first token lands in the global
+    // running total over doc_id order — the sharding analog of sequence
+    // packing. Global prefix sum via the two-level formulation (see object
+    // scaladoc), NOT one unpartitioned window over the corpus.
+    Q("sp03_pack_shards",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),
+            (col("doc_id") / BlockSize).cast("bigint").as("blk"))
+        // tiny relation: one row per block; its ordered window is the only
+        // sequential step
+        val wBlk = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = toks.groupBy(col("blk"))
+          .agg(sum(col("tokens")).as("blk_sum"))
+          .withColumn("blk_off", sum(col("blk_sum")).over(wBlk) - col("blk_sum"))
+          .select(col("blk"), col("blk_off"))
+        // parallel: running sum within each block + broadcast block offset
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(broadcast(offsets), Seq("blk"))
+          .withColumn("cum_end", col("blk_off") + sum(col("tokens")).over(wIn))
+          .withColumn("shard", ((col("cum_end") - col("tokens")) / ShardTokens).cast("bigint"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS tokens
+            FROM documents),
+          c AS (SELECT doc_id, tokens,
+                  sum(tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+                FROM toks),
+          a AS (SELECT doc_id, tokens, (cum_end - tokens) // $ShardTokens AS shard FROM c)
+        SELECT shard, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY shard ORDER BY shard"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sp03's two-level prefix sum must equal the naive global-window packing,
+  * and the split assignment must be deterministic and exhaustive. */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sp03 two-level prefix sum equals the naive unpartitioned-window packing") {
+    val fast = graft.SparkEntry.queries("sp03_pack_shards")(spark, sfDir).collect().toSeq
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = toks
+      .withColumn("cum_end", sum(col("tokens")).over(w))
+      .withColumn("shard", ((col("cum_end") - col("tokens")) / 4096L).cast("bigint"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard")).collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("sp03 shards are contiguous, budget-sized, and cover every doc") {
+    val rows = graft.SparkEntry.queries("sp03_pack_shards")(spark, sfDir).collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // contiguous doc ranges: each shard starts right after the previous ends
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("first_doc") == a.getAs[Long]("last_doc") + 1)
+      case _ =>
+    }
+    // every shard but the last was filled past its budget boundary: a doc is
+    // assigned by its START offset, so sum_tokens >= remaining budget
+    rows.init.foreach(r => assert(r.getAs[Long]("sum_tokens") >= 1L))
+  }
+
+  test("hash split is deterministic across runs and exhaustive") {
+    val a = graft.SparkEntry.queries("sp01_hash_split")(spark, sfDir).collect().toSeq
+    val b = graft.SparkEntry.queries("sp01_hash_split")(spark, sfDir).collect().toSeq
+    assert(a == b)
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(a.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val splits = a.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val", "test"))
+    // 80/10/10 within coarse tolerance on 500 docs
+    val train = a.find(_.getAs[String]("split") == "train").get.getAs[Long]("n_docs")
+    assert(train > nDocs * 6 / 10 && train < nDocs * 95 / 100, s"train=$train of $nDocs")
+  }
+}
