@@ -391,6 +391,72 @@ object Dedup {
           bit_count(xor(a.s, b.s)) AS hamming
         FROM kept a JOIN kept b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.s, b.s)) <= 3
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- dd07: incremental dedup — a new batch against an existing corpus ----
+    // The production shape dd01 becomes once a reference set exists: the
+    // daily increment (deterministic 20% hash split standing in for "new")
+    // anti-joins the corpus's DISTINCT normalized fingerprints. At 100 TB the
+    // corpus side is a precomputed compact fingerprint table; the join is one
+    // shuffle on the fingerprint (or a broadcast when the increment is the
+    // small side). Reported per source so drop rates are monitorable.
+    Q("dd07_incremental",
+      (s, d) => {
+        val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+          md5(norm(col("text"))).as("fp"), Sampling.hashBucket(col("doc_id")).as("bk"))
+        val corpusFp = f.filter(col("bk") < 80).select(col("fp")).distinct()
+          .withColumn("hit", lit(1))
+        f.filter(col("bk") >= 80)
+          .join(corpusFp, Seq("fp"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              ${Sampling.hashBucketSql("doc_id")} AS bk
+            FROM documents),
+          c AS (SELECT DISTINCT fp FROM f WHERE bk < 80)
+        SELECT source, count(*) AS n_batch,
+          count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM c)) AS n_kept,
+          count(*) FILTER (WHERE fp IN (SELECT fp FROM c)) AS n_dropped
+        FROM f WHERE bk >= 80 GROUP BY source ORDER BY source""")),
+
+    // ---- dc01: decontamination — training docs sharing any 3-gram with ----
+    // ---- the benchmark split ----
+    // The eval-leakage scan every training corpus needs: the benchmark set
+    // (deterministic 5% hash split standing in for an eval suite) contributes
+    // a DISTINCT shingle-hash set; training docs join it on the shingle.
+    // Because the benchmark side is distinct, join multiplicity is <= 1 per
+    // training shingle — output is bounded by the training shingle count, no
+    // frequency cap needed (unlike the pairwise dd03 join). AQE broadcasts
+    // the benchmark set at test scale; at 100 TB it shuffle-joins on the
+    // shingle hash.
+    Q("dc01_decontaminate",
+      (s, d) => {
+        val docs = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), shingleHashes(col("text")).as("sh"),
+            Sampling.hashBucket(col("doc_id")).as("bk"))
+        val bench = docs.filter(col("bk") >= 95)
+          .select(explode(col("sh")).as("h")).distinct()
+        docs.filter(col("bk") < 95)
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(bench, Seq("h"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh,
+              ${Sampling.hashBucketSql("doc_id")} AS bk
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(sh) AS g, bk FROM b),
+          bench AS (SELECT DISTINCT g FROM ex WHERE bk >= 95),
+          tr AS (SELECT doc_id, g FROM ex WHERE bk < 95)
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN bench USING (g)
+        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
   )
 }

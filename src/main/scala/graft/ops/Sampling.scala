@@ -27,10 +27,11 @@ object Sampling {
 
   /** Deterministic 0-99 bucket from a key column: first 8 md5 hex digits as
     * an integer (the dd02/dd05 scheme — bit-reproducible in DuckDB via
-    * ('0x' || substr(md5(k), 1, 8))::BIGINT). */
-  private def hashBucket(key: Column): Column =
+    * ('0x' || substr(md5(k), 1, 8))::BIGINT). Shared with the incremental
+    * dedup / decontamination splits in Dedup. */
+  private[ops] def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
-  private def hashBucketSql(key: String): String =
+  private[ops] def hashBucketSql(key: String): String =
     s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % 100"
 
   private def splitOf(bucket: Column): Column =
