@@ -16,11 +16,10 @@ import org.apache.spark.sql.functions._
   *    explosion no matter the corpus;
   *  - shingles are combined word *hashes*, never materialized strings — the
   *    string form (1M UTF8 concat allocations at sf0.1) dominated the profile;
-  *  - MinHash/SimHash signatures are computed per row with compact
-  *    higher-order-function expressions: no 64-wide aggregate tree (which cost
-  *    ~20 s of one-time whole-stage codegen per JVM) and no signature shuffle
-  *    at all — the sketch is a narrow map, which is the shape that survives a
-  *    1000-executor scale-up.
+  *  - MinHash/SimHash signatures are computed per row by fused native
+  *    codegen'd kernels (graft.spark.SketchExpressions) — one JIT'd pass over
+  *    the hash array per doc, no signature shuffle at all: the sketch is a
+  *    narrow map, which is the shape that survives a 1000-executor scale-up.
   */
 object Dedup {
   import Tables.t
@@ -71,10 +70,10 @@ object Dedup {
   // 64 deterministic affine permutations for MinHash: h_i(x) = (a_i*x + b_i) & MASK.
   // The wrap-around 64-bit arithmetic lives inside the native MinHashSignature
   // kernel (Java long ops wrap; session-independent — no ansi conf mutation).
-  private val P = 64
-  private val Mask = (1L << 61) - 1
-  private val permA: Array[Long] = Array.tabulate(P)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
-  private val permB: Array[Long] = Array.tabulate(P)(i => 6364136223846793005L * (i + 7) + 1442695040888963407L)
+  private[graft] val P = 64
+  private[graft] val Mask = (1L << 61) - 1
+  private[graft] val permA: Array[Long] = Array.tabulate(P)(i => 2L * (1103515245L * (i + 1) + 12345L) + 1L)
+  private[graft] val permB: Array[Long] = Array.tabulate(P)(i => 6364136223846793005L * (i + 7) + 1442695040888963407L)
 
   /** Per-row MinHash signature over a shingle-hash array: for each of the 64
     * permutations, the min of (a_i*h + b_i) & MASK across the doc's shingles.
@@ -418,11 +417,17 @@ object Dedup {
               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
               ${Sampling.hashBucketSql("doc_id")} AS bk
             FROM documents),
-          c AS (SELECT DISTINCT fp FROM f WHERE bk < 80)
+          c AS (SELECT DISTINCT fp FROM f WHERE bk < 80),
+          -- LEFT JOIN, not IN/NOT IN: a NULL fp must count as kept (no match),
+          -- mirroring the engine's null-tolerant left join — NOT IN would
+          -- NULL-poison every row the moment one corpus fingerprint is NULL
+          j AS (SELECT b.source, CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END AS kept
+                FROM (SELECT source, fp FROM f WHERE bk >= 80) b
+                LEFT JOIN c ON b.fp = c.fp)
         SELECT source, count(*) AS n_batch,
-          count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM c)) AS n_kept,
-          count(*) FILTER (WHERE fp IN (SELECT fp FROM c)) AS n_dropped
-        FROM f WHERE bk >= 80 GROUP BY source ORDER BY source""")),
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+        FROM j GROUP BY source ORDER BY source""")),
 
     // ---- dc01: decontamination — training docs sharing any 3-gram with ----
     // ---- the benchmark split ----

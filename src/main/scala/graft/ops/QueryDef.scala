@@ -27,8 +27,8 @@ object Tables {
 
   /** All testdata tables are plain parquet files named `<table>.parquet`.
     * Deliberately conf-free: a library loader must not mutate the shared
-    * session (the sketch queries that need wrapping 64-bit arithmetic build
-    * explicit legacy-mode expressions instead — see Dedup.wrapMul/wrapAdd). */
+    * session (the sketch kernels that need wrapping 64-bit arithmetic do it
+    * inside native expressions — see graft.spark.SketchExpressions). */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") s.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else s.read.parquet(s"$dir/$name.parquet")

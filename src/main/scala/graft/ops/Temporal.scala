@@ -36,10 +36,14 @@ object AsofJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"left/right columns must be disjoint, shared: $overlap")
     val payload = right.columns.filterNot(_ == rightKey).toSeq
+    // a NULL right time satisfies no `rightTime <= leftTime` bound — drop it
+    // here, or the nulls-first window sort would treat it as earliest-ever
+    // and leak its payload into every left row on the key
+    val rightValid = right.filter(col(rightTime).isNotNull)
     val pType = right.select(struct(payload.map(col): _*)).schema.head.dataType
     // right rows carry the payload struct; left rows a typed NULL struct so
     // last(ignoreNulls) skips them (struct(null,..) would NOT be null)
-    val rightTagged = right.select(
+    val rightTagged = rightValid.select(
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
         struct(payload.map(col): _*).as("__p")) ++
         left.columns.toSeq.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -138,16 +142,20 @@ object Temporal {
           -6 * HourMs, 0L)
         val agg = pairs.groupBy(col("event_id"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        // raw sum (see the tx01 note in TextOps): per-event windows hold a
+        // handful of values, so summation-order noise is ~1e-12 — absorbed by
+        // the driver's 6dp normalization — while an engine-side round(2)
+        // could flip at a .xx5 boundary
         err.join(agg, Seq("event_id"), "left")
           .select(col("event_id"),
             coalesce(col("n"), lit(0L)).as("n_prior"),
-            round(coalesce(col("sv"), lit(0.0)), 2).as("sum_prior"))
+            coalesce(col("sv"), lit(0.0)).as("sum_prior"))
           .orderBy(col("event_id"))
       },
       Some("""WITH ev AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS t_ms, event_type, value FROM events),
           e AS (SELECT event_id, user_id, t_ms FROM ev WHERE event_type = 'error')
         SELECT e.event_id, count(f.value) AS n_prior,
-          round(coalesce(sum(f.value), 0), 2) AS sum_prior
+          coalesce(sum(f.value), 0) AS sum_prior
         FROM e LEFT JOIN ev f ON f.user_id = e.user_id
           AND f.t_ms >= e.t_ms - 21600000 AND f.t_ms < e.t_ms
         GROUP BY e.event_id ORDER BY e.event_id"""))

@@ -56,18 +56,28 @@ object StreamingDedup {
 
     override def handleInputRows(key: String, rows: Iterator[KeyedRecord],
                                  timerValues: TimerValues): Iterator[DedupResult] = {
-      val batch = rows.toVector
+      // single pass, O(1) memory: a hot key replaying millions of duplicates
+      // in one micro-batch must not be buffered (the skewed-duplicate
+      // workload is exactly what a streaming dedup exists for)
       if (seen.exists()) {
+        var n = 0L
+        while (rows.hasNext) { rows.next(); n += 1 }
         val (first, dups) = seen.get()
-        seen.update((first, dups + batch.size))
+        seen.update((first, dups + n))
         Iterator.empty
       } else {
         // within one micro-batch the earliest event (ties to payload order)
         // is "first" — batches are unordered multisets in Spark streaming
-        val firstRec = batch.minBy(r => (r.ts, r.payload))
-        seen.update((firstRec.payload, batch.size.toLong - 1))
-        getHandle.registerTimer(firstRec.ts + horizonMs)
-        Iterator.single(DedupResult(key, firstRec.payload, 0L, is_first = true))
+        var n = 0L
+        var first: KeyedRecord = null
+        while (rows.hasNext) {
+          val r = rows.next(); n += 1
+          if (first == null || r.ts < first.ts ||
+            (r.ts == first.ts && r.payload < first.payload)) first = r
+        }
+        seen.update((first.payload, n - 1))
+        getHandle.registerTimer(first.ts + horizonMs)
+        Iterator.single(DedupResult(key, first.payload, 0L, is_first = true))
       }
     }
 

@@ -54,9 +54,21 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(b.getAs[Long]("first_doc") == a.getAs[Long]("last_doc") + 1)
       case _ =>
     }
-    // every shard but the last was filled past its budget boundary: a doc is
-    // assigned by its START offset, so sum_tokens >= remaining budget
-    rows.init.foreach(r => assert(r.getAs[Long]("sum_tokens") >= 1L))
+    // budget-crossing invariant: the first doc of the NEXT shard starts at
+    // the cumulative token offset through this shard, and its shard id is
+    // that offset DIV 4096 — so the running total through shard k must reach
+    // next.shard * 4096 (a single doc longer than the budget may skip shard
+    // ids, hence next.shard, not k+1)
+    var prefix = 0L
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        prefix += a.getAs[Long]("sum_tokens")
+        assert(prefix >= b.getAs[Long]("shard") * 4096L,
+          s"shard ${a.getAs[Long]("shard")} under-filled: prefix=$prefix next=${b.getAs[Long]("shard")}")
+        assert(prefix / 4096L == b.getAs[Long]("shard"),
+          s"next shard id must be the prefix's budget bucket")
+      case _ =>
+    }
   }
 
   test("hash split is deterministic across runs and exhaustive") {

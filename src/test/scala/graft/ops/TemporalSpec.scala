@@ -64,6 +64,15 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).isNullAt(out(2).fieldIndex("payload")))
   }
 
+  test("asof: a NULL right time matches nothing (not treated as earliest-ever)") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
+    val right = Seq((1L, Option.empty[Long], 7L), (1L, Some(200L), 9L)).toDF("rk", "rt", "p")
+    val out = AsofJoin.backward(left, right, "k", "rk", "t", "rt").collect()
+    // the null-time row must not leak its payload; the t=200 row is too late
+    assert(out.head.isNullAt(out.head.fieldIndex("p")), out.head.toString)
+  }
+
   test("asof: equal-time right rows tie-break to the greatest payload deterministically") {
     val sp = spark; import sp.implicits._
     val left = Seq((1L, 1L, 100L)).toDF("id", "k", "t")
