@@ -116,6 +116,42 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"range join must block on buckets:\n${p.take(3000)}")
   }
 
+  test("asof and range join match naive references on seeded random data (incl. null times, ties)") {
+    val sp = spark; import sp.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // small key space + coarse time grid force collisions, ties, and
+      // empty keys; ~10% null right times exercise the null guard
+      val left = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(50).toLong)).toDF("id", "k", "t")
+      val right = (0 until 200).map { i =>
+        val rt = if (rnd.nextInt(10) == 0) Option.empty[Long] else Some(rnd.nextInt(50).toLong)
+        (rnd.nextInt(10).toLong, rt, i.toLong)
+      }.toDF("rk", "rt", "p")
+      val fast = AsofJoin.backward(left, right, "k", "rk", "t", "rt")
+        .orderBy(col("id")).collect().toSeq
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("rt").desc_nulls_last, col("p").desc_nulls_last)
+      val naive = left.join(right, col("k") === col("rk") && col("rt") <= col("t"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("k"), col("t"), col("rt"), col("p"))
+        .orderBy(col("id")).collect().toSeq
+      assert(fast == naive, s"asof mismatch at seed $seed")
+
+      val rVal = right.filter(col("rt").isNotNull)
+        .select(col("rk").as("fk"), col("rt").as("ft"), col("p"))
+      val fastR = RangeJoin.bucketed(left, rVal, "k", "fk", "t", "ft", -5L, 3L)
+        .select(col("id"), col("ft"), col("p")).orderBy(col("id"), col("ft"), col("p"))
+        .collect().toSeq
+      val naiveR = left.join(rVal, col("k") === col("fk") &&
+          col("ft") >= col("t") - 5L && col("ft") < col("t") + 3L)
+        .select(col("id"), col("ft"), col("p")).orderBy(col("id"), col("ft"), col("p"))
+        .collect().toSeq
+      assert(fastR == naiveR, s"range mismatch at seed $seed")
+      assert(fastR.nonEmpty)
+    }
+  }
+
   test("range join boundary: window [t+lo, t+hi) is half-open on both engines' ms grid") {
     val sp = spark; import sp.implicits._
     val left = Seq((1L, 1L, 1000L)).toDF("id", "k", "t")
