@@ -288,6 +288,41 @@ object Similarity {
       Some("""WITH x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
             FROM embeddings, generate_series(1, 64) t(i))
           SELECT label, CAST(dim AS INT) AS dim, count(*) AS n, avg(x) AS centroid
-          FROM x GROUP BY label, dim ORDER BY label, dim"""))
+          FROM x GROUP BY label, dim ORDER BY label, dim""")),
+
+    // ---- ss06: int8 embedding quantization (absmax scaling) ----
+    // The storage-compression step before ANN serving: per-vector symmetric
+    // absmax scaling to [-127, 127]. Map-only at any scale. floor-based
+    // quantization keeps the oracle INTEGER-exact (x/absmax*127 is the same
+    // IEEE op sequence on both engines; floor of it is exact — no round()
+    // divergence class at all); the zero-vector guard is mirrored in SQL.
+    Q("ss06_quantize",
+      (s, d) => {
+        val v = t(s, d, "embeddings").select(col("vec_id"), asD(col("embedding")).as("vec"))
+        val absmax = aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x)))
+        val q = when(col("absmax") === 0.0, transform(col("vec"), _ => lit(0L)))
+          .otherwise(transform(col("vec"), x => floor(x / col("absmax") * 127)))
+        v.withColumn("absmax", absmax)
+          .withColumn("q", q)
+          .select(col("vec_id"), col("absmax"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          m AS (SELECT vec_id, vec,
+                  list_max(list_transform(vec, x -> abs(x))) AS absmax FROM v),
+          q AS (SELECT vec_id, absmax,
+                  CASE WHEN absmax = 0
+                       THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+                       ELSE list_transform(vec, x -> CAST(floor(x / absmax * 127) AS BIGINT))
+                  END AS qv
+                FROM m)
+        SELECT vec_id, absmax,
+          CAST(list_sum(qv) AS BIGINT) AS q_sum,
+          CAST(list_min(qv) AS BIGINT) AS q_min,
+          CAST(list_max(qv) AS BIGINT) AS q_max
+        FROM q ORDER BY vec_id"""))
   )
 }

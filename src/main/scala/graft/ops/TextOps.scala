@@ -180,6 +180,48 @@ object TextOps {
           SELECT token, count(*) AS cnt FROM toks
           GROUP BY token ORDER BY cnt DESC, token LIMIT 50""")),
 
+    // ---- tx06: tf-idf top terms per document ----
+    // Classic relevance weighting: tf(term, doc) * ln(N / df(term)), top-3
+    // terms per doc. Shapes: token counts partial-aggregate before one
+    // shuffle on (doc, term); document frequency is a second partial agg on
+    // the term; the join keys on the term (broadcastable until the
+    // vocabulary outgrows the executors, then a plain shuffle join); the
+    // final top-k is a window per doc. Raw double scores: both engines
+    // compute tf * ln(N/df) from identical integers — ulp-level libm
+    // differences are absorbed by the driver's 6dp normalization, and rank
+    // flips would need two DISTINCT (tf, df) pairs landing within an ulp.
+    Q("tx06_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val n = docs.count() // driver-side scalar: one tiny job, constant-folds into the score
+        val toks = docs.select(col("doc_id"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, Seq("term"))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * log(lit(n.toDouble) / col("df"))).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (SELECT doc_id, term,
+                       tf * ln(n.n::DOUBLE / df.df) AS score,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tf * ln(n.n::DOUBLE / df.df) DESC, term) AS rank
+                     FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+        FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
     // Reuses tx01's language argmax and tx02's quality score verbatim (shared
