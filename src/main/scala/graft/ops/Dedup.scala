@@ -441,9 +441,12 @@ object Dedup {
     // shingle hash.
     Q("dc01_decontaminate",
       (s, d) => {
+        // cached: both filter branches (benchmark + training) read the same
+        // shingle arrays — without it the 1M-shingle computation runs twice
         val docs = Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), shingleHashes(col("text")).as("sh"),
             Sampling.hashBucket(col("doc_id")).as("bk"))
+          .cache()
         val bench = docs.filter(col("bk") >= 95)
           .select(explode(col("sh")).as("h")).distinct()
         docs.filter(col("bk") < 95)

@@ -313,14 +313,17 @@ object Similarity {
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
           m AS (SELECT vec_id, vec,
                   list_max(list_transform(vec, x -> abs(x))) AS absmax FROM v),
-          q AS (SELECT vec_id, absmax,
-                  CASE WHEN absmax = 0
+          -- coalesce mirrors Spark's fold semantics on an EMPTY vector:
+          -- aggregate's 0.0 seed (absmax) and 0 seed (q_sum), where DuckDB's
+          -- list_max/list_sum over an empty list are NULL
+          q AS (SELECT vec_id, coalesce(absmax, 0.0) AS absmax,
+                  CASE WHEN coalesce(absmax, 0) = 0
                        THEN list_transform(vec, x -> CAST(0 AS BIGINT))
                        ELSE list_transform(vec, x -> CAST(floor(x / absmax * 127) AS BIGINT))
                   END AS qv
                 FROM m)
         SELECT vec_id, absmax,
-          CAST(list_sum(qv) AS BIGINT) AS q_sum,
+          CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
           CAST(list_min(qv) AS BIGINT) AS q_min,
           CAST(list_max(qv) AS BIGINT) AS q_max
         FROM q ORDER BY vec_id"""))

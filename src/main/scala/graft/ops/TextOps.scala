@@ -55,6 +55,12 @@ object TextOps {
     }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
   }
 
+  /** The vocabulary tokenizer (tx05/tx06 share it so both queries agree on
+    * what a token is — lowercase alphabetic runs of length >= 2). */
+  private def vocabTokens: Column =
+    regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))
+  private val vocabTokensSql = "regexp_extract_all(lower(text), '[a-z]{2,}')"
+
   /** tx02's quality score, shared with pp01 (same raw-double arithmetic on
     * both engines, so a threshold on it filters identically). */
   private def qualityCol: Column = {
@@ -172,10 +178,10 @@ object TextOps {
     // any corpus size.
     Q("tx05_vocab",
       (s, d) => t(s, d, "documents")
-        .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))).as("token"))
+        .select(explode(vocabTokens).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50),
-      Some("""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS token
+      Some(s"""WITH toks AS (SELECT unnest($vocabTokensSql) AS token
             FROM documents)
           SELECT token, count(*) AS cnt FROM toks
           GROUP BY token ORDER BY cnt DESC, token LIMIT 50""")),
@@ -195,8 +201,7 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents")
         val n = docs.count() // driver-side scalar: one tiny job, constant-folds into the score
-        val toks = docs.select(col("doc_id"),
-            explode(regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))).as("term"))
+        val toks = docs.select(col("doc_id"), explode(vocabTokens).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
@@ -209,7 +214,7 @@ object TextOps {
           .select(col("doc_id"), col("rank"), col("term"), col("score"))
           .orderBy(col("doc_id"), col("rank"))
       },
-      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($vocabTokensSql) AS term
             FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
           df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
