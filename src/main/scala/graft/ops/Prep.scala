@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sequence-prep operators between cleaning and training: overlapping
+  * token-window chunking (the RAG / context-window prep step) and PII
+  * redaction.
+  *
+  * Scale notes (100 TB design): both are strictly map-only — chunk expansion
+  * is a per-row generator (`explode` of a locally-built array, no shuffle, no
+  * driver involvement), and redaction is per-row regex surgery. Parallelism is
+  * whatever the scan provides; neither op ever exchanges data.
+  */
+object Prep {
+  import Tables.t
+
+  /** Chunk geometry: 32-token windows every 24 tokens (8-token overlap). */
+  private val ChunkSize = 32
+  private val Stride = 24
+
+  /** PII patterns, identical under Java regex and DuckDB RE2. Order matters:
+    * emails go first (their local part could otherwise be clipped by the
+    * phone/ssn digit runs), then the longer phone form, then bare SSNs. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** The synthetic corpus carries no PII (verified: zero '@', zero digits), so
+    * pii01 first AUGMENTS each doc with deterministic doc_id-derived contact
+    * strings — the redaction arithmetic below is what the operator
+    * demonstrates; the augmentation is the test fixture, mirrored verbatim in
+    * the oracle. */
+  private def augmented: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ssn 123-45-6789"))
+  private val augmentedSql =
+    """(text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789')"""
+
+  /** Library surface: redact emails/phones/SSNs in `c` (used by pii01 and
+    * directly callable; counts come from regexp_extract_all before rewrite). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      SsnRe, "[SSN]")
+
+  val entries: Seq[Q] = Seq(
+    // ---- ch01: overlapping token-window chunking ----
+    // Each doc becomes ceil((n-size)/stride)+1 chunks of <=32 whitespace
+    // tokens with 8-token overlap. The chunk list is built per row
+    // (sequence+transform+slice) and exploded — a generator, not a join or
+    // shuffle; output rows ~ 4x input at this geometry regardless of scale.
+    // Chunk text is fingerprinted (md5) so the checked output stays narrow.
+    Q("ch01_chunk_windows",
+      (s, d) => {
+        val w = col("w")
+        val nChunks = lit(1) +
+          floor((greatest(size(w) - ChunkSize, lit(0)) + (Stride - 1)) / Stride).cast("int")
+        val chunk = col("chunk_id") * Stride + 1
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array(split(trim(col("text")), "\\s+"))).as("w"))
+          .select(col("doc_id"), w,
+            explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+            size(slice(w, chunk, lit(ChunkSize))).cast("bigint").as("n_chunk_tokens"),
+            md5(array_join(slice(w, chunk, lit(ChunkSize)), " ")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+          c AS (SELECT doc_id, w,
+                  1 + (greatest(len(w) - $ChunkSize, 0) + ${Stride - 1}) // $Stride AS n_chunks
+                FROM t),
+          x AS (SELECT doc_id, w, i AS chunk_id
+                FROM c JOIN (SELECT unnest(generate_series(0, 4095)) AS i) idx
+                  ON idx.i < c.n_chunks)
+        SELECT doc_id, chunk_id,
+          len(w[chunk_id*$Stride+1 : chunk_id*$Stride+$ChunkSize]) AS n_chunk_tokens,
+          md5(array_to_string(w[chunk_id*$Stride+1 : chunk_id*$Stride+$ChunkSize], ' ')) AS chunk_fp
+        FROM x ORDER BY doc_id, chunk_id""")),
+
+    // ---- pii01: PII detection + redaction ----
+    // Counts each PII class, then rewrites them to typed placeholders; the
+    // redacted text is md5-fingerprinted to keep the compared output narrow.
+    Q("pii01_redact",
+      (s, d) => {
+        val a = col("a")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(array(augmented)).as("a"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(a, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+            size(regexp_extract_all(a, lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+            size(regexp_extract_all(a, lit(SsnRe), lit(0))).cast("bigint").as("n_ssn"),
+            md5(redactPii(a)).as("red_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $augmentedSql AS a FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(a, '$EmailRe')) AS n_emails,
+          len(regexp_extract_all(a, '$PhoneRe')) AS n_phones,
+          len(regexp_extract_all(a, '$SsnRe')) AS n_ssn,
+          md5(regexp_replace(regexp_replace(regexp_replace(a,
+                '$EmailRe', '[EMAIL]', 'g'),
+                '$PhoneRe', '[PHONE]', 'g'),
+                '$SsnRe', '[SSN]', 'g')) AS red_fp
+        FROM t ORDER BY doc_id"""))
+  )
+}

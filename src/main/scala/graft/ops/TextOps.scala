@@ -227,6 +227,57 @@ object TextOps {
         SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // ---- tx07: repetition-based quality signals (Gopher-style) ----
+    // Type-token ratio plus top-bigram/trigram fraction — the MassiveText
+    // repetition filters adapted to word n-grams (the corpus has no line
+    // structure). Entirely map-only: n-gram arrays are built per row with
+    // slice+array_join, and the mode count comes from a distinct×filter HOF
+    // (docs are <=577 words, so the per-row O(distinct·n) scan is bounded and
+    // beats a per-n-gram explode shuffle at any corpus size). Raw double
+    // ratios of exact integers — no round() (see tx01 note).
+    Q("tx07_repetition",
+      (s, d) => {
+        def grams(w: Column, k: Int): Column =
+          when(size(w) >= k,
+            transform(sequence(lit(1), size(w) - (k - 1)),
+              i => array_join(slice(w, i, lit(k)), " ")))
+            .otherwise(array().cast("array<string>"))
+        def topFrac(g: Column): Column = {
+          val top = array_max(transform(array_distinct(g),
+            x => size(filter(g, y => y === x)).cast("long")))
+          when(size(g) === 0, lit(0.0))
+            .otherwise(top.cast("double") / size(g))
+        }
+        // explode(array(..)) = Generate barrier: the token array is computed
+        // ONCE per row; CollapseProject cannot inline the regexp into the six
+        // expressions below (each references `w` several times)
+        val w = col("w")
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(array(vocabTokens)).as("w"))
+          .select(col("doc_id"),
+            size(w).cast("bigint").as("n_tokens"),
+            size(array_distinct(w)).cast("bigint").as("n_distinct"),
+            (size(array_distinct(w)).cast("double") /
+              greatest(size(w), lit(1))).as("ttr"),
+            topFrac(grams(w, 2)).as("top_bigram_frac"),
+            topFrac(grams(w, 3)).as("top_trigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def gramsSql(k: Int) =
+          s"list_transform(range(1, len(w) - ${k - 2}), i -> array_to_string(w[i:i+${k - 1}], ' '))"
+        def topFracSql(g: String) =
+          s"""CASE WHEN len($g) = 0 THEN 0.0
+              ELSE list_max(list_transform(list_distinct($g),
+                     x -> len(list_filter($g, y -> y = x))))::DOUBLE / len($g) END"""
+        s"""WITH t AS (SELECT doc_id, $vocabTokensSql AS w FROM documents)
+          SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            len(list_distinct(w))::DOUBLE / greatest(len(w), 1) AS ttr,
+            ${topFracSql(gramsSql(2))} AS top_bigram_frac,
+            ${topFracSql(gramsSql(3))} AS top_trigram_frac
+          FROM t ORDER BY doc_id"""
+      }),
+
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
     // Reuses tx01's language argmax and tx02's quality score verbatim (shared
