@@ -121,6 +121,34 @@ object Sampling {
           a AS (SELECT doc_id, tokens, (cum_end - tokens) // $ShardTokens AS shard FROM c)
         SELECT shard, count(*) AS n_docs, sum(tokens) AS sum_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM a GROUP BY shard ORDER BY shard"""))
+        FROM a GROUP BY shard ORDER BY shard""")),
+
+    // ---- sp04: deterministic global training shuffle ----
+    // Every epoch-0 data loader wants the corpus in a reproducible pseudo-
+    // random order: position = rank of md5(doc_id || seed). A naive
+    // row_number() over the full corpus is ONE task; instead the md5 prefix
+    // byte gives 256 ORDERED range buckets (hex sorts like its value), so the
+    // global rank = (broadcast) offset of the bucket + rank within the bucket
+    // — the sp03 two-level formulation keyed by hash instead of doc order.
+    Q("sp04_shuffle_order",
+      (s, d) => {
+        val key = md5(concat(col("doc_id").cast("string"), lit(":42")))
+        val wBk = Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wIn = Window.partitionBy(col("bk")).orderBy(col("k"))
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("bk"))
+        val offsets = keyed.groupBy(col("bk"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off", sum(col("n")).over(wBk) - col("n"))
+          .select(col("bk"), col("off"))
+        keyed.join(broadcast(offsets), Seq("bk"))
+          .select(col("doc_id"),
+            (col("off") + row_number().over(wIn) - 1).cast("bigint").as("pos"))
+          .orderBy(col("pos"))
+      },
+      Some("""SELECT doc_id,
+          row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) - 1 AS pos
+        FROM documents ORDER BY pos"""))
   )
 }
