@@ -83,4 +83,21 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val train = a.find(_.getAs[String]("split") == "train").get.getAs[Long]("n_docs")
     assert(train > nDocs * 6 / 10 && train < nDocs * 95 / 100, s"train=$train of $nDocs")
   }
+
+  test("sp04 two-level shuffle rank equals the naive global window, is a permutation, and scatters") {
+    val fast = graft.SparkEntry.queries("sp04_shuffle_order")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSeq
+    val naive = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(
+          md5(concat(col("doc_id").cast("string"), lit(":42"))))) - 1).cast("bigint").as("pos"))
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSeq
+    assert(fast == naive)
+    // positions are exactly 0..n-1 (a permutation, no gap/dup from the
+    // bucket-offset arithmetic)
+    assert(fast.map(_._2) == (0L until fast.length.toLong))
+    // and the order is actually shuffled, not accidentally doc_id order
+    assert(fast.map(_._1) != fast.map(_._1).sorted)
+  }
 }
