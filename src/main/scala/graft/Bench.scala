@@ -9,6 +9,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated name-prefix filter (local iteration only; the
+    // driver sets neither, so it always measures the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)
+    def keep(name: String): Boolean = only.isEmpty || only.exists(name.startsWith)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,13 +32,13 @@ object Bench {
     locally {
       val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
       val dir = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1)).foreach { case (name, fn) =>
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
       spark.sharedState.cacheManager.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -230,11 +230,15 @@ object TextOps {
     // ---- tx07: repetition-based quality signals (Gopher-style) ----
     // Type-token ratio plus top-bigram/trigram fraction — the MassiveText
     // repetition filters adapted to word n-grams (the corpus has no line
-    // structure). Entirely map-only: n-gram arrays are built per row with
-    // slice+array_join, and the mode count comes from a distinct×filter HOF
-    // (docs are <=577 words, so the per-row O(distinct·n) scan is bounded and
-    // beats a per-n-gram explode shuffle at any corpus size). Raw double
-    // ratios of exact integers — no round() (see tx01 note).
+    // structure). Shape: ONE tagged explode of 1/2/3-grams, then two
+    // partial-aggregated shuffles — (doc,k,gram) counts, then per-doc
+    // conditional max/sum — so every mode/total/distinct stat falls out of
+    // the same codegen'd agg tree with no join and no window. (A per-row
+    // distinct×filter HOF computes the same thing with zero shuffles but is
+    // an interpreted O(n²) string scan per doc — measured 16x slower at
+    // sf0.1. The n-gram frequency relation is exactly what tf/df builders
+    // shuffle anyway, and it partial-aggregates map-side at any scale.)
+    // Raw double ratios of exact integers — no round() (see tx01 note).
     Q("tx07_repetition",
       (s, d) => {
         def grams(w: Column, k: Int): Column =
@@ -242,25 +246,29 @@ object TextOps {
             transform(sequence(lit(1), size(w) - (k - 1)),
               i => array_join(slice(w, i, lit(k)), " ")))
             .otherwise(array().cast("array<string>"))
-        def topFrac(g: Column): Column = {
-          val top = array_max(transform(array_distinct(g),
-            x => size(filter(g, y => y === x)).cast("long")))
-          when(size(g) === 0, lit(0.0))
-            .otherwise(top.cast("double") / size(g))
-        }
-        // explode(array(..)) = Generate barrier: the token array is computed
-        // ONCE per row; CollapseProject cannot inline the regexp into the six
-        // expressions below (each references `w` several times)
+        def tagged(w: Column, k: Int): Column =
+          transform(if (k == 1) w else grams(w, k),
+            g => struct(lit(k).as("k"), g.as("g")))
         val w = col("w")
+        def kd(k: Int, c: Column): Column = when(col("k") === k, c)
         t(s, d, "documents")
+          // explode(array(..)) = Generate barrier: the token array is
+          // computed once per row before the gram explode
           .select(col("doc_id"), explode(array(vocabTokens)).as("w"))
           .select(col("doc_id"),
-            size(w).cast("bigint").as("n_tokens"),
-            size(array_distinct(w)).cast("bigint").as("n_distinct"),
-            (size(array_distinct(w)).cast("double") /
-              greatest(size(w), lit(1))).as("ttr"),
-            topFrac(grams(w, 2)).as("top_bigram_frac"),
-            topFrac(grams(w, 3)).as("top_trigram_frac"))
+            explode(concat(tagged(w, 1), tagged(w, 2), tagged(w, 3))).as("t"))
+          .groupBy(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(kd(1, col("cnt"))).as("n_tokens"),
+            count(kd(1, lit(1))).as("n_distinct"),
+            (count(kd(1, lit(1))).cast("double") /
+              greatest(sum(kd(1, col("cnt"))), lit(1L))).as("ttr"),
+            coalesce(max(kd(2, col("cnt"))).cast("double") /
+              sum(kd(2, col("cnt"))), lit(0.0)).as("top_bigram_frac"),
+            coalesce(max(kd(3, col("cnt"))).cast("double") /
+              sum(kd(3, col("cnt"))), lit(0.0)).as("top_trigram_frac"))
           .orderBy(col("doc_id"))
       },
       Some {
