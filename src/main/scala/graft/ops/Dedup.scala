@@ -32,14 +32,25 @@ object Dedup {
     transform(split(lower(text), " "), w => xxhash64(w))
 
   /** Distinct 3-word shingle hashes: consecutive word hashes combined with
-    * xxhash64 (docs always have >= 3 words). Equivalent as a *set* to hashing
-    * the concatenated shingle strings (injective modulo 64-bit collisions,
-    * ~1e-8 at 1M shingles) but never allocates the strings. */
+    * xxhash64. Equivalent as a *set* to hashing the concatenated shingle
+    * strings (injective modulo 64-bit collisions, ~1e-8 at 1M shingles) but
+    * never allocates the strings. Docs with fewer than 3 words get an EMPTY
+    * set by construction — without the guard, xxhash64 would silently skip
+    * the null out-of-bounds word hashes and emit a degenerate shingle that
+    * the oracles' NULL-trigram concat drops, so the two engines would
+    * disagree on any sub-trigram doc. */
   private def shingleHashes(text: Column): Column = {
     val wh = wordHashes(text)
+    // the guard is a zero-length slice, NOT a when() branch: conditional
+    // branches block codegen subexpression elimination, so a when() here
+    // re-evaluated the whole word-hash transform per reference (measured
+    // 4-5x on dd04/dc01); slice(seq, 1, 0) = [] keeps everything
+    // unconditional. n>=3 -> indices 0..n-3 (all n-2 kept); n<3 -> length
+    // greatest(n-2,0)=0 -> empty set.
+    val idx = slice(sequence(lit(0), greatest(size(wh) - 3, lit(0))),
+      lit(1), greatest(size(wh) - 2, lit(0)))
     array_distinct(
-      transform(sequence(lit(0), greatest(size(wh) - 3, lit(0))),
-        i => xxhash64(get(wh, i), get(wh, i + 1), get(wh, i + 2))))
+      transform(idx, i => xxhash64(get(wh, i), get(wh, i + 1), get(wh, i + 2))))
   }
 
   /** Document-frequency cap for shingle blocking keys (dd03): a shingle shared
@@ -101,13 +112,33 @@ object Dedup {
     // sig materialized in its own projection: HOF lambdas get no common-
     // subexpression elimination, so slicing minhashSig(...) inside the band
     // lambda would recompute the signature 16x per row
+    // persisted: read three times (hot-bucket census + both sides of the
+    // candidate self-join); without it each reference re-runs the MinHash
+    // kernel over every shingle array — the dominant per-row cost. The
+    // relation is narrow (doc_id, band, bkey) — 16 rows/doc of 3 longs.
     val bands = base
       .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(15)), bnd =>
           xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
       ).as(Seq("band", "bkey")))
-    val cand = bands.as("x").join(bands.as("y"),
+      .persist()
+    // frequency-cap the band buckets (the dd03 DfCap / dd05 BlockCap pattern):
+    // k near-identical docs share all 16 band keys, so an uncapped bucket is
+    // k²/2 candidate pairs in ONE join bucket — the mass-duplicate corpus
+    // failure mode. With the cap, worst-case candidates per (band, bkey) are
+    // BlockCap²/2 and total candidates ≤ 16 · #buckets · BlockCap²/2 — bounded
+    // regardless of duplication skew. Pairs living only in capped buckets are
+    // missed, which is sound for an approximate-recall sketch (and the right
+    // operational answer is exact-dedup-first so no bucket holds >1024 copies);
+    // the cap never binds on the test corpora (max bucket occupancy is single
+    // digits), so the exact all-pairs oracle is unaffected — DedupRecallSpec
+    // pins both zero false negatives and the never-binds claim.
+    val hotBands = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") > BlockCap).select(col("band"), col("bkey"))
+    val keptBands = bands.join(hotBands, Seq("band", "bkey"), "left_anti")
+    val cand = keptBands.as("x").join(keptBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
@@ -205,7 +236,7 @@ object Dedup {
       Some("""WITH b AS (
           SELECT doc_id, source, n_chars//100 AS lb,
             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+                           for i in generate_series(1, len(w)-2)]) AS sh
           FROM (SELECT doc_id, source, n_chars, string_split(lower(text), ' ') AS w FROM documents)),
         u AS (SELECT doc_id, source, lb, unnest(sh) AS sv FROM b),
         dfq AS (SELECT sv FROM u GROUP BY sv HAVING count(*) <= 256),
@@ -235,7 +266,7 @@ object Dedup {
       Some("""WITH b AS (
           SELECT doc_id,
             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+                           for i in generate_series(1, len(w)-2)]) AS sh
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
         k AS (SELECT doc_id, sh, len(sh) AS n FROM b)
         SELECT doc_a, doc_b, jaccard FROM (
@@ -316,7 +347,7 @@ object Dedup {
       Some("""WITH RECURSIVE b AS (
           SELECT doc_id,
             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                           for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+                           for i in generate_series(1, len(w)-2)]) AS sh
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
         k AS (SELECT doc_id, sh, len(sh) AS n FROM b),
         pairs AS (
@@ -457,7 +488,7 @@ object Dedup {
       },
       Some(s"""WITH b AS (SELECT doc_id,
               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                             for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh,
+                             for i in generate_series(1, len(w)-2)]) AS sh,
               ${Sampling.hashBucketSql("doc_id")} AS bk
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
           ex AS (SELECT doc_id, unnest(sh) AS g, bk FROM b),

@@ -77,8 +77,13 @@ object Prep {
           c AS (SELECT doc_id, w,
                   1 + (greatest(len(w) - $ChunkSize, 0) + ${Stride - 1}) // $Stride AS n_chunks
                 FROM t),
+          -- series bound derived from the data (max chunks of any doc), not a
+          -- fixed cap: a doc with more than 4096 chunks would otherwise be
+          -- silently truncated by the oracle while the engine's sequence() is
+          -- unbounded
           x AS (SELECT doc_id, w, i AS chunk_id
-                FROM c JOIN (SELECT unnest(generate_series(0, 4095)) AS i) idx
+                FROM c JOIN (SELECT unnest(generate_series(0,
+                        (SELECT max(n_chunks) FROM c))) AS i) idx
                   ON idx.i < c.n_chunks)
         SELECT doc_id, chunk_id,
           len(w[chunk_id*$Stride+1 : chunk_id*$Stride+$ChunkSize]) AS n_chunk_tokens,

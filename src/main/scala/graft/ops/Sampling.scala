@@ -39,10 +39,17 @@ object Sampling {
   private val splitOfSql =
     "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
 
-  /** Docs per block in the two-level prefix sum; at 100 TB this is sized so
-    * #blocks (the only unpartitioned window) stays small while blocks stay
-    * larger than a scheduling quantum. */
-  private val BlockSize = 500L
+  /** Docs per block in the two-level prefix sum. Adaptive: ≈ docs /
+    * defaultParallelism with a 500-doc floor, so the block-summary relation
+    * (the only sequential window) stays at ~defaultParallelism rows at ANY
+    * corpus size — at 1e11 docs on a 1000-executor cluster this is ~32k
+    * blocks, not the 2e8 a fixed 500-doc block would produce. The shard
+    * output is block-size-invariant (offsets + intra-block sums telescope to
+    * the same global prefix sum), so the oracle needs no block notion.
+    * The driving `count()` is parquet-metadata-cheap relative to the window
+    * job. */
+  private[ops] def blockSizeFor(nDocs: Long, parallelism: Int): Long =
+    math.max(500L, nDocs / math.max(1, parallelism))
 
   /** Tokens per packed shard (whitespace tokens, the tx03 definition). */
   private val ShardTokens = 4096L
@@ -61,7 +68,7 @@ object Sampling {
       },
       Some(s"""WITH b AS (SELECT doc_id, n_chars, ${hashBucketSql("doc_id")} AS bucket FROM documents),
           a AS (SELECT doc_id, n_chars, $splitOfSql AS split FROM b)
-        SELECT split, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+        SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY split ORDER BY split""")),
 
@@ -88,12 +95,17 @@ object Sampling {
     // scaladoc), NOT one unpartitioned window over the corpus.
     Q("sp03_pack_shards",
       (s, d) => {
-        val toks = t(s, d, "documents")
+        val docs = t(s, d, "documents")
+        val blockSize = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val toks = docs
           .select(col("doc_id"),
             size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),
-            (col("doc_id") / BlockSize).cast("bigint").as("blk"))
+            (col("doc_id") / blockSize).cast("bigint").as("blk"))
         // tiny relation: one row per block; its ordered window is the only
-        // sequential step
+        // sequential step. It IS single-partition by design (WindowExec warns;
+        // Bench filters that logger) — over #blocks ≈ parallelism rows, never
+        // the corpus; a constant partitionBy key would not help, the optimizer
+        // folds it away.
         val wBlk = Window.orderBy(col("blk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val offsets = toks.groupBy(col("blk"))
@@ -119,7 +131,7 @@ object Sampling {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
                 FROM toks),
           a AS (SELECT doc_id, tokens, (cum_end - tokens) // $ShardTokens AS shard FROM c)
-        SELECT shard, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+        SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY shard ORDER BY shard""")),
 
@@ -127,17 +139,22 @@ object Sampling {
     // Every epoch-0 data loader wants the corpus in a reproducible pseudo-
     // random order: position = rank of md5(doc_id || seed). A naive
     // row_number() over the full corpus is ONE task; instead the md5 prefix
-    // byte gives 256 ORDERED range buckets (hex sorts like its value), so the
-    // global rank = (broadcast) offset of the bucket + rank within the bucket
-    // — the sp03 two-level formulation keyed by hash instead of doc order.
+    // (2 bytes → 65,536 ORDERED range buckets; hex sorts like its value) so
+    // the global rank = (broadcast) offset of the bucket + rank within the
+    // bucket — the sp03 two-level formulation keyed by hash instead of doc
+    // order. 2 bytes keeps per-bucket work ≈ corpus/65536 at any scale while
+    // the bucket-summary window stays ≤65,536 rows. Bucket width does not
+    // affect pos: prefix ordering is consistent with full-key ordering.
     Q("sp04_shuffle_order",
       (s, d) => {
         val key = md5(concat(col("doc_id").cast("string"), lit(":42")))
+        // single-partition by design over ≤65,536 bucket-summary rows (see
+        // sp03 note on the WindowExec warning)
         val wBk = Window.orderBy(col("bk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wIn = Window.partitionBy(col("bk")).orderBy(col("k"))
         val keyed = t(s, d, "documents")
-          .select(col("doc_id"), key.as("k"), substring(key, 1, 2).as("bk"))
+          .select(col("doc_id"), key.as("k"), substring(key, 1, 4).as("bk"))
         val offsets = keyed.groupBy(col("bk"))
           .agg(count(lit(1)).as("n"))
           .withColumn("off", sum(col("n")).over(wBk) - col("n"))

@@ -255,13 +255,18 @@ object TextOps {
           // explode(array(..)) = Generate barrier: the token array is
           // computed once per row before the gram explode
           .select(col("doc_id"), explode(array(vocabTokens)).as("w"))
+          // explode_OUTER: a doc with zero vocab tokens (all digits/punct)
+          // must survive as a null-tagged row — the oracle emits it with
+          // n_tokens=0, so a plain explode would row-count-mismatch on it
           .select(col("doc_id"),
-            explode(concat(tagged(w, 1), tagged(w, 2), tagged(w, 3))).as("t"))
+            explode_outer(concat(tagged(w, 1), tagged(w, 2), tagged(w, 3))).as("t"))
           .groupBy(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("doc_id"))
           .agg(
-            sum(kd(1, col("cnt"))).as("n_tokens"),
+            // coalesce: the null-tag row contributes no k=1 rows, so the sum
+            // is NULL for empty-token docs while the oracle's len(w) is 0
+            coalesce(sum(kd(1, col("cnt"))), lit(0L)).as("n_tokens"),
             count(kd(1, lit(1))).as("n_distinct"),
             (count(kd(1, lit(1))).cast("double") /
               greatest(sum(kd(1, col("cnt"))), lit(1L))).as("ttr"),

@@ -71,6 +71,22 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("adaptive block size keeps the sequential block-summary window bounded") {
+    // floor: tiny corpora use the 500-doc minimum (blocks ≥ scheduling quantum)
+    assert(Sampling.blockSizeFor(500L, 32) == 500L)
+    assert(Sampling.blockSizeFor(100000L, 1000) == 500L)
+    // scale: #blocks = ceil(docs / blockSize) stays ≈ parallelism at ANY
+    // corpus size — the sequential window never grows with the corpus
+    for ((docs, par) <- Seq((1e7.toLong, 32), (1e9.toLong, 1024), (1e11.toLong, 32000))) {
+      val bs = Sampling.blockSizeFor(docs, par)
+      val nBlocks = (docs + bs - 1) / bs
+      assert(nBlocks <= par + 1, s"docs=$docs par=$par blocks=$nBlocks")
+      assert(nBlocks >= par / 2, s"docs=$docs par=$par blocks=$nBlocks")
+    }
+    // degenerate parallelism never divides by zero
+    assert(Sampling.blockSizeFor(1000L, 0) == 1000L)
+  }
+
   test("hash split is deterministic across runs and exhaustive") {
     val a = graft.SparkEntry.queries("sp01_hash_split")(spark, sfDir).collect().toSeq
     val b = graft.SparkEntry.queries("sp01_hash_split")(spark, sfDir).collect().toSeq
