@@ -121,6 +121,30 @@ object JsonataQueries {
       },
       Some("SELECT event_id, value + 1 AS total FROM events ORDER BY event_id")),
 
+    // ---- jx10: `^()` order-by on the COMPILED tier (B20 as native Columns) ----
+    // The expression sorts each embedding descending via the compiled
+    // array_sort comparator (no interpreter, no JSON round-trip — pinned in
+    // PlanShapeSpec); outputs probe the sorted array positionally so the
+    // driver compare stays scalar (registry convention: no raw array columns
+    // through the hasher — the ss06 precedent).
+    Q("jx10_sorted_embedding",
+      (s, d) => {
+        val df = Tables.spread(t(s, d, "embeddings"))
+        val out = JsonataDF.auto(df,
+          "{'vec_id': value.vec_id, 'sorted': value.embedding^(>$)}",
+          StructType.fromDDL("vec_id BIGINT, sorted ARRAY<FLOAT>"), topic = "embeddings")
+        out.select(col("vec_id"),
+            element_at(col("sorted"), 1).cast("double").as("top1"),
+            element_at(col("sorted"), 2).cast("double").as("top2"),
+            element_at(col("sorted"), size(col("sorted"))).cast("double").as("low"),
+            size(col("sorted")).cast("bigint").as("dim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH s AS (SELECT vec_id, list_sort(embedding, 'DESC') AS st FROM embeddings)
+        SELECT vec_id, CAST(st[1] AS DOUBLE) AS top1, CAST(st[2] AS DOUBLE) AS top2,
+          CAST(st[len(st)] AS DOUBLE) AS low, len(st) AS dim
+        FROM s ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

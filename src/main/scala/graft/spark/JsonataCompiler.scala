@@ -14,7 +14,10 @@ import graft.jsonata.Ast
   * Translates the statically-typeable subset of JSONata — `value.*` paths,
   * literals, arithmetic, comparisons, boolean logic, string concat of string
   * operands, conditionals, top-level object construction, tombstone filters,
-  * and builtins with exact Spark equivalents — into native Columns. The result
+  * `^()` order-by over array columns (array_sort with an engine-equivalent
+  * comparator), `{}` group-by over array columns (map_from_entries with
+  * $count/$sum/$min/$max/$average aggregates), and builtins with exact Spark
+  * equivalents — into native Columns. The result
   * runs entirely inside whole-stage codegen with predicate pushdown and column
   * pruning: no JSON serialization, no interpreter, no CodegenFallback.
   *
@@ -131,12 +134,181 @@ object JsonataCompiler {
       case _ => None
     }
 
+    /** Plain `value.a.b` name steps (no stages/focus/index) resolving to an
+      * array column — the input shape for compiled sort/group-by. */
+    private def arrayValuePath(steps: Vector[Step]): Option[(Column, ArrayType)] = {
+      if (steps.exists(s => s.stages.nonEmpty || s.focus.isDefined || s.index.isDefined))
+        return None
+      val es = steps.map(_.expr)
+      if (!es.headOption.contains(NameStep("value")) || !es.forall(_.isInstanceOf[NameStep]))
+        return None
+      val names = es.tail.collect { case NameStep(n) => n }
+      if (names.isEmpty) None
+      else fieldType(names) match {
+        case Some(at: ArrayType) => Some((col(names.mkString(".")), at))
+        case _ => None
+      }
+    }
+
+    /** A bare relative field reference (`price` inside a sort term / group
+      * pair) — parsed as either a naked NameStep or a one-step Path. */
+    private def relField(a: Ast): Option[String] = a match {
+      case NameStep(f) => Some(f)
+      case Path(Vector(st), _, None)
+          if st.stages.isEmpty && st.focus.isEmpty && st.index.isEmpty =>
+        st.expr match { case NameStep(f) => Some(f); case _ => None }
+      case _ => None
+    }
+
+    /** Number (non-decimal) or string — the types whose Spark ordering and
+      * arithmetic provably match the engine's (decimals stay interpreted:
+      * the engine compares them through doubleValue, lossy past 2^53). */
+    private def simpleAtomic(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           StringType => true
+      case _ => false
+    }
+
+    /** Element-context key extractor: `$` (the element itself) or a field of a
+      * struct element. Returns the per-element Column builder + static type. */
+    private def elemKey(term: Ast, et: DataType): Option[(Column => Column, DataType)] =
+      term match {
+        case VarRef("") if simpleAtomic(et) => Some(((e: Column) => e, et))
+        case other => relField(other).flatMap { f =>
+          et match {
+            case st: StructType => st.fields.find(_.name == f)
+              .filter(fl => simpleAtomic(fl.dataType))
+              .map(fl => (((e: Column) => e.getField(f)), fl.dataType))
+            case _ => None
+          }
+        }
+      }
+
+    /** `value.arr^(t1, t2)` -> array_sort with an explicit comparator that
+      * replicates the engine's term semantics exactly: undefined keys last
+      * (first under `>`), term-major chaining, stable (both sides TimSort).
+      * Pinned divergences, mirroring the class documented on the object: a
+      * JSON-null ELEMENT raises T2008 in the engine but orders like undefined
+      * here, and non-BMP string keys compare in UTF-8 code-point order
+      * (UTF8String) vs Java's UTF-16 code-unit order. */
+    private def compileSortedPath(steps: Vector[Step]): Option[TCol] = {
+      val sortStep = steps.last
+      if (sortStep.stages.nonEmpty || sortStep.focus.isDefined || sortStep.index.isDefined)
+        return None
+      val terms = sortStep.expr.asInstanceOf[SortOpNode].terms
+      if (terms.isEmpty || terms.length > 2) return None
+      arrayValuePath(steps.init).flatMap { case (arr, at) =>
+        val keyed = terms.map(t => elemKey(t.expr, at.elementType).map(k => (k._1, t.descending)))
+        if (keyed.exists(_.isEmpty)) None
+        else {
+          val ks = keyed.flatten
+          val cmp = (a: Column, b: Column) => {
+            val cs = ks.map { case (kf, desc) =>
+              val (ka, kb) = (kf(a), kf(b))
+              // the engine negates the WHOLE comparison (null placement
+              // included) for a descending term — so does this
+              val base = when(ka.isNull && kb.isNull, lit(0))
+                .when(ka.isNull, lit(1)).when(kb.isNull, lit(-1))
+                .when(ka < kb, lit(-1)).when(ka > kb, lit(1)).otherwise(lit(0))
+              if (desc) base * lit(-1) else base
+            }
+            cs.reduceRight((c, acc) => when(c =!= 0, c).otherwise(acc))
+          }
+          Some(TCol(array_sort(arr, cmp), at))
+        }
+      }
+    }
+
+    /** `value.arr{key: agg}` -> map_from_entries over first-occurrence
+      * distinct keys, replicating the engine's grouping exactly: items whose
+      * key is undefined are skipped (the engine's silent `case null` branch),
+      * groups evaluate the aggregate over their member sequence, and an
+      * undefined aggregate omits the key (map_filter). A missing/empty input
+      * array yields an EMPTY object in the engine — hence the coalesce.
+      * Single-pair constructors only (multi-pair can raise D1009 on key
+      * collisions across pairs, which must stay an interpreter error); key
+      * expressions must be statically strings (non-string keys raise T1003). */
+    private def compileGroupPath(steps: Vector[Step], ctor: ObjCtor): Option[TCol] = {
+      if (ctor.pairs.length != 1) return None
+      val (kExpr, vExpr) = ctor.pairs.head
+      arrayValuePath(steps).flatMap { case (arr, at) =>
+        val et = at.elementType
+        elemKey(kExpr, et) match {
+          case Some((kf, StringType)) =>
+            compileGroupValue(vExpr, et).map { case (aggF, vt) =>
+              val keys = array_distinct(filter(transform(arr, e => kf(e)), k => k.isNotNull))
+              val entries = transform(keys, k =>
+                struct(k.as("key"), aggF(filter(arr, e => kf(e) === k)).as("value")))
+              val m = map_filter(map_from_entries(entries), (_, v) => v.isNotNull)
+              val empty = map_from_entries(array().cast(ArrayType(
+                StructType(Seq(StructField("key", StringType, nullable = false),
+                  StructField("value", vt))), containsNull = false)))
+              TCol(coalesce(m, empty), MapType(StringType, vt))
+            }
+          case _ => None
+        }
+      }
+    }
+
+    /** Group aggregate bodies with exact engine equivalents: $count($) and
+      * $sum/$min/$max/$average over a numeric member field. The engine's $sum
+      * keeps integral fidelity (long arithmetic, wrapping) when every item is
+      * integral and sums in double otherwise — mirrored by the static element
+      * type; $min/$max/$average of an all-undefined group are undefined (null
+      * here, dropped by the caller's map_filter). */
+    private def compileGroupValue(v: Ast, et: DataType): Option[(Column => Column, DataType)] =
+      v match {
+        case Call(VarRef("count"), Vector(VarRef(""))) =>
+          Some(((g: Column) => size(g).cast(LongType), LongType))
+        case Call(VarRef(fn @ ("sum" | "min" | "max" | "average")), Vector(fieldAst)) =>
+          relField(fieldAst).flatMap { f =>
+            val fl = et match {
+              case st: StructType =>
+                st.fields.find(_.name == f).filter(x => simpleAtomic(x.dataType) && isNum(x.dataType))
+              case _ => None
+            }
+            fl.map { fld =>
+              val integral = isIntegral(fld.dataType)
+              def vals(g: Column) = filter(transform(g, e => e.getField(f)), x => x.isNotNull)
+              fn match {
+                case "sum" =>
+                  val dt = if (integral) LongType else DoubleType
+                  (((g: Column) => {
+                    val vs = transform(vals(g), x => x.cast(dt))
+                    when(size(vs) > 0, aggregate(vs,
+                      if (integral) lit(0L) else lit(0.0),
+                      (acc, x) => legacyArith("+", acc, x)))
+                  }), dt)
+                case "min" | "max" =>
+                  val dt = if (integral) LongType else fld.dataType
+                  (((g: Column) => {
+                    val vs = transform(vals(g), x => x.cast(dt))
+                    if (fn == "min") array_min(vs) else array_max(vs)
+                  }), dt)
+                case "average" =>
+                  (((g: Column) => {
+                    val vs = transform(vals(g), x => x.cast(DoubleType))
+                    when(size(vs) > 0,
+                      aggregate(vs, lit(0.0), (acc, x) => legacyArith("+", acc, x)) / size(vs))
+                  }), DoubleType)
+              }
+            }
+          }
+        case _ => None
+      }
+
     def compile(a: Ast): Option[TCol] = a match {
       case NumLit(v) =>
         if (v.isIntegralNumber) Some(TCol(lit(v.longValue()), LongType))
         else Some(TCol(lit(v.doubleValue()), DoubleType))
       case StrLit(s) => Some(TCol(lit(s), StringType))
       case BoolLit(b) => Some(TCol(lit(b), BooleanType))
+      // `value.arr^(key)` — order-by over an array column (B20)
+      case Path(steps, _, None)
+          if steps.length >= 2 && steps.last.expr.isInstanceOf[SortOpNode] =>
+        compileSortedPath(steps)
+      // `value.arr{key: agg}` — group-by over an array column (B18)
+      case Path(steps, _, Some(ctor)) => compileGroupPath(steps, ctor)
       case p: Path =>
         valuePath(p).flatMap { names =>
           if (names.isEmpty) None

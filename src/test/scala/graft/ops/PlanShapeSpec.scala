@@ -69,6 +69,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("user_id"), "scan must prune unreferenced columns")
   }
 
+  test("jx10 compiled ^(): native array_sort, no interpreter, scan prunes to read fields") {
+    val p = plan("jx10_sorted_embedding")
+    assert(!p.contains("jsonata"), "jx10 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("array_sort"), "the sort must be the native array_sort kernel\n" + p.take(2000))
+    // the envelope/value pruning must reach the parquet scan: `label` is never
+    // read, so the scan schema must exclude it (SURVEY §4.2 — at 100 TB an
+    // unpruned scan column is the difference between minutes and hours)
+    assert(!p.contains("label"), "scan must prune the unread label column\n" + p.take(2000))
+    assert(p.contains("ReadSchema") && p.contains("vec_id"), p.take(2000))
+  }
+
   test("tx02 quality: map-only (no shuffle before the final sort)") {
     val p = plan("tx02_quality")
     // a per-document metric needs exactly the one exchange introduced by orderBy

@@ -183,6 +183,78 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "jx03 should now run on the compiled tier")
   }
 
+  test("^() sort over an array column compiles and matches the interpreter") {
+    diff("embeddings",
+      "{'id': value.vec_id, 's_asc': value.embedding^($), 's_desc': value.embedding^(>$)}",
+      "id BIGINT, s_asc ARRAY<FLOAT>, s_desc ARRAY<FLOAT>", "id")
+  }
+
+  private def itemsDf = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(
+        Row(1L, Seq(Row("b", 30L), Row("a", 10L), Row("b", 10L), Row("c", null), Row(null, 7L))),
+        Row(2L, Seq(Row("x", 5L))),
+        Row(3L, Seq.empty[Row]),
+        Row(4L, null)
+      ).asJava,
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT>>"))
+  }
+
+  test("^(field) struct sort: stable, desc, undefined-key placement match the interpreter") {
+    // doc 2 (singleton) exercises the pinned sequence-collapse divergence the
+    // compiled array outputs already have — restrict to multi-element rows
+    val df = itemsDf.filter("id = 1")
+    val expr = "{'id': value.id, 'asc': value.items^(price), 'desc': value.items^(>price), " +
+      "'two': value.items^(cat, >price)}"
+    val ddl = "id BIGINT, asc ARRAY<STRUCT<cat: STRING, price: BIGINT>>, " +
+      "desc ARRAY<STRUCT<cat: STRING, price: BIGINT>>, two ARRAY<STRUCT<cat: STRING, price: BIGINT>>"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "struct-field sort should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on struct sort:\n  compiled:    $a\n  interpreted: $b")
+  }
+
+  test("{} group-by over an array column matches the interpreter on all aggregates") {
+    val df = itemsDf
+    val expr = "{'id': value.id, 'n': value.items{cat: $count($)}, " +
+      "'s': value.items{cat: $sum(price)}, 'mx': value.items{cat: $max(price)}, " +
+      "'avg': value.items{cat: $average(price)}}"
+    val ddl = "id BIGINT, n MAP<STRING,BIGINT>, s MAP<STRING,BIGINT>, " +
+      "mx MAP<STRING,BIGINT>, avg MAP<STRING,DOUBLE>"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "single-pair group-by should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on group-by:\n  compiled:    $a\n  interpreted: $b")
+    // pin the engine-matching corners explicitly: null-key item skipped,
+    // all-undefined aggregate omits its key, null/empty arrays give {}
+    val r1 = a.find(_.head == 1L).get
+    assert(r1(1).asInstanceOf[Map[String, Long]] == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    assert(r1(2).asInstanceOf[Map[String, Long]] == Map("a" -> 10L, "b" -> 40L)) // c: sum(undefined) omitted
+    assert(a.find(_.head == 3L).get(1).asInstanceOf[Map[String, Long]] == Map.empty)
+    assert(a.find(_.head == 4L).get(1).asInstanceOf[Map[String, Long]] == Map.empty)
+  }
+
+  test("sort/group shapes outside the subset fall back to the interpreter") {
+    val df = itemsDf
+    // multi-pair group-by can raise D1009 — must stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'g': value.items{cat: $count($), 'k': $sum(price)}}").isEmpty)
+    // non-string key raises T1003 — must stay interpreted
+    assert(JsonataCompiler.transformCompiled(df, "{'g': value.items{price: $count($)}}").isEmpty)
+    // sort term on a non-existent field / non-atomic key
+    assert(JsonataCompiler.transformCompiled(df, "{'s': value.items^(missing)}").isEmpty)
+    // steps after the sort stay interpreted
+    assert(JsonataCompiler.transformCompiled(df, "{'s': value.items^(price).cat}").isEmpty)
+    // computed (non-path) group input stays interpreted
+    assert(JsonataCompiler.transformCompiled(df, "{'g': $split('a b', ' '){$: $count($)}}").isEmpty)
+  }
+
   test("in-membership on an undefined operand projects false in both tiers") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
