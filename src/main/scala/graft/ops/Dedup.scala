@@ -460,6 +460,53 @@ object Dedup {
           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
         FROM j GROUP BY source ORDER BY source""")),
 
+    // ---- bf01: Bloom-prefiltered incremental dedup — dd07's semantics ----
+    // ---- through the broadcast-sketch plan that wins at 100 TB        ----
+    // dd07 shuffles the WHOLE increment into the fingerprint join. Here the
+    // corpus reduces to a ~1%-fpp Bloom sketch (driver-side aggregate,
+    // broadcast as a literal); a map-only might_contain probe drops every
+    // increment row the sketch can rule out BEFORE any exchange, and only
+    // the survivors (true dups + ~1% false positives) reach the exact
+    // confirm semi-join. Bloom has no false negatives and the semi-join
+    // removes every false positive, so the output is bit-identical to the
+    // exact formulation — the oracle is dd07's SQL, unchanged. At 100 TB the
+    // joined data shrinks from the full increment to ~|dups|; the sketch is
+    // the only thing that scales with the corpus (bytes ≈ 1.2/doc).
+    Q("bf01_bloom_incremental",
+      (s, d) => {
+        val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+          md5(norm(col("text"))).as("fp"), Sampling.hashBucket(col("doc_id")).as("bk"))
+          .persist() // corpus + increment branches share the fingerprint scan
+        val corpusFp = f.filter(col("bk") < 80).select(col("fp")).distinct().persist()
+        val bloom = graft.spark.BloomFunctions.buildLong(
+          corpusFp.select(xxhash64(col("fp")).as("h")), "h",
+          expectedItems = corpusFp.count(), fpp = 0.01)
+        val inc = f.filter(col("bk") >= 80)
+        val dropped = inc
+          .filter(graft.spark.BloomFunctions.mightContain(bloom, xxhash64(col("fp"))))
+          .join(corpusFp, Seq("fp"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+        inc.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+          .join(dropped, Seq("source"), "left")
+          .select(col("source"), col("n_batch"),
+            (col("n_batch") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+            coalesce(col("nd"), lit(0L)).as("n_dropped"))
+          .orderBy(col("source"))
+      },
+      // the exact dd07 oracle verbatim: the Bloom tier must change NOTHING
+      Some(s"""WITH f AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              ${Sampling.hashBucketSql("doc_id")} AS bk
+            FROM documents),
+          c AS (SELECT DISTINCT fp FROM f WHERE bk < 80),
+          j AS (SELECT b.source, CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END AS kept
+                FROM (SELECT source, fp FROM f WHERE bk >= 80) b
+                LEFT JOIN c ON b.fp = c.fp)
+        SELECT source, count(*) AS n_batch,
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+        FROM j GROUP BY source ORDER BY source""")),
+
     // ---- dc01: decontamination — training docs sharing any 3-gram with ----
     // ---- the benchmark split ----
     // The eval-leakage scan every training corpus needs: the benchmark set

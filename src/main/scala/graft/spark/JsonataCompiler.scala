@@ -577,6 +577,44 @@ object JsonataCompiler {
               TCol(when(t.col.isNull, lit(0L)).otherwise(lit(1L)), LongType)
           }
         }
+        // numeric aggregates over a numeric array column (or a scalar, where
+        // they are the identity on the singleton sequence). Engine corners
+        // mirrored: $sum([]) = 0 but $sum(undefined) = undefined; $min/$max/
+        // $average of an empty/undefined sequence are undefined. The engine's
+        // $sum keeps integral fidelity (wrapping long arithmetic) for integral
+        // elements and sums in double otherwise — decided here by the static
+        // element type. JSON-null ELEMENTS raise T0412 in the engine but are
+        // skipped here (the pinned divergence class shared with `^()`).
+        case "sum" | "min" | "max" | "average" if args.length == 1 =>
+          arg(0).flatMap { t =>
+            t.dt match {
+              case ArrayType(et, _) if simpleAtomic(et) && isNum(et) =>
+                val vals = filter(t.col, x => x.isNotNull)
+                fn match {
+                  case "sum" =>
+                    val dt = if (isIntegral(et)) LongType else DoubleType
+                    val vs = transform(vals, x => x.cast(dt))
+                    Some(TCol(when(t.col.isNotNull, aggregate(vs,
+                      if (isIntegral(et)) lit(0L) else lit(0.0),
+                      (acc, x) => legacyArith("+", acc, x))), dt))
+                  case "min" | "max" =>
+                    val dt = if (isIntegral(et)) LongType else et
+                    val vs = transform(vals, x => x.cast(dt))
+                    Some(TCol(if (fn == "min") array_min(vs) else array_max(vs), dt))
+                  case "average" =>
+                    val vs = transform(vals, x => x.cast(DoubleType))
+                    Some(TCol(when(size(vs) > 0, aggregate(vs, lit(0.0),
+                      (acc, x) => legacyArith("+", acc, x)) / size(vs)), DoubleType))
+                }
+              case dt if isNum(dt) && simpleAtomic(dt) =>
+                // singleton sequence: the aggregate is the value itself —
+                // except $average, whose engine result is always a double
+                // (sum/length division), even for an integral singleton
+                if (fn == "average") Some(TCol(t.col.cast(DoubleType), DoubleType))
+                else Some(TCol(t.col, dt))
+              case _ => None
+            }
+          }
         case _ => None
       }
     }

@@ -240,6 +240,36 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.find(_.head == 4L).get(1).asInstanceOf[Map[String, Long]] == Map.empty)
   }
 
+  test("numeric aggregates over array columns compile and match the interpreter") {
+    // float array: double summation in array order on both tiers; scalar
+    // operands are the singleton identity ($average always double)
+    diff("embeddings",
+      "{'id': value.vec_id, 's': $sum(value.embedding), 'mn': $min(value.embedding), " +
+        "'mx': $max(value.embedding), 'av': $average(value.embedding), " +
+        "'one': $sum(value.label), 'oneav': $average(value.label)}",
+      "id BIGINT, s DOUBLE, mn FLOAT, mx FLOAT, av DOUBLE, one INT, oneav DOUBLE", "id")
+    // empty-array / null corners: $sum([]) = 0, $min/$max/$average([]) undefined
+    val df = itemsDf
+    val expr = "{'id': value.id, 's': $sum(value.prices), 'mx': $max(value.prices), " +
+      "'av': $average(value.prices)}"
+    // null ELEMENTS excluded: the engine raises T0412 on them (the pinned
+    // divergence — compiled skips them), so the equality check uses null-free
+    // arrays while keeping the empty/missing corners
+    val withPrices = df.selectExpr("id",
+      "filter(transform(items, x -> x.price), x -> x IS NOT NULL) AS prices")
+    val ddl = "id BIGINT, s BIGINT, mx BIGINT, av DOUBLE"
+    val compiled = JsonataCompiler.transformCompiled(withPrices, expr)
+    assert(compiled.isDefined, "array aggregates should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(withPrices, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on array aggregates:\n  compiled:    $a\n  interpreted: $b")
+    // pinned corners: empty array sums to 0 with undefined min/avg; null
+    // array is undefined everywhere
+    assert(a.find(_.head == 3L).get == Seq(3L, 0L, null, null))
+    assert(a.find(_.head == 4L).get == Seq(4L, null, null, null))
+  }
+
   test("sort/group shapes outside the subset fall back to the interpreter") {
     val df = itemsDf
     // multi-pair group-by can raise D1009 — must stay interpreted
