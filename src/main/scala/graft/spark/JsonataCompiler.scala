@@ -527,6 +527,18 @@ object JsonataCompiler {
               .otherwise(t.col.substr(pos + sep.length, lit(Int.MaxValue))), StringType))
           case _ => None
         }
+        // $replace with LITERAL string pattern/replacement only: the engine
+        // treats string args literally (all occurrences, left-to-right
+        // non-overlapping — same as quoted-regex scan), while regex-literal
+        // patterns and lambda replacements stay interpreted. Empty pattern
+        // raises D3010 in the engine — not compiled.
+        case "replace" => (str(0), args.lift(1), args.lift(2)) match {
+          case (Some(t), Some(StrLit(pat)), Some(StrLit(rep)))
+              if pat.nonEmpty && args.length == 3 =>
+            Some(TCol(regexp_replace(t.col, java.util.regex.Pattern.quote(pat),
+              java.util.regex.Matcher.quoteReplacement(rep)), StringType))
+          case _ => None
+        }
         // $pad never truncates (unlike bare lpad/rpad) — guard on length;
         // literal width/pad only; negative width pads left
         case "pad" =>

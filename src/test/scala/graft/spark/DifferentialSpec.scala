@@ -159,6 +159,20 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT, r STRING, l STRING, no STRING", "doc_id")
   }
 
+  test("$replace with literal pattern/replacement compiles; regex/lambda stay interpreted") {
+    diff("documents",
+      "{'doc_id': value.doc_id, 'r': $replace(value.text, 'the', 'THE'), " +
+        "'none': $replace(value.lang, 'zz', 'x'), " +
+        "'dollar': $replace(value.lang, 'e', '$5')}", // $-escape in the replacement
+      "doc_id BIGINT, r STRING, none STRING, dollar STRING", "doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(JsonataCompiler.transformCompiled(docs, "{'r': $replace(value.text, /th./, 'x')}").isEmpty,
+      "regex pattern must stay interpreted")
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'r': $replace(value.text, 'a', function($m) { 'x' })}").isEmpty,
+      "lambda replacement must stay interpreted")
+  }
+
   test("split+count fusion and join-of-split round-trip") {
     diff("documents",
       "{'doc_id': value.doc_id, 'nw': $count($split(value.text, ' ')), " +
