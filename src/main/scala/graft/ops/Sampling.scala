@@ -145,6 +145,62 @@ object Sampling {
     // order. 2 bytes keeps per-bucket work ≈ corpus/65536 at any scale while
     // the bucket-summary window stays ≤65,536 rows. Bucket width does not
     // affect pos: prefix ordering is consistent with full-key ordering.
+    // ---- sp05: deterministic per-source token-budget mixture selection ----
+    // The data-mixing step before training: each source contributes docs —
+    // chosen by deterministic md5 rank, so re-runs pick the same docs — until
+    // its token budget fills (greedy: the straddling doc is included).
+    // Scale shape: the per-source running total is the sp03/sp04 two-level
+    // prefix sum keyed INSIDE each source by a 1-byte hash prefix, so no
+    // window ever spans a whole source (a source can be billions of docs at
+    // 100 TB): the sequential window runs over the (source × ≤256 buckets)
+    // summary and the per-bucket windows are parallel. Widen the prefix as
+    // sources grow, like sp04.
+    Q("sp05_source_mixture",
+      (s, d) => {
+        val budget = 800L
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),
+            md5(concat(col("doc_id").cast("string"), lit(":mix7"))).as("k"))
+          .withColumn("bk", substring(col("k"), 1, 2))
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = keyed.groupBy(col("source"), col("bk"))
+          .agg(sum(col("tokens")).as("bsum"))
+          .withColumn("boff", sum(col("bsum")).over(wSrc) - col("bsum"))
+          .select(col("source"), col("bk"), col("boff"))
+        val wIn = Window.partitionBy(col("source"), col("bk")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = keyed.join(broadcast(offsets), Seq("source", "bk"))
+          .withColumn("cum", col("boff") + sum(col("tokens")).over(wIn))
+        val sel = cum.filter(col("cum") - col("tokens") < budget)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_selected"), sum(col("tokens")).as("tok_selected"))
+        keyed.groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
+          .join(sel, Seq("source"), "left")
+          .select(col("source"), col("n_candidates"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            coalesce(col("tok_selected"), lit(0L)).as("tok_selected"))
+          .orderBy(col("source"))
+      },
+      // one-level per-source window in SQL — value-identical to the
+      // two-level engine form (the offsets telescope; ORDER BY k within
+      // source is the same total order since bk is a prefix of k)
+      Some("""WITH tk AS (SELECT doc_id, source,
+              len(string_split_regex(trim(text), '\s+')) AS tokens,
+              md5(CAST(doc_id AS VARCHAR) || ':mix7') AS k
+            FROM documents),
+          c AS (SELECT *, sum(tokens) OVER (PARTITION BY source ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tk),
+          sel AS (SELECT source, count(*) AS n_selected,
+                    CAST(sum(tokens) AS BIGINT) AS tok_selected
+                  FROM c WHERE cum - tokens < 800 GROUP BY source)
+        SELECT t.source, count(*) AS n_candidates,
+          coalesce(any_value(sel.n_selected), 0) AS n_selected,
+          coalesce(any_value(sel.tok_selected), 0) AS tok_selected
+        FROM tk t LEFT JOIN sel ON t.source = sel.source
+        GROUP BY t.source ORDER BY t.source""")),
+
     Q("sp04_shuffle_order",
       (s, d) => {
         val key = md5(concat(col("doc_id").cast("string"), lit(":42")))
