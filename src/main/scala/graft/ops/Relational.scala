@@ -136,7 +136,11 @@ object Relational {
       (s, d) => {
         val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
         val n = broadcast(t(s, d, "nation"))
-        val c = broadcast(t(s, d, "customer"))
+        // customer scales with SF (15M rows at sf100) — no forced hint; the
+        // planner/AQE broadcasts while it fits the threshold and degrades to a
+        // shuffle join beyond it instead of OOMing the driver. region/nation
+        // are constant-size (5/25 rows) at every SF, so their hints are safe.
+        val c = t(s, d, "customer")
         val o = orders(s, d).filter(
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))

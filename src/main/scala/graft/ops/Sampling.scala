@@ -130,7 +130,12 @@ object Sampling {
                   sum(tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
                 FROM toks),
-          a AS (SELECT doc_id, tokens, (cum_end - tokens) // $ShardTokens AS shard FROM c)
+          a AS (SELECT doc_id, tokens,
+                  -- cum_end inherits HUGEINT from the windowed sum, so the
+                  -- derived group key must be cast back to BIGINT or the
+                  -- driver's schema hash diverges from Spark's LongType
+                  CAST((cum_end - tokens) // $ShardTokens AS BIGINT) AS shard
+                FROM c)
         SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY shard ORDER BY shard""")),

@@ -43,6 +43,17 @@ def main(out_dir, sf_dir):
             oracle_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        # HUGEINT lint: DuckDB widens integer sums to HUGEINT, which the
+        # driver hashes differently from Spark's BIGINT even when values
+        # match (shipped twice: sp01/sp03 r5, sp03 r6). Fail loudly here.
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"  {name}: HUGEINT LINT {huge} — add CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1; continue
+        except Exception:
+            pass  # DESCRIBE unsupported for this statement shape; value compare still runs
         s = spark_df[sorted(spark_df.columns)]
         o = oracle_df[sorted(oracle_df.columns)]
         if sorted(s.columns) != sorted(o.columns):
