@@ -22,14 +22,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The only unpartitioned windows in the registry are sp03/sp04's
+    // The only unpartitioned windows in the registry are sp03/sp04/sp05's
     // block-summary prefix sums — single-partition BY DESIGN over tiny
     // relations (≈ parallelism rows / ≤65,536 hash buckets, never the
     // corpus), so WindowExec's blanket warning is expected noise here, not a
-    // scale risk. Filter just that logger so the bench tail stays clean.
+    // scale risk. Filter just that logger, SCOPED to this run: the prior
+    // level is restored before exit so a genuine single-partition-window
+    // regression in any embedding application still surfaces (new queries
+    // are additionally guarded by PlanShapeSpec's registry-wide window
+    // audit).
+    val windowLogger = "org.apache.spark.sql.execution.window"
+    val priorWindowLevel = org.apache.logging.log4j.LogManager.getLogger(windowLogger).getLevel
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+      windowLogger, org.apache.logging.log4j.Level.ERROR)
     // Warm up JVM/codegen/parquet-reader paths so per-query timings measure
     // the queries, not first-job initialization. The schemas are identical
     // across scale factors, so running every registered query once at the
@@ -61,6 +66,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(windowLogger, priorWindowLevel)
     spark.stop()
   }
 }

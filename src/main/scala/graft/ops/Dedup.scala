@@ -39,7 +39,7 @@ object Dedup {
     * the null out-of-bounds word hashes and emit a degenerate shingle that
     * the oracles' NULL-trigram concat drops, so the two engines would
     * disagree on any sub-trigram doc. */
-  private def shingleHashes(text: Column): Column = {
+  private[ops] def shingleHashes(text: Column): Column = {
     val wh = wordHashes(text)
     // the guard is a zero-length slice, NOT a when() branch: conditional
     // branches block codegen subexpression elimination, so a when() here

@@ -11,22 +11,28 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * answered by the right row with the greatest `f_ts <= p_ts` on its key
   * (ties on time resolve to the greatest payload), left-outer when no right
   * row qualifies. The streaming part is WHEN that answer is emitted: a probe
-  * is held in state until the watermark passes its event time — only then can
-  * no qualifying right row still arrive (anything older than the watermark is
-  * dropped upstream), so the emitted answer is point-in-time correct even
-  * when a right row lands in a later micro-batch than the probe it serves
-  * (the "late right row" case an eager lookup gets wrong; pinned by
+  * is held in state until the watermark reaches its event time — only then
+  * can no qualifying right row still arrive, INCLUDING at the equality
+  * boundary: Spark's transformWithState drops input rows with event time <=
+  * the late-events watermark (the previous micro-batch's watermark), so once
+  * wm >= p_ts no feature with f_ts <= p_ts can be admitted anymore
+  * (verified empirically on 4.1: a feature at f_ts == wm sent in a later
+  * micro-batch never reaches the processor; a feature arriving in the SAME
+  * micro-batch that ripens the probe is appended before timers run and is
+  * visible). The emitted answer is therefore point-in-time correct even when
+  * a right row lands in a later micro-batch than the probe it serves (the
+  * "late right row" case an eager lookup gets wrong; pinned by
   * TemporalStreamingSpec).
   *
   * State per key is bounded by the watermark horizon, not the stream:
-  *  - pending probes: only those with `p_ts` > watermark (resolved + removed
-  *    once the watermark passes);
+  *  - pending probes: only those with `p_ts` > watermark (resolved +
+  *    removed once the watermark reaches them);
   *  - right history: features newer than the GC guard (min of watermark and
   *    the oldest pending probe) plus ONE latest-at-guard feature — any future
   *    probe arrives with `p_ts` ≥ watermark, so older history is
   *    unreachable and is pruned on every timer.
-  * Timers are one per pending probe timestamp — O(active horizon) per key,
-  * the shape that survives an unbounded key space.
+  * Timers are one per event timestamp (probe or feature) — O(active
+  * horizon) per key, the shape that survives an unbounded key space.
   */
 object StreamingAsof {
 
@@ -70,11 +76,19 @@ object StreamingAsof {
     override def handleInputRows(key: Long, rows: Iterator[AsofRow],
                                  timerValues: TimerValues): Iterator[Enriched] = {
       rows.foreach { r =>
-        if (r.side == 0) feats.appendValue(Feat(r.ts, r.v))
-        else {
+        if (r.side == 0) {
+          feats.appendValue(Feat(r.ts, r.v))
+          // cleanup timer: without it a key that only ever receives features
+          // (no probes) would grow its right history forever — the timer
+          // fires once the watermark reaches f_ts and prunes history to the
+          // single latest-at-guard feature
+          getHandle.registerTimer(r.ts)
+        } else {
           pending.appendValue(Pend(r.ts, r.id))
-          // fires once the watermark passes the probe's event time; duplicate
-          // timestamps re-register the same timer (idempotent)
+          // fires once the watermark reaches the probe's event time — safe
+          // even at equality, because Spark admits only input rows with
+          // event time > the late-events watermark (see class scaladoc).
+          // Duplicate timestamps re-register the same timer (idempotent).
           getHandle.registerTimer(r.ts)
         }
       }
@@ -86,8 +100,10 @@ object StreamingAsof {
       val wm = math.max(timerValues.getCurrentWatermarkInMs(), expired.getExpiryTimeInMs)
       val fs = feats.get().toVector
       val ps = pending.get().toVector
+      // <= is safe at the equality boundary: a feature with f_ts == wm can
+      // no longer be admitted (late-events filter is ts <= previous wm), and
+      // one arriving in THIS batch was appended before timers ran
       val (ripe, stillPending) = ps.partition(_.ts <= wm)
-      if (ripe.isEmpty) return Iterator.empty
       // answer = greatest (f_ts, payload) among f_ts <= p_ts — the batch
       // operator's exact tie-break (time, then payload)
       val out = ripe.sortBy(p => (p.ts, p.id)).map { p =>
@@ -98,8 +114,10 @@ object StreamingAsof {
           Enriched(p.id, key, p.ts, Some(best.ts), Some(best.v))
         }
       }
-      if (stillPending.isEmpty) pending.clear()
-      else { pending.clear(); stillPending.foreach(pending.appendValue) }
+      if (ripe.nonEmpty) {
+        if (stillPending.isEmpty) pending.clear()
+        else { pending.clear(); stillPending.foreach(pending.appendValue) }
+      }
       // GC the right history: guard = the oldest time any unresolved or
       // future probe can still ask about (future probes arrive >= watermark)
       val guard = (stillPending.map(_.ts) :+ wm).min

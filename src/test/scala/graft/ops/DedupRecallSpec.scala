@@ -74,10 +74,10 @@ class DedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact all-pairs oracle is only valid because the cap is inert here:
     // recompute the band-bucket occupancy and pin it far below the cap.
     val docs = Tables.t(spark, sfDir, "documents")
-    val wh = transform(split(lower(col("text")), " "), x => xxhash64(x))
-    val sh = array_distinct(
-      transform(sequence(lit(0), greatest(size(wh) - 3, lit(0))),
-        i => xxhash64(get(wh, i), get(wh, i + 1), get(wh, i + 2))))
+    // the ENGINE's shingle builder (zero-length-slice sub-trigram guard
+    // included) — recomputing with a divergent formula here would measure
+    // band keys the dd04 pipeline never builds
+    val sh = Dedup.shingleHashes(col("text"))
     val sig = graft.spark.SketchExpressions.minhashSig(
       col("sh"), Dedup.permA.toIndexedSeq, Dedup.permB.toIndexedSeq, Dedup.Mask)
     val maxBucket = docs.select(col("doc_id"), sh.as("sh"))

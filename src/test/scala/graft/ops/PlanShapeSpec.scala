@@ -148,6 +148,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("registry-wide: no unpartitioned window outside the documented sp03/sp04/sp05 block-summary prefix sums") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // these three run their ONLY sequential window over a block/bucket
+    // summary relation (≈ parallelism rows / ≤65,536 buckets, never the
+    // corpus) — single-partition by design; Bench suppresses exactly that
+    // WindowExec warning, and THIS test is what keeps the suppression honest
+    // for every other query in the registry
+    val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture")
+    def unpartitionedWindows(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.initialPlan)
+        case _ => p.children.flatMap(unpartitionedWindows)
+      }
+      here ++ below
+    }
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val hits = unpartitionedWindows(plan)
+      if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned (single-task) windows outside the documented set:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("mm01 metadata: payload bytes feed the projection, not a shuffle") {
     val p = plan("mm01_media_meta")
     // metadata extraction is map-only + the final orderBy exchange

@@ -133,6 +133,55 @@ class TemporalStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains(Enriched(401L, 4L, 30000L, Some(20000L), Some(0.0))), s"got $got")
   }
 
+  test("equality boundary: resolving at wm == p_ts is safe — Spark never admits a feature at f_ts <= the reached watermark") {
+    val (input, query) = startQuery("asof_boundary", "0 seconds")
+    // batch 1: probe at 5000; another key's feature pushes the watermark to
+    // EXACTLY 5000 at end-of-batch
+    input.addData((7L, 5000L, 1, 700L, 0.0), (99L, 5000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    // batch 2: a feature at f_ts == 5000 == wm PLUS a later probe that would
+    // see it if it were admitted. Spark's late-events filter drops rows with
+    // event time <= the previous batch's watermark, so BOTH probes must
+    // answer None — resolving probe 700 the moment wm reached 5000 lost
+    // nothing. (If Spark ever started admitting boundary rows, probe 701
+    // would surface it here as a Some(5000) answer.)
+    input.addData((7L, 5000L, 0, 0L, 7.5), (7L, 6000L, 1, 701L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 100000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 200000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    val got = results("asof_boundary")
+    query.stop()
+    assert(got.contains(Enriched(700L, 7L, 5000L, None, None)), s"got $got")
+    assert(got.contains(Enriched(701L, 7L, 6000L, None, None)),
+      s"boundary feature was admitted — the <= resolution boundary is no longer safe; got $got")
+  }
+
+  test("probe-less keys prune right history via feature-arrival timers; the latest feature survives") {
+    val (input, query) = startQuery("asof_featonly", "0 seconds")
+    // key 8 only ever receives features — no probe ever registers a timer for
+    // it, so pruning must come from the feature-arrival cleanup timers
+    input.addData((8L, 1000L, 0, 0L, 1.0), (8L, 2000L, 0, 0L, 2.0),
+      (8L, 3000L, 0, 0L, 3.0), (8L, 4000L, 0, 0L, 4.0), (8L, 5000L, 0, 0L, 5.0))
+    query.processAllAvailable()
+    input.addData((99L, 100000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 200000L, 0, 0L, 0.0)) // cleanup timers ≤ 100001 fire here
+    query.processAllAvailable()
+    // a first-ever probe on the key must still answer from the one retained
+    // latest-at-guard feature
+    input.addData((8L, 300000L, 1, 800L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 400000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    input.addData((99L, 500000L, 0, 0L, 0.0))
+    query.processAllAvailable()
+    val got = results("asof_featonly")
+    query.stop()
+    assert(got.contains(Enriched(800L, 8L, 300000L, Some(5000L), Some(5.0))), s"got $got")
+  }
+
   test("streaming results equal the batch AsofJoin on the same data") {
     val sp = spark
     import sp.implicits._
