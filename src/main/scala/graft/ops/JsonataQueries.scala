@@ -145,6 +145,20 @@ object JsonataQueries {
           CAST(st[len(st)] AS DOUBLE) AS low, len(st) AS dim
         FROM s ORDER BY vec_id""")),
 
+    // ---- jx11: $map/$filter inline lambdas on the COMPILED tier — native ----
+    // ---- transform/filter inside whole-stage codegen (no interpreter,    ----
+    // ---- pinned in PlanShapeSpec). The HOF results compose under the     ----
+    // ---- compiled aggregates, which also makes the query immune to the   ----
+    // ---- engine's singleton sequence collapse (aggregate of a scalar is  ----
+    // ---- the identity).                                                  ----
+    q("jx11_hof_lambda", "embeddings",
+      "{'vec_id': value.vec_id, 'pos': $count($filter(value.embedding, function($x){ $x > 0 })), 'mx2': $max($map(value.embedding, function($x){ $x * 2 }))}",
+      "vec_id BIGINT, pos BIGINT, mx2 DOUBLE",
+      Seq("vec_id"),
+      Some("""SELECT vec_id, len(list_filter(embedding, x -> x > 0)) AS pos,
+        list_max(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)) AS mx2
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -16,8 +16,9 @@ import graft.jsonata.Ast
   * operands, conditionals, top-level object construction, tombstone filters,
   * `^()` order-by over array columns (array_sort with an engine-equivalent
   * comparator), `{}` group-by over array columns (map_from_entries with
-  * $count/$sum/$min/$max/$average aggregates), and builtins with exact Spark
-  * equivalents — into native Columns. The result
+  * $count/$sum/$min/$max/$average aggregates), `$map`/`$filter` with inline
+  * arity-1 lambdas over array operands (→ native transform/filter), and
+  * builtins with exact Spark equivalents — into native Columns. The result
   * runs entirely inside whole-stage codegen with predicate pushdown and column
   * pruning: no JSON serialization, no interpreter, no CodegenFallback.
   *
@@ -97,6 +98,14 @@ object JsonataCompiler {
 
   private final class Ctx(schema: StructType) {
 
+    /** Lambda-parameter bindings during HOF body compilation. Inside a lambda
+      * the engine invokes the body with a NULL input context
+      * (Functions.scala fMap/fFilter: `interp.invoke(f, args, null)`), so row
+      * paths like `value.x` are undefined there — `inLambda` blocks the
+      * schema-rooted path rules and only param-rooted references resolve. */
+    private var lambdaEnv: Map[String, TCol] = Map.empty
+    private var inLambda: Boolean = false
+
     def fieldType(path: Seq[String]): Option[DataType] = {
       var dt: DataType = schema
       path.foreach { name =>
@@ -159,6 +168,87 @@ object JsonataCompiler {
         st.expr match { case NameStep(f) => Some(f); case _ => None }
       case _ => None
     }
+
+    /** Param-rooted path inside a lambda body: `$x` / `$x.price.net` — name
+      * steps over the bound element only. Everything else (row paths, `$`,
+      * sorts, predicates, keep-array markers) returns None so the whole query
+      * falls back to the always-correct interpreted tier. */
+    private def lambdaPath(p: Path): Option[TCol] = {
+      val plain = !p.keepSingletonArray && p.group.isEmpty && p.steps.nonEmpty &&
+        !p.steps.exists(s => s.stages.nonEmpty || s.keepArray ||
+          s.focus.isDefined || s.index.isDefined) &&
+        p.steps.tail.forall(_.expr.isInstanceOf[NameStep])
+      var acc: Option[TCol] =
+        if (!plain) None
+        else p.steps.head.expr match {
+          case VarRef(n) => lambdaEnv.get(n)
+          case _ => None
+        }
+      val it = p.steps.tail.iterator
+      while (acc.isDefined && it.hasNext) {
+        val f = it.next().expr.asInstanceOf[NameStep].name
+        acc = acc.get.dt match {
+          case st: StructType =>
+            st.fields.find(_.name == f)
+              .map(fl => TCol(acc.get.col.getField(f), fl.dataType))
+          case _ => None
+        }
+      }
+      acc
+    }
+
+    /** Compile a single-parameter lambda body against an element of type `et`.
+      * Returns the per-element Column builder + the body's static type. The
+      * dry run with a typed null placeholder decides compilability once; the
+      * builder then re-compiles against the real lambda variable (compilation
+      * is pure given the same env, so the two runs agree). */
+    private def compileLambda(param: String, et: DataType, body: Ast): Option[(Column => Column, DataType)] = {
+      def inEnv[A](v: TCol)(f: => A): A = {
+        val (se, si) = (lambdaEnv, inLambda)
+        lambdaEnv += (param -> v); inLambda = true
+        try f finally { lambdaEnv = se; inLambda = si }
+      }
+      inEnv(TCol(lit(null).cast(et), et))(compile(body)).map { probe =>
+        (((e: Column) => inEnv(TCol(e, et))(compile(body)).get.col), probe.dt)
+      }
+    }
+
+    /** `$map`/`$filter` with an inline arity-1 lambda over an array operand.
+      * Engine semantics mirrored (Functions.scala:708-733): $map drops items
+      * whose lambda result is undefined (SQL NULL here); $filter keeps items
+      * whose body is truthy — compiled only for statically-boolean bodies,
+      * where truthiness is the boolean itself and undefined is false. An
+      * undefined input array propagates (transform/filter of NULL is NULL).
+      * Pinned divergence classes shared with the other compiled array ops: a
+      * JSON-null ELEMENT raises a type error in the engine (T2010 in the
+      * body's arithmetic/comparison) but flows through as NULL here, and a
+      * singleton result collapses to the scalar at an engine expression
+      * boundary where the compiled tier keeps the 1-element array — immune
+      * when composed under the compiled aggregates, whose engine behavior on
+      * a scalar is the identity. Higher arities ($v, $i, $a) and non-inline
+      * function references stay interpreted. */
+    private def compileHof(fn: String, args: Seq[Ast]): Option[TCol] =
+      (args.lift(0), args.lift(1)) match {
+        case (Some(arrA), Some(Lambda(Vector(p), body, _))) if args.length == 2 =>
+          compile(arrA).flatMap { t =>
+            t.dt match {
+              case ArrayType(et, _) =>
+                compileLambda(p, et, body).flatMap { case (bf, bt) =>
+                  fn match {
+                    case "map" =>
+                      Some(TCol(filter(transform(t.col, bf), x => x.isNotNull),
+                        ArrayType(bt)))
+                    case "filter" if bt == BooleanType =>
+                      Some(TCol(filter(t.col, e => coalesce(bf(e), lit(false))),
+                        ArrayType(et)))
+                    case _ => None
+                  }
+                }
+              case _ => None
+            }
+          }
+        case _ => None
+      }
 
     /** Number (non-decimal) or string — the types whose Spark ordering and
       * arithmetic provably match the engine's (decimals stay interpreted:
@@ -303,6 +393,11 @@ object JsonataCompiler {
         else Some(TCol(lit(v.doubleValue()), DoubleType))
       case StrLit(s) => Some(TCol(lit(s), StringType))
       case BoolLit(b) => Some(TCol(lit(b), BooleanType))
+      // lambda parameter reference (`$x` inside a compiled HOF body)
+      case VarRef(n) if lambdaEnv.contains(n) => Some(lambdaEnv(n))
+      // inside a lambda body only param-rooted paths resolve (the engine's
+      // invocation context is null, so `value.*` there is undefined)
+      case p: Path if inLambda => lambdaPath(p)
       // `value.arr^(key)` — order-by over an array column (B20)
       case Path(steps, _, None)
           if steps.length >= 2 && steps.last.expr.isInstanceOf[SortOpNode] =>
@@ -463,6 +558,10 @@ object JsonataCompiler {
         case _ => None
       }
       fn match {
+        // a lambda param shadowing a builtin name must not be compiled as
+        // the builtin (the engine would call the bound function value)
+        case _ if lambdaEnv.contains(fn) => None
+        case "map" | "filter" => compileHof(fn, args)
         case "uppercase" => str(0).map(t => TCol(upper(t.col), StringType))
         case "lowercase" => str(0).map(t => TCol(lower(t.col), StringType))
         case "trim" =>

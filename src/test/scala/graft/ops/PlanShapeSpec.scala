@@ -117,6 +117,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx11 HOF lambdas run on the compiled tier (native transform/filter)") {
+    val p = plan("jx11_hof_lambda")
+    assert(!p.contains("jsonata"), "jx11 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

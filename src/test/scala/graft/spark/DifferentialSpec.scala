@@ -284,6 +284,52 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.find(_.head == 4L).get == Seq(4L, null, null, null))
   }
 
+  test("$map/$filter inline lambdas compile and match the interpreter") {
+    // composed under aggregates: immune to the singleton sequence collapse
+    diff("embeddings",
+      "{'id': value.vec_id, 'pos': $count($filter(value.embedding, function($x){ $x > 0 })), " +
+        "'mx2': $max($map(value.embedding, function($x){ $x * 2 })), " +
+        "'neg': $count($filter(value.embedding, function($x){ $x < 0 and $x > -1 }))}",
+      "id BIGINT, pos BIGINT, mx2 DOUBLE, neg BIGINT", "id")
+  }
+
+  test("$map over struct elements: undefined body results drop on both tiers") {
+    // id=1 only: multi-element rows avoid the pinned singleton collapse; the
+    // null-price item maps to undefined (engine) / NULL (compiled) and is
+    // dropped from the result by both tiers
+    val df = itemsDf.filter("id = 1")
+    val expr = "{'id': value.id, 'p2': $map(value.items, function($i){ $i.price * 2 }), " +
+      "'cheap': $filter(value.items, function($i){ $i.price <= 10 })}"
+    val ddl = "id BIGINT, p2 ARRAY<BIGINT>, cheap ARRAY<STRUCT<cat: STRING, price: BIGINT>>"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "struct-lambda map/filter should compile")
+    val a = compiled.get.collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on struct HOF:\n  compiled:    $a\n  interpreted: $b")
+    assert(a.head(1).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(60L, 20L, 20L, 14L))
+  }
+
+  test("HOF shapes outside the subset fall back to the interpreter") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // arity-2 lambdas get the index argument — interpreted only
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'m': $map(value.embedding, function($x, $i){ $x })}").isEmpty)
+    // row paths inside a lambda body resolve against the NULL invocation
+    // context (undefined), not the row — must not compile as a column
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'m': $map(value.embedding, function($x){ $x + value.vec_id })}").isEmpty)
+    // $filter bodies must be statically boolean (number truthiness differs)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'f': $filter(value.embedding, function($x){ $x })}").isEmpty)
+    // a param shadowing a builtin name is a function value in the engine
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'u': $map(value.embedding, function($uppercase){ $uppercase($uppercase) })}").isEmpty)
+    // non-inline function references stay interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'m': $map(value.embedding, $string)}").isEmpty)
+  }
+
   test("sort/group shapes outside the subset fall back to the interpreter") {
     val df = itemsDf
     // multi-pair group-by can raise D1009 — must stay interpreted
