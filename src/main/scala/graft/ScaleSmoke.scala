@@ -1,0 +1,101 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-proof smoke (VERDICT r6 item 8): run the dedup / similarity /
+  * sampling / text families once at sf1 (10x the bench scale; generate with
+  * tools/gen_sf1.py) and record that the frequency caps and adaptive
+  * constants hold their bounds — the evidence is task-level, not just
+  * wall-clock: a cap failure at scale shows up as one straggler task doing a
+  * quadratic block's work, so we track the MAX single-task runtime and the
+  * max records a task reads from a shuffle. Prints one JSON line:
+  *
+  * {"metric":"scale_smoke","value":<total sec>,"queries":{name:
+  *   {"sec":s,"max_task_sec":s,"max_task_records":n}},"sf":...}
+  *
+  * Only documents/embeddings exist at sf1, so the TPC-H/events families are
+  * out of scope here (they run at sf0.1 in Bench).
+  */
+object ScaleSmoke {
+
+  /** Per-task ceiling tracker; reset between queries. */
+  private final class TaskMaxListener extends SparkListener {
+    @volatile var maxTaskMs: Long = 0L
+    @volatile var maxTaskRecords: Long = 0L
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+        val recs = math.max(
+          m.shuffleReadMetrics.recordsRead,
+          math.max(m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten))
+        maxTaskRecords = math.max(maxTaskRecords, recs)
+      }
+    }
+    def reset(): Unit = { maxTaskMs = 0L; maxTaskRecords = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // the sf1 slice is ONE ~5 MB file per table; at the default 128 MB
+      // maxPartitionBytes every scan is a single input split and all map-side
+      // work serializes on one core — an artifact of the small fixture, not
+      // the operator. A 100 TB corpus has millions of splits, so the smoke
+      // simulates split abundance; per-operator scale behavior is the thing
+      // under test here, not parquet split math.
+      .config("spark.sql.files.maxPartitionBytes", "256k")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // the families whose caps/bounds the smoke is about (documents/embeddings
+    // inputs only — the sf1 slice has exactly those tables)
+    val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp")
+    // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
+    // prints each query's formatted plan before running it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.exists(n.startsWith))
+      .filter(n => only.isEmpty || only.exists(n.startsWith))
+
+    val rows = mutable.LinkedHashMap.empty[String, (Double, Double, Long)]
+    names.foreach { name =>
+      listener.reset()
+      if (explain) {
+        try println(s"=== $name ===\n" +
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable => System.err.println(s"[smoke] explain $name: ${e.getMessage}") }
+      }
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[smoke] $name failed: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      // listener events drain asynchronously; settle before reading maxima
+      org.apache.spark.sql.graftshim.Shims.drainListenerBus(spark)
+      rows(name) = (sec, listener.maxTaskMs / 1e3, listener.maxTaskRecords)
+    }
+    val qs = rows.map { case (k, (s, mt, mr)) =>
+      f""""$k":{"sec":$s%.3f,"max_task_sec":$mt%.3f,"max_task_records":$mr}"""
+    }.mkString("{", ",", "}")
+    val total = rows.values.map(_._1).sum
+    val worstTask = if (rows.isEmpty) 0.0 else rows.values.map(_._2).max
+    println(f"""{"metric":"scale_smoke","value":$total%.3f,"unit":"sec","worst_task_sec":$worstTask%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -206,6 +206,62 @@ object Sampling {
         FROM tk t LEFT JOIN sel ON t.source = sel.source
         GROUP BY t.source ORDER BY t.source""")),
 
+    // ---- sp06: temperature-flattened per-source subsampling ----
+    // The multilingual/multi-source rebalancing trick (sampling exponent
+    // α = 0.5): big sources are DOWN-sampled toward sqrt growth so small
+    // sources keep representation — per-source target = min(n, ⌊2·√n⌋),
+    // selection = the target-many lowest md5 ranks within the source
+    // (deterministic; re-runs and both engines pick the same docs, verified
+    // by the sum-of-selected-ids checksum). floor(2·sqrt(n)) is replay-safe
+    // across engines: IEEE sqrt is correctly rounded and the ×2 is exact, so
+    // there is no cross-engine last-ulp hazard (unlike a normalized
+    // Σ n^α mixture, whose cross-source double sum is order-dependent).
+    // Scale shape: per-source rank via the sp04/sp05 two-level formulation —
+    // bucket counts (source × ≤256 rows, broadcast) + a parallel rank within
+    // each (source, bucket); no window spans a source, targets relation is
+    // one row per source.
+    Q("sp06_temperature_sample",
+      (s, d) => {
+        val keyed = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(col("doc_id").cast("string"), lit(":tmp5"))).as("k"))
+          .withColumn("bk", substring(col("k"), 1, 2))
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = keyed.groupBy(col("source"), col("bk"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("boff", sum(col("bn")).over(wSrc) - col("bn"))
+        val targets = offsets.groupBy(col("source"))
+          .agg(sum(col("bn")).as("n_candidates"))
+          .withColumn("n_target", least(col("n_candidates"),
+            floor(lit(2.0) * sqrt(col("n_candidates"))).cast("long")))
+        val wIn = Window.partitionBy(col("source"), col("bk")).orderBy(col("k"))
+        val ranked = keyed
+          .join(broadcast(offsets.select(col("source"), col("bk"), col("boff"))),
+            Seq("source", "bk"))
+          .withColumn("r", col("boff") + row_number().over(wIn))
+        ranked.join(broadcast(targets), Seq("source"))
+          .groupBy(col("source"), col("n_candidates"), col("n_target"))
+          .agg(count(when(col("r") <= col("n_target"), 1)).as("n_selected"),
+            coalesce(sum(when(col("r") <= col("n_target"), col("doc_id"))), lit(0L))
+              .as("sum_sel_ids"))
+          .orderBy(col("source"))
+      },
+      // one-level row_number in SQL — same total order (bk is a prefix of k)
+      Some("""WITH tk AS (SELECT doc_id, source,
+              md5(CAST(doc_id AS VARCHAR) || ':tmp5') AS k FROM documents),
+          cnt AS (SELECT source, count(*) AS n_candidates FROM tk GROUP BY source),
+          tgt AS (SELECT source, n_candidates,
+                    least(n_candidates, CAST(floor(2.0 * sqrt(n_candidates)) AS BIGINT)) AS n_target
+                  FROM cnt),
+          rk AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY k) AS r FROM tk)
+        SELECT t.source, t.n_candidates, t.n_target,
+          count(*) FILTER (WHERE r.r <= t.n_target) AS n_selected,
+          CAST(coalesce(sum(r.doc_id) FILTER (WHERE r.r <= t.n_target), 0) AS BIGINT) AS sum_sel_ids
+        FROM rk r JOIN tgt t USING (source)
+        GROUP BY 1, 2, 3 ORDER BY 1""")),
+
     Q("sp04_shuffle_order",
       (s, d) => {
         val key = md5(concat(col("doc_id").cast("string"), lit(":42")))

@@ -88,6 +88,20 @@ object Similarity {
   private val AnchorOffset = 7
   private val NProbe = 4
 
+  /** ss03 hot-bucket cap: (table, code) buckets beyond this occupancy are
+    * hash-downsampled to ~this many entries before the candidate join (see
+    * the ss03 scale note). Visible to SimilarityRecallSpec, which pins that
+    * driver-scale occupancy stays far below it (the exact oracle depends on
+    * the cap being inert there). */
+  private[ops] val BucketCap = 2048L
+
+  /** (tb, code, occ) LSH bucket census over a testdata dir — for the spec's
+    * cap-inertness pin. */
+  private[ops] def lshBucketCensus(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).withColumn("codes", lshCodes(col("vec")))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("tb", "code")))
+      .groupBy(col("tb"), col("code")).agg(count(lit(1)).as("occ"))
+
   val entries: Seq[Q] = Seq(
     // ---- ss01: brute-force cosine top-5 per query vector (exact oracle) ----
     // SCALE BOUND on the broadcast: the query side here is vec_id % 100 == 0
@@ -239,25 +253,45 @@ object Similarity {
     // are pure integer LCG arithmetic, so the oracle rebuilds them in SQL and
     // replays the exact pipeline (codes -> bucket join -> exact cosine top-3).
     // SimilarityRecallSpec separately pins recall vs ss01's exact top-k.
+    //
+    // SCALE SHAPE (two lessons the sf1 smoke taught): (1) the candidate
+    // relation is IDS ONLY — bucket-join output is quadratic in bucket
+    // occupancy, and carrying two 64-float payloads through it turned a
+    // clustered sf1 corpus into a 20-minute spill (16-byte id pairs make the
+    // same explosion cheap; vectors re-attach AFTER the distinct); (2) hot
+    // buckets are capped: a skewed embedding distribution collapses whole
+    // clusters into one (table, code) bucket (36% of the sf1 corpus in one
+    // bucket), so buckets over BucketCap are hash-downsampled map-side to
+    // ~BucketCap entries from a broadcast census — the dd04 band-cap
+    // precedent applied to ANN. Inert below BucketCap (max occupancy 241 at
+    // sf0.1, 63 at sf0.01 — pinned by SimilarityRecallSpec), so the exact
+    // oracle is unchanged at driver scales.
     Q("ss03_ann_lsh",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val v = vecs(s, d).withColumn("codes", lshCodes(col("vec"))).cache()
-        // bucket index: L rows per vector, keyed (table, code) — the 100 TB
-        // shape is this exact relation bucket-partitioned on disk
-        val idx = v.select(col("vec_id"), col("vec"), col("nrm"),
-          posexplode(col("codes")).as(Seq("tb", "code")))
+        // bucket index: L id rows per vector, keyed (table, code) — the
+        // 100 TB shape is this exact relation bucket-partitioned on disk
+        val idx = v.select(col("vec_id"), posexplode(col("codes")).as(Seq("tb", "code")))
+        val census = idx.groupBy(col("tb"), col("code")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > BucketCap)
+          .select(col("tb"), col("code"),
+            ceil(col("occ") / BucketCap).cast("long").as("keep_mod"))
+        val capped = idx.join(broadcast(census), Seq("tb", "code"), "left")
+          .filter(col("keep_mod").isNull ||
+            pmod(xxhash64(col("vec_id"), col("tb")), col("keep_mod")) === 0)
         val q = broadcast(v.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"),
-            posexplode(col("codes")).as(Seq("tb", "code"))))
-        // distinct candidate pairs from any colliding table, then exact cosine
-        val cand = q.join(idx, Seq("tb", "code"))
+          .select(col("vec_id").as("q_id"), posexplode(col("codes")).as(Seq("tb", "code"))))
+        // distinct candidate id pairs from any colliding table
+        val cand = q.join(capped, Seq("tb", "code"))
           .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("qv"), col("qn"), col("vec_id"), col("vec"), col("nrm"))
-          .dropDuplicates("q_id", "vec_id")
+          .select(col("q_id"), col("vec_id")).distinct()
+        val qv = broadcast(v.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))
-        cand
+        cand.join(qv, Seq("q_id"))
+          .join(v.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
           .withColumn("rank", row_number().over(w))

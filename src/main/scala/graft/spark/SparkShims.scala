@@ -22,4 +22,10 @@ object Shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Block until all queued listener events are delivered (listenerBus is
+    * private[spark]); lets measurement mains read listener-collected maxima
+    * deterministically after a job completes. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -51,6 +51,18 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short == 0, s"$short queries returned fewer than 3 ANN neighbors")
   }
 
+  test("ss03 hot-bucket cap is inert at oracle scales (occupancy far below BucketCap)") {
+    // the exact DuckDB oracle replays the UNCAPPED pipeline, which is only
+    // valid while no (table, code) bucket exceeds BucketCap at the driver's
+    // correctness scales — pin the headroom so growth in the fixture or a
+    // code-length change resurfaces here before it flips the oracle
+    val maxOcc = Similarity.lshBucketCensus(spark, sfDir)
+      .agg(max(col("occ"))).head().getLong(0)
+    assert(maxOcc <= Similarity.BucketCap / 4,
+      s"max bucket occupancy $maxOcc is within 4x of BucketCap ${Similarity.BucketCap} — " +
+        "the capped engine would diverge from the uncapped oracle")
+  }
+
   test("ss04 IVF recall@3 and candidate fraction vs ss01 exact top-3") {
     val exact = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
       .filter(col("rank") <= 3).select(col("q_id"), col("neighbor_id")).persist()
