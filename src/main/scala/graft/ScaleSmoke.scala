@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Scale-proof smoke (VERDICT r6 item 8): run the dedup / similarity /
@@ -25,17 +25,32 @@ object ScaleSmoke {
   private final class TaskMaxListener extends SparkListener {
     @volatile var maxTaskMs: Long = 0L
     @volatile var maxTaskRecords: Long = 0L
+    @volatile var maxTaskStage: Long = -1L
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val m = taskEnd.taskMetrics
       if (m != null) {
-        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+        if (m.executorRunTime > maxTaskMs) {
+          maxTaskMs = m.executorRunTime
+          maxTaskStage = taskEnd.stageId
+        }
         val recs = math.max(
           m.shuffleReadMetrics.recordsRead,
           math.max(m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten))
         maxTaskRecords = math.max(maxTaskRecords, recs)
       }
     }
-    def reset(): Unit = { maxTaskMs = 0L; maxTaskRecords = 0L }
+    def reset(): Unit = { maxTaskMs = 0L; maxTaskRecords = 0L; maxTaskStage = -1L }
+  }
+
+  /** EXPLAIN-mode stage trace: id, task count, wall, and the RDD callsite —
+    * enough to attribute a straggler stage to an operator. */
+  private final class StageTraceListener extends SparkListener {
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+      System.err.println(
+        s"[smoke-stage] id=${i.stageId} tasks=${i.numTasks} wallMs=$ms name=${i.name}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +75,8 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val listener = new TaskMaxListener
     spark.sparkContext.addSparkListener(listener)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      spark.sparkContext.addSparkListener(new StageTraceListener)
 
     // the families whose caps/bounds the smoke is about (documents/embeddings
     // inputs only — the sf1 slice has exactly those tables)
@@ -88,6 +105,8 @@ object ScaleSmoke {
       spark.sharedState.cacheManager.clearCache()
       // listener events drain asynchronously; settle before reading maxima
       org.apache.spark.sql.graftshim.Shims.drainListenerBus(spark)
+      if (explain) System.err.println(
+        s"[smoke] $name max task stage=${listener.maxTaskStage} ms=${listener.maxTaskMs}")
       rows(name) = (sec, listener.maxTaskMs / 1e3, listener.maxTaskRecords)
     }
     val qs = rows.map { case (k, (s, mt, mr)) =>

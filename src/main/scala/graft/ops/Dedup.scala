@@ -39,19 +39,34 @@ object Dedup {
     * the null out-of-bounds word hashes and emit a degenerate shingle that
     * the oracles' NULL-trigram concat drops, so the two engines would
     * disagree on any sub-trigram doc. */
-  private[ops] def shingleHashes(text: Column): Column = {
-    val wh = wordHashes(text)
-    // the guard is a zero-length slice, NOT a when() branch: conditional
-    // branches block codegen subexpression elimination, so a when() here
-    // re-evaluated the whole word-hash transform per reference (measured
-    // 4-5x on dd04/dc01); slice(seq, 1, 0) = [] keeps everything
-    // unconditional. n>=3 -> indices 0..n-3 (all n-2 kept); n<3 -> length
-    // greatest(n-2,0)=0 -> empty set.
+  private[ops] def shingleHashes(text: Column): Column =
+    shinglesFromWh(wordHashes(text))
+
+  /** Shingle hashes from a word-hash ARRAY column/expression. The guard is a
+    * zero-length slice, NOT a when() branch: conditional branches block
+    * codegen subexpression elimination, so a when() here re-evaluated the
+    * whole word-hash transform per reference (measured 4-5x on dd04/dc01);
+    * slice(seq, 1, 0) = [] keeps everything unconditional. n>=3 -> indices
+    * 0..n-3 (all n-2 kept); n<3 -> length greatest(n-2,0)=0 -> empty set. */
+  private def shinglesFromWh(wh: Column): Column = {
     val idx = slice(sequence(lit(0), greatest(size(wh) - 3, lit(0))),
       lit(1), greatest(size(wh) - 2, lit(0)))
     array_distinct(
       transform(idx, i => xxhash64(get(wh, i), get(wh, i + 1), get(wh, i + 2))))
   }
+
+  /** Select `keep` plus the shingle set of `text` as `out`, materializing the
+    * word-hash array in its OWN projection first. HOF lambdas are
+    * CodegenFallback with no common-subexpression elimination, so the inline
+    * form re-evaluates split+lower+hash-per-word on every element access
+    * inside the shingle lambda — ~O(words²) per doc with full-split
+    * constants. The sf1 smoke caught it: dc01's cache build ran 133 s in one
+    * task inline vs ~2 s with the two-step projection. CollapseProject keeps
+    * the intermediate step (the alias is expensive and multiply-referenced),
+    * making every get() an O(1) attribute read. */
+  private def withShingles(df: DataFrame, out: String, keep: Column*): DataFrame =
+    df.withColumn("graft_wh", wordHashes(col("text")))
+      .select(keep :+ shinglesFromWh(col("graft_wh")).as(out): _*)
 
   /** Document-frequency cap for shingle blocking keys (dd03): a shingle shared
     * by more than this many documents is dropped from both sides of the
@@ -105,8 +120,7 @@ object Dedup {
     * shingle-set Jaccard (no false positives; recall evidence in
     * DedupRecallSpec). Shared by dd04 and the dd06 clustering pass. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.spread(t(s, d, "documents"))
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val base = withShingles(Tables.spread(t(s, d, "documents")), "sh", col("doc_id"))
       .withColumn("n", size(col("sh")))
       .persist() // read three times: signatures + both sides of verification
     // sig materialized in its own projection: HOF lambdas get no common-
@@ -192,9 +206,8 @@ object Dedup {
         // exploded 1M-row relation: columnar cache materialization of the
         // exploded form cost ~3.7 s; re-exploding from cached arrays per
         // consumer is native and cheap (measured ~1.5 s faster end-to-end)
-        val base = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"),
-            shingleHashes(col("text")).as("sh"))
+        val base = withShingles(Tables.spread(t(s, d, "documents")), "sh",
+            col("doc_id"), col("source"), floor(col("n_chars") / 100).as("lb"))
           .withColumn("nt", size(col("sh")))
           .persist()
         val ex = base.select(col("doc_id"), col("source"), col("lb"), col("nt"),
@@ -521,9 +534,8 @@ object Dedup {
       (s, d) => {
         // cached: both filter branches (benchmark + training) read the same
         // shingle arrays — without it the 1M-shingle computation runs twice
-        val docs = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), shingleHashes(col("text")).as("sh"),
-            Sampling.hashBucket(col("doc_id")).as("bk"))
+        val docs = withShingles(Tables.spread(t(s, d, "documents")), "sh",
+            col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"))
           .cache()
         val bench = docs.filter(col("bk") >= 95)
           .select(explode(col("sh")).as("h")).distinct()

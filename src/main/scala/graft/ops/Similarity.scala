@@ -193,15 +193,19 @@ object Similarity {
         val anchors = broadcast(v
           .filter(col("vec_id") % stride === AnchorOffset)
           .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
-        // assignment: argmax_a cosine(v, a), ties to the smaller anchor id —
-        // max(struct(cos, -aid)) is the partial-aggregatable encoding of that
+        // assignment: argmax_a cosine(v, a), ties to the smaller anchor id.
+        // max_by over (cos, -aid) keeps the aggregation HASH-based
+        // (ObjectHashAggregate): the previous max(struct) + first(vec)
+        // encoding planned as a SortAggregate that sorted the N×K
+        // intermediate WITH both 512-byte vectors aboard — 150 s/task of
+        // sort spill at sf1. The argmax runs over id-width rows (the ss03
+        // ids-first lesson); vectors re-attach by vec_id afterward.
         val asn = v.crossJoin(anchors)
-          .select(col("vec_id"), col("vec"), col("nrm"), col("aid"),
+          .select(col("vec_id"), col("aid"),
             cosine(col("vec"), col("av"), col("nrm"), col("an")).as("ac"))
           .groupBy(col("vec_id"))
-          .agg(max(struct(col("ac"), (-col("aid")).as("naid"))).as("m"),
-            first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), (-col("m.naid")).as("aid"), col("vec"), col("nrm"))
+          .agg(max_by(col("aid"), struct(col("ac"), (-col("aid")).as("naid"))).as("aid"))
+          .join(v.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
         val q = v.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
         val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))
