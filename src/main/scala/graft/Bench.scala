@@ -23,7 +23,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The only unpartitioned windows in the registry are sp03/sp04/sp05's
-    // block-summary prefix sums — single-partition BY DESIGN over tiny
+    // block-summary prefix sums and tx09's 4-row frequency-band summary —
+    // single-partition BY DESIGN over tiny
     // relations (≈ parallelism rows / ≤65,536 hash buckets, never the
     // corpus), so WindowExec's blanket warning is expected noise here, not a
     // scale risk. Filter just that logger, SCOPED to this run: the prior

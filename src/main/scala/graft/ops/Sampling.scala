@@ -283,6 +283,35 @@ object Sampling {
       },
       Some("""SELECT doc_id,
           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) - 1 AS pos
-        FROM documents ORDER BY pos"""))
+        FROM documents ORDER BY pos""")),
+
+    // ---- sp07: per-source document cap via the native bounded top-k ----
+    // The domain-cap heuristic (keep the best C docs per source, here "best"
+    // = most whitespace tokens, ties to the lower doc_id). The window
+    // formulation would shuffle and sort the whole corpus to discard all but
+    // C rows per source; graft.spark.TopKByLong instead partial-aggregates a
+    // C-element heap per source on the map side, so the one shuffle carries
+    // ≤ C·sources·tasks heap entries — see the TopKByLong scaladoc. The
+    // oracle mirrors the exact kept set with row_number.
+    Q("sp07_source_cap",
+      (s, d) => {
+        val C = 10
+        val kept = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"))
+          .groupBy(col("source"))
+          .agg(graft.spark.TopKAggregate.topkBy(col("tokens"), col("doc_id"), C).as("top"))
+        kept.select(col("source"), posexplode(col("top")))
+          .select(col("source"), (col("pos") + 1).cast("bigint").as("rank"),
+            col("col.id").as("doc_id"), col("col.score").as("tokens"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source,
+              len(string_split_regex(trim(text), '\s+')) AS tokens FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY tokens DESC, doc_id) AS rank FROM tk)
+        SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+          CAST(tokens AS BIGINT) AS tokens
+        FROM r WHERE rank <= 10 ORDER BY source, rank"""))
   )
 }

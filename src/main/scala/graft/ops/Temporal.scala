@@ -158,6 +158,41 @@ object Temporal {
           coalesce(sum(f.value), 0) AS sum_prior
         FROM e LEFT JOIN ev f ON f.user_id = e.user_id
           AND f.t_ms >= e.t_ms - 21600000 AND f.t_ms < e.t_ms
-        GROUP BY e.event_id ORDER BY e.event_id"""))
+        GROUP BY e.event_id ORDER BY e.event_id""")),
+
+    // ---- ses01: batch gap sessionization (gaps-and-islands) ----
+    // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
+    // session starts when a user's inter-event gap exceeds GapMs. Two windows
+    // over ONE (partition, sort) — lag to flag session starts, running sum to
+    // number them — so the plan is a single exchange on user_id + one sort,
+    // then a partial-agg rollup. Scale: every window is PARTITIONED by
+    // user_id (per-key work, parallel across keys); nothing spans the corpus.
+    Q("ses01_sessionize",
+      (s, d) => {
+        val GapMs = 30 * 60000L
+        val ev = eventsMs(s, d)
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("e_ms"), col("event_id"))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prev_ms", lag(col("e_ms"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("e_ms") - col("prev_ms") > GapMs, 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum(col("new_s")).over(wCum))
+          .groupBy(col("user_id"), col("sess_no"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("e_ms")).as("start_ms"),
+            max(col("e_ms")).as("end_ms"),
+            // raw double sum — per-session groups are small (see rj01 note)
+            sum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("sess_no"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS e_ms, value FROM events),
+          g AS (SELECT *, lag(e_ms) OVER (PARTITION BY user_id ORDER BY e_ms, event_id) AS prev_ms FROM e),
+          f AS (SELECT *, CASE WHEN prev_ms IS NULL OR e_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s FROM g),
+          s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY e_ms, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM f)
+        SELECT user_id, sess_no, count(*) AS n_events,
+          min(e_ms) AS start_ms, max(e_ms) AS end_ms, sum(value) AS sum_value
+        FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
   )
 }

@@ -360,6 +360,45 @@ object TextOps {
           coalesce(s.n_unseen, 0) AS n_unseen, coalesce(s.nll, 0.0) AS nll
         FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""")),
 
+    // ---- tx09: Zipf/frequency-band corpus profile ----
+    // The vocabulary-health report run before training a tokenizer: how many
+    // types are hapax (seen once), rare, mid, or head, and what fraction of
+    // the total token MASS each band carries (a healthy natural corpus is
+    // head-heavy; a synthetic or boilerplate-duplicated one is not). Shapes:
+    // token counts partial-aggregate before one shuffle on the token; the
+    // band rollup aggregates the VOCABULARY (types, not tokens); the mass
+    // fraction is a window over the 4-row band summary — nothing scans the
+    // corpus twice, nothing spans it in one task.
+    Q("tx09_zipf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "documents")
+          .select(explode(vocabTokens).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val banded = counts.withColumn("band",
+          when(col("cnt") === 1, "1_hapax")
+            .when(col("cnt") <= 10, "2_rare")
+            .when(col("cnt") <= 100, "3_mid")
+            .otherwise("4_head"))
+        banded.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_tokens"))
+          .withColumn("mass_frac",
+            col("n_tokens") / sum(col("n_tokens")).over(
+              Window.partitionBy())) // 4-row summary window, not the corpus
+          .orderBy(col("band"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($vocabTokensSql) AS token FROM documents),
+          c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          b AS (SELECT CASE WHEN cnt = 1 THEN '1_hapax'
+                            WHEN cnt <= 10 THEN '2_rare'
+                            WHEN cnt <= 100 THEN '3_mid'
+                            ELSE '4_head' END AS band, cnt FROM c),
+          a AS (SELECT band, count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_tokens
+                FROM b GROUP BY band)
+        SELECT band, n_types, n_tokens,
+          n_tokens::DOUBLE / sum(n_tokens) OVER () AS mass_frac
+        FROM a ORDER BY band""")),
+
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
     // Reuses tx01's language argmax and tx02's quality score verbatim (shared

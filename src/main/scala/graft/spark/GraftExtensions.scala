@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    TopKAggregate.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TopKByLong].getName, name),
+        builder))
+    }
   }
 }

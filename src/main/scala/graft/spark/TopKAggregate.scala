@@ -1,0 +1,152 @@
+package graft.spark
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/** Bounded per-group top-k as a real aggregate function.
+  *
+  * The windowed formulation of "keep the best k rows per group"
+  * (`row_number() OVER (PARTITION BY g ORDER BY score DESC) <= k`) shuffles
+  * and sorts the ENTIRE relation — at 100 TB that is the whole corpus moving
+  * so that all but k rows per group can be thrown away. This aggregate keeps
+  * a bounded k-element heap per group instead, and because it is a proper
+  * [[TypedImperativeAggregate]] it participates in PARTIAL aggregation: each
+  * map task reduces its slice to ≤k entries per group before the shuffle, so
+  * the exchange carries at most k·groups·tasks entries (k and the heap are
+  * tiny) and the final merge is k-way per group. No sort of the corpus ever
+  * happens. The same bounded-state shape is what q08's global
+  * TakeOrderedAndProject does for ONE group; this is the grouped version
+  * Spark lacks as a builtin.
+  *
+  * Semantics: among input rows, the k largest by `(score, then LOWER id
+  * wins ties)`; rows where score or id is NULL are ignored. Result is
+  * `array<struct<score:bigint, id:bigint>>` sorted best-first — exactly the
+  * rows `row_number() OVER (ORDER BY score DESC, id ASC) <= k` keeps, so a
+  * SQL oracle can mirror it verbatim. Both inputs are BIGINT: integer scores
+  * (token counts, byte sizes, quality ranks) sidestep any cross-engine
+  * float-ordering hazard at the driver's hash gate.
+  */
+case class TopKByLong(
+    score: Expression,
+    id: Expression,
+    k: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+
+  // k must be a positive integer literal: it sizes every heap up front and
+  // a per-row k has no sane merge semantics
+  private lazy val kVal: Int = k match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"topk_by: k must be an integer literal, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == LongType && id.dataType == LongType && kVal > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (score: bigint, id: bigint, k: positive int literal), got " +
+        s"(${score.dataType.catalogString}, ${id.dataType.catalogString}, k=$kVal)")
+
+  override def children: Seq[Expression] = Seq(score, id, k)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKByLong.resultType
+  override def prettyName: String = "topk_by"
+
+  // heap head = the WORST kept entry (lowest score; ties: highest id), so
+  // one O(log k) compare-and-replace admits or rejects each row
+  private def worstFirst: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), (Long, Long)] { case (s, i) => (-s, i) }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty[(Long, Long)](worstFirst)
+
+  private def admit(heap: mutable.PriorityQueue[(Long, Long)], s: Long, i: Long): Unit =
+    if (heap.size < kVal) heap.enqueue((s, i))
+    else {
+      val (ws, wi) = heap.head
+      // better than the worst kept: higher score, or same score and lower id
+      if (s > ws || (s == ws && i < wi)) { heap.dequeue(); heap.enqueue((s, i)) }
+    }
+
+  override def update(heap: mutable.PriorityQueue[(Long, Long)],
+                      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val sv = score.eval(input)
+    val iv = id.eval(input)
+    if (sv != null && iv != null)
+      admit(heap, sv.asInstanceOf[Long], iv.asInstanceOf[Long])
+    heap
+  }
+
+  override def merge(heap: mutable.PriorityQueue[(Long, Long)],
+                     other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach { case (s, i) => admit(heap, s, i) }
+    heap
+  }
+
+  override def eval(heap: mutable.PriorityQueue[(Long, Long)]): Any = {
+    val best = heap.toArray.sortBy { case (s, i) => (-s, i) } // best-first
+    new GenericArrayData(best.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i))
+    })
+  }
+
+  override def serialize(heap: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * heap.size)
+    bb.putInt(heap.size)
+    heap.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val heap = createAggregationBuffer()
+    var j = 0
+    while (j < n) { heap.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), k = newChildren(2))
+}
+
+object TopKByLong {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+}
+
+object TopKAggregate {
+  /** `topk_by(score, id, k)` as a typed Column aggregate: the k best
+    * (score desc, id asc) pairs per group, best-first. */
+  def topkBy(score: Column, id: Column, k: Int): Column =
+    Shims.column(TopKByLong(Shims.expression(score), Shims.expression(id),
+      Literal(k)).toAggregateExpression())
+
+  private[spark] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_by" -> {
+      case Seq(s, i, k) => TopKByLong(s, i, k).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"topk_by(score, id, k) takes 3 arguments, got ${args.length}")
+    })
+
+  def registerNativeSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
+}

@@ -162,7 +162,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus) — single-partition by design; Bench suppresses exactly that
     // WindowExec warning, and THIS test is what keeps the suppression honest
     // for every other query in the registry
-    val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture")
+    // tx09's only unpartitioned window runs over the 4-row frequency-band
+    // summary (the mass-fraction denominator), the same bounded-summary class
+    val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture",
+      "tx09_zipf")
     def unpartitionedWindows(p: SparkPlan): Seq[String] = {
       val here = p match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
