@@ -384,6 +384,77 @@ object Similarity {
           CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
           CAST(list_min(qv) AS BIGINT) AS q_min,
           CAST(list_max(qv) AS BIGINT) AS q_max
-        FROM q ORDER BY vec_id"""))
+        FROM q ORDER BY vec_id""")),
+
+    // ---- ss07: int8-quantized candidate search + full-precision rescore ----
+    // The two-stage serving pattern that makes brute-force affordable: stage 1
+    // scans the QUANTIZED corpus (ss06's absmax int8 — 4x less memory
+    // bandwidth than float32, and the candidate window shuffles only
+    // (q_id, vec_id, idot) id-width rows, the ss03 ids-first lesson) and keeps
+    // the top-R per query by integer dot product; stage 2 re-fetches full
+    // vectors for just R candidates per query and ranks the final top-k by
+    // exact cosine. Candidate selection is INTEGER-exact on both engines
+    // (quantized values are small integers, their 64-dim dot <= 2^27 — exact
+    // in doubles); only the R->k rescore touches float ordering (the ss01
+    // argument). Query-side broadcast carries the same documented bound as
+    // ss01. Recall vs the exact ss01 top-k is pinned by SimilarityRecallSpec.
+    Q("ss07_quantized_rescore",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val R = 20
+        val K = 5
+        val all = vecs(s, d)
+        val qz = all.withColumn("absmax",
+            aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))))
+          .withColumn("qv", when(col("absmax") === 0.0, transform(col("vec"), _ => lit(0.0)))
+            .otherwise(transform(col("vec"), x => floor(x / col("absmax") * 127))))
+          .select(col("vec_id"), col("qv"))
+        val qSide = broadcast(qz.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv")))
+        val wC = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
+        val cands = qSide.join(qz, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            dot(col("q_qv"), col("qv")).cast("bigint").as("idot"))
+          .withColumn("crank", row_number().over(wC))
+          .filter(col("crank") <= R)
+          .select(col("q_id"), col("vec_id"), col("idot"))
+        val full = all.select(col("vec_id"), col("vec"), col("nrm"))
+        val qFull = broadcast(all.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm")))
+        val wK = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        cands.join(full, Seq("vec_id")).join(qFull, Seq("q_id"))
+          .withColumn("cos", cosine(col("q_vec"), col("vec"), col("q_nrm"), col("nrm")))
+          .withColumn("rank", row_number().over(wK))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("idot"),
+            col("cos"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          m AS (SELECT vec_id, vec,
+                  list_max(list_transform(vec, x -> abs(x))) AS absmax FROM v),
+          qz AS (SELECT vec_id,
+                   CASE WHEN coalesce(absmax, 0) = 0
+                        THEN list_transform(vec, x -> CAST(0 AS DOUBLE))
+                        ELSE list_transform(vec, x -> floor(x / absmax * 127))
+                   END AS qv
+                 FROM m),
+          q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id % 100 = 0),
+          cand AS (SELECT q_id, vec_id,
+                     CAST(list_sum([q_qv[i] * qv[i] for i in generate_series(1, 64)]) AS BIGINT) AS idot
+                   FROM q JOIN qz ON vec_id <> q_id),
+          topr AS (SELECT q_id, vec_id, idot,
+                     row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, vec_id) AS crank
+                   FROM cand),
+          resc AS (SELECT c.q_id, c.vec_id, c.idot,
+                     list_cosine_similarity(qv.vec, cv.vec) AS cos
+                   FROM topr c JOIN v qv ON qv.vec_id = c.q_id
+                     JOIN v cv ON cv.vec_id = c.vec_id
+                   WHERE c.crank <= 20),
+          ranked AS (SELECT q_id, vec_id, idot, cos,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+                     FROM resc)
+        SELECT q_id, vec_id AS neighbor_id, idot, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
   )
 }
