@@ -92,6 +92,30 @@ object Sessionize {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.product[Session])
 
+  /** Batch twin of [[sessions]]/[[sessionsTws]]: the gaps-and-islands window
+    * formulation (lag to flag session starts, running sum to number them)
+    * over a bounded Dataset — same gap rule, same [[Session]] output.
+    * StatefulStreamingSpec pins streaming/batch agreement on seeded random
+    * data; the oracle-checked SQL shape is ses01 in graft.ops.Temporal.
+    * Scale: both windows share one (user_id) partitioning — per-key work,
+    * parallel across keys. */
+  def sessionsBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts") - col("prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wc))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("start"), col("end"), col("n_events"), col("total"))
+      .as[Session](Encoders.product[Session])
+  }
+
   /** One open session per key in a ValueState; a single registered event-time
     * timer at last + gap closes it if no later event arrives first. Stale
     * timers are deleted on every update, so state AND timer count are O(1)

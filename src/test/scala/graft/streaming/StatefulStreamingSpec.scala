@@ -172,5 +172,55 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     test(s"[$impl] a later batch's older in-watermark event extends the session backwards") {
       crossBatchBackwardScenario(s"sessions_back_$impl", fn)
     }
+    test(s"[$impl] streaming sessions equal the batch gaps-and-islands formulation on seeded random data") {
+      batchEquivalenceScenario(s"sessions_eqv_$impl", fn)
+    }
+  }
+
+  /** Seeded random events for many users, delivered across three micro-batches
+    * sliced by TIME (shuffled within each slice): the streaming operator
+    * closes all-but-the-latest session per key eagerly within a micro-batch,
+    * so batch equivalence is guaranteed exactly when arrival order respects
+    * event-time across batches — how a watermarked source delivers. (Events
+    * older than an already-closed session intentionally form their own
+    * session: the crossBatchSeparate scenario.) A far-future sentinel then
+    * advances the watermark past every last+gap so all open sessions close.
+    * The emitted set must equal [[Sessionize.sessionsBatch]] on the same
+    * rows. */
+  private def batchEquivalenceScenario(name: String, sessionize: Sessionizer): Unit = {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val rnd = new scala.util.Random(20260813L)
+    val rows = Seq.fill(400)((rnd.nextInt(20).toLong,
+      rnd.nextInt(100000).toLong, rnd.nextInt(10).toDouble))
+    val sentinel = (999L, 500000L, 0.0)
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "200 seconds") // > the 100 s range: nothing is late
+      .as[Sessionize.Event]
+    val query = sessionize(events, 1000L).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    rows.sortBy(_._2).grouped(150).map(rnd.shuffle(_)).foreach { batch =>
+      input.addData(batch: _*); query.processAllAvailable()
+    }
+    input.addData(sentinel) // wm -> 300 s, past every last + gap
+    query.processAllAvailable()
+    val streamed = sp.sql(s"SELECT * FROM $name").as[Sessionize.Session]
+      .collect().filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.start, s.end, s.n_events,
+        math.round(s.total * 1e6))).toSet
+
+    val batch = Sessionize.sessionsBatch(
+      rows.toDF("user_id", "ts", "value").as[Sessionize.Event], 1000L)
+      .collect()
+      .map(s => (s.user_id, s.start, s.end, s.n_events,
+        math.round(s.total * 1e6))).toSet
+    query.stop()
+    assert(streamed == batch,
+      s"streaming/batch divergence:\n only-streaming=${streamed -- batch}\n only-batch=${batch -- streamed}")
   }
 }
