@@ -159,6 +159,20 @@ object JsonataQueries {
         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)) AS mx2
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx12: $reduce with inline lambdas on the COMPILED tier — native ----
+    // ---- aggregate() folds inside whole-stage codegen (no interpreter,   ----
+    // ---- pinned in PlanShapeSpec): sum-of-squares and a conditional      ----
+    // ---- counting fold over the embedding array.                         ----
+    q("jx12_reduce_fold", "embeddings",
+      "{'vec_id': value.vec_id, 'ss': $reduce(value.embedding, function($a, $x){ $a + $x * $x }, 0), " +
+        "'n_pos': $reduce(value.embedding, function($a, $x){ $x > 0 ? $a + 1 : $a }, 0)}",
+      "vec_id BIGINT, ss DOUBLE, n_pos BIGINT",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS ss,
+          len(list_filter(embedding, x -> x > 0)) AS n_pos
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

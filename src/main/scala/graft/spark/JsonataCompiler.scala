@@ -17,7 +17,9 @@ import graft.jsonata.Ast
   * `^()` order-by over array columns (array_sort with an engine-equivalent
   * comparator), `{}` group-by over array columns (map_from_entries with
   * $count/$sum/$min/$max/$average aggregates), `$map`/`$filter` with inline
-  * arity-1 lambdas over array operands (→ native transform/filter), and
+  * arity-1 lambdas over array operands (→ native transform/filter),
+  * `$reduce` with an inline arity-2 lambda and a literal init (→ native
+  * aggregate), and
   * builtins with exact Spark equivalents — into native Columns. The result
   * runs entirely inside whole-stage codegen with predicate pushdown and column
   * pruning: no JSON serialization, no interpreter, no CodegenFallback.
@@ -213,6 +215,22 @@ object JsonataCompiler {
       }
     }
 
+    /** Two-parameter lambda binding ($reduce's (acc, elem)); same typed-probe
+      * scheme as [[compileLambda]]. */
+    private def compileLambda2(p1: String, t1: DataType, p2: String, t2: DataType,
+                               body: Ast): Option[((Column, Column) => Column, DataType)] = {
+      def inEnv[A](v1: TCol, v2: TCol)(f: => A): A = {
+        val (se, si) = (lambdaEnv, inLambda)
+        lambdaEnv += (p1 -> v1); lambdaEnv += (p2 -> v2); inLambda = true
+        try f finally { lambdaEnv = se; inLambda = si }
+      }
+      inEnv(TCol(lit(null).cast(t1), t1), TCol(lit(null).cast(t2), t2))(compile(body))
+        .map { probe =>
+          (((a: Column, x: Column) =>
+            inEnv(TCol(a, t1), TCol(x, t2))(compile(body)).get.col), probe.dt)
+        }
+    }
+
     /** `$map`/`$filter` with an inline arity-1 lambda over an array operand.
       * Engine semantics mirrored (Functions.scala:708-733): $map drops items
       * whose lambda result is undefined (SQL NULL here); $filter keeps items
@@ -249,6 +267,47 @@ object JsonataCompiler {
           }
         case _ => None
       }
+
+    /** `$reduce(array, function($acc, $v){...}, init)` → native `aggregate`.
+      * Only the 3-arg (explicit init) form with an inline arity-2 lambda
+      * compiles: without an init the engine seeds from the first element
+      * (shape-dependent), and higher arities take ($i, $a). Spark's
+      * `aggregate` requires merge-result type == seed type, so the body is
+      * probed with the init's type first and, on a numeric mismatch (e.g.
+      * integer seed folded over doubles — the engine promotes), re-probed
+      * with both seed and accumulator widened to double. A SQL NULL input
+      * array gives NULL on both tiers (to the engine it is a JSON null
+      * VALUE, whose fold type-errors to undefined — not an absent input,
+      * which would return the init; DataFrame inputs cannot express
+      * "absent", so `aggregate`'s NULL propagation is exact parity).
+      * Shared pinned divergence classes of the compiled HOFs apply
+      * (JSON-null elements, singleton collapse — see compileHof). */
+    private def compileReduce(args: Seq[Ast]): Option[TCol] = args match {
+      // init must be a non-null LITERAL: the engine cannot distinguish an
+      // absent init from one that EVALUATES to undefined (both re-seed from
+      // the first element), so a runtime-nullable init expression would
+      // diverge from aggregate's null seed
+      case Seq(arrA, Lambda(Vector(pa, px), body, _), initA @ (NumLit(_) | StrLit(_) | BoolLit(_) |
+          UnaryMinus(NumLit(_)))) =>
+        compile(arrA).flatMap { t =>
+          t.dt match {
+            case ArrayType(et, _) =>
+              compile(initA).flatMap { init =>
+                def tryAcc(accT: DataType, initCol: Column): Option[TCol] =
+                  compileLambda2(pa, accT, px, et, body).collect {
+                    case (bf, bt) if bt == accT =>
+                      TCol(aggregate(t.col, initCol, bf), accT)
+                  }
+                tryAcc(init.dt, init.col).orElse {
+                  if (isNum(init.dt)) tryAcc(DoubleType, init.col.cast(DoubleType))
+                  else None
+                }
+              }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
 
     /** Number (non-decimal) or string — the types whose Spark ordering and
       * arithmetic provably match the engine's (decimals stay interpreted:
@@ -472,7 +531,11 @@ object JsonataCompiler {
         case (Some(l), Some(r)) => op match {
           case "+" | "-" | "*" if isNum(l.dt) && isNum(r.dt) =>
             val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
-            Some(TCol(legacyArith(op, l.col, r.col).cast(dt), dt))
+            // float operands widen BEFORE the op: the engine does all
+            // non-integral arithmetic in double (JSON numbers), so a
+            // float*float single-precision product rounded then cast would
+            // differ in the last ulp
+            Some(TCol(legacyArith(op, widenF(l), widenF(r)).cast(dt), dt))
           // `/` and `%` compile only with a provably non-zero literal divisor:
           // the engine raises D3030 (Infinity/NaN) or D1030 (integral %0) on a
           // zero divisor, where Spark legacy-mode yields NULL — a data-dependent
@@ -481,7 +544,7 @@ object JsonataCompiler {
             Some(TCol(legacyArith("/", l.col.cast(DoubleType), r.col.cast(DoubleType)), DoubleType))
           case "%" if isNum(l.dt) && isNum(r.dt) && nonZeroLit(rA) =>
             val dt = if (isIntegral(l.dt) && isIntegral(r.dt)) LongType else DoubleType
-            Some(TCol(legacyArith("%", l.col, r.col).cast(dt), dt))
+            Some(TCol(legacyArith("%", widenF(l), widenF(r)).cast(dt), dt))
           // `=`/`!=` require static type agreement: Spark's null-safe equality
           // would coerce string<->numeric (both to double), but JSONata deep
           // equality is false across types — a cross-type comparison must take
@@ -511,6 +574,11 @@ object JsonataCompiler {
         case _ => None
       }
     }
+
+    /** Single-precision operands widen to double before arithmetic (engine
+      * parity — see the float note at the `+`/`-`/`*` case). */
+    private def widenF(t: TCol): Column =
+      if (t.dt == FloatType) t.col.cast(DoubleType) else t.col
 
     /** Arithmetic with explicit legacy (non-throwing) eval mode — the compiled
       * tier must not inherit the session's ANSI setting (a conf-dependent tier
@@ -562,6 +630,7 @@ object JsonataCompiler {
         // the builtin (the engine would call the bound function value)
         case _ if lambdaEnv.contains(fn) => None
         case "map" | "filter" => compileHof(fn, args)
+        case "reduce" => compileReduce(args)
         case "uppercase" => str(0).map(t => TCol(upper(t.col), StringType))
         case "lowercase" => str(0).map(t => TCol(lower(t.col), StringType))
         case "trim" =>

@@ -122,6 +122,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx11 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx12 $reduce folds run on the compiled tier (native aggregate)") {
+    val p = plan("jx12_reduce_fold")
+    assert(!p.contains("jsonata"), "jx12 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

@@ -345,6 +345,39 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "{'g': $split('a b', ' '){$: $count($)}}").isEmpty)
   }
 
+  test("$reduce with a literal init compiles to native aggregate and matches the interpreter") {
+    // integer seed over double elements: the numeric-widening re-probe path
+    diff("embeddings",
+      "{'id': value.vec_id, 'ss': $reduce(value.embedding, function($a, $x){ $a + $x * $x }, 0), " +
+      "'mx': $reduce(value.embedding, function($a, $x){ $a > $x ? $a : $x * 1 }, -1e9)}",
+      "id BIGINT, ss DOUBLE, mx DOUBLE", "id")
+  }
+
+  test("$reduce null-array / null-element / non-literal-init behavior") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(1.0, 2.0, 3.0)), Row(2L, Seq.empty[Double]), Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, xs ARRAY<DOUBLE>"))
+    // empty array folds zero times -> the init; a SQL NULL array is a JSON
+    // null VALUE (engine: fold type-errors to undefined) -> NULL on both
+    val expr = "{'id': value.id, 's': $reduce(value.xs, function($a, $x){ $a + $x }, 100)}"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "literal-init reduce should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL("id BIGINT, s DOUBLE"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on reduce corners:\n  compiled:    $a\n  interpreted: $b")
+    assert(a.map(_(1)) == Seq(106.0, 100.0, null))
+    // no init / expression init / higher arity stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'s': $reduce(value.xs, function($a, $x){ $a + $x })}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'s': $reduce(value.xs, function($a, $x){ $a + $x }, value.id)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'s': $reduce(value.xs, function($a, $x, $i){ $a + $x }, 0)}").isEmpty)
+  }
+
   test("in-membership on an undefined operand projects false in both tiers") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
