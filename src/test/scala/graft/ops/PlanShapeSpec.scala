@@ -112,6 +112,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ses01 sessionize: both windows and the session rollup share ONE hash exchange") {
+    val p = plan("ses01_sessionize")
+    // lag + running sum windows and the (user_id, sess_no) aggregate all run
+    // on the user_id partitioning; only the final orderBy adds a range
+    // exchange
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "sessionization must not re-shuffle between its windows and rollup\n" + p.take(3000))
+  }
+
+  test("ss07 quantized rescore: candidate top-R prunes map-side before its only shuffle") {
+    val p = plan("ss07_quantized_rescore")
+    // WindowGroupLimit in Partial mode = each task keeps its own top-20 per
+    // query BEFORE the exchange, so the shuffle carries id-width candidate
+    // rows, never the corpus (and never any vector payload)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "candidate selection must partial-prune before the exchange\n" + p.take(3000))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))
