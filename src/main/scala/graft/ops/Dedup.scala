@@ -555,6 +555,71 @@ object Dedup {
           tr AS (SELECT doc_id, g FROM ex WHERE bk < 95)
         SELECT tr.doc_id, count(*) AS n_shared
         FROM tr JOIN bench USING (g)
-        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
+
+    // ---- dd08: passage-level duplicate-span fraction (Rabin-Karp style) ----
+    // The exact-substring dedup SIGNAL (Lee et al. "Deduplicating Training
+    // Data..."): what fraction of a document's 8-token windows also appear in
+    // some other document. Suffix-array exactness is replaced by stride-1
+    // window hashing — the standard scalable form. Shapes: window sets are
+    // per-doc distinct, each window's document frequency is a COUNT WINDOW
+    // over the hash (one exchange + sort of the exploded relation; the
+    // groupBy-df + self-join formulation shuffled the same 5M-row relation
+    // twice and ran 2.4x slower at sf1 — 17 s vs 7 s, max task 9.4 → 1.9 s),
+    // and the word-hash array materializes in its own projection (the
+    // withShingles CSE lesson). Per-hash window groups are as bounded as the
+    // hash's df (≤ corpus docs for a boilerplate passage — count-only state,
+    // no list accumulation). Window hashes combine 8 word hashes with
+    // xxhash64 — set-equivalent to the oracle's joined window STRINGS (the
+    // dd03 collision tradeoff, ~1e-8). Sub-8-token docs get zero windows by
+    // the slice guard and report dup_frac 0.
+    Q("dd08_passage_dup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 8
+        val wins = {
+          val wh = col("graft_wh")
+          val idx = slice(sequence(lit(0), greatest(size(wh) - W, lit(0))),
+            lit(1), greatest(size(wh) - W + 1, lit(0)))
+          array_distinct(transform(idx, i =>
+            xxhash64((0 until W).map(o => get(wh, i + o)): _*)))
+        }
+        // explode_OUTER, not explode: plain explode makes Spark infer a
+        // `size(wins) > 0` filter (InferFiltersFromGenerate) and push it
+        // below the projections BY SUBSTITUTION — re-inlining the whole
+        // window expression with the word-hash transform repeated per array
+        // access, the exact O(words·W) re-evaluation the graft_wh projection
+        // exists to prevent (measured at sf1: 17 s / 9.7 s max task with
+        // explode, 6.6-10.8 s / ≤3.2 s with explode_outer). Outer also keeps
+        // zero-window docs, so no join-back is needed. Their null rows
+        // partition by doc_id (second window key) instead of piling into one
+        // h=NULL partition; count(h) skips nulls so their df/n_win are 0.
+        val base = Tables.spread(t(s, d, "documents"))
+          .withColumn("graft_wh", wordHashes(col("text")))
+          .select(col("doc_id"), wins.as("wins"))
+        base.select(col("doc_id"), explode_outer(col("wins")).as("h"))
+          .withColumn("df", count(col("h")).over(Window.partitionBy(col("h"),
+            when(col("h").isNotNull, lit(0L)).otherwise(col("doc_id")))))
+          .groupBy(col("doc_id"))
+          .agg(count(col("h")).as("n_win"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_win"), col("n_dup"),
+            when(col("n_win") === 0L, lit(0.0))
+              .otherwise(col("n_dup").cast("double") / col("n_win")).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+              list_distinct([array_to_string(w[i:i+7], ' ')
+                             for i in generate_series(1, len(w)-7)]) AS wins
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(wins) AS g FROM b),
+          dfh AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+          pd AS (SELECT ex.doc_id, count(*) AS n_win,
+                   CAST(sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                 FROM ex JOIN dfh USING (g) GROUP BY ex.doc_id)
+        SELECT b.doc_id, coalesce(pd.n_win, 0) AS n_win, coalesce(pd.n_dup, 0) AS n_dup,
+          CASE WHEN coalesce(pd.n_win, 0) = 0 THEN 0.0
+               ELSE pd.n_dup::DOUBLE / pd.n_win END AS dup_frac
+        FROM b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id"""))
   )
 }
