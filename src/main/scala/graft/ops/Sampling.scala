@@ -287,12 +287,12 @@ object Sampling {
 
     // ---- sp07: per-source document cap via the native bounded top-k ----
     // The domain-cap heuristic (keep the best C docs per source, here "best"
-    // = most whitespace tokens, ties to the lower doc_id). The window
-    // formulation would shuffle and sort the whole corpus to discard all but
-    // C rows per source; graft.spark.TopKByLong instead partial-aggregates a
-    // C-element heap per source on the map side, so the one shuffle carries
-    // ≤ C·sources·tasks heap entries — see the TopKByLong scaladoc. The
-    // oracle mirrors the exact kept set with row_number.
+    // = most whitespace tokens, ties to the lower doc_id).
+    // graft.spark.TopKByLong partial-aggregates a C-element heap per source
+    // on the map side, so the one shuffle carries ≤ C·sources·tasks heap
+    // entries and nothing is ever sorted — see the TopKByLong scaladoc for
+    // the measured comparison vs the window formulation. The oracle mirrors
+    // the exact kept set with row_number.
     Q("sp07_source_cap",
       (s, d) => {
         val C = 10

@@ -15,18 +15,23 @@ import org.apache.spark.sql.types._
 
 /** Bounded per-group top-k as a real aggregate function.
   *
-  * The windowed formulation of "keep the best k rows per group"
-  * (`row_number() OVER (PARTITION BY g ORDER BY score DESC) <= k`) shuffles
-  * and sorts the ENTIRE relation — at 100 TB that is the whole corpus moving
-  * so that all but k rows per group can be thrown away. This aggregate keeps
-  * a bounded k-element heap per group instead, and because it is a proper
-  * [[TypedImperativeAggregate]] it participates in PARTIAL aggregation: each
-  * map task reduces its slice to ≤k entries per group before the shuffle, so
-  * the exchange carries at most k·groups·tasks entries (k and the heap are
-  * tiny) and the final merge is k-way per group. No sort of the corpus ever
-  * happens. The same bounded-state shape is what q08's global
-  * TakeOrderedAndProject does for ONE group; this is the grouped version
-  * Spark lacks as a builtin.
+  * A proper [[TypedImperativeAggregate]]: each map task reduces its slice to
+  * a ≤k-element heap per group before the shuffle (PARTIAL aggregation), the
+  * exchange carries at most k·groups·tasks entries, and the final merge is
+  * k-way per group — no sort of the relation ever happens; admission is one
+  * O(log k) compare-and-replace per row. The same bounded-state shape is
+  * what q08's global TakeOrderedAndProject does for ONE group; this is the
+  * grouped version Spark lacks as a builtin aggregate.
+  *
+  * Measured against the `row_number() OVER (...) <= k` window formulation
+  * (scratch/ProfTopK, 10M rows / 1000 groups / k=10): shuffle volume is at
+  * PARITY (3.7 vs 3.9 MB) — Spark 4's WindowGroupLimit also prunes rank
+  * filters map-side — and wall time is comparable. What the aggregate adds:
+  * (a) no per-task O(n log n) sort (heap admission is O(n log k)); (b) the
+  * top-k arrives as ONE compact array row per group, composable inside a
+  * wider agg or broadcastable downstream without a second rollup; (c) the
+  * bound holds in contexts the WindowGroupLimit rewrite cannot see (the
+  * rank filter must be syntactically adjacent for Spark to push it).
   *
   * Semantics: among input rows, the k largest by `(score, then LOWER id
   * wins ties)`; rows where score or id is NULL are ignored. Result is
