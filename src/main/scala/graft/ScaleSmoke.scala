@@ -78,9 +78,11 @@ object ScaleSmoke {
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       spark.sparkContext.addSparkListener(new StageTraceListener)
 
-    // the families whose caps/bounds the smoke is about (documents/embeddings
-    // inputs only — the sf1 slice has exactly those tables)
-    val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp")
+    // the families whose caps/bounds the smoke is about (the sf1 slice has
+    // documents/embeddings plus zipf-skewed events and a minimal orders
+    // table for the temporal/session family)
+    val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp",
+      "ses", "aj", "rj")
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

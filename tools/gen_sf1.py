@@ -89,7 +89,63 @@ def main(out_dir):
         "label": pa.array(labels, pa.int32()),
     })
     pq.write_table(vecs, os.path.join(out_dir, "embeddings.parquet"), row_group_size=2048)
-    print(f"wrote {docs.num_rows} documents, {vecs.num_rows} embeddings -> {out_dir}")
+
+    # events: 500k rows over 30 days with a ZIPF-skewed user distribution
+    # (hot users stress the per-user session/range windows the way a hot key
+    # would at 100 TB) — schema matches the driver slice (ts nanos)
+    n_events = 500_000
+    n_users = 20_000
+    # zipf-ish: user u gets weight 1/(rank+10); hottest user lands ~2% of rows
+    weights = [1.0 / (u + 10) for u in range(n_users)]
+    tot_w = sum(weights)
+    cum, acc = [], 0.0
+    for w in weights:
+        acc += w / tot_w
+        cum.append(acc)
+    import bisect
+    ev_ids, ev_ts, ev_user, ev_type, ev_val, ev_props = [], [], [], [], [], []
+    span_ms = 30 * 24 * 3600 * 1000
+    types = ["click", "view", "view", "purchase", "error"]
+    for i in range(n_events):
+        u = bisect.bisect_left(cum, rnd.random())
+        ev_ids.append(i)
+        # same 2024-01-01 epoch the orders below use, so the as-of join
+        # actually matches (1704067200000 = 2024-01-01T00:00Z in ms)
+        ev_ts.append((1704067200000 + rnd.randrange(span_ms)) * 1_000_000)
+        ev_user.append(u)
+        ev_type.append(rnd.choice(types))
+        ev_val.append(round(rnd.uniform(0, 100), 3))
+        ev_props.append('{"k":%d}' % rnd.randrange(50))
+    events = pa.table({
+        "event_id": pa.array(ev_ids, pa.int64()),
+        "ts": pa.array(ev_ts, pa.timestamp("ns")),
+        "user_id": pa.array(ev_user, pa.int64()),
+        "event_type": pa.array(ev_type, pa.string()),
+        "value": pa.array(ev_val, pa.float64()),
+        "props": pa.array(ev_props, pa.string()),
+    })
+    pq.write_table(events, os.path.join(out_dir, "events.parquet"), row_group_size=8192)
+
+    # orders: minimal right side for the as-of family (aj01) — 100k orders
+    # over the same user key space and time span
+    n_orders = 100_000
+    import datetime
+    epoch = datetime.datetime(2024, 1, 1)
+    o_key, o_cust, o_date, o_price = [], [], [], []
+    for i in range(n_orders):
+        o_key.append(i)
+        o_cust.append(bisect.bisect_left(cum, rnd.random()))
+        o_date.append(epoch + datetime.timedelta(milliseconds=rnd.randrange(span_ms)))
+        o_price.append(round(rnd.uniform(10, 5000), 2))
+    orders = pa.table({
+        "o_orderkey": pa.array(o_key, pa.int64()),
+        "o_custkey": pa.array(o_cust, pa.int64()),
+        "o_orderdate": pa.array(o_date, pa.timestamp("us")),
+        "o_totalprice": pa.array(o_price, pa.float64()),
+    })
+    pq.write_table(orders, os.path.join(out_dir, "orders.parquet"), row_group_size=8192)
+    print(f"wrote {docs.num_rows} documents, {vecs.num_rows} embeddings, "
+          f"{events.num_rows} events, {orders.num_rows} orders -> {out_dir}")
 
 
 if __name__ == "__main__":
