@@ -748,6 +748,24 @@ object JsonataCompiler {
               }
             case _ => None
           }
+        // array shufflers with exact Spark twins on array columns (scalar
+        // operands stay interpreted — the engine wraps them via items()).
+        // $reverse/$distinct preserve first-occurrence order like the engine
+        // (LinkedHashSet there, array_distinct here); $append returns the
+        // OTHER side when one operand is undefined (undefPass=false in the
+        // engine — a plain concat would null the result).
+        case "reverse" => arg(0).collect {
+          case t if t.dt.isInstanceOf[ArrayType] => TCol(reverse(t.col), t.dt)
+        }
+        case "distinct" => arg(0).collect {
+          case t if t.dt.isInstanceOf[ArrayType] => TCol(array_distinct(t.col), t.dt)
+        }
+        case "append" => (arg(0), arg(1)) match {
+          case (Some(a), Some(bb)) if a.dt == bb.dt && a.dt.isInstanceOf[ArrayType] =>
+            Some(TCol(when(a.col.isNull, bb.col).when(bb.col.isNull, a.col)
+              .otherwise(concat(a.col, bb.col)), a.dt))
+          case _ => None
+        }
         // $count: arrays count elements (undefined -> 0); scalars count 1
         case "count" if args.length == 1 => arg(0).map { t =>
           t.dt match {

@@ -378,6 +378,39 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{'s': $reduce(value.xs, function($a, $x, $i){ $a + $x }, 0)}").isEmpty)
   }
 
+  test("$reverse/$distinct/$append on array columns compile and match the interpreter") {
+    diff("embeddings",
+      "{'id': value.vec_id, " +
+        "'rsum': $sum($append(value.embedding, $reverse(value.embedding))), " +
+        "'nd': $count($distinct($map(value.embedding, function($x){ $floor($x * 10) })))}",
+      "id BIGINT, rsum DOUBLE, nd BIGINT", "id")
+    // undefined-side append returns the other side; both-null stays null
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // distinct results stay multi-element: a singleton result collapses to a
+    // scalar at the engine boundary (the pinned divergence class) and would
+    // decode to null under the ARRAY ddl on the interpreted side
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(1L, 2L), Seq(3L, 4L, 3L)), Row(2L, null, Seq(7L, 7L, 8L)),
+        Row(3L, Seq(5L, 6L), null)).asJava,
+      StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>, ys ARRAY<BIGINT>"))
+    val expr = "{'id': value.id, 'app': $append(value.xs, value.ys), 'd': $distinct(value.ys)}"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "array-typed append/distinct should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr,
+      StructType.fromDDL("id BIGINT, app ARRAY<BIGINT>, d ARRAY<BIGINT>"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on append/distinct corners:\n  compiled:    $a\n  interpreted: $b")
+    def asSeq(v: Any): Seq[Long] = v.asInstanceOf[scala.collection.Seq[Long]].toSeq
+    assert(asSeq(a(1)(1)) == Seq(7L, 7L, 8L),
+      s"append(undefined, ys) must be ys, got ${a(1)(1)}")
+    assert(asSeq(a(2)(1)) == Seq(5L, 6L),
+      s"append(xs, undefined) must be xs, got ${a(2)(1)}")
+    assert(asSeq(a(0)(2)) == Seq(3L, 4L),
+      s"distinct must keep first-occurrence order, got ${a(0)(2)}")
+  }
+
   test("in-membership on an undefined operand projects false in both tiers") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
