@@ -312,6 +312,28 @@ object Sampling {
                   ORDER BY tokens DESC, doc_id) AS rank FROM tk)
         SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
           CAST(tokens AS BIGINT) AS tokens
-        FROM r WHERE rank <= 10 ORDER BY source, rank"""))
+        FROM r WHERE rank <= 10 ORDER BY source, rank""")),
+
+    // ---- sp08: deterministic fixed-size uniform sample ----
+    // The eval-set carve-out: exactly N docs, uniform over the corpus,
+    // reproducible across runs AND engines (lowest N md5 ranks — the
+    // hash-rank trick sp04-sp06 use, here with a global cutoff). Plan:
+    // TakeOrderedAndProject — each task keeps its own N, the driver merges
+    // task heads; nothing global is sorted. N is a constant (an eval set
+    // doesn't scale with the corpus), so the driver merge stays bounded at
+    // any corpus size.
+    Q("sp08_fixed_sample",
+      (s, d) => {
+        val N = 200
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(col("doc_id").cast("string"), lit(":fix9"))).as("k"))
+          .orderBy(col("k")).limit(N)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+              md5(CAST(doc_id AS VARCHAR) || ':fix9') AS k
+            FROM documents ORDER BY k LIMIT 200)
+        SELECT doc_id, source, k FROM r ORDER BY doc_id"""))
   )
 }

@@ -132,6 +132,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sp08 fixed sample: global top-N is TakeOrdered, never a full sort") {
+    val p = plan("sp08_fixed_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))
