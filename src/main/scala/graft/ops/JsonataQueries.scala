@@ -173,6 +173,23 @@ object JsonataQueries {
           len(list_filter(embedding, x -> x > 0)) AS n_pos
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx13: $append/$distinct/$reverse on the COMPILED tier — native ----
+    // ---- concat/array_distinct/reverse (no interpreter, pinned below).  ----
+    // ---- Outputs compose under compiled aggregates, dodging the         ----
+    // ---- singleton-collapse boundary like jx11.                         ----
+    q("jx13_array_shufflers", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'sum2': $sum($append(value.embedding, $reverse(value.embedding))), " +
+        "'n_decile': $count($distinct($map(value.embedding, function($x){ $floor($x * 10) })))}",
+      "vec_id BIGINT, sum2 DOUBLE, n_decile BIGINT",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          list_sum(list_transform(embedding || list_reverse(embedding),
+            x -> CAST(x AS DOUBLE))) AS sum2,
+          len(list_distinct(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)))) AS n_decile
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

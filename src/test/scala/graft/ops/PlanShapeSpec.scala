@@ -152,6 +152,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx12 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx13 array shufflers run on the compiled tier (concat/array_distinct/reverse)") {
+    val p = plan("jx13_array_shufflers")
+    assert(!p.contains("jsonata"), "jx13 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))
