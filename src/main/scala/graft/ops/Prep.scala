@@ -114,6 +114,47 @@ object Prep {
                 '$EmailRe', '[EMAIL]', 'g'),
                 '$PhoneRe', '[PHONE]', 'g'),
                 '$SsnRe', '[SSN]', 'g')) AS red_fp
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // ---- pii02: keyed pseudonymization (linkable) + hard redaction ----
+    // The policy mix GDPR-style pipelines use: LINKABLE identifiers (email,
+    // phone) become stable keyed pseudonyms — the same identifier maps to
+    // the same token corpus-wide, preserving joinability/dedup across docs —
+    // while irrecoverable ones (SSN) are hard-redacted. Rewrite = a fold of
+    // string replaces over the extracted identifier list (per-row, map-only,
+    // zero shuffle); pseudonym = tag + md5(identifier:key) prefix. The
+    // oracle's list_reduce has no init parameter, so the text seeds the fold
+    // as a prepended list head — same left fold, mirrored exactly.
+    Q("pii02_pseudonymize",
+      (s, d) => {
+        val a = col("a")
+        def pseudo(e: Column, tag: String): Column =
+          concat(lit(tag), substring(md5(concat(e, lit(":p11"))), 1, 12))
+        val ems = regexp_extract_all(a, lit(EmailRe), lit(0))
+        val phs = regexp_extract_all(a, lit(PhoneRe), lit(0))
+        val folded = aggregate(phs,
+          aggregate(ems, a, (acc, e) => replace(acc, e, pseudo(e, "id-"))),
+          (acc, p) => replace(acc, p, pseudo(p, "tel-")))
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(array(augmented)).as("a"))
+          .select(col("doc_id"),
+            size(ems).cast("bigint").as("n_pseudo_email"),
+            size(phs).cast("bigint").as("n_pseudo_phone"),
+            md5(regexp_replace(folded, SsnRe, "[SSN]")).as("pseudo_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $augmentedSql AS a FROM documents),
+          x AS (SELECT doc_id, a,
+                  regexp_extract_all(a, '$EmailRe') AS ems,
+                  regexp_extract_all(a, '$PhoneRe') AS phs FROM t),
+          f AS (SELECT doc_id, len(ems) AS n_pseudo_email, len(phs) AS n_pseudo_phone,
+                  list_reduce([list_reduce([a] || ems,
+                      (acc, e) -> replace(acc, e, 'id-' || substr(md5(e || ':p11'), 1, 12)))]
+                    || phs,
+                    (acc, p) -> replace(acc, p, 'tel-' || substr(md5(p || ':p11'), 1, 12))) AS fl
+                FROM x)
+        SELECT doc_id, n_pseudo_email, n_pseudo_phone,
+          md5(regexp_replace(fl, '$SsnRe', '[SSN]', 'g')) AS pseudo_fp
+        FROM f ORDER BY doc_id"""))
   )
 }

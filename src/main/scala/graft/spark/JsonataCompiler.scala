@@ -766,6 +766,15 @@ object JsonataCompiler {
               .otherwise(concat(a.col, bb.col)), a.dt))
           case _ => None
         }
+        // comparator-less $sort on homogeneous atomic arrays = ascending
+        // array_sort. Pinned divergence classes shared with ^(): a JSON-null
+        // element raises D3070 in the engine but orders last here, and
+        // non-BMP strings compare UTF-8 vs UTF-16 (see compileSortedPath).
+        case "sort" if args.length == 1 => arg(0).collect {
+          case t if t.dt.isInstanceOf[ArrayType] &&
+            simpleAtomic(t.dt.asInstanceOf[ArrayType].elementType) =>
+            TCol(array_sort(t.col), t.dt)
+        }
         // $count: arrays count elements (undefined -> 0); scalars count 1
         case "count" if args.length == 1 => arg(0).map { t =>
           t.dt match {

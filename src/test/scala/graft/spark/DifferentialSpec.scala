@@ -384,6 +384,11 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         "'rsum': $sum($append(value.embedding, $reverse(value.embedding))), " +
         "'nd': $count($distinct($map(value.embedding, function($x){ $floor($x * 10) })))}",
       "id BIGINT, rsum DOUBLE, nd BIGINT", "id")
+    // comparator-less $sort: ascending on a homogeneous numeric array (the
+    // sorted array survives the engine boundary because dim > 1)
+    diff("embeddings",
+      "{'id': value.vec_id, 'srt': $sort(value.embedding)}",
+      "id BIGINT, srt ARRAY<FLOAT>", "id")
     // undefined-side append returns the other side; both-null stays null
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
