@@ -82,7 +82,7 @@ object ScaleSmoke {
     // documents/embeddings plus zipf-skewed events and a minimal orders
     // table for the temporal/session family)
     val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp",
-      "ses", "aj", "rj")
+      "ses", "aj", "rj", "jx1") // jx10-13 are the embeddings-based compiled-tier queries
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

@@ -557,6 +557,56 @@ object Dedup {
         FROM tr JOIN bench USING (g)
         GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
 
+    // ---- dc02: contamination ATTRIBUTION — which training docs leak ----
+    // ---- each benchmark item (top-3 by shared-shingle count)         ----
+    // The report a decontamination pass produces for review: dc01 says HOW
+    // MANY benchmark shingles each training doc shares; this says, per
+    // benchmark doc, WHICH training docs overlap it most. Shapes: the same
+    // cached shingle relation as dc01, a DfCap guard on the train side (a
+    // boilerplate shingle in >256 training docs would make the h-join
+    // quadratic — the dd03 bound, mirrored in the oracle), pair counts via
+    // partial agg, and the per-benchmark top-3 through the native bounded
+    // top-k aggregate (integer scores — no float-ordering hazard).
+    Q("dc02_contamination_report",
+      (s, d) => {
+        val docs = withShingles(Tables.spread(t(s, d, "documents")), "sh",
+            col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"))
+          .cache()
+        val bench = docs.filter(col("bk") >= 95)
+          .select(col("doc_id").as("bench_doc"), explode(col("sh")).as("h"))
+        val train = docs.filter(col("bk") < 95)
+          .select(col("doc_id").as("train_doc"), explode(col("sh")).as("h"))
+        val hot = train.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select(col("h"))
+        val pairs = bench
+          .join(train.join(broadcast(hot), Seq("h"), "left_anti"), Seq("h"))
+          .groupBy(col("bench_doc"), col("train_doc"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs.groupBy(col("bench_doc"))
+          .agg(graft.spark.TopKAggregate.topkBy(col("n_shared"), col("train_doc"), 3).as("top"))
+          .select(col("bench_doc"), posexplode(col("top")))
+          .select(col("bench_doc"), (col("pos") + 1).cast("bigint").as("rank"),
+            col("col.id").as("train_doc"), col("col.score").as("n_shared"))
+          .orderBy(col("bench_doc"), col("rank"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w)-2)]) AS sh,
+              ${Sampling.hashBucketSql("doc_id")} AS bk
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(sh) AS g, bk FROM b),
+          tr AS (SELECT doc_id AS train_doc, g FROM ex WHERE bk < 95),
+          keep AS (SELECT g FROM tr GROUP BY g HAVING count(*) <= $DfCap),
+          bench AS (SELECT doc_id AS bench_doc, g FROM ex WHERE bk >= 95),
+          p AS (SELECT bench_doc, train_doc, count(*) AS n_shared
+                FROM bench JOIN tr USING (g) JOIN keep USING (g)
+                GROUP BY bench_doc, train_doc),
+          r AS (SELECT *, row_number() OVER (PARTITION BY bench_doc
+                  ORDER BY n_shared DESC, train_doc) AS rank FROM p)
+        SELECT bench_doc, CAST(rank AS BIGINT) AS rank, train_doc,
+          CAST(n_shared AS BIGINT) AS n_shared
+        FROM r WHERE rank <= 3 ORDER BY bench_doc, rank""")),
+
     // ---- dd08: passage-level duplicate-span fraction (Rabin-Karp style) ----
     // The exact-substring dedup SIGNAL (Lee et al. "Deduplicating Training
     // Data..."): what fraction of a document's 8-token windows also appear in
