@@ -334,6 +334,45 @@ object Sampling {
       Some("""WITH r AS (SELECT doc_id, source,
               md5(CAST(doc_id AS VARCHAR) || ':fix9') AS k
             FROM documents ORDER BY k LIMIT 200)
-        SELECT doc_id, source, k FROM r ORDER BY doc_id"""))
+        SELECT doc_id, source, k FROM r ORDER BY doc_id""")),
+
+    // ---- sp09: length-bucketed batching / padding-waste accounting ----
+    // Batching docs of similar length cuts pad-token waste (padding to the
+    // batch max); the standard scheme buckets by power-of-2 token length.
+    // This is the accounting report: per bucket, docs, real tokens, and the
+    // padding overhead if each doc pads to its bucket ceiling — the number
+    // that justifies length-grouped batching to a training run. Map-only +
+    // one partial agg. The bucket (smallest power of 2 >= tokens) is INTEGER
+    // math — bit length of tokens-1, identical on both engines — because the
+    // float form (2^ceil(log2 n)) computes log2 as a ln ratio whose last ulp
+    // can land either side of an integer at exact powers of two, flipping
+    // ceil per engine.
+    Q("sp09_length_buckets",
+      (s, d) => {
+        val toks = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        // tokens >= 1 always: split of a non-empty trimmed string yields at
+        // least one element
+        val bucket = when(col("tokens") <= 1L, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(tokens - 1)))")) // Column numBits needs the SQL form
+        t(s, d, "documents")
+          .select(col("doc_id"), toks.as("tokens"))
+          .withColumn("bucket", bucket)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).as("sum_tokens"),
+            sum(col("bucket") - col("tokens")).as("pad_waste"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS tokens
+            FROM documents),
+          b AS (SELECT doc_id, tokens,
+                  CASE WHEN tokens <= 1 THEN 1
+                       ELSE CAST(1 << length(bin(tokens - 1)) AS BIGINT)
+                  END AS bucket FROM tk)
+        SELECT bucket, count(*) AS n_docs,
+          CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+          CAST(sum(bucket - tokens) AS BIGINT) AS pad_waste
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }
