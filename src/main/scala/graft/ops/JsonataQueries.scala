@@ -190,6 +190,35 @@ object JsonataQueries {
             x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS BIGINT)))) AS n_decile
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx14: object operators on the COMPILED tier — $keys/$sift/$each/ ----
+    // ---- $lookup over the row struct as per-field keep flags (presence =  ----
+    // ---- non-null: the envelope drops null fields, so a NULL column IS an ----
+    // ---- absent key). Field-completeness audit shape: n_present counts    ----
+    // ---- present keys, meta_keys joins a sifted key set, len_or_zero      ----
+    // ---- folds a keyed $each — all native Columns, pinned interpreter-    ----
+    // ---- free in PlanShapeSpec.                                           ----
+    q("jx14_object_ops", "documents",
+      "{'doc_id': value.doc_id, " +
+        "'n_present': $count($keys(value)), " +
+        "'n_meta': $count($keys($sift(value, function($v, $k){ $k in ['lang','source','n_chars'] }))), " +
+        "'meta_keys': $join($keys($sift(value, function($v, $k){ $k != 'text' and $k != 'doc_id' })), ','), " +
+        "'src': $lookup(value, 'source'), " +
+        "'len_or_zero': $sum($each(value, function($v, $k){ $k = 'n_chars' ? $v : 0 }))}",
+      "doc_id BIGINT, n_present BIGINT, n_meta BIGINT, meta_keys STRING, src STRING, len_or_zero BIGINT",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(doc_id IS NOT NULL AS BIGINT) + CAST(text IS NOT NULL AS BIGINT) +
+            CAST(lang IS NOT NULL AS BIGINT) + CAST(source IS NOT NULL AS BIGINT) +
+            CAST(n_chars IS NOT NULL AS BIGINT) AS n_present,
+          CAST(lang IS NOT NULL AS BIGINT) + CAST(source IS NOT NULL AS BIGINT) +
+            CAST(n_chars IS NOT NULL AS BIGINT) AS n_meta,
+          concat_ws(',', CASE WHEN lang IS NOT NULL THEN 'lang' END,
+            CASE WHEN source IS NOT NULL THEN 'source' END,
+            CASE WHEN n_chars IS NOT NULL THEN 'n_chars' END) AS meta_keys,
+          source AS src,
+          COALESCE(n_chars, 0) AS len_or_zero
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -19,7 +19,9 @@ import graft.jsonata.Ast
   * $count/$sum/$min/$max/$average aggregates), `$map`/`$filter` with inline
   * arity-1 lambdas over array operands (→ native transform/filter),
   * `$reduce` with an inline arity-2 lambda and a literal init (→ native
-  * aggregate), and
+  * aggregate), object operators `$keys`/`$lookup`/`$sift`/`$each` over
+  * struct-typed paths (per-field keep flags; presence = non-null) and over
+  * map columns (map_keys/element_at/map_filter/map_entries), and
   * builtins with exact Spark equivalents — into native Columns. The result
   * runs entirely inside whole-stage codegen with predicate pushdown and column
   * pruning: no JSON serialization, no interpreter, no CodegenFallback.
@@ -267,6 +269,228 @@ object JsonataCompiler {
           }
         case _ => None
       }
+
+    /** A field of a compiled object value: `keep` is "present AND retained by
+      * every enclosing $sift". Envelope encoding drops SQL-NULL fields, so a
+      * NULL column is exactly an absent key in the engine's object — presence
+      * is `isNotNull`. */
+    private final case class VField(name: String, col: Column, dt: DataType, keep: Column)
+
+    private def bound[A](vs: Seq[(String, TCol)])(f: => A): A = {
+      val (se, si) = (lambdaEnv, inLambda)
+      vs.foreach { case (n, t) => lambdaEnv += (n -> t) }
+      inLambda = true
+      try f finally { lambdaEnv = se; inLambda = si }
+    }
+
+    /** Object-valued operand for the compiled object operators ($keys/$each/
+      * $lookup/$sift): the whole row (`value`), a struct-typed `value.a.b`
+      * path, or a nested struct-$sift. Blocked inside lambda bodies (the
+      * engine invokes lambdas with a null input context, so `value.*` is
+      * undefined there — same rule as the path cases in [[compile]]). */
+    private def compileStructObj(a: Ast): Option[Seq[VField]] = a match {
+      // a bare `value` argument parses as a naked NameStep, not a Path
+      case n @ NameStep("value") => compileStructObj(Path(Vector(Step(n))))
+      case p: Path if !inLambda =>
+        valuePath(p).flatMap { names =>
+          fieldType(names) match {
+            case Some(st: StructType) =>
+              val prefix = names.map(_ + ".").mkString
+              Some(st.fields.toSeq.map { f =>
+                val c = col(prefix + f.name)
+                VField(f.name, c, f.dataType, c.isNotNull)
+              })
+            case _ => None
+          }
+        }
+      case Call(VarRef("sift"), as) if as.length == 2 => compileStructSift(as)
+      case ApplyOp(l, Call(VarRef("sift"), as)) if as.length == 1 =>
+        compileStructSift(l +: as)
+      case _ => None
+    }
+
+    /** Bind ($v[, $k]) for one field of a struct object. */
+    private def fieldBindings(params: Vector[String], f: VField): Seq[(String, TCol)] =
+      Seq(params.head -> TCol(f.col, f.dt)) ++
+        params.lift(1).map(_ -> TCol(lit(f.name), StringType))
+
+    /** Constant-fold comparisons of the key parameter against string literals
+      * for ONE field (the key is statically known per field), then fold
+      * conditionals whose condition became a literal. This is what lets a
+      * heterogeneous struct compile bodies like `$k = 'n' ? $v : 0`: the
+      * engine's ternary is lazy, so folding the untaken branch away is exact —
+      * while `and`/`or` operands are BOTH evaluated by the engine and are
+      * therefore never dropped (a non-compiling operand still forces the
+      * interpreted tier, preserving any engine type error). Does not descend
+      * into nested lambdas (parameter shadowing). */
+    private def foldKey(a: Ast, k: String, name: String): Ast = {
+      def kRef(x: Ast): Boolean = x match {
+        case VarRef(`k`) => true
+        case Path(Vector(Step(VarRef(`k`), Vector(), false, None, None)), false, None) => true
+        case _ => false
+      }
+      def go(x: Ast): Ast = x match {
+        case Binary(op @ ("=" | "!="), l, r) =>
+          val litKey = (l, r) match {
+            case (lk, StrLit(s)) if kRef(lk) => Some(s)
+            case (StrLit(s), rk) if kRef(rk) => Some(s)
+            case _ => None
+          }
+          litKey match {
+            case Some(s) => BoolLit(if (op == "=") name == s else name != s)
+            case None => Binary(op, go(l), go(r))
+          }
+        case Binary("in", lk, ArrCtor(items))
+            if kRef(lk) && items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
+          BoolLit(items.exists { case StrLit(s) => s == name; case _ => false })
+        case Binary(op, l, r) => (op, go(l), go(r)) match {
+          case ("and", BoolLit(bl), BoolLit(br)) => BoolLit(bl && br)
+          case ("or", BoolLit(bl), BoolLit(br)) => BoolLit(bl || br)
+          case (_, gl, gr) => Binary(op, gl, gr)
+        }
+        case Cond(c, t, e) => go(c) match {
+          case BoolLit(true) => go(t)
+          case BoolLit(false) if e.isDefined => go(e.get)
+          case gc => Cond(gc, go(t), e.map(go))
+        }
+        case Call(p, as) => Call(p, as.map(go))
+        case UnaryMinus(e) => UnaryMinus(go(e))
+        case other => other
+      }
+      go(a)
+    }
+
+    /** `$sift(structObj, function($v[, $k]){bool})` — per-field keep flags.
+      * The lambda body must compile to a static boolean for EVERY field (after
+      * per-field key folding); fSift's general truthiness on non-boolean
+      * results stays interpreted, exactly like $filter. The engine's 3-arg
+      * lambda form (receives the object itself) is not compiled. */
+    private def compileStructSift(args: Seq[Ast]): Option[Seq[VField]] = args match {
+      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 2 =>
+        compileStructObj(objA).flatMap { fields =>
+          val kept = fields.map { f =>
+            val folded = params.lift(1).map(foldKey(body, _, f.name)).getOrElse(body)
+            bound(fieldBindings(params, f))(compile(folded)) match {
+              case Some(TCol(c, BooleanType)) =>
+                Some(f.copy(keep = f.keep && coalesce(c, lit(false))))
+              case _ => None
+            }
+          }
+          if (kept.forall(_.isDefined)) Some(kept.map(_.get)) else None
+        }
+      case _ => None
+    }
+
+    /** An empty array/map result becomes SQL NULL: the engine's empty
+      * sequence (and fSift's empty-object undef) IS undefined, and NULL is
+      * the compiled tier's undefined — so downstream $count gives 0, $sum/
+      * $join give null, on BOTH tiers. */
+    private def emptyAsNull(c: Column): Column = when(size(c) > 0, c)
+
+    /** `$keys(obj)` — present keys in insertion order (= schema order for a
+      * struct, entry order for a map; the engine's envelope objects preserve
+      * exactly that order). No present keys → undefined (see emptyAsNull). */
+    private def compileKeys(args: Seq[Ast]): Option[TCol] = args match {
+      case Seq(objA) =>
+        compileStructObj(objA).map { fields =>
+          val empty = array().cast(ArrayType(StringType))
+          val parts = fields.map(f => when(f.keep, array(lit(f.name))).otherwise(empty))
+          TCol(emptyAsNull(concat(parts: _*)), ArrayType(StringType))
+        }.orElse {
+          compile(objA).collect { case TCol(c, MapType(StringType, _, _)) =>
+            TCol(emptyAsNull(map_keys(c)), ArrayType(StringType))
+          }
+        }
+      case _ => None
+    }
+
+    /** `$lookup(obj, 'key')` — struct objects need a literal key (the field
+      * set is static); map objects accept any compiled string key
+      * (element_at's NULL on absent key is exactly "undefined"). A literal key
+      * absent from the struct is engine-undefined with no static type — that
+      * stays interpreted rather than guessing a null type. */
+    private def compileLookup(args: Seq[Ast]): Option[TCol] = args match {
+      case Seq(objA, keyA) =>
+        (compileStructObj(objA), keyA) match {
+          case (Some(fields), StrLit(k)) =>
+            fields.find(_.name == k).map(f => TCol(when(f.keep, f.col), f.dt))
+          case _ =>
+            for {
+              m <- compile(objA)
+              vt <- m.dt match { case MapType(StringType, v, _) => Some(v); case _ => None }
+              kc <- compile(keyA) if kc.dt == StringType
+            } yield TCol(element_at(m.col, kc.col), vt)
+        }
+      case _ => None
+    }
+
+    /** `$sift(map, function($v[, $k]){bool})` → native map_filter — the
+      * map-typed twin of [[compileStructSift]] (maps arise from the compiled
+      * `{}` group-by). An empty result is fSift's undef (see emptyAsNull). */
+    private def compileMapSift(args: Seq[Ast]): Option[TCol] = args match {
+      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 2 =>
+        compile(objA).flatMap { t =>
+          t.dt match {
+            case MapType(StringType, vt, _) =>
+              def bodyFor(v: Column, k: Column): Option[TCol] =
+                bound(Seq(params.head -> TCol(v, vt)) ++
+                  params.lift(1).map(_ -> TCol(k, StringType)))(compile(body))
+              bodyFor(lit(null).cast(vt), lit(null).cast(StringType)) match {
+                case Some(TCol(_, BooleanType)) =>
+                  Some(TCol(emptyAsNull(map_filter(t.col,
+                    (k, v) => coalesce(bodyFor(v, k).get.col, lit(false)))), t.dt))
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+    /** `$each(obj, function($v[, $k]){...})` — body results over present
+      * fields/entries in order, engine-style: undefined body results are
+      * dropped (fEach skips nulls). Struct objects need all per-field body
+      * types to agree (one JSONata integer space); map objects compile the
+      * body once against the value type. */
+    private def compileEach(args: Seq[Ast]): Option[TCol] = args match {
+      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 2 =>
+        compileStructObj(objA).flatMap { fields =>
+          val bodies = fields.map { f =>
+            val folded = params.lift(1).map(foldKey(body, _, f.name)).getOrElse(body)
+            bound(fieldBindings(params, f))(compile(folded))
+          }
+          if (!bodies.forall(_.isDefined)) None
+          else {
+            val ts = bodies.map(_.get)
+            ts.map(tc2dt).distinct match {
+              case Seq(dt) =>
+                val empty = array().cast(ArrayType(dt))
+                val parts = fields.zip(ts).map { case (f, t) =>
+                  when(f.keep, array(t.col.cast(dt))).otherwise(empty)
+                }
+                Some(TCol(emptyAsNull(filter(concat(parts: _*), x => x.isNotNull)),
+                  ArrayType(dt)))
+              case _ => None
+            }
+          }
+        }.orElse {
+          compile(objA).flatMap { t =>
+            t.dt match {
+              case MapType(StringType, vt, _) =>
+                def bodyFor(v: Column, k: Column): Option[TCol] =
+                  bound(Seq(params.head -> TCol(v, vt)) ++
+                    params.lift(1).map(_ -> TCol(k, StringType)))(compile(body))
+                bodyFor(lit(null).cast(vt), lit(null).cast(StringType)).map { probe =>
+                  val arr = transform(map_entries(t.col), e =>
+                    bodyFor(e.getField("value"), e.getField("key")).get.col)
+                  TCol(emptyAsNull(filter(arr, x => x.isNotNull)), ArrayType(probe.dt))
+                }
+              case _ => None
+            }
+          }
+        }
+      case _ => None
+    }
 
     /** `$reduce(array, function($acc, $v){...}, init)` → native `aggregate`.
       * Only the 3-arg (explicit init) form with an inline arity-2 lambda
@@ -631,6 +855,10 @@ object JsonataCompiler {
         case _ if lambdaEnv.contains(fn) => None
         case "map" | "filter" => compileHof(fn, args)
         case "reduce" => compileReduce(args)
+        case "keys" => compileKeys(args)
+        case "lookup" => compileLookup(args)
+        case "sift" => compileMapSift(args) // struct-$sift is consumed by keys/each/lookup
+        case "each" => compileEach(args)
         case "uppercase" => str(0).map(t => TCol(upper(t.col), StringType))
         case "lowercase" => str(0).map(t => TCol(lower(t.col), StringType))
         case "trim" =>
@@ -731,9 +959,11 @@ object JsonataCompiler {
               ArrayType(StringType)))
           case _ => None
         }
-        // $join over a compiled $split result (provably no null elements —
-        // array_join silently drops nulls where the engine raises T0412, so
-        // arbitrary array columns stay interpreted); literal separator.
+        // $join over arrays with provably no null elements — array_join
+        // silently drops nulls where the engine raises T0412, so arbitrary
+        // array columns stay interpreted. Provable sources: a compiled $split
+        // (never emits nulls), $keys (literal names), and $each (null body
+        // results are filtered, mirroring fEach). Literal separator only.
         case "join" =>
           val sep = args.lift(1) match {
             case None => Some("")
@@ -741,7 +971,7 @@ object JsonataCompiler {
             case _ => None
           }
           (args.headOption, sep) match {
-            case (Some(sp @ Call(VarRef("split"), _)), Some(s2)) =>
+            case (Some(sp @ Call(VarRef("split" | "keys" | "each"), _)), Some(s2)) =>
               compile(sp).collect {
                 case t if t.dt.isInstanceOf[ArrayType] =>
                   TCol(array_join(t.col, s2), StringType)

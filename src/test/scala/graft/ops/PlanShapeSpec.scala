@@ -157,6 +157,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx13 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx14 object operators run on the compiled tier (per-field keep flags)") {
+    val p = plan("jx14_object_ops")
+    assert(!p.contains("jsonata"), "jx14 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

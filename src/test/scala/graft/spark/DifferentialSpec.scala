@@ -431,4 +431,73 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, s"tiers disagree on null-operand membership:\n  compiled:    $a\n  interpreted: $b")
     assert(a(1) == Seq(2L, false), s"undefined operand must project false, got ${a(1)}")
   }
+
+  test("object operators over the row struct compile and match the interpreter") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // nulls exercise the present-field rule: a NULL column is an absent key
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L, "s1"), Row(2L, null, "s2"), Row(3L, 30L, null), Row(4L, null, null)).asJava,
+      StructType.fromDDL("id BIGINT, b BIGINT, c STRING"))
+    val expr = "{'id': value.id, 'np': $count($keys(value)), " +
+      "'ks': $join($keys(value), '|'), " +
+      "'nb': $count($keys($sift(value, function($v, $k){ $k = 'b' }))), " +
+      "'lb': $lookup(value, 'b'), " +
+      "'sm': $sum($each(value, function($v, $k){ $k != 'id' ? 1 : 0 }))}"
+    val ddl = "id BIGINT, np BIGINT, ks STRING, nb BIGINT, lb BIGINT, sm BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "struct object operators should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on struct object ops:\n  compiled:    $a\n  interpreted: $b")
+    assert(a(1) == Seq(2L, 2L, "id|c", 0L, null, 1L), s"null-field row wrong: ${a(1)}")
+  }
+
+  test("object operators over compiled group-by maps match the interpreter") {
+    // id=3 (empty array) / id=4 (null array) group to an empty object, whose
+    // $keys/$sift/$each results are the engine's undefined — the compiled tier
+    // maps empty results to NULL (emptyAsNull) so $count gives 0 and $sum
+    // gives null on BOTH tiers
+    val df = itemsDf
+    val g = "value.items{cat: $sum(price)}"
+    val expr = s"{'id': value.id, " +
+      s"'nbig': $$count($$keys($$sift($g, function($$v){ $$v >= 20 }))), " +
+      s"'la': $$lookup($g, 'a'), " +
+      s"'tot': $$sum($$each($g, function($$v){ $$v * 2 }))}"
+    val ddl = "id BIGINT, nbig BIGINT, la BIGINT, tot BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "map object operators should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on map object ops:\n  compiled:    $a\n  interpreted: $b")
+    // id=1: groups {b:40, a:10} (c's only price is null => aggregate undefined
+    // => key omitted; null cat skipped) — sift keeps b, lookup('a')=10,
+    // each doubles and sums to 100
+    assert(a.head == Seq(1L, 1L, 10L, 100L), s"group-map row wrong: ${a.head}")
+  }
+
+  test("object operator shapes outside the subset fall back to the interpreter") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L, "s1")).asJava,
+      StructType.fromDDL("id BIGINT, b BIGINT, c STRING"))
+    // non-boolean sift body (engine truthiness) must stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $count($keys($sift(value, function($v){ $v })))}").isEmpty)
+    // arity-3 sift lambda receives the object itself
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $count($keys($sift(value, function($v, $k, $o){ $k = 'b' })))}").isEmpty)
+    // literal key absent from the struct: engine-undefined with no static type
+    assert(JsonataCompiler.transformCompiled(df, "{'x': $lookup(value, 'nope')}").isEmpty)
+    // dynamic key over a struct object (field set is static, key is not)
+    assert(JsonataCompiler.transformCompiled(df, "{'x': $lookup(value, value.c)}").isEmpty)
+    // $keys of a non-object operand
+    assert(JsonataCompiler.transformCompiled(df, "{'x': $keys(value.b)}").isEmpty)
+    // $each with per-field body types that cannot agree
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $each(value, function($v){ $v })}").isEmpty)
+  }
 }
