@@ -373,6 +373,82 @@ object Sampling {
         SELECT bucket, count(*) AS n_docs,
           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
           CAST(sum(bucket - tokens) AS BIGINT) AS pad_waste
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- sp10: UniMax-style budget waterfilling across sources ----
+    // The data-mixture allocation step (UniMax, arXiv:2304.09151): spread a
+    // total token budget B as uniformly as possible across sources, but cap
+    // each source at E epochs of its own tokens. Waterfill closed form over
+    // sources sorted by cap ascending: a source is "feasible" (fully granted
+    // its cap) iff granting it and giving every LATER source the same amount
+    // still fits B — feasibility is prefix-monotone under the cap ordering —
+    // and the infeasible tail splits the leftover evenly (theta). Scale
+    // shape: ONE partial-agg shuffle over the corpus to per-source token
+    // counts; every window after that runs on the #sources-row summary
+    // (thousands at most, never the corpus) — the sp03/tx09 bounded-summary
+    // class. Cross-engine float determinism: caps/cumsums are computed in
+    // DOUBLE in an engine-pinned order (ordered running sum), so both
+    // engines see bit-identical doubles; the oracle casts its decimal
+    // literals to DOUBLE explicitly (DuckDB would otherwise do DECIMAL
+    // arithmetic).
+    Q("sp10_unimax_budget",
+      (s, d) => {
+        val E = lit(1.1)          // epoch cap per source
+        val bFrac = lit(0.8)      // budget = 0.8 * total tokens
+        val counts = t(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("toks"))
+        val unp = Window.partitionBy()
+        val ord = Window.orderBy(col("cap"), col("lang"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val x = counts
+          .withColumn("cap", E * col("toks"))
+          .withColumn("k", count(lit(1)).over(unp))
+          .withColumn("total", sum(col("toks")).over(unp))
+          .withColumn("rn", row_number().over(Window.orderBy(col("cap"), col("lang"))))
+          .withColumn("ccum", sum(col("cap")).over(ord))
+        val budget = bFrac * col("total")
+        val y = x
+          .withColumn("feasible",
+            (col("cap") * (col("k") - col("rn") + 1) + (col("ccum") - col("cap"))) <= budget)
+          .withColumn("fcum", max(when(col("feasible"), col("ccum"))).over(unp))
+          .withColumn("frn", max(when(col("feasible"), col("rn").cast("long"))).over(unp))
+        // leftover split evenly across the infeasible tail; greatest(...,1)
+        // guards the all-feasible case (theta is unused there)
+        val theta = (budget - coalesce(col("fcum"), lit(0.0))) /
+          greatest(col("k") - coalesce(col("frn"), lit(0L)), lit(1L))
+        val alloc = when(col("feasible"), col("cap")).otherwise(theta)
+        y.select(col("lang"), col("toks"), alloc.as("alloc"),
+            (alloc / col("toks")).as("epochs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH counts AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks
+            FROM documents GROUP BY lang),
+          x AS (
+            SELECT lang, toks, CAST(1.1 AS DOUBLE) * toks AS cap,
+              count(*) OVER () AS k,
+              CAST(sum(toks) OVER () AS BIGINT) AS total,
+              row_number() OVER (ORDER BY CAST(1.1 AS DOUBLE) * toks, lang) AS rn,
+              sum(CAST(1.1 AS DOUBLE) * toks) OVER (ORDER BY CAST(1.1 AS DOUBLE) * toks, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum
+            FROM counts),
+          y AS (
+            SELECT *,
+              (cap * (k - rn + 1) + (ccum - cap)) <= CAST(0.8 AS DOUBLE) * total AS feasible
+            FROM x),
+          z AS (
+            SELECT *,
+              max(CASE WHEN feasible THEN ccum END) OVER () AS fcum,
+              max(CASE WHEN feasible THEN rn END) OVER () AS frn
+            FROM y),
+          a AS (
+            SELECT *,
+              CASE WHEN feasible THEN cap
+                   ELSE (CAST(0.8 AS DOUBLE) * total - COALESCE(fcum, 0.0)) /
+                        greatest(k - COALESCE(frn, 0), 1) END AS alloc
+            FROM z)
+        SELECT lang, toks, alloc, alloc / toks AS epochs
+        FROM a ORDER BY lang"""))
   )
 }

@@ -203,9 +203,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // WindowExec warning, and THIS test is what keeps the suppression honest
     // for every other query in the registry
     // tx09's only unpartitioned window runs over the 4-row frequency-band
-    // summary (the mass-fraction denominator), the same bounded-summary class
+    // summary (the mass-fraction denominator), the same bounded-summary class;
+    // sp10's waterfill windows run over the per-source count summary
+    // (#sources rows, never the corpus)
     val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture",
-      "tx09_zipf")
+      "tx09_zipf", "sp10_unimax_budget")
     def unpartitionedWindows(p: SparkPlan): Seq[String] = {
       val here = p match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)

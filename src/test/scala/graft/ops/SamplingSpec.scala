@@ -116,4 +116,34 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the order is actually shuffled, not accidentally doc_id order
     assert(fast.map(_._1) != fast.map(_._1).sorted)
   }
+
+  test("sp10 waterfill: budget exhausted, caps respected, leftover split evenly") {
+    val rows = graft.SparkEntry.queries("sp10_unimax_budget")(spark, sfDir).collect().toSeq
+    val toks = rows.map(r => r.getAs[Long]("toks"))
+    val alloc = rows.map(r => r.getAs[Double]("alloc"))
+    val epochs = rows.map(r => r.getAs[Double]("epochs"))
+    val total = toks.sum
+    val budget = 0.8 * total
+    val caps = toks.map(1.1 * _)
+    // no source exceeds its epoch cap
+    alloc.zip(caps).foreach { case (a, c) => assert(a <= c + 1e-6, s"alloc $a > cap $c") }
+    // epochs = alloc / toks by construction
+    rows.indices.foreach(i => assert(math.abs(epochs(i) - alloc(i) / toks(i)) < 1e-12))
+    // the budget is exactly exhausted when the caps don't cover it
+    if (caps.sum > budget) assert(math.abs(alloc.sum - budget) < 1e-6,
+      s"allocated ${alloc.sum} != budget $budget")
+    else assert(alloc == caps)
+    // every uncapped source gets the same theta, and theta exceeds every
+    // capped source's cap (the waterline is above the full-grant caps)
+    val uncapped = alloc.zip(caps).filter { case (a, c) => a < c - 1e-6 }.map(_._1)
+    if (uncapped.nonEmpty) {
+      assert(uncapped.distinct.size == 1, s"unequal theta: $uncapped")
+      val theta = uncapped.head
+      alloc.zip(caps).filter { case (a, c) => a >= c - 1e-6 }
+        .foreach { case (_, c) => assert(c <= theta + 1e-6, s"capped cap $c above theta $theta") }
+    }
+    // deterministic across runs
+    val again = graft.SparkEntry.queries("sp10_unimax_budget")(spark, sfDir).collect().toSeq
+    assert(rows.map(_.toSeq) == again.map(_.toSeq))
+  }
 }
