@@ -219,6 +219,31 @@ object JsonataQueries {
           COALESCE(n_chars, 0) AS len_or_zero
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx15: $sort with an inline swap-comparator on the COMPILED tier ----
+    // ---- (mirrored strict-comparison idiom → ^()-style explicit           ----
+    // ---- comparator inside array_sort), composed under a compiled $filter ----
+    // ---- — native Columns end-to-end, pinned in PlanShapeSpec. Probes are ----
+    // ---- positional scalars (registry convention: no raw arrays through   ----
+    // ---- the driver hasher).                                              ----
+    Q("jx15_comparator_sort",
+      (s, d) => {
+        val df = Tables.spread(t(s, d, "embeddings"))
+        val out = JsonataDF.auto(df,
+          "{'vec_id': value.vec_id, 'srt': $sort($filter(value.embedding, " +
+            "function($x){ $x > 0 }), function($l, $r){ $l > $r })}",
+          StructType.fromDDL("vec_id BIGINT, srt ARRAY<FLOAT>"), topic = "embeddings")
+        out.select(col("vec_id"),
+            element_at(col("srt"), 1).cast("double").as("lo"),
+            element_at(col("srt"), size(col("srt"))).cast("double").as("hi"),
+            size(col("srt")).cast("bigint").as("n_pos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH s AS (SELECT vec_id,
+              list_sort(list_filter(embedding, x -> x > 0)) AS st FROM embeddings)
+        SELECT vec_id, CAST(st[1] AS DOUBLE) AS lo,
+          CAST(st[len(st)] AS DOUBLE) AS hi, len(st) AS n_pos
+        FROM s ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -1005,6 +1005,59 @@ object JsonataCompiler {
             simpleAtomic(t.dt.asInstanceOf[ArrayType].elementType) =>
             TCol(array_sort(t.col), t.dt)
         }
+        // $sort with an inline swap-comparator of the mirrored strict-
+        // comparison idiom: function($l, $r){ $l.key > $r.key } (ascending —
+        // the engine swaps when the comparator is truthy) or `<` (descending),
+        // in either argument orientation. Compiles to the ^()-style explicit
+        // comparator: ties give 0 (TimSort stable = the engine's stable merge
+        // sort), undefined keys order last (first under descending) — where
+        // the engine's never-truthy comparator leaves an undefined-keyed
+        // element stably in place: that placement, and T2010 on JSON-null
+        // keys, are the pinned divergence class shared with ^(); the tiers
+        // agree whenever keys are present. Non-strict ops (a >= swap
+        // comparator is not a strict weak order and can violate the sort
+        // contract), non-mirrored keys, and other body shapes stay
+        // interpreted.
+        case "sort" if args.length == 2 =>
+          (arg(0), args.lift(1)) match {
+            case (Some(t), Some(Lambda(Vector(pl, pr), Binary(op @ ("<" | ">"), lA, rA), _))) =>
+              t.dt match {
+                case at @ ArrayType(et, _) =>
+                  def keyDesc(a2: Ast, param: String): Option[(Option[String], DataType)] = a2 match {
+                    case VarRef(`param`) if simpleAtomic(et) => Some((None, et))
+                    case Path(Vector(Step(VarRef(`param`), Vector(), false, None, None)),
+                        false, None) if simpleAtomic(et) => Some((None, et))
+                    case Path(Vector(Step(VarRef(`param`), Vector(), false, None, None),
+                        Step(NameStep(f), Vector(), false, None, None)), false, None) =>
+                      et match {
+                        case st: StructType => st.fields.find(_.name == f)
+                          .filter(x => simpleAtomic(x.dataType)).map(fl => (Some(f), fl.dataType))
+                        case _ => None
+                      }
+                    case _ => None
+                  }
+                  val straight = for { kl <- keyDesc(lA, pl); kr <- keyDesc(rA, pr) }
+                    yield (kl, kr, op == ">")
+                  val crossed = for { kl <- keyDesc(lA, pr); kr <- keyDesc(rA, pl) }
+                    yield (kl, kr, op == "<")
+                  straight.orElse(crossed).collect { case (kl, kr, asc) if kl == kr =>
+                    val kf: Column => Column = kl._1 match {
+                      case None => identity
+                      case Some(f) => (e: Column) => e.getField(f)
+                    }
+                    val cmp = (a2: Column, b2: Column) => {
+                      val (ka, kb) = (kf(a2), kf(b2))
+                      val base = when(ka.isNull && kb.isNull, lit(0))
+                        .when(ka.isNull, lit(1)).when(kb.isNull, lit(-1))
+                        .when(ka < kb, lit(-1)).when(ka > kb, lit(1)).otherwise(lit(0))
+                      if (asc) base else base * lit(-1)
+                    }
+                    TCol(array_sort(t.col, cmp), at)
+                  }
+                case _ => None
+              }
+            case _ => None
+          }
         // $count: arrays count elements (undefined -> 0); scalars count 1
         case "count" if args.length == 1 => arg(0).map { t =>
           t.dt match {

@@ -162,6 +162,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx14 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx15 comparator $sort runs on the compiled tier (array_sort comparator)") {
+    val p = plan("jx15_comparator_sort")
+    assert(!p.contains("jsonata"), "jx15 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

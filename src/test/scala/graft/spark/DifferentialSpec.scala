@@ -478,6 +478,48 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.head == Seq(1L, 1L, 10L, 100L), s"group-map row wrong: ${a.head}")
   }
 
+  test("$sort swap-comparators compile in both orientations and match the interpreter") {
+    // `$l > $r` (straight) and `$r < $l` (crossed) are both ascending; `$l < $r`
+    // is descending — all three must agree with the interpreted msort
+    diff("embeddings",
+      "{'vec_id': value.vec_id, 'a': $sort(value.embedding, function($l, $r){ $l > $r }), " +
+        "'c': $sort(value.embedding, function($l, $r){ $r < $l }), " +
+        "'d': $sort(value.embedding, function($l, $r){ $l < $r })}",
+      "vec_id BIGINT, a ARRAY<FLOAT>, c ARRAY<FLOAT>, d ARRAY<FLOAT>", "vec_id")
+  }
+
+  test("$sort struct-field comparator is stable on ties and matches the interpreter") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row("b", 3L), Row("a", 1L), Row("c", 2L), Row("d", 2L)))).asJava,
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT>>"))
+    val expr = "{'id': value.id, 's': $sort(value.items, function($l, $r){ $l.price > $r.price })}"
+    val ddl = "id BIGINT, s ARRAY<STRUCT<cat: STRING, price: BIGINT>>"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "struct-field swap comparator should compile")
+    val a = compiled.get.collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on comparator sort:\n  compiled:    $a\n  interpreted: $b")
+    // the two price=2 items keep their original relative order (stable)
+    val cats = a.head(1).asInstanceOf[scala.collection.Seq[Row]].map(_.getString(0)).toSeq
+    assert(cats == Seq("a", "c", "d", "b"), s"expected stable ascending sort, got $cats")
+  }
+
+  test("$sort comparator shapes outside the subset fall back to the interpreter") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // >= is not a strict weak order (swap-comparator contract violation risk)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'s': $sort(value.embedding, function($l, $r){ $l >= $r })}").isEmpty)
+    // non-mirrored keys
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'s': $sort(value.embedding, function($l, $r){ $l > 0 })}").isEmpty)
+    // non-comparison body
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'s': $sort(value.embedding, function($l, $r){ $l - $r })}").isEmpty)
+  }
+
   test("object operator shapes outside the subset fall back to the interpreter") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
