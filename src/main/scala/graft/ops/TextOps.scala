@@ -360,6 +360,65 @@ object TextOps {
           coalesce(s.n_unseen, 0) AS n_unseen, coalesce(s.nll, 0.0) AS nll
         FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""")),
 
+    // ---- tx10: Gopher-style rule-based quality gate ----
+    // The canonical pre-training document filter (Gopher / MassiveText,
+    // Rae et al. 2021 §A1.1) as named boolean rules instead of tx02's blended
+    // score: word-count bounds, mean-word-length bounds, symbol-to-word
+    // ratio, alphabetic-word fraction, and minimum stopword evidence, plus
+    // the conjunction (`keep`). Line-based rules (bullet/ellipsis line
+    // fractions) are omitted: the fixture is single-line text, so they would
+    // be constant-true padding. Every ratio is double division of exact ints
+    // (the occ length-of-replace trick), bit-identical across engines.
+    // Map-only — no shuffle at any scale.
+    Q("tx10_gopher_rules",
+      (s, d) => {
+        val txt = col("text")
+        val nWords = size(split(trim(txt), "\\s+")).cast("bigint")
+        val meanWlen = length(regexp_replace(txt, "\\s+", "")).cast("double") / nWords
+        // '#' and '...' occurrences per word (the Gopher symbol list)
+        val nHash = length(txt) - length(regexp_replace(txt, "#", ""))
+        val nEll = (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+        val symRatio = (nHash + nEll) / nWords
+        val alphaFrac = size(filter(split(trim(txt), "\\s+"),
+          w => w.rlike("[A-Za-z]"))).cast("double") / nWords
+        val stops = stopwords.map(occ(padded(txt), _)).reduce(_ + _)
+        val rWords = nWords.between(30L, 10000L)
+        val rWlen = meanWlen.between(4.0, 10.0)
+        val rSym = symRatio <= 0.1
+        val rAlpha = alphaFrac >= 0.8
+        val rStop = stops >= 2
+        t(s, d, "documents")
+          .select(col("doc_id"), rWords.as("r_words"), rWlen.as("r_wlen"),
+            rSym.as("r_sym"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+            (rWords && rWlen && rSym && rAlpha && rStop).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopsSql = stopwords.map(m => occSql(paddedSql, m)).mkString(" + ")
+        s"""WITH m AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS nw,
+              len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE /
+                len(string_split_regex(trim(text), '\\s+')) AS mwl,
+              ((len(text) - len(replace(text, '#', ''))) +
+               (len(text) - len(replace(text, '...', ''))) / 3) /
+                len(string_split_regex(trim(text), '\\s+')) AS sym,
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE /
+                len(string_split_regex(trim(text), '\\s+')) AS af,
+              ($stopsSql) AS stops
+            FROM documents),
+          r AS (SELECT doc_id,
+              nw BETWEEN 30 AND 10000 AS r_words,
+              mwl BETWEEN 4.0 AND 10.0 AS r_wlen,
+              sym <= 0.1 AS r_sym,
+              af >= 0.8 AS r_alpha,
+              stops >= 2 AS r_stop
+            FROM m)
+        SELECT doc_id, r_words, r_wlen, r_sym, r_alpha, r_stop,
+          (r_words AND r_wlen AND r_sym AND r_alpha AND r_stop) AS keep
+        FROM r ORDER BY doc_id"""
+      }),
+
     // ---- tx09: Zipf/frequency-band corpus profile ----
     // The vocabulary-health report run before training a tokenizer: how many
     // types are hapax (seen once), rare, mid, or head, and what fraction of
