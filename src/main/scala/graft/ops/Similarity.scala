@@ -455,6 +455,96 @@ object Similarity {
                        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
                      FROM resc)
         SELECT q_id, vec_id AS neighbor_id, idot, cos, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ---- ss08: MMR-diversified top-k (maximal marginal relevance) ----
+    // The standard diversified-retrieval refinement (Carbonell & Goldstein
+    // 1998): after a top-C relevance pass, greedily pick items maximizing
+    // λ·rel − (1−λ)·max-sim-to-already-picked, so the answer set is both
+    // relevant and non-redundant — the retrieval/RAG dedup step at serving
+    // time. Spark-first shape: greedy selection is NOT a driver loop or a
+    // UDF — with k fixed and the candidate set capped at C per query, each
+    // greedy round is one tiny equi-join (candidates × current 1-row-per-
+    // query pick) + a partitioned-window argmax, unrolled k times. Work per
+    // query is O(C·k) dot products regardless of corpus size; the candidate
+    // pass carries ss01's documented query-side broadcast bound. Ties break
+    // on vec_id so selection is deterministic; scores are linear combos of
+    // cosines whose cross-engine agreement the ss01/ss07 rank precedent
+    // already pins (distinct at far more than an ulp; driver rounds 6dp).
+    Q("ss08_mmr_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val C = 20
+        val lam = 0.7
+        val all = vecs(s, d)
+        val q = broadcast(all.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn")))
+        val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+        val cand = q.join(all, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("vec"), col("nrm"),
+            cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("rel"))
+          .withColumn("rn", row_number().over(wRel))
+          .filter(col("rn") <= C)
+          .drop("rn")
+        def argmax(df: org.apache.spark.sql.DataFrame, score: Column) = {
+          val w = Window.partitionBy(col("q_id")).orderBy(score.desc, col("vec_id"))
+          df.withColumn("mmr", score)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        }
+        val s1 = argmax(cand, lit(lam) * col("rel"))
+          .select(col("q_id"), col("vec_id").as("s1_id"), col("vec").as("s1v"),
+            col("nrm").as("s1n"), col("mmr").as("mmr1"))
+        val r1 = cand.join(s1, Seq("q_id")).filter(col("vec_id") =!= col("s1_id"))
+          .withColumn("sim1", cosine(col("vec"), col("s1v"), col("nrm"), col("s1n")))
+        val s2 = argmax(r1, lit(lam) * col("rel") - lit(0.3) * col("sim1"))
+          .select(col("q_id"), col("vec_id").as("s2_id"), col("vec").as("s2v"),
+            col("nrm").as("s2n"), col("mmr").as("mmr2"))
+        val r2 = r1.drop("s1_id", "s1v", "s1n", "mmr1")
+          .join(s2, Seq("q_id")).filter(col("vec_id") =!= col("s2_id"))
+          .withColumn("div", greatest(col("sim1"),
+            cosine(col("vec"), col("s2v"), col("nrm"), col("s2n"))))
+        val s3 = argmax(r2, lit(lam) * col("rel") - lit(0.3) * col("div"))
+        val out = s1.select(col("q_id"), lit(1).as("rank"),
+            col("s1_id").as("neighbor_id"), col("mmr1").as("mmr"))
+          .unionByName(s2.select(col("q_id"), lit(2).as("rank"),
+            col("s2_id").as("neighbor_id"), col("mmr2").as("mmr")))
+          .unionByName(s3.select(col("q_id"), lit(3).as("rank"),
+            col("vec_id").as("neighbor_id"), col("mmr")))
+        out.orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          sims AS (SELECT q_id, vec_id, vec, list_cosine_similarity(qv, vec) AS rel
+                   FROM q JOIN v ON vec_id <> q_id),
+          cand AS (SELECT q_id, vec_id, vec, rel FROM (
+                     SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY rel DESC, vec_id) AS rn FROM sims) WHERE rn <= 20),
+          s1 AS (SELECT q_id, vec_id, vec,
+                   CAST(0.7 AS DOUBLE) * rel AS mmr FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id) AS rn
+                   FROM cand) WHERE rn = 1),
+          r1 AS (SELECT c.q_id, c.vec_id, c.vec, c.rel,
+                   list_cosine_similarity(c.vec, s1.vec) AS sim1
+                 FROM cand c JOIN s1 ON c.q_id = s1.q_id AND c.vec_id <> s1.vec_id),
+          s2 AS (SELECT q_id, vec_id, vec, mmr FROM (
+                   SELECT *, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * sim1 AS mmr,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * sim1 DESC,
+                         vec_id) AS rn
+                   FROM r1) WHERE rn = 1),
+          r2 AS (SELECT r.q_id, r.vec_id, r.rel,
+                   greatest(r.sim1, list_cosine_similarity(r.vec, s2.vec)) AS div
+                 FROM r1 r JOIN s2 ON r.q_id = s2.q_id AND r.vec_id <> s2.vec_id),
+          s3 AS (SELECT q_id, vec_id, mmr FROM (
+                   SELECT *, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * div AS mmr,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * div DESC,
+                         vec_id) AS rn
+                   FROM r2) WHERE rn = 1)
+        SELECT q_id, 1 AS rank, vec_id AS neighbor_id, mmr FROM s1
+        UNION ALL SELECT q_id, 2 AS rank, vec_id AS neighbor_id, mmr FROM s2
+        UNION ALL SELECT q_id, 3 AS rank, vec_id AS neighbor_id, mmr FROM s3
+        ORDER BY q_id, rank"""))
   )
 }

@@ -100,4 +100,26 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(quant.groupBy("q_id").count().filter(col("count") < 5).count() == 0,
       "every query must fill its rescored top-5")
   }
+
+  test("ss08 MMR: rank-1 is the relevance top-1, picks distinct, greedy scores non-increasing") {
+    val exact = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val mmr = SparkEntry.queries("ss08_mmr_topk")(spark, sfDir).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("rank"))
+      // the first MMR pick has no diversity penalty — it IS the relevance argmax
+      assert(ordered.head.getAs[Long]("neighbor_id") == exact(qid),
+        s"q$qid: MMR rank-1 ${ordered.head.getAs[Long]("neighbor_id")} != exact top-1 ${exact(qid)}")
+      // three distinct picks per query
+      assert(ordered.map(_.getAs[Long]("neighbor_id")).distinct.length == 3, s"q$qid picks not distinct")
+      // greedy objective is non-increasing: the diversity penalty only grows
+      // as the selected set grows
+      val scores = ordered.map(_.getAs[Double]("mmr"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-12 },
+        s"q$qid: MMR scores increased: ${scores.toSeq}")
+    }
+  }
 }
