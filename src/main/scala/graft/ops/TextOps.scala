@@ -387,7 +387,9 @@ object TextOps {
         val rSym = symRatio <= 0.1
         val rAlpha = alphaFrac >= 0.8
         val rStop = stops >= 2
-        t(s, d, "documents")
+        // spread: per-word regex work dominates I/O (sf1 smoke showed one
+        // 6.9 s scan task without it — the Tables.spread precondition exactly)
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), rWords.as("r_words"), rWlen.as("r_wlen"),
             rSym.as("r_sym"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
             (rWords && rWlen && rSym && rAlpha && rStop).as("keep"))
