@@ -244,6 +244,38 @@ object JsonataQueries {
           CAST(st[len(st)] AS DOUBLE) AS hi, len(st) AS n_pos
         FROM s ORDER BY vec_id""")),
 
+    // ---- jx16: let-binding preamble on the COMPILED tier — named lambdas  ----
+    // ---- defined once and passed to $filter/$map/$sort (the reference's   ----
+    // ---- common configured-expression shape, cf. jx07's $dropText) inline ----
+    // ---- at their call sites and the whole pipeline compiles to native    ----
+    // ---- Columns. Probes positional scalars like jx15.                    ----
+    Q("jx16_named_lambdas",
+      (s, d) => {
+        val df = Tables.spread(t(s, d, "embeddings"))
+        val out = JsonataDF.auto(df,
+          "($pos := function($x){ $x > 0 }; " +
+            "$sq := function($x){ $x * $x }; " +
+            "$asc := function($l, $r){ $l > $r }; " +
+            "{'vec_id': value.vec_id, " +
+            "'n_pos': $count($filter(value.embedding, $pos)), " +
+            "'max_sq': $max($map(value.embedding, $sq)), " +
+            "'srt': $sort($filter(value.embedding, $pos), $asc)})",
+          StructType.fromDDL("vec_id BIGINT, n_pos BIGINT, max_sq DOUBLE, srt ARRAY<FLOAT>"),
+          topic = "embeddings")
+        out.select(col("vec_id"), col("n_pos"), col("max_sq"),
+            element_at(col("srt"), 1).cast("double").as("min_pos"),
+            element_at(col("srt"), size(col("srt"))).cast("double").as("max_pos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH s AS (SELECT vec_id,
+              len(list_filter(embedding, x -> x > 0)) AS n_pos,
+              list_max(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS max_sq,
+              list_sort(list_filter(embedding, x -> x > 0)) AS st
+            FROM embeddings)
+        SELECT vec_id, n_pos, max_sq,
+          CAST(st[1] AS DOUBLE) AS min_pos, CAST(st[len(st)] AS DOUBLE) AS max_pos
+        FROM s ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

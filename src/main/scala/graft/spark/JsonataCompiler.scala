@@ -50,7 +50,7 @@ object JsonataCompiler {
     val ast = JsonataTransform.compile(exprSource).ast
     val schema = df.schema
     val ctx = new Ctx(schema)
-    ast match {
+    inlineBinds(ast) match {
       // `cond ? {obj} : null` / `cond ? {obj}` — tombstone filter + projection
       case Cond(c, t, e) if isNullOrAbsent(e) =>
         for {
@@ -60,6 +60,62 @@ object JsonataCompiler {
       case o: ObjCtor =>
         compileObject(ctx, o).map(outs => CompiledQuery(None, outs))
       case _ => None
+    }
+  }
+
+  /** Inline a top-level let-binding preamble — `($f := function(...){...};
+    * $x := 3; {...})` — by substituting each bound NAME's references in
+    * everything after it. Sound because only side-effect-free values inline
+    * (inline lambdas and scalar literals; the engine evaluates such binds
+    * eagerly but their evaluation is pure, so call-site substitution is
+    * observationally identical), and SAFE-BY-FALLBACK: any reference the
+    * rewriter does not reach stays a VarRef, which the compiler refuses,
+    * sending the whole query to the interpreted tier. Lambda parameters
+    * shadow binds during substitution exactly as engine frames do. This is
+    * what lets the reference's common configured-expression shape — a named
+    * predicate defined once and passed to $sift/$filter/$sort/$map — run on
+    * the compiled tier. */
+  private def inlineBinds(ast: Ast): Ast = ast match {
+    case Block(exprs) if exprs.length >= 2 &&
+        exprs.init.forall {
+          case Bind(_, _: Lambda | _: NumLit | _: StrLit | _: BoolLit) => true
+          case _ => false
+        } =>
+      val env = exprs.init.foldLeft(Map.empty[String, Ast]) {
+        case (m, Bind(n, v)) => m + (n -> subst(v, m))
+        case (m, _) => m
+      }
+      subst(exprs.last, env)
+    case other => other
+  }
+
+  /** Substitute VarRef occurrences per `env`, honoring lambda-parameter
+    * shadowing. Unknown node kinds pass through unchanged (see
+    * [[inlineBinds]] for why that is safe). */
+  private def subst(a: Ast, env: Map[String, Ast]): Ast = {
+    if (env.isEmpty) return a
+    a match {
+      case VarRef(n) if env.contains(n) => env(n)
+      case Lambda(params, body, sig) =>
+        Lambda(params, subst(body, env -- params), sig)
+      case Call(p, as) => Call(subst(p, env), as.map(subst(_, env)))
+      case Binary(op, l, r) => Binary(op, subst(l, env), subst(r, env))
+      case Cond(c, t, e) => Cond(subst(c, env), subst(t, env), e.map(subst(_, env)))
+      case ObjCtor(ps) => ObjCtor(ps.map { case (k, v) => (subst(k, env), subst(v, env)) })
+      case ArrCtor(is) => ArrCtor(is.map(subst(_, env)))
+      case UnaryMinus(e) => UnaryMinus(subst(e, env))
+      case ApplyOp(l, r) => ApplyOp(subst(l, env), subst(r, env))
+      case Path(steps, keep, group) =>
+        Path(steps.map(st => st.copy(
+          expr = subst(st.expr, env),
+          stages = st.stages.map {
+            case FilterStage(e) => FilterStage(subst(e, env))
+            case SortStage(ts) => SortStage(ts.map(t => t.copy(expr = subst(t.expr, env))))
+            case s => s
+          })), keep,
+          group.map(g => ObjCtor(g.pairs.map { case (k, v) => (subst(k, env), subst(v, env)) })))
+      case SortOpNode(ts) => SortOpNode(ts.map(t => t.copy(expr = subst(t.expr, env))))
+      case other => other
     }
   }
 

@@ -167,6 +167,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx15 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx16 let-binding preamble runs on the compiled tier (named lambdas inlined)") {
+    val p = plan("jx16_named_lambdas")
+    assert(!p.contains("jsonata"), "jx16 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

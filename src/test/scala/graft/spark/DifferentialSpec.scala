@@ -520,6 +520,34 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{'s': $sort(value.embedding, function($l, $r){ $l - $r })}").isEmpty)
   }
 
+  test("let-binding preambles inline named lambdas and literals onto the compiled tier") {
+    diff("embeddings",
+      "($pos := function($x){ $x > 0 }; $two := 2; " +
+        "{'vec_id': value.vec_id, 'n': $count($filter(value.embedding, $pos)), " +
+        "'m': $max($map(value.embedding, function($x){ $x * $two }))})",
+      "vec_id BIGINT, n BIGINT, m DOUBLE", "vec_id")
+    // a later bind may reference an earlier one
+    diff("embeddings",
+      "($a := 10; $f := function($x){ $x * $a }; " +
+        "{'vec_id': value.vec_id, 'm': $max($map(value.embedding, $f))})",
+      "vec_id BIGINT, m DOUBLE", "vec_id")
+  }
+
+  test("let-binding shadowing and non-literal binds fall back or resolve like the engine") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // a lambda param shadows a bind of the same name — the param must win
+    diff("embeddings",
+      "($x := 100; {'vec_id': value.vec_id, 'n': $count($filter(value.embedding, function($x){ $x > 0 }))})",
+      "vec_id BIGINT, n BIGINT", "vec_id")
+    // non-literal bind values (row-dependent) must stay interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($t := value.vec_id; {'id': $t})").isEmpty)
+    // a bind shadowing a BUILTIN name is a function value in the engine —
+    // the substituted call is not the builtin, and it stays interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($count := function($a){ 42 }; {'n': $count(value.embedding)})").isEmpty)
+  }
+
   test("object operator shapes outside the subset fall back to the interpreter") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
