@@ -186,6 +186,73 @@ object Multimodal {
         am AS (SELECT f.doc_id, min(i) AS feat_argmax
                FROM f JOIN agg USING (doc_id) WHERE v = feat_max GROUP BY f.doc_id)
         SELECT a.doc_id, feat_norm, feat_argmax, feat_max, feat_min
-        FROM agg a JOIN am USING (doc_id) ORDER BY a.doc_id"""))
+        FROM agg a JOIN am USING (doc_id) ORDER BY a.doc_id""")),
+
+    // ---- mm06: image near-dup pairs via thermometer-coded perceptual hash ----
+    // The image-dedup step of a multimodal pipeline: quantize each decoded
+    // feature dim into 9 thermometer levels (locality-sensitive for L1 —
+    // adjacent feature values differ by one level), block on 4-dim band codes
+    // (2 bands of 9^4 = 6561 values — the dd05/SimHash banding shape on the
+    // DECODED features instead of text), then verify candidates by exact
+    // level-Hamming <= 1. Recall is EXACT by pigeonhole: a qualifying pair
+    // differs in at most one dim, so its other band matches verbatim —
+    // banding prunes candidates (9153 -> 1901 at sf0.01) without changing
+    // the answer. Pair work is banded, never all-pairs; the per-(band,value)
+    // census cap bounds the worst bucket like ss02's LabelCap. Band
+    // resolution is the occupancy dial and MUST grow with the corpus (finer
+    // levels / more dims per band, pigeonhole-trading the guaranteed radius)
+    // — a 2-dim 81-value band space already saturates at the sf1 smoke
+    // (50k docs -> a 52 s hot-bucket task), which is what forced 4-dim
+    // bands here. The decode kernel is the same FakeDecoder stub slot as
+    // mm02/mm05 (integer arithmetic => exact oracle).
+    Q("mm06_phash_neardup",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val Cap = 4096L
+        val media = mediaTable(s, d).as[(Long, Array[Byte])]
+        val lv = decodeBatch(media)
+          .select(col("doc_id"),
+            transform(col("features"),
+              x => floor(x.cast("long") * 9 / 997).cast("long")).as("levels"))
+        val bands = lv.select(col("doc_id"), col("levels"),
+          posexplode(transform(sequence(lit(0), lit(1)), b =>
+            get(col("levels"), b * 4) * 729 + get(col("levels"), b * 4 + 1) * 81 +
+              get(col("levels"), b * 4 + 2) * 9 + get(col("levels"), b * 4 + 3)))
+            .as(Seq("b", "bv")))
+        val census = bands.groupBy(col("b"), col("bv")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= Cap).select(col("b"), col("bv"))
+        val kept = bands.join(broadcast(census), Seq("b", "bv"))
+        val x = kept.select(col("b"), col("bv"), col("doc_id").as("doc_a"), col("levels").as("la"))
+        val y = kept.select(col("b"), col("bv"), col("doc_id").as("doc_b"), col("levels").as("lb"))
+        val ham = aggregate(zip_with(col("la"), col("lb"), (p, q) => abs(p - q)),
+          lit(0L), (a, v) => a + v)
+        x.join(y, Seq("b", "bv")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+          .dropDuplicates("doc_a", "doc_b")
+          .filter(col("hamming") <= 1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+          f AS (SELECT doc_id, i,
+                  (n*(i+3) + ascii(substring(text, ((i*31) % n) + 1, 1))) % 997 AS v
+                FROM m, generate_series(0, 7) AS t(i)),
+          lv AS (SELECT doc_id, i, (v*9)//997 AS l FROM f),
+          bd AS (SELECT doc_id, i//4 AS b,
+                   CAST(sum(l * CASE i%4 WHEN 0 THEN 729 WHEN 1 THEN 81
+                                         WHEN 2 THEN 9 ELSE 1 END) AS BIGINT) AS bv
+                 FROM lv GROUP BY doc_id, i//4),
+          keptb AS (SELECT b, bv FROM bd GROUP BY b, bv HAVING count(*) <= 4096),
+          bk AS (SELECT bd.* FROM bd JOIN keptb USING (b, bv)),
+          cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                   FROM bk x JOIN bk y ON x.b = y.b AND x.bv = y.bv
+                     AND x.doc_id < y.doc_id),
+          ham AS (SELECT doc_a, doc_b, CAST(sum(abs(xa.l - xb.l)) AS BIGINT) AS hamming
+                  FROM cand
+                  JOIN lv xa ON xa.doc_id = cand.doc_a
+                  JOIN lv xb ON xb.doc_id = cand.doc_b AND xb.i = xa.i
+                  GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= 1 ORDER BY doc_a, doc_b"""))
   )
 }
