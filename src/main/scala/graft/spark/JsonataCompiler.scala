@@ -55,38 +55,197 @@ object JsonataCompiler {
       case Cond(c, t, e) if isNullOrAbsent(e) =>
         for {
           cond <- ctx.compileBool(c)
-          outs <- compileObject(ctx, t)
+          outs <- compileOutputs(ctx, t)
         } yield CompiledQuery(Some(cond), outs)
-      case o: ObjCtor =>
-        compileObject(ctx, o).map(outs => CompiledQuery(None, outs))
-      case _ => None
+      case other =>
+        compileOutputs(ctx, other).map(outs => CompiledQuery(None, outs))
     }
+  }
+
+  /** Top-level output shapes: a plain object constructor, or `$merge([...])`
+    * over struct-object operands (a $sift of the row, a nested struct path)
+    * and object constructors — the jx07/removeEmail output shape. Merge is
+    * right-biased on values with first-occurrence key positions, exactly
+    * like fMerge's ObjectNode.set. A dropped (sifted-away or absent) field
+    * compiles to a NULL column, which the declared output schema then keeps
+    * or discards — identical to decoding the engine's key-absent JSON. */
+  private def compileOutputs(ctx: Ctx, a: Ast): Option[Seq[(String, Column)]] = a match {
+    case o: ObjCtor => compileObject(ctx, o)
+    case Call(VarRef("merge"), Vector(ArrCtor(items))) if items.nonEmpty =>
+      val parts = items.map { it =>
+        ctx.structObjOutputs(it).orElse(it match {
+          case o: ObjCtor => compileObject(ctx, o)
+          case _ => None
+        })
+      }
+      if (!parts.forall(_.isDefined)) None
+      else {
+        val out = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+        parts.flatten.flatten.foreach { case (k, c) => out.update(k, c) }
+        Some(out.toVector)
+      }
+    case _ => None
   }
 
   /** Inline a top-level let-binding preamble — `($f := function(...){...};
     * $x := 3; {...})` — by substituting each bound NAME's references in
     * everything after it. Sound because only side-effect-free values inline
-    * (inline lambdas and scalar literals; the engine evaluates such binds
-    * eagerly but their evaluation is pure, so call-site substitution is
-    * observationally identical), and SAFE-BY-FALLBACK: any reference the
-    * rewriter does not reach stays a VarRef, which the compiler refuses,
-    * sending the whole query to the interpreted tier. Lambda parameters
-    * shadow binds during substitution exactly as engine frames do. This is
-    * what lets the reference's common configured-expression shape — a named
-    * predicate defined once and passed to $sift/$filter/$sort/$map — run on
+    * (inline lambdas, scalar literals, and statically-foldable pure
+    * expressions; the engine evaluates such binds eagerly but their
+    * evaluation is pure, so call-site substitution is observationally
+    * identical), and SAFE-BY-FALLBACK: any reference the rewriter does not
+    * reach stays a VarRef, which the compiler refuses, sending the whole
+    * query to the interpreted tier. Lambda parameters shadow binds during
+    * substitution exactly as engine frames do. This is what lets the
+    * reference's common configured-expression shape — a named predicate
+    * defined once and passed to $sift/$filter/$sort/$map, or schema-as-data
+    * objects navigated and counted (the jx07/removeEmail pattern) — run on
     * the compiled tier. */
   private def inlineBinds(ast: Ast): Ast = ast match {
-    case Block(exprs) if exprs.length >= 2 &&
-        exprs.init.forall {
-          case Bind(_, _: Lambda | _: NumLit | _: StrLit | _: BoolLit) => true
-          case _ => false
-        } =>
-      val env = exprs.init.foldLeft(Map.empty[String, Ast]) {
-        case (m, Bind(n, v)) => m + (n -> subst(v, m))
-        case (m, _) => m
+    case Block(exprs) if exprs.length >= 2 && exprs.init.forall(_.isInstanceOf[Bind]) =>
+      val env = exprs.init.foldLeft(Option(Map.empty[String, Ast])) {
+        case (Some(m), Bind(n, v)) =>
+          val sv = subst(v, m)
+          sv match {
+            case _: Lambda | _: NumLit | _: StrLit | _: BoolLit => Some(m + (n -> sv))
+            case other => StaticEval(other).map(f => m + (n -> StaticEval.toAst(f)))
+          }
+        case _ => None
       }
-      subst(exprs.last, env)
+      env.map(m => subst(exprs.last, m)).getOrElse(ast)
     case other => other
+  }
+
+  /** Compile-time evaluator for PURE JSONata subtrees — literal objects/
+    * arrays/scalars and the object builtins over them ($merge right-bias
+    * with first-position keys, $sift with a statically-boolean lambda,
+    * $keys/$lookup/$count, static field navigation). This is what
+    * constant-folds "schema-as-data" expressions: a literal schema object
+    * bound in the preamble, rewritten with $sift/$merge, then counted — the
+    * reference's removeEmail golden-test shape — evaluates at COMPILE TIME,
+    * leaving only row-dependent work in the plan. Anything impure (row
+    * paths, free variables, non-literal nodes) or any engine-error/undefined
+    * case ($keys of an empty object, $sift keeping nothing, $merge of a
+    * non-object) returns None and the query falls back to the interpreter —
+    * folding never changes error or undefined semantics, it only replaces
+    * provably-defined values. */
+  private object StaticEval {
+    sealed trait SVal
+    final case class SObj(fields: Vector[(String, SVal)]) extends SVal
+    final case class SArr(items: Vector[SVal]) extends SVal
+    final case class SStr(s: String) extends SVal
+    final case class SNum(n: java.math.BigDecimal) extends SVal
+    final case class SBool(b: Boolean) extends SVal
+    final case class SLambda(l: Lambda) extends SVal
+
+    def apply(a: Ast): Option[SVal] = evalIn(a, Map.empty)
+
+    /** Fold back to a literal AST (for bind inlining). Lambdas return their
+      * original node; objects/arrays rebuild as literal constructors. */
+    def toAst(v: SVal): Ast = v match {
+      case SObj(fs) => ObjCtor(fs.map { case (k, x) => (StrLit(k): Ast, toAst(x)) })
+      case SArr(is) => ArrCtor(is.map(toAst))
+      case SStr(s) => StrLit(s)
+      case SNum(n) =>
+        val st = n.stripTrailingZeros
+        try NumLit(com.fasterxml.jackson.databind.node.LongNode.valueOf(st.longValueExact))
+        catch { case _: ArithmeticException =>
+          NumLit(com.fasterxml.jackson.databind.node.DecimalNode.valueOf(n))
+        }
+      case SBool(b) => BoolLit(b)
+      case SLambda(l) => l
+    }
+
+    private def evalIn(a: Ast, env: Map[String, SVal]): Option[SVal] = a match {
+      case StrLit(s) => Some(SStr(s))
+      case NumLit(v) => Some(SNum(v.decimalValue()))
+      case BoolLit(b) => Some(SBool(b))
+      case l: Lambda => Some(SLambda(l))
+      case VarRef(n) => env.get(n)
+      case ObjCtor(pairs) =>
+        val fs = pairs.map {
+          case (StrLit(k), v) => evalIn(v, env).map(k -> _)
+          case _ => None
+        }
+        if (fs.forall(_.isDefined)) Some(SObj(fs.map(_.get))) else None
+      case ArrCtor(items) =>
+        val is = items.map(evalIn(_, env))
+        if (is.forall(_.isDefined)) Some(SArr(is.map(_.get))) else None
+      // static field navigation: the head must itself be static (an inlined
+      // literal object); row-rooted paths have a NameStep head and fail here
+      case Path(steps, false, None)
+          if steps.nonEmpty && steps.forall(s =>
+            s.stages.isEmpty && !s.keepArray && s.focus.isEmpty && s.index.isEmpty) &&
+            steps.tail.forall(_.expr.isInstanceOf[NameStep]) =>
+        steps.tail.foldLeft(evalIn(steps.head.expr, env)) {
+          case (Some(SObj(fs)), st) =>
+            val NameStep(f) = st.expr: @unchecked
+            fs.find(_._1 == f).map(_._2)
+          case _ => None
+        }
+      case Cond(c, t, e) => evalIn(c, env) match {
+        case Some(SBool(true)) => evalIn(t, env)
+        case Some(SBool(false)) => e.flatMap(evalIn(_, env)) // absent else = undefined -> None
+        case _ => None
+      }
+      case Binary(op, l, r) => (op, evalIn(l, env), evalIn(r, env)) match {
+        // deep equality: cross-type compares unequal, same-type compares by value
+        case ("=", Some(a1), Some(b1)) => staticEq(a1, b1).map(SBool.apply)
+        case ("!=", Some(a1), Some(b1)) => staticEq(a1, b1).map(x => SBool(!x))
+        case ("and", Some(SBool(a1)), Some(SBool(b1))) => Some(SBool(a1 && b1))
+        case ("or", Some(SBool(a1)), Some(SBool(b1))) => Some(SBool(a1 || b1))
+        case _ => None
+      }
+      case Call(VarRef(fn), args) => evalCall(fn, args, env)
+      case ApplyOp(l2, Call(VarRef(fn), args)) => evalCall(fn, l2 +: args, env)
+      case _ => None
+    }
+
+    private def staticEq(a: SVal, b: SVal): Option[Boolean] = (a, b) match {
+      case (SStr(x), SStr(y)) => Some(x == y)
+      case (SNum(x), SNum(y)) => Some(x.compareTo(y) == 0)
+      case (SBool(x), SBool(y)) => Some(x == y)
+      case (_: SLambda, _) | (_, _: SLambda) => None // function equality raises in the engine
+      case _ if a.getClass != b.getClass => Some(false)
+      case _ => None // structural object/array equality: rarely folded, keep interpreted
+    }
+
+    private def evalCall(fn: String, args: Seq[Ast], env: Map[String, SVal]): Option[SVal] =
+      (fn, args.map(evalIn(_, env))) match {
+        case ("merge", Seq(Some(SArr(items)))) =>
+          // right-bias values, first-occurrence key positions (ObjectNode.set)
+          val objs = items.map { case SObj(fs) => Some(fs); case _ => None }
+          if (!objs.forall(_.isDefined)) None
+          else {
+            val out = scala.collection.mutable.LinkedHashMap.empty[String, SVal]
+            objs.flatten.flatten.foreach { case (k, v) => out.update(k, v) }
+            Some(SObj(out.toVector))
+          }
+        case ("keys", Seq(Some(SObj(fs)))) if fs.nonEmpty =>
+          Some(SArr(fs.map(f => SStr(f._1))))
+        case ("lookup", Seq(Some(SObj(fs)), Some(SStr(k)))) =>
+          fs.find(_._1 == k).map(_._2) // absent key = undefined -> None (fallback)
+        case ("count", Seq(Some(v))) => v match {
+          case SArr(is) => Some(SNum(java.math.BigDecimal.valueOf(is.length.toLong)))
+          case _: SLambda => None
+          case _ => Some(SNum(java.math.BigDecimal.ONE))
+        }
+        case ("sift", Seq(Some(SObj(fs)), Some(SLambda(Lambda(params, body, _)))))
+            if params.nonEmpty && params.length <= 2 =>
+          val kept = fs.map { case (k, v) =>
+            val benv = Map(params.head -> v) ++ params.lift(1).map(_ -> (SStr(k): SVal))
+            evalIn(body, benv) match {
+              case Some(SBool(b)) => Some(if (b) Some(k -> v) else None)
+              case _ => None // non-boolean truthiness stays interpreted
+            }
+          }
+          if (!kept.forall(_.isDefined)) None
+          else {
+            val out = kept.flatMap(_.get)
+            if (out.isEmpty) None else Some(SObj(out)) // empty = fSift undef -> fallback
+          }
+        case _ => None
+      }
   }
 
   /** Substitute VarRef occurrences per `env`, honoring lambda-parameter
@@ -726,7 +885,29 @@ object JsonataCompiler {
         case _ => None
       }
 
-    def compile(a: Ast): Option[TCol] = a match {
+    /** Struct-object operand rendered as named output columns — a dropped
+      * field is a NULL column (= decoding the engine's key-absent JSON). */
+    def structObjOutputs(a: Ast): Option[Seq[(String, Column)]] =
+      compileStructObj(a).map(_.map(f => f.name -> when(f.keep, f.col)))
+
+    /** Column compilation with a constant-folding fallback: if the node is a
+      * PURE subtree ([[StaticEval]]) evaluating to a scalar, it becomes a
+      * literal column — e.g. `$count($keys($newSchema.fields))` over an
+      * inlined schema object. Tried only after structural compilation fails,
+      * so row-dependent translations always win. */
+    def compile(a: Ast): Option[TCol] = compileCore(a).orElse(staticScalar(a))
+
+    private def staticScalar(a: Ast): Option[TCol] = StaticEval(a).flatMap {
+      case StaticEval.SStr(s) => Some(TCol(lit(s), StringType))
+      case StaticEval.SBool(b) => Some(TCol(lit(b), BooleanType))
+      case StaticEval.SNum(n) =>
+        val st = n.stripTrailingZeros
+        try Some(TCol(lit(st.longValueExact), LongType))
+        catch { case _: ArithmeticException => Some(TCol(lit(n.doubleValue), DoubleType)) }
+      case _ => None
+    }
+
+    private def compileCore(a: Ast): Option[TCol] = a match {
       case NumLit(v) =>
         if (v.isIntegralNumber) Some(TCol(lit(v.longValue()), LongType))
         else Some(TCol(lit(v.doubleValue()), DoubleType))

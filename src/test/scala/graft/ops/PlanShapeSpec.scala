@@ -172,6 +172,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx16 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx07 schema-as-data rewrite runs on the compiled tier (static folding + merge outputs)") {
+    // the reference's removeEmail golden-test shape: literal schema object
+    // bound, rewritten with $sift/$merge, counted — the schema math folds at
+    // compile time and only the row-dependent $sift(value) work survives
+    val p = plan("jx07_schema_rewrite")
+    assert(!p.contains("jsonata"), "jx07 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

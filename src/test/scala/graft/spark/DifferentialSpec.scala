@@ -548,6 +548,46 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "($count := function($a){ 42 }; {'n': $count(value.embedding)})").isEmpty)
   }
 
+  test("schema-as-data preambles constant-fold and match the interpreter (jx07 shape)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L, "s1"), Row(2L, null, "s2"), Row(3L, 30L, null)).asJava,
+      StructType.fromDDL("id BIGINT, b BIGINT, c STRING"))
+    val expr =
+      """(
+        $drop := function($v, $k) { $k != 'c' };
+        $schema := {"fields": {"id": {"t": "INT64"}, "b": {"t": "INT64"}, "c": {"t": "STRING"}}};
+        $new := $merge([$schema, {"fields": $sift($schema.fields, $drop)}]);
+        $merge([$sift(value, $drop), {"nf": $count($keys($new.fields))}])
+      )"""
+    val ddl = "id BIGINT, b BIGINT, nf BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "schema-as-data preamble should compile")
+    val a = compiled.get.select("id", "b", "nf")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on schema-as-data fold:\n  compiled:    $a\n  interpreted: $b")
+    assert(a.head == Seq(1L, 10L, 2L), s"folded nf wrong: ${a.head}")
+  }
+
+  test("static folding stays conservative: impure or undefined cases fall back") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // a bind depending on the row cannot fold
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($o := {\"k\": value.vec_id}; {'n': $count($keys($o))})").isEmpty)
+    // $keys of an empty literal object is engine-undefined — never folded
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($o := {}; {'n': $keys($o)})").isEmpty)
+    // $sift keeping nothing is fSift's undef — never folded
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($o := {\"a\": 1}; {'n': $count($keys($sift($o, function($v){ false })))})").isEmpty)
+    // $lookup of an absent key is undefined — never folded
+    assert(JsonataCompiler.transformCompiled(emb,
+      "($o := {\"a\": 1}; {'n': $lookup($o, 'zzz')})").isEmpty)
+  }
+
   test("object operator shapes outside the subset fall back to the interpreter") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
