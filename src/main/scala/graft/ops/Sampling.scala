@@ -449,6 +449,75 @@ object Sampling {
                         greatest(k - COALESCE(frn, 0), 1) END AS alloc
             FROM z)
         SELECT lang, toks, alloc, alloc / toks AS epochs
-        FROM a ORDER BY lang"""))
+        FROM a ORDER BY lang""")),
+
+    // ---- sp11: curriculum interleave (length-tier round-robin order) ----
+    // The curriculum/anti-clumping ordering a data loader wants: docs grouped
+    // into length tiers (sp09's integer-exact power-of-2 bucket), shuffled
+    // deterministically WITHIN each tier (md5 rank, the sp04 trick), then
+    // emitted round-robin ACROSS tiers — position order is (round r, tier),
+    // so consecutive batches always mix tiers instead of streaming one tier's
+    // docs back-to-back. Short tiers simply drop out of later rounds.
+    // Scale shape: two stacked two-level prefix sums. Per-tier rank r comes
+    // from (tier × ≤256 hash-prefix buckets) offsets + parallel in-bucket
+    // row_number (no window spans a tier). The global position then ranks
+    // (r, tier): r determines its block monotonically, so partitioning by
+    // rblk = (r-1)/RBlock keeps the lexicographic order intact — offsets over
+    // the ≈parallelism-row rblk summary + parallel in-block row_number.
+    // Early blocks hold rows from every live tier (later ones fewer), so
+    // per-task work is ≤ RBlock·#tiers and the aggregate is balanced; no
+    // window ever spans the corpus.
+    Q("sp11_curriculum_interleave",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rBlock = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val toks = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val tier = when(col("tokens") <= 1L, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(tokens - 1)))"))
+        val keyed = docs
+          .select(col("doc_id"), toks.as("tokens"),
+            md5(concat(col("doc_id").cast("string"), lit(":cur3"))).as("k"))
+          .withColumn("tier", tier)
+          .withColumn("bk", substring(col("k"), 1, 2))
+        val wTier = Window.partitionBy(col("tier")).orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = keyed.groupBy(col("tier"), col("bk"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("boff", sum(col("bn")).over(wTier) - col("bn"))
+          .select(col("tier"), col("bk"), col("boff"))
+        val wIn = Window.partitionBy(col("tier"), col("bk")).orderBy(col("k"))
+        val ranked = keyed.join(broadcast(offsets), Seq("tier", "bk"))
+          .select(col("doc_id"), col("tier"),
+            (col("boff") + row_number().over(wIn)).as("r"))
+          .withColumn("rblk", ((col("r") - 1) / rBlock).cast("bigint"))
+        // the only sequential window: one row per rblk (≈ parallelism rows)
+        val wR = Window.orderBy(col("rblk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off2 = ranked.groupBy(col("rblk"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off", sum(col("n")).over(wR) - col("n"))
+          .select(col("rblk"), col("off"))
+        val wIn2 = Window.partitionBy(col("rblk")).orderBy(col("r"), col("tier"))
+        ranked.join(broadcast(off2), Seq("rblk"))
+          .select(col("doc_id"), col("tier"), col("r"),
+            (col("off") + row_number().over(wIn2) - 1).as("pos"))
+          .orderBy(col("pos"))
+      },
+      // one-level row_numbers in SQL — value-identical to the stacked
+      // two-level engine form (offsets telescope both times; bk is a prefix
+      // of k and rblk is monotone in r, so the total orders agree)
+      Some("""WITH tk AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS tokens,
+              md5(CAST(doc_id AS VARCHAR) || ':cur3') AS k
+            FROM documents),
+          b AS (SELECT doc_id, k,
+                  CASE WHEN tokens <= 1 THEN 1
+                       ELSE CAST(1 << length(bin(tokens - 1)) AS BIGINT)
+                  END AS tier FROM tk),
+          r AS (SELECT doc_id, tier,
+                  row_number() OVER (PARTITION BY tier ORDER BY k) AS r FROM b)
+        SELECT doc_id, tier, r,
+          row_number() OVER (ORDER BY r, tier) - 1 AS pos
+        FROM r ORDER BY pos"""))
   )
 }

@@ -224,8 +224,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // summary (the mass-fraction denominator), the same bounded-summary class;
     // sp10's waterfill windows run over the per-source count summary
     // (#sources rows, never the corpus)
+    // sp11's only sequential window runs over its ≈parallelism-row rblk
+    // summary (second level of the stacked prefix sums), same class as sp03
     val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture",
-      "tx09_zipf", "sp10_unimax_budget")
+      "tx09_zipf", "sp10_unimax_budget", "sp11_curriculum_interleave")
     def unpartitionedWindows(p: SparkPlan): Seq[String] = {
       val here = p match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)

@@ -146,4 +146,45 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = graft.SparkEntry.queries("sp10_unimax_budget")(spark, sfDir).collect().toSeq
     assert(rows.map(_.toSeq) == again.map(_.toSeq))
   }
+
+  test("sp11 stacked two-level ranks equal the naive windows and round-robin across tiers") {
+    val rows = graft.SparkEntry.queries("sp11_curriculum_interleave")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tier"),
+        r.getAs[Long]("r"), r.getAs[Long]("pos"))).toSeq
+    // naive single-window formulation: per-tier md5 rank, then one global
+    // rank over (r, tier) — must match the stacked two-level form exactly
+    val toks = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    val naive = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":cur3"))).as("k"))
+      .withColumn("tier", when(col("tokens") <= 1L, lit(1L))
+        .otherwise(expr("shiftleft(1L, length(bin(tokens - 1)))")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("tier")).orderBy(col("k"))).cast("bigint"))
+      .withColumn("pos", (row_number().over(
+        Window.orderBy(col("r"), col("tier"))) - 1).cast("bigint"))
+      .select(col("doc_id"), col("tier"), col("r"), col("pos"))
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tier"),
+        r.getAs[Long]("r"), r.getAs[Long]("pos"))).toSeq
+    assert(rows == naive)
+    // pos is a permutation of 0..n-1
+    assert(rows.map(_._4) == (0L until rows.length.toLong))
+    // round-robin invariant: within a round r, tiers appear in ascending
+    // order with no tier repeated, and rounds are emitted in ascending order
+    rows.grouped(1).foreach(_ => ())
+    val byRound = rows.map(t => (t._3, t._2))
+    assert(byRound == byRound.sorted, "positions must order by (round, tier)")
+    byRound.groupBy(_._1).foreach { case (r, ts) =>
+      val tiers = ts.map(_._2)
+      assert(tiers.distinct == tiers, s"tier repeated within round $r")
+    }
+    // every round except possibly trailing ones draws from >1 tier while
+    // multiple tiers still have docs (the interleaving actually mixes)
+    val tierSizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val fullRounds = tierSizes.values.min.toLong
+    byRound.groupBy(_._1).filter(_._1 <= fullRounds).foreach { case (r, ts) =>
+      assert(ts.size == tierSizes.size, s"round $r missing a live tier")
+    }
+  }
 }
