@@ -39,7 +39,7 @@ object Dedup {
     * the null out-of-bounds word hashes and emit a degenerate shingle that
     * the oracles' NULL-trigram concat drops, so the two engines would
     * disagree on any sub-trigram doc. */
-  private[ops] def shingleHashes(text: Column): Column =
+  private[graft] def shingleHashes(text: Column): Column =
     shinglesFromWh(wordHashes(text))
 
   /** Shingle hashes from a word-hash ARRAY column/expression. The guard is a
