@@ -670,6 +670,71 @@ object Dedup {
         SELECT b.doc_id, coalesce(pd.n_win, 0) AS n_win, coalesce(pd.n_dup, 0) AS n_dup,
           CASE WHEN coalesce(pd.n_win, 0) = 0 THEN 0.0
                ELSE pd.n_dup::DOUBLE / pd.n_win END AS dup_frac
-        FROM b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id"""))
+        FROM b LEFT JOIN pd USING (doc_id) ORDER BY b.doc_id""")),
+
+    // ---- dd09: segment-level dedup + document reconstruction ----
+    // Where dd08 only SCORES duplicated spans, dd09 performs the repair the
+    // big-corpus pipelines actually apply (paragraph/passage dedup): cut each
+    // doc into fixed 16-word segments (the fixture has no paragraph breaks;
+    // at scale the splitter is a paragraph regex and everything downstream is
+    // unchanged), keep only the corpus-wide FIRST occurrence of each distinct
+    // segment (first = smallest (doc_id, seg_idx)), and re-assemble what's
+    // left of every doc in original order. Scale shapes: first-occurrence is
+    // a partial-aggregatable min(struct) per segment hash — map-side combine,
+    // no window over the corpus, no skew pile-up from boilerplate segments
+    // (the count-free analog of dd08's df) — followed by one equi-join back
+    // on the hash (AQE skew-split handles a mega-duplicated segment);
+    // reconstruction sorts only WITHIN each doc (sort_array over the doc's
+    // own kept segments, bounded by doc length, no global sort). The segment
+    // array materializes in its own projection and explodes with
+    // posexplode_outer — both dd08 lessons (HOF no-CSE + the
+    // InferFiltersFromGenerate re-inline). Output fingerprints the cleaned
+    // text (md5) so the oracle checks exact reconstructed bytes without
+    // hauling full texts through the compare.
+    Q("dd09_segment_dedup",
+      (s, d) => {
+        val W = 16
+        val base = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+          .withColumn("n_segs", expr(s"cast((size(ws) + ${W - 1}) div $W as bigint)"))
+          .select(col("doc_id"), col("n_segs"),
+            transform(sequence(lit(0), col("n_segs").cast("int") - 1),
+              i => array_join(slice(col("ws"), i * W + 1, lit(W)), " ")).as("segs"))
+        val segs = base
+          .select(col("doc_id"), col("n_segs"),
+            posexplode_outer(col("segs")).as(Seq("seg_idx", "seg")))
+          .withColumn("h", md5(col("seg")))
+        val firsts = segs.groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+        segs.join(firsts, Seq("h"))
+          .withColumn("kept", col("first.doc_id") === col("doc_id") &&
+            col("first.seg_idx") === col("seg_idx"))
+          .groupBy(col("doc_id"), col("n_segs"))
+          .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            // collect_list skips the nulls `when` leaves for dropped
+            // segments; sort_array restores original seg order per doc
+            md5(array_join(transform(
+              sort_array(collect_list(when(col("kept"),
+                struct(col("seg_idx"), col("seg"))))),
+              e => e.getField("seg")), " ")).as("clean_fp"))
+          .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+            FROM documents),
+          b AS (SELECT doc_id, CAST((len(ws) + 15) // 16 AS BIGINT) AS n_segs, ws FROM w),
+          seg AS (SELECT doc_id, n_segs,
+                    unnest(list_transform(range(n_segs), i ->
+                      {'seg_idx': i, 'seg': array_to_string(ws[(i*16+1):(i*16+16)], ' ')})) AS u
+                  FROM b),
+          s2 AS (SELECT doc_id, n_segs, u.seg_idx AS seg_idx, u.seg AS seg FROM seg),
+          r AS (SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                  ORDER BY doc_id, seg_idx) AS rn FROM s2),
+          agg AS (SELECT doc_id, any_value(n_segs) AS n_segs,
+                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                    md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                      ORDER BY seg_idx), '')) AS clean_fp
+                  FROM r GROUP BY doc_id)
+        SELECT doc_id, n_segs, n_kept, clean_fp FROM agg ORDER BY doc_id"""))
   )
 }
