@@ -83,7 +83,8 @@ object ScaleSmoke {
     // table for the temporal/session family)
     val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp",
       "ses", "aj", "rj", "jx1", // jx10+ are the embeddings-based compiled-tier queries
-      "mm06") // the only multimodal op with a join (mm01-mm05 are map-only)
+      "mm06", // the only multimodal op with a join (mm01-mm05 are map-only)
+      "mm07") // per-doc windows + the HOF energy loop (frame-count scaling)
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

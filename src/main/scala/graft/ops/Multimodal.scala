@@ -253,6 +253,75 @@ object Multimodal {
                   JOIN lv xb ON xb.doc_id = cand.doc_b AND xb.i = xa.i
                   GROUP BY doc_a, doc_b)
         SELECT doc_a, doc_b, hamming FROM ham
-        WHERE hamming <= 1 ORDER BY doc_a, doc_b"""))
+        WHERE hamming <= 1 ORDER BY doc_a, doc_b""")),
+
+    // ---- mm07: audio activity segmentation (VAD-style gaps-and-islands) ----
+    // The audio-pipeline pre-step: frame the waveform, score per-frame
+    // energy, and merge consecutive active frames into segments (what a
+    // voice-activity detector feeds to a transcription/training pipeline).
+    // The decode is the family's deterministic stub — the payload's chars
+    // stand in for PCM samples (amplitude = ascii-96, exact integer math both
+    // engines); a real build swaps in a codec behind the same frame/energy/
+    // segment plumbing. Shapes: framing + energy are a narrow map (64-sample
+    // non-overlapping frames; the frame transform materializes in its own
+    // projection and explodes with posexplode_outer — the dd08 lessons);
+    // island detection is the ses01 gaps-and-islands form, every window
+    // PARTITIONED by doc_id (parallel at any corpus size, no global step).
+    // Integer energies make the threshold replay-safe cross-engine.
+    Q("mm07_audio_segments",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val F = 64
+        val T = 57000L // ≈ median frame energy of the fixture: splits frames
+        val amp = (i: org.apache.spark.sql.Column) => {
+          val c = ascii(substring(col("fstr"), i, lit(1))) - 96
+          (c * c).cast("bigint")
+        }
+        val frames = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), col("text"),
+            expr(s"cast(length(text) div $F as int)").as("nf"))
+          .select(col("doc_id"),
+            // slice-guard: nf=0 (sub-frame doc) must yield an EMPTY frame
+            // list — a bare sequence(0, nf-1) would count DOWN to -1
+            transform(slice(sequence(lit(0), greatest(col("nf") - 1, lit(0))),
+                lit(1), col("nf")),
+              j => substring(col("text"), j * F + 1, lit(F))).as("fr"))
+          .select(col("doc_id"), posexplode_outer(col("fr")).as(Seq("frame", "fstr")))
+          // energy = sum of squared centered sample values over the frame;
+          // HOF aggregate is interpreted per element (no codegen) — fine
+          // here: 64 adds/frame, and the stub decode IS the documented
+          // placeholder for a native codec kernel
+          .select(col("doc_id"), col("frame").cast("bigint").as("frame"),
+            aggregate(transform(sequence(lit(1), lit(F)), amp),
+              lit(0L), (a, v) => a + v).as("e"))
+        val voiced = frames.filter(col("e") >= T)
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+        val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
+        voiced
+          .withColumn("isl", col("frame") - row_number().over(wDoc))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("frame")).as("start_frame"), max(col("frame")).as("end_frame"),
+            count(lit(1)).as("n_frames"), sum(col("e")).as("energy"))
+          .select(col("doc_id"),
+            (row_number().over(wSeg) - 1).cast("bigint").as("seg_id"),
+            col("start_frame"), col("end_frame"), col("n_frames"), col("energy"))
+          .orderBy(col("doc_id"), col("seg_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+              unnest(list_transform(range(length(text)//64), j ->
+                {'frame': j, 'e': list_sum(list_transform(range(64), i ->
+                  CAST((ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) *
+                       (ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) AS BIGINT)))})) AS u
+            FROM documents),
+          v AS (SELECT doc_id, u.frame AS frame, u.e AS e FROM f WHERE u.e >= 57000),
+          i AS (SELECT *, frame - row_number()
+                  OVER (PARTITION BY doc_id ORDER BY frame) AS isl FROM v),
+          g AS (SELECT doc_id, min(frame) AS start_frame, max(frame) AS end_frame,
+                  count(*) AS n_frames, CAST(sum(e) AS BIGINT) AS energy
+                FROM i GROUP BY doc_id, isl)
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS seg_id,
+          start_frame, end_frame, n_frames, energy
+        FROM g ORDER BY doc_id, seg_id"""))
   )
 }
