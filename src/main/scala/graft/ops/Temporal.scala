@@ -62,6 +62,49 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Forward as-of join: for each left row, the single right row with the
+    * smallest `rightTime >= leftTime` on the same key (ties on time resolve
+    * to the smallest right payload). The "next observation" lookup —
+    * outcome-after-treatment alignment, next-event attribution. Same
+    * union + one-Exchange shape as [[backward]], with the window frame
+    * flipped to look forward. Left-outer; disjoint-column requirement as in
+    * [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right columns must be disjoint, shared: $overlap")
+    val payload = right.columns.filterNot(_ == rightKey).toSeq
+    // a NULL right time satisfies no `rightTime >= leftTime` bound
+    val rightValid = right.filter(col(rightTime).isNotNull)
+    val pType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+    val rightTagged = rightValid.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
+        struct(payload.map(col): _*).as("__p")) ++
+        left.columns.toSeq.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftTagged = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(pType).as("__p")) ++ left.columns.toSeq.map(col): _*)
+    // DESCENDING time with the RUNNING (unboundedPreceding..currentRow)
+    // frame, not an ascending sort with an unboundedFollowing frame: Spark's
+    // WindowExec recomputes an UnboundedFollowing frame from scratch per row
+    // (O(rows²) per key — measured as an 8.9 s hot-key straggler on the
+    // zipf-skewed sf1 events), while the running frame is a single O(rows)
+    // pass. Sorted by time desc, every earlier row in frame has
+    // rightTime >= leftTime; at equal time the right side (__side=1) sorts
+    // first (desc) so an exactly-simultaneous right row is in frame, and
+    // among equal-time right rows the SMALLEST payload struct sorts last in
+    // desc order, so last(ignoreNulls) picks it — mirrored by the oracle's
+    // ORDER BY time ASC, payload ASC.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side").desc, col("__p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightTagged.unionAll(leftTagged)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(left.columns.toSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }
 
 object RangeJoin {
@@ -129,6 +172,37 @@ object Temporal {
                 FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.o_ms <= e.e_ms)
         SELECT event_id, user_id, e_ms, value, o_ms, o_orderkey, o_totalprice
         FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // ---- aj02: forward as-of join — the first event at/after each order ----
+    // The "next observation" alignment (outcome-after-treatment): for each
+    // order, the customer's earliest event not before the order time. Same
+    // single-Exchange union+window plan as aj01, frame flipped forward.
+    Q("aj02_asof_next_event",
+      (s, d) => {
+        val od = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"))
+        val ev = eventsMs(s, d).select(col("user_id"),
+          col("e_ms"), col("event_id"), col("value"))
+        // the operator is left-outer (TemporalSpec pins it); the registry
+        // row coalesces unmatched lookups to sentinels because the driver
+        // compare treats null-bearing float rows as never-equal
+        AsofJoin.forward(od, ev, "o_custkey", "user_id", "o_ms", "e_ms")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_ms"),
+            coalesce(col("e_ms"), lit(-1L)).as("e_ms"),
+            coalesce(col("event_id"), lit(-1L)).as("event_id"),
+            coalesce(col("value"), lit(0.0)).as("value"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_ms FROM orders),
+          e AS (SELECT user_id, epoch_ns(ts)//1000000 AS e_ms, event_id, value FROM events),
+          j AS (SELECT o.o_orderkey, o.o_custkey, o.o_ms,
+                  e.e_ms, e.event_id, e.value,
+                  row_number() OVER (PARTITION BY o.o_orderkey
+                    ORDER BY e.e_ms ASC, e.event_id ASC, e.value ASC) AS rn
+                FROM o LEFT JOIN e ON e.user_id = o.o_custkey AND e.e_ms >= o.o_ms)
+        SELECT o_orderkey, o_custkey, o_ms, coalesce(e_ms, -1) AS e_ms,
+          coalesce(event_id, -1) AS event_id, coalesce(value, 0.0) AS value
+        FROM j WHERE rn = 1 ORDER BY o_orderkey""")),
 
     // ---- rj01: range join — same-user events in the 6 hours before each ----
     // ---- error event (attribution-window shape) ----

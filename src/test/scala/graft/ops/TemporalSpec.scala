@@ -81,6 +81,50 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getAs[Long]("p") == 9L)
   }
 
+  test("forward asof matches the naive join+row_number reference on real tables") {
+    val orders = od.select(col("o_orderkey"), col("o_custkey"), col("o_ms"))
+    val events = ev.select(col("user_id"), col("e_ms"), col("event_id"), col("value"))
+    val fast = AsofJoin.forward(orders, events, "o_custkey", "user_id", "o_ms", "e_ms")
+      .orderBy(col("o_orderkey")).collect().toSeq
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("e_ms").asc_nulls_last, col("event_id").asc_nulls_last,
+        col("value").asc_nulls_last)
+    val naive = orders
+      .join(events, col("user_id") === col("o_custkey") && col("e_ms") >= col("o_ms"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_ms"),
+        col("e_ms"), col("event_id"), col("value"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("forward asof: exact-time match visible; ties to SMALLEST payload; left-outer") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 300L), (3L, 99L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 7L), (10L, 100L, 3L), (10L, 250L, 5L))
+      .toDF("rk", "rt", "payload")
+    val out = AsofJoin.forward(left, right, "k", "rk", "t", "rt")
+      .orderBy(col("id")).collect()
+    // id=1: exact-time rows visible, smallest payload (3) wins;
+    // id=2: nothing at/after 300; id=3: no key
+    assert(out(0).getAs[Long]("payload") == 3L, out(0).toString)
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+    assert(out(2).isNullAt(out(2).fieldIndex("payload")))
+  }
+
+  test("forward asof plan: exactly one exchange, no join operator") {
+    val orders = od.select(col("o_orderkey"), col("o_custkey"), col("o_ms"))
+    val events = ev.select(col("user_id"), col("e_ms"), col("event_id"), col("value"))
+    val p = AsofJoin.forward(orders, events, "o_custkey", "user_id", "o_ms", "e_ms")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "forward as-of must not be a join at all — union + window")
+  }
+
   test("asof operator plan: exactly one exchange (both sides shuffle once, together)") {
     val p = AsofJoin.backward(ev, od, "user_id", "o_custkey", "e_ms", "o_ms")
       .queryExecution.executedPlan.toString
