@@ -82,7 +82,7 @@ object ScaleSmoke {
     // documents/embeddings plus zipf-skewed events and a minimal orders
     // table for the temporal/session family)
     val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp",
-      "ses", "aj", "rj", "jx1", // jx10+ are the embeddings-based compiled-tier queries
+      "ses", "aj", "rj", "ev0", "jx1", // jx10+ are the embeddings-based compiled-tier queries
       "mm06", // the only multimodal op with a join (mm01-mm05 are map-only)
       "mm07") // per-doc windows + the HOF energy loop (frame-count scaling)
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1

@@ -234,6 +234,50 @@ object Temporal {
           AND f.t_ms >= e.t_ms - 21600000 AND f.t_ms < e.t_ms
         GROUP BY e.event_id ORDER BY e.event_id""")),
 
+    // ---- ev01: ordered funnel (view -> click -> purchase) ----
+    // Sequence-pattern analytics: how many users performed the steps IN
+    // ORDER (greedy alignment: earliest view, then earliest click at/after
+    // it, then earliest purchase at/after that — the standard funnel
+    // definition; an unordered 3-way intersect would overcount). Scale
+    // shape: each step is a per-user partial agg (map-side combine) plus an
+    // equi-join on user_id against the strictly-shrinking previous-step
+    // relation — all three stages co-partition on the same key, no windows,
+    // no self-join explosion; a zipf-hot user costs one group, not k².
+    // sum_ms (exact BIGINT) fingerprints the per-user step times so the
+    // oracle checks the alignment itself, not just counts.
+    Q("ev01_funnel",
+      (s, d) => {
+        val e = eventsMs(s, d).select(col("user_id"), col("e_ms"), col("event_type"))
+        val a = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        val b = e.filter(col("event_type") === "click")
+          .join(a, Seq("user_id")).filter(col("e_ms") >= col("t"))
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        val c = e.filter(col("event_type") === "purchase")
+          .join(b, Seq("user_id")).filter(col("e_ms") >= col("t"))
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        def step(df: DataFrame, n: Long, nm: String) =
+          df.agg(count(lit(1)).as("n_users"),
+              coalesce(sum(col("t")), lit(0L)).as("sum_ms"))
+            .select(lit(n).as("step"), lit(nm).as("step_name"),
+              col("n_users"), col("sum_ms"))
+        step(a, 1L, "view").unionByName(step(b, 2L, "click"))
+          .unionByName(step(c, 3L, "purchase"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+          b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
+                WHERE e.event_type = 'click' AND e.ms >= a.t GROUP BY e.user_id),
+          c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ms >= b.t GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+            count(*) AS n_users, CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_ms FROM a
+          UNION ALL SELECT 2, 'click', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM b
+          UNION ALL SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM c)
+        ORDER BY step""")),
+
     // ---- ses01: batch gap sessionization (gaps-and-islands) ----
     // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
     // session starts when a user's inter-event gap exceeds GapMs. Two windows

@@ -125,6 +125,25 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "forward as-of must not be a join at all — union + window")
   }
 
+  test("ev01 funnel alignment is greedy and order-sensitive") {
+    val sp = spark; import sp.implicits._
+    // u1: full ordered funnel; u2: click BEFORE its only view (no step 2);
+    // u3: view+click ordered but purchase precedes the click (no step 3)
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 500L, "click"), (2L, 600L, "view"),
+      (3L, 100L, "view"), (3L, 900L, "click"), (3L, 400L, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("ev01spec").toString
+    rows.map { case (u, ms, ty) => (u * 1000 + ms, ms * 1000000L, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("ev01_funnel")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("step"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("sum_ms"))).toSeq
+    // step1: u1@100, u2@600, u3@100; step2: u1@200, u3@900; step3: u1@300
+    assert(out == Seq((1L, 3L, 800L), (2L, 2L, 1100L), (3L, 1L, 300L)), out.toString)
+  }
+
   test("asof operator plan: exactly one exchange (both sides shuffle once, together)") {
     val p = AsofJoin.backward(ev, od, "user_id", "o_custkey", "e_ms", "o_ms")
       .queryExecution.executedPlan.toString
