@@ -276,6 +276,24 @@ object JsonataQueries {
           CAST(st[1] AS DOUBLE) AS min_pos, CAST(st[len(st)] AS DOUBLE) AS max_pos
         FROM s ORDER BY vec_id""")),
 
+    // ---- jx17: INDEXED lambdas ($v, $i) on the COMPILED tier — Spark's  ----
+    // ---- indexed transform/filter overloads (0-based, matching the      ----
+    // ---- engine's fMap/fFilter position argument). even_sum also walks  ----
+    // ---- the undefined-drop path: the else-less conditional yields      ----
+    // ---- undefined on odd positions and $map drops those items.        ----
+    // ---- DuckDB's lambda index is 1-BASED — the oracle uses (i-1).      ----
+    q("jx17_indexed_lambdas", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'even_sum': $sum($map(value.embedding, function($x, $i){ $i % 2 = 0 ? $x })), " +
+        "'head_pos': $count($filter(value.embedding, function($x, $i){ $i < 8 and $x > 0 }))}",
+      "vec_id BIGINT, even_sum DOUBLE, head_pos BIGINT",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          list_sum(list_transform(list_filter(embedding, (x, i) -> (i - 1) % 2 = 0),
+            x -> CAST(x AS DOUBLE))) AS even_sum,
+          len(list_filter(embedding, (x, i) -> (i - 1) < 8 AND x > 0)) AS head_pos
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -460,8 +460,12 @@ object JsonataCompiler {
       * singleton result collapses to the scalar at an engine expression
       * boundary where the compiled tier keeps the 1-element array — immune
       * when composed under the compiled aggregates, whose engine behavior on
-      * a scalar is the identity. Higher arities ($v, $i, $a) and non-inline
-      * function references stay interpreted. */
+      * a scalar is the identity. Arity-2 lambdas bind the element INDEX as
+      * the second parameter (engine passes the 0-based position,
+      * Functions.scala fMap/fFilter; Spark's indexed transform/filter
+      * overloads supply the same 0-based index — widened to long, the
+      * compiled tier's integral type). The arity-3 ($v, $i, $a) form and
+      * non-inline function references stay interpreted. */
     private def compileHof(fn: String, args: Seq[Ast]): Option[TCol] =
       (args.lift(0), args.lift(1)) match {
         case (Some(arrA), Some(Lambda(Vector(p), body, _))) if args.length == 2 =>
@@ -475,6 +479,26 @@ object JsonataCompiler {
                         ArrayType(bt)))
                     case "filter" if bt == BooleanType =>
                       Some(TCol(filter(t.col, e => coalesce(bf(e), lit(false))),
+                        ArrayType(et)))
+                    case _ => None
+                  }
+                }
+              case _ => None
+            }
+          }
+        case (Some(arrA), Some(Lambda(Vector(p1, p2), body, _))) if args.length == 2 =>
+          compile(arrA).flatMap { t =>
+            t.dt match {
+              case ArrayType(et, _) =>
+                compileLambda2(p1, et, p2, LongType, body).flatMap { case (bf, bt) =>
+                  fn match {
+                    case "map" =>
+                      Some(TCol(filter(transform(t.col,
+                        (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
+                        ArrayType(bt)))
+                    case "filter" if bt == BooleanType =>
+                      Some(TCol(filter(t.col,
+                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
                         ArrayType(et)))
                     case _ => None
                   }

@@ -180,6 +180,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx07 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx17 indexed lambdas run on the compiled tier (indexed transform/filter)") {
+    val p = plan("jx17_indexed_lambdas")
+    assert(!p.contains("jsonata"), "jx17 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx08 variant tier: native variant_get traversal, no JSON re-parse") {
     val p = plan("jx08_variant_props")
     assert(p.contains("variant_get"), p.take(2000))

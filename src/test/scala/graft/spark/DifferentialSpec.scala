@@ -548,6 +548,23 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "($count := function($a){ 42 }; {'n': $count(value.embedding)})").isEmpty)
   }
 
+  test("indexed lambdas ($v,$i) compile and agree with the interpreter") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val expr = "{'vec_id': value.vec_id, " +
+      "'even_sum': $sum($map(value.embedding, function($x, $i){ $i % 2 = 0 ? $x })), " +
+      "'head_pos': $count($filter(value.embedding, function($x, $i){ $i < 8 and $x > 0 }))}"
+    val ddl = "vec_id BIGINT, even_sum DOUBLE, head_pos BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(emb, expr)
+    assert(compiled.isDefined, "indexed lambdas should compile")
+    val a = compiled.get.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(emb, expr, StructType.fromDDL(ddl))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on indexed lambdas:\n  ${a.take(2)}\n  ${b.take(2)}")
+    // arity-3 ($v, $i, $a) stays interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'n': $count($filter(value.embedding, function($x, $i, $a){ $x > 0 }))}").isEmpty)
+  }
+
   test("schema-as-data preambles constant-fold and match the interpreter (jx07 shape)") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
