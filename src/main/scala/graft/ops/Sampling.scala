@@ -518,6 +518,57 @@ object Sampling {
                   row_number() OVER (PARTITION BY tier ORDER BY k) AS r FROM b)
         SELECT doc_id, tier, r,
           row_number() OVER (ORDER BY r, tier) - 1 AS pos
-        FROM r ORDER BY pos"""))
+        FROM r ORDER BY pos""")),
+
+    // ---- sp12: training-example packing with document boundary indexes ----
+    // The pretraining data-prep step after sp03's shard assignment: each
+    // 1024-token example carries its member docs IN ORDER plus the relative
+    // token offset where each doc starts (what an attention-mask/position-id
+    // builder consumes). Same greedy rule as sp03 (a doc belongs to the
+    // example where its FIRST token lands, straddlers carry over), same
+    // two-level prefix sum — the only sequential window runs over the block
+    // summary. Reconstruction (sort + csv of offsets) happens INSIDE each
+    // example group, bounded by docs-per-example, never a global sort.
+    Q("sp12_pack_examples",
+      (s, d) => {
+        val Ex = 1024L
+        val docs = t(s, d, "documents")
+        val blockSize = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val toks = docs
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),
+            (col("doc_id") / blockSize).cast("bigint").as("blk"))
+        val wBlk = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = toks.groupBy(col("blk"))
+          .agg(sum(col("tokens")).as("blk_sum"))
+          .withColumn("blk_off", sum(col("blk_sum")).over(wBlk) - col("blk_sum"))
+          .select(col("blk"), col("blk_off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(broadcast(offsets), Seq("blk"))
+          .withColumn("start", col("blk_off") + sum(col("tokens")).over(wIn) - col("tokens"))
+          .withColumn("example_id", (col("start") / Ex).cast("bigint"))
+          .withColumn("rel_off", col("start") - col("example_id") * Ex)
+          .groupBy(col("example_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("doc_id"), col("rel_off")))),
+              e => e.getField("rel_off")), ",").as("boundaries_csv"))
+          .orderBy(col("example_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS tokens
+            FROM documents),
+          c AS (SELECT doc_id, tokens,
+                  CAST(sum(tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS start
+                FROM toks),
+          a AS (SELECT doc_id, tokens, start // 1024 AS example_id,
+                  start - (start // 1024) * 1024 AS rel_off
+                FROM c)
+        SELECT example_id, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens,
+          string_agg(rel_off, ',' ORDER BY doc_id) AS boundaries_csv
+        FROM a GROUP BY example_id ORDER BY example_id"""))
   )
 }

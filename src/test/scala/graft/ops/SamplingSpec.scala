@@ -147,6 +147,30 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toSeq) == again.map(_.toSeq))
   }
 
+  test("sp12 boundaries are in-order, start at the straddle offset, and cover all docs") {
+    val rows = graft.SparkEntry.queries("sp12_pack_examples")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("example_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("boundaries_csv"))).toSeq
+    val totalDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == totalDocs, "every doc packs into exactly one example")
+    rows.foreach { case (ex, nDocs, _, csv) =>
+      val offs = csv.split(",").map(_.toLong).toSeq
+      assert(offs.length == nDocs.toInt)
+      // offsets are strictly increasing within [0, 1024) — each doc STARTS
+      // inside its example (straddlers may extend past the end by design)
+      assert(offs == offs.sorted && offs.distinct == offs, s"ex $ex offsets $offs")
+      assert(offs.head >= 0 && offs.last < 1024L, s"ex $ex offsets $offs")
+    }
+    // examples are dense from 0 and per-example token mass keeps the grid:
+    // example k starts at global token k*1024 (first offset consistent with
+    // the cumulative sums of everything before it)
+    val cumBefore = rows.sortBy(_._1).scanLeft(0L)(_ + _._3).init
+    rows.sortBy(_._1).zip(cumBefore).foreach { case ((ex, _, _, csv), cum) =>
+      val firstStart = ex * 1024L + csv.split(",").head.toLong
+      assert(firstStart >= cum, s"ex $ex first doc starts before prior mass")
+    }
+  }
+
   test("sp11 stacked two-level ranks equal the naive windows and round-robin across tiers") {
     val rows = graft.SparkEntry.queries("sp11_curriculum_interleave")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tier"),
