@@ -520,6 +520,57 @@ object Dedup {
           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
         FROM j GROUP BY source ORDER BY source""")),
 
+    // ---- bf02: count-min-sketch frequency estimation, exact-confirmed ----
+    // The fixed-memory frequency sketch for heavy-hitter screening: a 4x1024
+    // counter grid (md5 row hashes) estimates any token's frequency as the
+    // MIN of its 4 counters — memory is constant regardless of vocab size,
+    // the property that matters when the vocab does not fit an aggregate at
+    // 100 TB. Built from per-token counts (one shuffle) rather than 4x the
+    // token instances: counters = sum of counts per (row, bucket), a tiny
+    // 4096-row relation that BROADCASTS into the estimate join. The query
+    // reports the exact top-20 tokens with both exact and CMS counts, so the
+    // oracle verifies the sketch arithmetic itself (est >= exact is the CMS
+    // guarantee; equality when no bucket collision).
+    Q("bf02_cms_heavy_hitters",
+      (s, d) => {
+        val D = 4; val W = 1024L
+        val tokCounts = t(s, d, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .persist() // counters + top-20 branches share the one corpus shuffle
+        def bucket(dd: Int) =
+          conv(substring(md5(concat(col("tok"), lit(s":$dd"))), 1, 8), 16, 10)
+            .cast("long") % W
+        def dbArr = array((0 until D).map(dd =>
+          struct(lit(dd).as("d"), bucket(dd).as("b"))): _*)
+        val counters = tokCounts
+          .select(col("cnt"), explode(dbArr).as("db"))
+          .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+        val top = tokCounts.orderBy(col("cnt").desc, col("tok")).limit(20)
+          .select(col("tok"), col("cnt").as("n_exact"))
+        top.select(col("tok"), col("n_exact"), explode(dbArr).as("db"))
+          .select(col("tok"), col("n_exact"), col("db.d").as("d"), col("db.b").as("b"))
+          .join(broadcast(counters), Seq("d", "b"))
+          .groupBy(col("tok"), col("n_exact"))
+          .agg(min(col("c")).as("n_est"))
+          .orderBy(col("n_exact").desc, col("tok"))
+      },
+      Some("""WITH inst AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents),
+          tc AS (SELECT tok, count(*) AS cnt FROM inst GROUP BY tok),
+          hd AS (SELECT tok, cnt, d,
+                   ('0x' || substr(md5(tok || ':' || d), 1, 8))::BIGINT % 1024 AS b
+                 FROM tc, generate_series(0, 3) AS t(d)),
+          counters AS (SELECT d, b, CAST(sum(cnt) AS BIGINT) AS c
+                       FROM hd GROUP BY d, b),
+          top AS (SELECT tok, cnt AS n_exact FROM tc ORDER BY cnt DESC, tok LIMIT 20),
+          est AS (SELECT h.tok, any_value(t.n_exact) AS n_exact, min(c.c) AS n_est
+                  FROM top t JOIN hd h USING (tok)
+                  JOIN counters c ON c.d = h.d AND c.b = h.b
+                  GROUP BY h.tok)
+        SELECT tok, n_exact, n_est FROM est ORDER BY n_exact DESC, tok""")),
+
     // ---- dc01: decontamination — training docs sharing any 3-gram with ----
     // ---- the benchmark split ----
     // The eval-leakage scan every training corpus needs: the benchmark set

@@ -90,4 +90,17 @@ class DedupRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxBucket <= 64, s"band bucket occupancy $maxBucket approaches the 1024 cap; " +
       "the exact dd04/dd06 oracles would start to diverge from the capped engine")
   }
+
+  test("bf02 count-min estimates never undercount and stay near-exact at fixture scale") {
+    val rows = SparkEntry.queries("bf02_cms_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("tok"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_est")))
+    assert(rows.length == 20)
+    // the CMS guarantee: estimate >= exact, always
+    rows.foreach { case (t, ex, est) => assert(est >= ex, s"$t: est $est < exact $ex") }
+    // with ~vocab<<4096 counters, collisions are rare: most heavy hitters
+    // should be estimated exactly (a loose sanity bound, not a probability)
+    val exactly = rows.count { case (_, ex, est) => est == ex }
+    assert(exactly >= 10, s"only $exactly/20 heavy hitters estimated exactly")
+  }
 }
