@@ -312,9 +312,10 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("HOF shapes outside the subset fall back to the interpreter") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // arity-2 lambdas get the index argument — interpreted only
+    // arity-3 lambdas get the whole-array argument — interpreted only
+    // (arity-2 ($v, $i) compiles via the indexed transform/filter overloads)
     assert(JsonataCompiler.transformCompiled(emb,
-      "{'m': $map(value.embedding, function($x, $i){ $x })}").isEmpty)
+      "{'m': $map(value.embedding, function($x, $i, $a){ $x })}").isEmpty)
     // row paths inside a lambda body resolve against the NULL invocation
     // context (undefined), not the row — must not compile as a column
     assert(JsonataCompiler.transformCompiled(emb,
