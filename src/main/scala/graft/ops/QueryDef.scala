@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_millis}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** One driver-checkable query: a Spark-first builder plus (when SQL-expressible)
   * an equivalent DuckDB oracle over the same parquet tables.
@@ -16,21 +17,67 @@ final case class Q(
     oracle: Option[String])
 
 object Tables {
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's schema *inference*
-    * refuses (PARQUET_TYPE_ILLEGAL) unless the session-wide legacy
-    * `nanosAsLong` conf is on. Reading with an explicit schema (ts as plain
-    * long nanos) sidesteps inference entirely, so the loader never has to
-    * mutate the caller's session conf (probed: the scan itself accepts
+  /** Fallback schema for the LEGACY events fixture generation, whose `ts` was
+    * parquet INT64 TIMESTAMP(NANOS): Spark's schema *inference* refuses that
+    * type (PARQUET_TYPE_ILLEGAL) unless the session-wide legacy `nanosAsLong`
+    * conf is on, but an explicit schema reading it as plain long nanos
+    * sidesteps inference entirely (probed: the scan itself accepts
     * INT64(NANOS) into LongType; only inference gates on the conf). */
-  private val eventsSchema = StructType.fromDDL(
+  private val eventsNanosSchema = StructType.fromDDL(
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** events loader that survives BOTH fixture generations and refuses anything
+    * else. Current fixtures store `ts` as parquet timestamp[us] with
+    * isAdjustedToUTC=false → Spark infers TimestampNTZType and the values read
+    * correctly with no session-conf games. The legacy generation stored INT64
+    * TIMESTAMP(NANOS), which inference rejects — on that exact failure we fall
+    * back to the explicit long-nanos schema. Any OTHER `ts` type fails loudly:
+    * a silently mis-scaled epoch column (values 1000x off, row counts still
+    * plausible) is precisely the corruption a 100 TB pipeline must refuse to
+    * run on rather than propagate. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val df =
+      try s.read.parquet(path)
+      catch {
+        // Inference failing on TIMESTAMP(NANOS) == the legacy fixture.
+        case e: Exception if String.valueOf(e.getMessage).contains("ILLEGAL") =>
+          s.read.schema(eventsNanosSchema).parquet(path)
+      }
+    val tsType = df.schema("ts").dataType
+    require(
+      tsType == TimestampNTZType || tsType == TimestampType || tsType == LongType,
+      s"events.parquet#ts has unexpected type $tsType — expected TIMESTAMP_NTZ/TIMESTAMP " +
+        "(current fixture) or BIGINT nanos (legacy fixture). Refusing to guess a time unit: " +
+        "a wrong guess silently scales every event time by 1000x.")
+    df
+  }
+
+  /** Epoch-millis BIGINT view of the events `ts` column, derived from the
+    * ACTUAL loaded type (not an assumed unit). Sessions pin UTC, so casting
+    * the naive NTZ timestamp to an instant is exact and matches DuckDB's
+    * `epoch_ns(ts)//1000000` on the same naive column. */
+  def eventsTsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => expr("ts DIV 1000000L")                    // legacy: long nanos
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType)) // UTC session → exact
+    case TimestampType    => unix_millis(col("ts"))
+    case other => throw new IllegalStateException(s"events ts: unsupported type $other")
+  }
+
+  /** Micros-precision TimestampType view of events `ts` (UTC instant). */
+  def eventsTsTimestamp(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => timestamp_micros(expr("ts DIV 1000L"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalStateException(s"events ts: unsupported type $other")
+  }
 
   /** All testdata tables are plain parquet files named `<table>.parquet`.
     * Deliberately conf-free: a library loader must not mutate the shared
     * session (the sketch kernels that need wrapping 64-bit arithmetic do it
     * inside native expressions — see graft.spark.SketchExpressions). */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") s.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
   /** Ensure enough input splits for compute-heavy per-row operators.

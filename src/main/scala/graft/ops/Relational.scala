@@ -311,9 +311,12 @@ object Relational {
 
     // ---- q15: event-time daily rollup (streaming-shaped agg in batch) ----
     Q("q15_events_daily",
-      (s, d) => t(s, d, "events")
-        // ts arrives as long nanos (nanosAsLong); truncate to micros for Spark.
-        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      (s, d) => {
+        val ev = t(s, d, "events")
+        // normalize ts to a UTC-instant timestamp from the fixture's actual
+        // type (Tables.eventsTsTimestamp handles both generations)
+        ev.withColumn("ts", Tables.eventsTsTimestamp(ev))
+      }
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("day"), col("event_type")),

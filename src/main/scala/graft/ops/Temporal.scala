@@ -139,11 +139,15 @@ object RangeJoin {
 object Temporal {
   import Tables.t
 
-  /** events.ts arrives as long nanos (see Tables.eventsSchema); DuckDB reads
-    * the same column as a timestamp — both sides floor to epoch millis. */
-  private def eventsMs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    t(s, d, "events").select(col("event_id"), col("user_id"),
-      expr("ts DIV 1000000L").as("e_ms"), col("event_type"), col("value"))
+  /** events.ts normalized to epoch millis from whatever type the fixture
+    * generation actually stores (see Tables.eventsTsMillis — TIMESTAMP_NTZ in
+    * the current fixture, long nanos in the legacy one); DuckDB reads the same
+    * column as a naive timestamp — both sides floor to epoch millis. */
+  private def eventsMs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.select(col("event_id"), col("user_id"),
+      Tables.eventsTsMillis(ev).as("e_ms"), col("event_type"), col("value"))
+  }
 
   private val HourMs = 3600000L
 

@@ -66,6 +66,18 @@ object RowJson {
       F.textNode(java.time.Instant.ofEpochSecond(
         Math.floorDiv(v.asInstanceOf[Long], 1000000L),
         Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toString)
+    case TimestampNTZType =>
+      // micros since epoch with NO zone attached: render the wall-clock
+      // reading as ISO-8601 local date-time (no 'Z'), mirroring the logical
+      // type's zone-free semantics (and the reference's logical-type
+      // fidelity, JsonataTransformation.java:530-649)
+      F.textNode(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+        (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).toString)
+    case _: TimeType =>
+      // nanos of day -> ISO-8601 local time
+      F.textNode(java.time.LocalTime.ofNanoOfDay(v.asInstanceOf[Long]).toString)
     case st: StructType => rowToJson(v.asInstanceOf[InternalRow], st)
     case ArrayType(et, _) =>
       val arr = v.asInstanceOf[ArrayData]
@@ -132,6 +144,25 @@ object RowJson {
           val inst = java.time.Instant.parse(n.textValue())
           inst.getEpochSecond * 1000000L + inst.getNano / 1000L
         } catch { case _: java.time.format.DateTimeParseException => null }
+      case TimestampNTZType =>
+        // symmetric with encode: ISO local date-time (no zone) -> epoch
+        // micros of the wall-clock reading; a trailing 'Z'/offset is ALSO
+        // accepted (instant form), taken at its UTC reading
+        if (!n.isTextual) null
+        else try {
+          val ldt = java.time.LocalDateTime.parse(n.textValue())
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            try {
+              val inst = java.time.Instant.parse(n.textValue())
+              inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+            } catch { case _: java.time.format.DateTimeParseException => null }
+        }
+      case _: TimeType =>
+        if (!n.isTextual) null
+        else try java.time.LocalTime.parse(n.textValue()).toNanoOfDay
+        catch { case _: java.time.format.DateTimeParseException => null }
       case BinaryType =>
         if (!n.isTextual) null
         else try java.util.Base64.getDecoder.decode(n.textValue())

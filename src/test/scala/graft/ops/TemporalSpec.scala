@@ -28,8 +28,10 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def ev = Tables.t(spark, sfDir, "events")
-    .select(col("event_id"), col("user_id"), expr("ts DIV 1000000L").as("e_ms"), col("value"))
+  private def ev = {
+    val e = Tables.t(spark, sfDir, "events")
+    e.select(col("event_id"), col("user_id"), Tables.eventsTsMillis(e).as("e_ms"), col("value"))
+  }
 
   private def od = Tables.t(spark, sfDir, "orders")
     .select(col("o_custkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
