@@ -294,6 +294,29 @@ object JsonataQueries {
           len(list_filter(embedding, (x, i) -> (i - 1) < 8 AND x > 0)) AS head_pos
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx18: regex builtins on the COMPILED tier — $match through the  ----
+    // ---- native match-all kernel (graft.spark.RegexMatchAll), $replace/  ----
+    // ---- $contains/$split via regexp_replace/RLIKE/split — all inside    ----
+    // ---- whole-stage codegen (interpreter-free, pinned by PlanShapeSpec). ----
+    // ---- Patterns stay in the Java/RE2 common subset so DuckDB is an     ----
+    // ---- exact oracle.                                                   ----
+    q("jx18_regex_ops", "documents",
+      "{'doc_id': value.doc_id, " +
+        "'n_words': $count($match(value.text, /[A-Za-z]+/)), " +
+        "'clean': $replace($substring(value.text, 0, 50), /[aeiou]/, '_'), " +
+        "'swapped': $replace(value.lang, /(.)(.)/, '$2$1'), " +
+        "'has_digit': $contains(value.text, /[0-9]/), " +
+        "'head': $join($split(value.text, /[ ]+/, 4), '|')}",
+      "doc_id BIGINT, n_words BIGINT, clean STRING, swapped STRING, has_digit BOOLEAN, head STRING",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+          regexp_replace(substring(text, 1, 50), '[aeiou]', '_', 'g') AS clean,
+          regexp_replace(lang, '(.)(.)', '\2\1', 'g') AS swapped,
+          regexp_matches(text, '[0-9]') AS has_digit,
+          array_to_string(string_split_regex(text, '[ ]+')[1:4], '|') AS head
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

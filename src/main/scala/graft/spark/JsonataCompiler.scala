@@ -1139,6 +1139,10 @@ object JsonataCompiler {
           }
         case "contains" => (str(0), args.lift(1)) match {
           case (Some(t), Some(StrLit(pat))) => Some(TCol(t.col.contains(lit(pat)), BooleanType))
+          case (Some(t), Some(RegexLit(p))) =>
+            // engine: p.matcher(s).find() — RLIKE is the same unanchored
+            // Java-regex scan; lexer flags ride along as (?ims) prefixes
+            Some(TCol(t.col.rlike(JsonataCompiler.regexStr(p)), BooleanType))
           case _ => None
         }
         case "abs" => num(0).map(t => TCol(abs(t.col), t.dt))
@@ -1194,6 +1198,15 @@ object JsonataCompiler {
               if pat.nonEmpty && args.length == 3 =>
             Some(TCol(regexp_replace(t.col, java.util.regex.Pattern.quote(pat),
               java.util.regex.Matcher.quoteReplacement(rep)), StringType))
+          // regex-literal pattern + string replacement: the engine's $N
+          // resolution is group-count-dependent and greedy — the pattern is a
+          // literal, so the group count is static and the whole replacement
+          // re-expands at COMPILE time into Java Matcher syntax (fReplace's
+          // exact algorithm, Functions.scala). Lambda replacements and the
+          // limit arg stay interpreted.
+          case (Some(t), Some(RegexLit(p)), Some(StrLit(rep))) if args.length == 3 =>
+            Some(TCol(regexp_replace(t.col, JsonataCompiler.regexStr(p),
+              JsonataCompiler.javaReplacement(rep, p.matcher("").groupCount())), StringType))
           case _ => None
         }
         // $pad never truncates (unlike bare lpad/rpad) — guard on length;
@@ -1211,13 +1224,49 @@ object JsonataCompiler {
               Some(TCol(when(length(t.col) >= target, t.col).otherwise(padded), StringType))
             case _ => None
           }
-        // $split with a non-empty literal separator: quoted (the engine treats
-        // a string separator literally, Spark's split takes a regex); limit -1
-        // keeps trailing empties like the engine. 2-arg form only.
+        // $split with a non-empty literal separator (quoted — the engine
+        // treats a string separator literally, Spark's split takes a regex)
+        // or a regex literal; limit -1 keeps trailing empties like the
+        // engine. The engine's limit is "first N elements of the FULL split"
+        // (take, NOT Java's remainder-in-last-element limit) → slice over
+        // the unlimited split. Non-literal/negative limits stay interpreted
+        // (engine raises D3020 on negatives).
         case "split" => (str(0), args.lift(1)) match {
-          case (Some(t), Some(StrLit(sep))) if sep.nonEmpty && args.length == 2 =>
-            Some(TCol(split(t.col, java.util.regex.Pattern.quote(sep), -1),
-              ArrayType(StringType)))
+          case (Some(t), Some(sep)) =>
+            val re = sep match {
+              case StrLit(s2) if s2.nonEmpty => Some(java.util.regex.Pattern.quote(s2))
+              case RegexLit(p) => Some(JsonataCompiler.regexStr(p))
+              case _ => None
+            }
+            val lim: Option[Option[Int]] =
+              if (args.length == 2) Some(None)
+              else intLit(2) match {
+                case Some(l) if l >= 0 && l <= Int.MaxValue => Some(Some(l.toInt))
+                case _ => None
+              }
+            (re, lim) match {
+              case (Some(r), Some(limO)) =>
+                val full = split(t.col, r, -1)
+                Some(TCol(limO.map(l => slice(full, 1, l)).getOrElse(full),
+                  ArrayType(StringType)))
+              case _ => None
+            }
+          case _ => None
+        }
+        // $match with a regex-literal pattern → the native match-all kernel
+        // (graft.spark.RegexMatchAll): array<struct<match,index,groups>>
+        // inside whole-stage codegen. Empty result → NULL (engine's empty
+        // sequence is undefined — emptyAsNull); the singleton case keeps a
+        // 1-element array, the same pinned divergence class as the HOFs
+        // (immune under the compiled aggregates — see compileHof scaladoc).
+        case "match" => (str(0), args.lift(1)) match {
+          case (Some(t), Some(RegexLit(p))) =>
+            val lim: Option[Int] =
+              if (args.length <= 2) Some(Int.MaxValue)
+              else intLit(2).collect { case l if l >= Int.MinValue && l <= Int.MaxValue => l.toInt }
+            lim.map(l => TCol(
+              emptyAsNull(RegexMatchAll.column(t.col, p.pattern, p.flags, l)),
+              RegexMatchAll.resultType))
           case _ => None
         }
         // $join over arrays with provably no null elements — array_join
@@ -1369,5 +1418,51 @@ object JsonataCompiler {
         case _ => None
       }
     }
+  }
+
+  /** A regex literal's pattern string with its lexer flags (i/m/s) embedded
+    * as a `(?ims)` prefix — Spark's regex functions take a pattern STRING and
+    * compile it with default flags, so the flags must ride inside. */
+  private[spark] def regexStr(p: java.util.regex.Pattern): String = {
+    import java.util.regex.Pattern._
+    val fl = new StringBuilder
+    if ((p.flags & CASE_INSENSITIVE) != 0) fl += 'i'
+    if ((p.flags & MULTILINE) != 0) fl += 'm'
+    if ((p.flags & DOTALL) != 0) fl += 's'
+    if (fl.isEmpty) p.pattern else s"(?$fl)${p.pattern}"
+  }
+
+  /** Re-expand a $replace replacement string from the engine's syntax into
+    * Java Matcher syntax. The engine (fReplace, Functions.scala) resolves
+    * `$N` greedily while the accumulated group number stays <= groupCount,
+    * `$$` is a literal `$`, and any other `$` (dangling, `$0`, non-digit
+    * next) is literal — all decidable at compile time because the pattern
+    * (hence groupCount) is a literal. Literal `$`/`\` must be escaped for
+    * Java's appendReplacement, which treats both specially where the engine
+    * treats them literally. Null groups append empty on both sides. */
+  private[spark] def javaReplacement(rs: String, groupCount: Int): String = {
+    val sb = new StringBuilder
+    def lit(c: Char): Unit = {
+      if (c == '$' || c == '\\') sb += '\\'
+      sb += c
+    }
+    var i = 0
+    while (i < rs.length) {
+      val c = rs.charAt(i)
+      if (c == '$' && i + 1 < rs.length) {
+        val nxt = rs.charAt(i + 1)
+        if (nxt == '$') { lit('$'); i += 2 }
+        else if (nxt.isDigit) {
+          var j = i + 1; var g = 0
+          while (j < rs.length && rs.charAt(j).isDigit &&
+                 g * 10 + (rs.charAt(j) - '0') <= groupCount) {
+            g = g * 10 + (rs.charAt(j) - '0'); j += 1
+          }
+          if (g == 0) { lit('$'); i += 1 }
+          else { sb += '$'; sb.append(g); i = j }
+        } else { lit('$'); i += 1 }
+      } else { lit(c); i += 1 }
+    }
+    sb.toString
   }
 }

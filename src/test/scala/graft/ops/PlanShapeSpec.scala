@@ -137,6 +137,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("jx18 regex builtins run compiled: native match-all kernel inside codegen, no interpreter") {
+    val df = graft.SparkEntry.queries("jx18_regex_ops")(spark, sfDir)
+    df.collect() // finalize the adaptive plan — codegen spans only exist there
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("jsonata"), "jx18 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("regex_match_all"), p.take(3000))
+    // the `*(n)` prefix is the whole-stage-codegen marker in the AQE final
+    // plan rendering — the kernel's Project must carry it (a CodegenFallback
+    // expression would strip the star from its span)
+    assert(p.linesIterator.exists(l => l.contains("regex_match_all") && l.contains("*(")),
+      "regex kernel must stay inside whole-stage codegen\n" + p.take(3000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))

@@ -83,6 +83,44 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT, lang STRING", "doc_id")
   }
 
+  test("regex builtins with regex literals compile and agree") {
+    diff("documents",
+      "{'doc_id': value.doc_id," +
+        " 'nm': $count($match(value.text, /[aeiou]+/))," +
+        " 'lim': $count($match(value.text, /[a-z]+/, 5))," +
+        " 'none': $count($match(value.lang, /zz9/))," + // empty seq -> null -> 0
+        " 'rep': $replace(value.text ~> $substring(0, 40), /([aeiou])([b-df-hj-np-tv-z])/, '<$2$1>')," +
+        " 'nullgrp': $replace(value.lang, /(e)(q)?/, '[$1|$2]')," + // group 2 never participates
+        " 'dollars': $replace(value.lang, /e/, '$$ $0 $9 tail$')," + // $$, $0-literal, $9>groupCount, dangling $
+        " 'greedy': $replace(value.lang, /(.)(.)/, '$21')," + // 2 groups: $21 = group 2 then literal 1
+        " 'has': $contains(value.text, /QU/i)," + // flag carried into RLIKE
+        " 'sp': $join($split(value.text ~> $substring(0, 60), /[ ]+/), '|')," +
+        " 'sp3': $join($split(value.text ~> $substring(0, 60), /[ ]+/, 3), '|')," +
+        " 'spz': $join($split(value.lang, /o*/), '-')}", // zero-width split edges
+      "doc_id BIGINT, nm BIGINT, lim BIGINT, none BIGINT, rep STRING, nullgrp STRING, " +
+        "dollars STRING, greedy STRING, has BOOLEAN, sp STRING, sp3 STRING, spz STRING",
+      "doc_id")
+  }
+
+  test("regex forms outside the compiled subset fall back") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // lambda replacement — replacement must be a string literal
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $replace(value.lang, /e/, function($m) { $m.match })}").isEmpty)
+    // $replace limit arg stays interpreted
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $replace(value.text, /a/, 'b', 2)}").isEmpty)
+    // non-literal split limit
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $split(value.text, /a/, value.n_chars)}").isEmpty)
+    // $match needs a regex literal (string pattern raises T0410 in the engine)
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $count($match(value.text, 'abc'))}").isEmpty)
+    // compiled forms stay compiled
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $count($match(value.text, /abc/))}").isDefined)
+  }
+
   test("non-compilable expressions fall back") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     assert(JsonataCompiler.transformCompiled(df, "{'k': $eval(value.props).k}").isEmpty)
@@ -159,15 +197,16 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT, r STRING, l STRING, no STRING", "doc_id")
   }
 
-  test("$replace with literal pattern/replacement compiles; regex/lambda stay interpreted") {
+  test("$replace with literal pattern/replacement compiles; lambda stays interpreted") {
     diff("documents",
       "{'doc_id': value.doc_id, 'r': $replace(value.text, 'the', 'THE'), " +
         "'none': $replace(value.lang, 'zz', 'x'), " +
         "'dollar': $replace(value.lang, 'e', '$5')}", // $-escape in the replacement
       "doc_id BIGINT, r STRING, none STRING, dollar STRING", "doc_id")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    assert(JsonataCompiler.transformCompiled(docs, "{'r': $replace(value.text, /th./, 'x')}").isEmpty,
-      "regex pattern must stay interpreted")
+    // regex-literal patterns compile too since round 8 (see the regex
+    // builtin cases above); only lambda replacements remain interpreted
+    assert(JsonataCompiler.transformCompiled(docs, "{'r': $replace(value.text, /th./, 'x')}").isDefined)
     assert(JsonataCompiler.transformCompiled(docs,
       "{'r': $replace(value.text, 'a', function($m) { 'x' })}").isEmpty,
       "lambda replacement must stay interpreted")
