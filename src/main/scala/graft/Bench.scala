@@ -66,7 +66,13 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's bench artifact keeps only the last ~2 KB of stdout, which
+    // truncated 24 of 96 per-query entries in round 7 — persist the complete
+    // line beside the sources so the full table always survives the run.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] persist failed: ${e.getMessage}") }
     org.apache.logging.log4j.core.config.Configurator.setLevel(windowLogger, priorWindowLevel)
     spark.stop()
   }

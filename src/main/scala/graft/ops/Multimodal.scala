@@ -223,14 +223,39 @@ object Multimodal {
         val census = bands.groupBy(col("b"), col("bv")).agg(count(lit(1)).as("occ"))
           .filter(col("occ") <= Cap).select(col("b"), col("bv"))
         val kept = bands.join(broadcast(census), Seq("b", "bv"))
-        val x = kept.select(col("b"), col("bv"), col("doc_id").as("doc_a"), col("levels").as("la"))
-        val y = kept.select(col("b"), col("bv"), col("doc_id").as("doc_b"), col("levels").as("lb"))
+        // Pair DISTINCT LEVEL VECTORS, not documents. The stub features
+        // collapse many docs onto identical 8-dim level vectors (the
+        // regenerated sf1 fixture puts ~1.6k docs in one band value but only
+        // ~dozens of distinct vectors there), so doc-level pairing burns
+        // occupancy² candidate work (51M pairs, a 21 s straggler at sf1) to
+        // rediscover the same vector-pair hamming over and over. Vector-level
+        // pairing makes candidate work ∝ vector diversity², and the doc-pair
+        // EXPANSION below is proportional to the true answer — the only
+        // quadratic left is the output itself. Membership is vector-
+        // determined (a vector's band codes are a function of the vector),
+        // so expanding a kept vector pair over its doc lists reproduces the
+        // doc-level algorithm exactly.
+        val vkey = concat_ws(",", col("levels")) // canonical orderable key
+        val vecs = kept.select(col("b"), col("bv"), vkey.as("vk"), col("levels"))
+          .dropDuplicates("b", "bv", "vk")
+        val va = vecs.select(col("b"), col("bv"), col("vk").as("ka"), col("levels").as("la"))
+        val vb = vecs.select(col("b"), col("bv"), col("vk").as("kb"), col("levels").as("lb"))
         val ham = aggregate(zip_with(col("la"), col("lb"), (p, q) => abs(p - q)),
           lit(0L), (a, v) => a + v)
-        x.join(y, Seq("b", "bv")).filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
-          .dropDuplicates("doc_a", "doc_b")
-          .filter(col("hamming") <= 1)
+        val vecPairs = va.join(vb, Seq("b", "bv")).filter(col("ka") <= col("kb"))
+          .select(col("ka"), col("kb"), col("la"), col("lb"))
+          .dropDuplicates("ka", "kb") // a pair can qualify via both bands
+          .withColumn("hamming", ham).filter(col("hamming") <= 1)
+          .select(col("ka"), col("kb"), col("hamming"))
+        val dA = lv.select(vkey.as("ka"), col("doc_id").as("da"))
+        val dB = lv.select(vkey.as("kb"), col("doc_id").as("db"))
+        vecPairs.join(dA, "ka").join(dB, "kb")
+          // identical-vector pairs (ka = kb) cross the group with itself:
+          // keep each unordered doc pair once and drop self-pairs; distinct
+          // vector pairs already yield each doc pair exactly once
+          .filter(col("ka") =!= col("kb") || col("da") < col("db"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

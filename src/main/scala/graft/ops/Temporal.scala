@@ -63,6 +63,27 @@ object AsofJoin {
       .select(left.columns.toSeq.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Backward as-of join with a STALENESS BOUND: match only when the latest
+    * right row is no older than `leftTime - tolerance` (the feature-store
+    * max-staleness contract — a feature older than the bound is treated as
+    * missing, not silently served). Implemented as [[backward]] plus a
+    * null-out of out-of-window payloads: the backward match is the latest
+    * right row at-or-before the left time, and anything older than it is
+    * MORE stale, so "latest within the window" is exactly "backward match,
+    * if it clears the bound". Zero extra plan cost over [[backward]] — same
+    * union + one Exchange + one window. */
+  def backwardWithin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    val payload = right.columns.filterNot(_ == rightKey).toSeq
+    val keep = col(rightTime) >= col(leftTime) - tolerance
+    backward(left, right, leftKey, rightKey, leftTime, rightTime)
+      .select(left.columns.toSeq.map(col) ++
+        payload.map(c => when(keep, col(c)).as(c)): _*)
+  }
+
   /** Forward as-of join: for each left row, the single right row with the
     * smallest `rightTime >= leftTime` on the same key (ties on time resolve
     * to the smallest right payload). The "next observation" lookup —
@@ -208,6 +229,40 @@ object Temporal {
           coalesce(event_id, -1) AS event_id, coalesce(value, 0.0) AS value
         FROM j WHERE rn = 1 ORDER BY o_orderkey""")),
 
+    // ---- aj03: as-of join with a staleness bound (feature-store max-age) ----
+    // The latest order as of each event COUNTS ONLY within 7 days — older
+    // state is "missing", the contract every feature store enforces so a
+    // model never trains on arbitrarily stale features. Same one-Exchange
+    // plan as aj01; the bound is a post-window null-out (see backwardWithin).
+    Q("aj03_asof_staleness",
+      (s, d) => {
+        val TolMs = 7L * 24 * 3600000L
+        val ev = eventsMs(s, d).select(col("event_id"), col("user_id"), col("e_ms"), col("value"))
+        val od = t(s, d, "orders").select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+        AsofJoin.backwardWithin(ev, od, "user_id", "o_custkey", "e_ms", "o_ms", TolMs)
+          // sentinel-coalesce: the driver compare treats null-bearing float
+          // rows as never-equal (see aj02)
+          .select(col("event_id"), col("user_id"), col("e_ms"),
+            coalesce(col("o_ms"), lit(-1L)).as("o_ms"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+            coalesce(col("o_totalprice"), lit(0.0)).as("o_totalprice"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS e_ms, value FROM events),
+          o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS o_ms, o_orderkey, o_totalprice FROM orders),
+          j AS (SELECT e.event_id, e.user_id, e.e_ms,
+                  o.o_ms, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_ms DESC, o.o_orderkey DESC, o.o_totalprice DESC) AS rn
+                FROM e LEFT JOIN o ON o.o_custkey = e.user_id
+                  AND o.o_ms <= e.e_ms AND o.o_ms >= e.e_ms - 604800000)
+        SELECT event_id, user_id, e_ms, coalesce(o_ms, -1) AS o_ms,
+          coalesce(o_orderkey, -1) AS o_orderkey,
+          coalesce(o_totalprice, 0.0) AS o_totalprice
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // ---- rj01: range join — same-user events in the 6 hours before each ----
     // ---- error event (attribution-window shape) ----
     Q("rj01_error_attribution",
@@ -275,6 +330,51 @@ object Temporal {
                 WHERE e.event_type = 'click' AND e.ms >= a.t GROUP BY e.user_id),
           c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
                 WHERE e.event_type = 'purchase' AND e.ms >= b.t GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+            count(*) AS n_users, CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_ms FROM a
+          UNION ALL SELECT 2, 'click', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM b
+          UNION ALL SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM c)
+        ORDER BY step""")),
+
+    // ---- ev02: CONVERSION-WINDOW funnel — each step must land within a ----
+    // ---- bound of the previous one (view -> click within 6h -> purchase ----
+    // ---- within 72h), the product-analytics "conversion window" the     ----
+    // ---- unbounded ev01 can't express. Same greedy alignment and same   ----
+    // ---- shrinking partial-agg + equi-join scale shape; the window is   ----
+    // ---- one extra residual predicate on each join, no new shuffle.     ----
+    Q("ev02_funnel_window",
+      (s, d) => {
+        val W1 = 6L * 3600000L   // click within 6 h of the first view
+        val W2 = 72L * 3600000L  // purchase within 72 h of that click
+        val e = eventsMs(s, d).select(col("user_id"), col("e_ms"), col("event_type"))
+        val a = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        val b = e.filter(col("event_type") === "click")
+          .join(a, Seq("user_id"))
+          .filter(col("e_ms") >= col("t") && col("e_ms") <= col("t") + W1)
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        val c = e.filter(col("event_type") === "purchase")
+          .join(b, Seq("user_id"))
+          .filter(col("e_ms") >= col("t") && col("e_ms") <= col("t") + W2)
+          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
+        def step(df: DataFrame, n: Long, nm: String) =
+          df.agg(count(lit(1)).as("n_users"),
+              coalesce(sum(col("t")), lit(0L)).as("sum_ms"))
+            .select(lit(n).as("step"), lit(nm).as("step_name"),
+              col("n_users"), col("sum_ms"))
+        step(a, 1L, "view").unionByName(step(b, 2L, "click"))
+          .unionByName(step(c, 3L, "purchase"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+          b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
+                WHERE e.event_type = 'click' AND e.ms >= a.t AND e.ms <= a.t + 21600000
+                GROUP BY e.user_id),
+          c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ms >= b.t AND e.ms <= b.t + 259200000
+                GROUP BY e.user_id)
         SELECT * FROM (
           SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
             count(*) AS n_users, CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_ms FROM a

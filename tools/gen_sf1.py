@@ -92,7 +92,8 @@ def main(out_dir):
 
     # events: 500k rows over 30 days with a ZIPF-skewed user distribution
     # (hot users stress the per-user session/range windows the way a hot key
-    # would at 100 TB) — schema matches the driver slice (ts nanos)
+    # would at 100 TB) — schema matches the REGENERATED driver slice
+    # (ts timestamp[us], no tz -> Spark TimestampNTZ)
     n_events = 500_000
     n_users = 20_000
     # zipf-ish: user u gets weight 1/(rank+10); hottest user lands ~2% of rows
@@ -111,14 +112,14 @@ def main(out_dir):
         ev_ids.append(i)
         # same 2024-01-01 epoch the orders below use, so the as-of join
         # actually matches (1704067200000 = 2024-01-01T00:00Z in ms)
-        ev_ts.append((1704067200000 + rnd.randrange(span_ms)) * 1_000_000)
+        ev_ts.append((1704067200000 + rnd.randrange(span_ms)) * 1_000)
         ev_user.append(u)
         ev_type.append(rnd.choice(types))
         ev_val.append(round(rnd.uniform(0, 100), 3))
         ev_props.append('{"k":%d}' % rnd.randrange(50))
     events = pa.table({
         "event_id": pa.array(ev_ids, pa.int64()),
-        "ts": pa.array(ev_ts, pa.timestamp("ns")),
+        "ts": pa.array(ev_ts, pa.timestamp("us")),
         "user_id": pa.array(ev_user, pa.int64()),
         "event_type": pa.array(ev_type, pa.string()),
         "value": pa.array(ev_val, pa.float64()),
