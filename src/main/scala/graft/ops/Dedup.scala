@@ -786,6 +786,53 @@ object Dedup {
                     md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
                       ORDER BY seg_idx), '')) AS clean_fp
                   FROM r GROUP BY doc_id)
-        SELECT doc_id, n_segs, n_kept, clean_fp FROM agg ORDER BY doc_id"""))
+        SELECT doc_id, n_segs, n_kept, clean_fp FROM agg ORDER BY doc_id""")),
+
+    // ---- dd10: cross-source duplication matrix (provenance analysis) ----
+    // Which sources copy from which: for every unordered source pair, how
+    // many LEAD fingerprints (first 16 normalized words — the syndication
+    // heuristic: same lead paragraph ⇒ copied/franchised item; full-text
+    // fingerprints never cross sources in this corpus because each feed
+    // re-wraps the body) they share, and how many duplicate DOC pairs that
+    // implies — the scraper-overlap report that decides which feeds to drop
+    // before training. Scale shape: one partial-agg shuffle on the
+    // fingerprint collecting per-source counts (distinct sources are
+    // bounded — a corpus has dozens of feeds, not millions), then each
+    // fingerprint expands to at most |sources|² pair rows via a lateral
+    // explode — work ∝ shared fingerprints, never doc pairs; no self-join of
+    // the corpus. Doc-pair counts multiply per-source occurrence counts, so
+    // the quadratic is arithmetic, not enumeration.
+    Q("dd10_source_overlap",
+      (s, d) => {
+        val norm = (c: Column) =>
+          regexp_replace(lower(trim(c)), "\\s+", " ")
+        val lead = (c: Column) =>
+          concat_ws(" ", slice(split(norm(c), " ", -1), 1, 16))
+        val fps = Tables.spread(t(s, d, "documents"))
+          .select(md5(lead(col("text"))).as("fp"), col("source"))
+          .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("n"))
+        val bySrc = fps.groupBy(col("fp"))
+          .agg(sort_array(collect_list(struct(col("source"), col("n")))).as("srcs"))
+          .filter(size(col("srcs")) > 1)
+        bySrc
+          .select(col("fp"), explode(col("srcs")).as("a"), col("srcs"))
+          .select(col("fp"), col("a"), explode(col("srcs")).as("b"))
+          .filter(col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_fps"),
+            sum(col("a.n") * col("b.n")).as("dup_doc_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH f AS (SELECT md5(array_to_string(
+                    (string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))[1:16],
+                    ' ')) AS fp,
+                  source, count(*) AS n
+                FROM documents GROUP BY fp, source),
+          multi AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+        SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS shared_fps, CAST(sum(a.n * b.n) AS BIGINT) AS dup_doc_pairs
+        FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        WHERE a.fp IN (SELECT fp FROM multi)
+        GROUP BY source_a, source_b ORDER BY source_a, source_b"""))
   )
 }

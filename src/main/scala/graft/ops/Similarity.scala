@@ -545,6 +545,54 @@ object Similarity {
         SELECT q_id, 1 AS rank, vec_id AS neighbor_id, mmr FROM s1
         UNION ALL SELECT q_id, 2 AS rank, vec_id AS neighbor_id, mmr FROM s2
         UNION ALL SELECT q_id, 3 AS rank, vec_id AS neighbor_id, mmr FROM s3
-        ORDER BY q_id, rank"""))
+        ORDER BY q_id, rank""")),
+
+    // ---- ss09: one Lloyd's k-means step (assign + recompute) ----
+    // The IVF/clustering training inner loop: assign every vector to its
+    // nearest of K centroids (squared L2, ties to the lowest centroid id),
+    // then recompute each centroid as the member mean. Deterministic seed =
+    // the K lowest-vec_id embeddings (the ss04 systematic-sample flavor), so
+    // the step is exactly replayable in SQL. Scale shape: K rows broadcast
+    // against the corpus (map-only assignment, K·dim work per vector),
+    // argmin via partial-aggregatable min(struct), recompute via the ss05
+    // posexplode partial agg — one shuffle of K×dim rows, never the corpus.
+    // Iterating = re-running this step with the emitted centroids as the
+    // next seed (each iteration one broadcast + one tiny shuffle).
+    Q("ss09_kmeans_step",
+      (s, d) => {
+        val K = 8
+        val v = vecs(s, d).select(col("vec_id"), col("vec"))
+        // seed: K lowest vec_ids — TakeOrdered-sized, broadcast to every task
+        val seed = v.orderBy(col("vec_id")).limit(K)
+          .select(col("vec_id").as("cid"), col("vec").as("cen"))
+        val d2 = aggregate(zip_with(col("vec"), col("cen"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+        val assigned = v.crossJoin(broadcast(seed))
+          .select(col("vec_id"), col("vec"), col("cid"), d2.as("d2"))
+          // argmin as min(struct): combines map-side, no per-vector window
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cid"))).as("best"),
+            first(col("vec")).as("vec"))
+          .select(col("vec_id"), col("best.cid").as("cluster"), col("vec"))
+        assigned
+          .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(count(lit(1)).as("n"), avg(col("x")).as("centroid"))
+          .orderBy(col("cluster"), col("dim"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+            FROM embeddings),
+          seed AS (SELECT vec_id AS cid, vec AS cen FROM v ORDER BY vec_id LIMIT 8),
+          a AS (SELECT v.vec_id, seed.cid,
+                  list_sum(list_transform(range(1, 65), i ->
+                    (vec[i] - cen[i]) * (vec[i] - cen[i]))) AS d2
+                FROM v CROSS JOIN seed),
+          best AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn FROM a) WHERE rn = 1),
+          m AS (SELECT b.cluster, i - 1 AS dim, v.vec[i] AS x
+                FROM best b JOIN v USING (vec_id), generate_series(1, 64) t(i))
+        SELECT cluster, CAST(dim AS INT) AS dim, count(*) AS n, avg(x) AS centroid
+        FROM m GROUP BY cluster, dim ORDER BY cluster, dim"""))
   )
 }
