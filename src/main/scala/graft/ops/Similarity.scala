@@ -562,18 +562,26 @@ object Similarity {
       (s, d) => {
         val K = 8
         val v = vecs(s, d).select(col("vec_id"), col("vec"))
-        // seed: K lowest vec_ids — TakeOrdered-sized, broadcast to every task
+        // seed: K lowest vec_ids — TakeOrdered-sized, collapsed to ONE row
+        // holding the cid-sorted centroid array, broadcast to every task
         val seed = v.orderBy(col("vec_id")).limit(K)
           .select(col("vec_id").as("cid"), col("vec").as("cen"))
-        val d2 = aggregate(zip_with(col("vec"), col("cen"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+          .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
+        // argmin as a FOLD over the broadcast array — no per-vector
+        // candidate rows, no corpus-wide groupBy(vec_id) exchange: the
+        // assignment is map-only however large the corpus (strict < keeps
+        // the first minimum = lowest cid on ties, the oracle's ORDER BY
+        // d2, cid)
+        val best = aggregate(col("cs"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d2 = aggregate(zip_with(col("vec"), c.getField("cen"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+          })
         val assigned = v.crossJoin(broadcast(seed))
-          .select(col("vec_id"), col("vec"), col("cid"), d2.as("d2"))
-          // argmin as min(struct): combines map-side, no per-vector window
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cid"))).as("best"),
-            first(col("vec")).as("vec"))
-          .select(col("vec_id"), col("best.cid").as("cluster"), col("vec"))
+          .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"))
         assigned
           .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
           .groupBy(col("cluster"), col("dim"))

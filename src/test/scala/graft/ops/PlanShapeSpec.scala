@@ -150,6 +150,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "regex kernel must stay inside whole-stage codegen\n" + p.take(3000))
   }
 
+  test("ss09 k-means step: assignment is map-only — the sole corpus-touching exchange is the K*dim recompute") {
+    val p = plan("ss09_kmeans_step")
+    // allowed exchanges: the seed's TakeOrdered/collect_list singleton, the
+    // broadcast, the K*dim recompute agg, and the final orderBy — but NO
+    // hashpartitioning on vec_id (that would be a corpus-wide shuffle just
+    // to argmin what the broadcast fold already answers in place)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      "assignment must not shuffle the corpus by vec_id\n" + p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "recompute must partial-aggregate map-side\n" + p.take(2000))
+  }
+
+  test("dd10 source overlap: no corpus self-join — pairing expands from the fingerprint agg") {
+    val p = plan("dd10_source_overlap")
+    assert(!p.contains("SortMergeJoin"),
+      "doc-level self-join would be quadratic in the corpus\n" + p.take(3000))
+    assert(p.contains("partial_"), "fingerprint census must partial-aggregate")
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))

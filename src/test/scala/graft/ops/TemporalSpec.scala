@@ -83,6 +83,39 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getAs[Long]("p") == 9L)
   }
 
+  test("asof with staleness bound: boundary in, one-past-boundary out, per-row") {
+    val sp = spark; import sp.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 2L, 100L)).toDF("id", "k", "t")
+    val right = Seq((1L, 50L, 7L), (2L, 49L, 9L)).toDF("rk", "rt", "p")
+    // tolerance 50: id=1 sees rt=50 exactly AT the bound (t - tol = 50) ->
+    // kept; id=2's latest is rt=50 but 200-50=150 > 50 -> nulled; id=3's
+    // latest rt=49 is one past its bound (100-50=51) -> nulled
+    val out = AsofJoin.backwardWithin(left, right, "k", "rk", "t", "rt", 50L)
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[Long]("p") == 7L)
+    assert(out(1).isNullAt(out(1).fieldIndex("p")), "stale match must read as missing")
+    assert(out(1).isNullAt(out(1).fieldIndex("rt")), "ALL payload columns null out together")
+    assert(out(2).isNullAt(out(2).fieldIndex("p")))
+  }
+
+  test("asof with staleness bound equals the windowed naive join on real tables") {
+    val TolMs = 7L * 24 * 3600000L
+    val fast = AsofJoin.backwardWithin(ev, od, "user_id", "o_custkey", "e_ms", "o_ms", TolMs)
+      .orderBy(col("event_id")).collect().toSeq
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_ms").desc_nulls_last, col("o_orderkey").desc_nulls_last,
+        col("o_totalprice").desc_nulls_last)
+    val naive = ev.join(od,
+        col("user_id") === col("o_custkey") && col("o_ms") <= col("e_ms") &&
+          col("o_ms") >= col("e_ms") - TolMs, "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("e_ms"), col("value"),
+        col("o_ms"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty)
+  }
+
   test("forward asof matches the naive join+row_number reference on real tables") {
     val orders = od.select(col("o_orderkey"), col("o_custkey"), col("o_ms"))
     val events = ev.select(col("user_id"), col("e_ms"), col("event_id"), col("value"))
@@ -153,6 +186,15 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "as-of must not be a join at all — union + window")
+  }
+
+  test("asof with staleness bound keeps the single-exchange plan (bound is plan-free)") {
+    val p = AsofJoin.backwardWithin(ev, od, "user_id", "o_custkey", "e_ms", "o_ms", 1000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*(?:\\+- |:- )?Exchange ".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the staleness bound must not introduce a join")
   }
 
   test("range join matches the naive inequality join on real tables") {
