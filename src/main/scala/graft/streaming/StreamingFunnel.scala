@@ -37,11 +37,23 @@ object StreamingFunnel {
   final case class StepHit(user_id: Long, step: Int, step_name: String, t_ms: Long)
 
   /** Align each user's stream against `steps` (e.g. view, click, purchase);
-    * emit one StepHit per step the user completes, watermark-gated. */
-  def funnel(events: Dataset[FunnelEvent], steps: Seq[String]): Dataset[StepHit] = {
+    * emit one StepHit per step the user completes, watermark-gated.
+    *
+    * `maxGaps` adds CONVERSION WINDOWS (the ev02 batch shape): maxGaps(i)
+    * bounds how long after step i's bound time step i+1 may land — empty
+    * means unbounded (the ev01 shape). An event past its window is skipped
+    * exactly like the batch residual predicate skips it. */
+  def funnel(events: Dataset[FunnelEvent], steps: Seq[String],
+             maxGaps: Seq[Long] = Nil): Dataset[StepHit] = {
     require(steps.nonEmpty && steps.distinct == steps, "steps must be distinct and non-empty")
+    require(maxGaps.isEmpty || maxGaps.length == steps.length - 1,
+      s"need ${steps.length - 1} gaps (one per transition), got ${maxGaps.length}")
+    require(maxGaps.forall(_ >= 0), "gaps must be non-negative")
+    val gaps =
+      if (maxGaps.isEmpty) IndexedSeq.fill(math.max(steps.length - 1, 0))(Long.MaxValue)
+      else maxGaps.toIndexedSeq
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .transformWithState(new FunnelProcessor(steps.toIndexedSeq),
+      .transformWithState(new FunnelProcessor(steps.toIndexedSeq, gaps),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.product[StepHit])
   }
 
@@ -49,15 +61,20 @@ object StreamingFunnel {
     * aggs joined against the strictly-shrinking previous step — generalized
     * to N steps, emitting the same per-user StepHit rows. Input: a DataFrame
     * with (user_id, ts, event_type). */
-  def batchReference(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def batchReference(events: DataFrame, steps: Seq[String],
+                     maxGaps: Seq[Long] = Nil): DataFrame = {
     var prev: Option[DataFrame] = None
     val perStep = steps.zipWithIndex.map { case (name, i) =>
       val mine = events.filter(col("event_type") === name)
       val aligned = prev match {
         case None => mine.groupBy(col("user_id")).agg(min(col("ts")).as("t"))
         case Some(p) =>
+          val within = maxGaps.lift(i - 1) match {
+            case Some(g) => col("ts") >= col("pt") && col("ts") <= col("pt") + g
+            case None => col("ts") >= col("pt")
+          }
           mine.join(p.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
-            .filter(col("ts") >= col("pt"))
+            .filter(within)
             .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       }
       prev = Some(aligned)
@@ -72,7 +89,7 @@ object StreamingFunnel {
     * Spark's Array encoder round-trips primitive arrays losslessly. */
   private final case class Progress(alignedAt: Array[Long])
 
-  private final class FunnelProcessor(steps: IndexedSeq[String])
+  private final class FunnelProcessor(steps: IndexedSeq[String], gaps: IndexedSeq[Long])
       extends StatefulProcessor[Long, FunnelEvent, StepHit] {
 
     @transient private var buf: ListState[Buffered] = _
@@ -111,8 +128,14 @@ object StreamingFunnel {
       // step comparisons admit same-millisecond step chains
       ripe.sortBy(b => (b.ts, b.step)).foreach { b =>
         val s = b.step
+        // saturating window end: gaps are Long.MaxValue when unbounded
+        def windowEnd(prev: Long): Long = {
+          val g = gaps(s - 1)
+          if (g >= Long.MaxValue - prev) Long.MaxValue else prev + g
+        }
         if (aligned(s) < 0 &&
-            (s == 0 || (aligned(s - 1) >= 0 && b.ts >= aligned(s - 1)))) {
+            (s == 0 || (aligned(s - 1) >= 0 && b.ts >= aligned(s - 1) &&
+              b.ts <= windowEnd(aligned(s - 1))))) {
           aligned(s) = b.ts
           out += StepHit(key, s + 1, steps(s), b.ts)
         }

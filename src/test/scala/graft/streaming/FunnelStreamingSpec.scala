@@ -33,7 +33,7 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def startQuery(name: String, delay: String) = {
+  private def startQuery(name: String, delay: String, gaps: Seq[Long] = Nil) = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -42,7 +42,7 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("ets", timestamp_millis(col("ts")))
       .withWatermark("ets", delay)
       .as[FunnelEvent]
-    val query = StreamingFunnel.funnel(events, Steps)
+    val query = StreamingFunnel.funnel(events, Steps, gaps)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     (input, query)
   }
@@ -125,6 +125,60 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(
       StepHit(4L, 1, "view", 1000L),
       StepHit(4L, 2, "click", 2000L)), s"got $got")
+  }
+
+  test("conversion windows: a step past its window never binds, even with no later candidate") {
+    val (input, query) = startQuery("funnel_win", "0 seconds", Seq(1000L, 1000L))
+    // view@1000; click@2000 is exactly AT the window end (1000+1000) ->
+    // binds; purchase@3500 is 1500 past the click -> outside its 1000 ms
+    // window -> never binds
+    input.addData((6L, 1000L, "view"), (6L, 2000L, "click"), (6L, 3500L, "purchase"))
+    query.processAllAvailable()
+    drain(input, query)
+    val got = results("funnel_win")
+    query.stop()
+    assert(got == Set(
+      StepHit(6L, 1, "view", 1000L),
+      StepHit(6L, 2, "click", 2000L)), s"got $got")
+  }
+
+  test("conversion windows: an in-window LATER candidate does not rescue a skipped early one") {
+    val (input, query) = startQuery("funnel_win2", "0 seconds", Seq(1000L, 1000L))
+    // click@500 precedes the view -> skipped; click@1500 in window binds;
+    // click@2500 would also be in no window (step already bound) — final
+    input.addData((7L, 500L, "click"), (7L, 1000L, "view"),
+      (7L, 1500L, "click"), (7L, 2500L, "click"))
+    query.processAllAvailable()
+    drain(input, query)
+    val got = results("funnel_win2")
+    query.stop()
+    assert(got == Set(
+      StepHit(7L, 1, "view", 1000L),
+      StepHit(7L, 2, "click", 1500L)), s"got $got")
+  }
+
+  test("windowed streaming funnel equals the windowed batch reference on seeded random data") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val types = Vector("view", "click", "purchase", "scroll")
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(40).toLong + 1L, rnd.nextInt(200_000).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    val gaps = Seq(20_000L, 60_000L)
+    val (input, query) = startQuery("funnel_weqv", "10 seconds", gaps)
+    rows.sortBy(_._2).grouped(150).map(rnd.shuffle(_)).foreach { batch =>
+      input.addData(batch: _*); query.processAllAvailable()
+    }
+    drain(input, query)
+    val streamed = results("funnel_weqv").filterNot(_.user_id == 9999L)
+    query.stop()
+    val batch = StreamingFunnel.batchReference(
+        rows.toDF("user_id", "ts", "event_type"), Steps, gaps)
+      .as[StepHit].collect().toSet
+    assert(streamed == batch,
+      s"streaming/batch divergence:\n only-streaming=${streamed -- batch}\n only-batch=${batch -- streamed}")
   }
 
   test("streaming funnel equals the batch per-step-join reference on seeded random data") {
