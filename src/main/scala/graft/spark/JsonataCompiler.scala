@@ -49,7 +49,11 @@ object JsonataCompiler {
   def compileQuery(df: DataFrame, exprSource: String): Option[CompiledQuery] = {
     val ast = JsonataTransform.compile(exprSource).ast
     val schema = df.schema
-    val ctx = new Ctx(schema)
+    // $fromMillis renders through date_format, which follows the SESSION
+    // time zone where the engine always renders UTC — only a UTC session
+    // can compile it (others fall back to the interpreter, same results)
+    val utc = df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    val ctx = new Ctx(schema, utcSession = utc)
     inlineBinds(ast) match {
       // `cond ? {obj} : null` / `cond ? {obj}` — tombstone filter + projection
       case Cond(c, t, e) if isNullOrAbsent(e) =>
@@ -315,7 +319,7 @@ object JsonataCompiler {
     * functions, and comparisons. */
   private final case class TCol(col: Column, dt: DataType)
 
-  private final class Ctx(schema: StructType) {
+  private final class Ctx(schema: StructType, utcSession: Boolean = false) {
 
     /** Lambda-parameter bindings during HOF body compilation. Inside a lambda
       * the engine invokes the body with a NULL input context
@@ -1158,6 +1162,19 @@ object JsonataCompiler {
           (num(0), if (args.length > 1) intLit(1) else Some(0L)) match {
             case (Some(t), Some(p)) => Some(TCol(bround(t.col, p.toInt), DoubleType))
             case _ => None
+          }
+        // $fromMillis default picture: UTC ISO-8601 with exactly 3 fraction
+        // digits and 'Z' (DateTimeFmt.format None-picture branch). Integral
+        // input only (the engine math.round's a double input — that stays
+        // interpreted) and only under a UTC session (date_format renders in
+        // SESSION tz; the engine always renders UTC). Picture/zone args and
+        // $toMillis stay interpreted: parse failure is an engine ERROR where
+        // to_timestamp would null-swallow.
+        case "fromMillis" if args.length == 1 && utcSession =>
+          arg(0).collect { case t if t.dt == LongType || t.dt == IntegerType =>
+            TCol(concat(
+              date_format(timestamp_millis(t.col.cast(LongType)),
+                "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")), StringType)
           }
         // $number compiles only for already-numeric input, where it is an
         // identity in both tiers — the operand keeps its integral/double static

@@ -102,6 +102,22 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id")
   }
 
+  test("$fromMillis default picture compiles and agrees across the epoch") {
+    diff("events",
+      "{'event_id': value.event_id," +
+        " 'iso': $fromMillis(value.event_id * 86400000)," + // 1970 .. +27 years of day steps
+        " 'neg': $fromMillis(0 - value.event_id * 9999999)," + // pre-epoch, ragged millis
+        " 'zero': $fromMillis(0)}",
+      "event_id BIGINT, iso STRING, neg STRING, zero STRING", "event_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // double input (engine rounds), picture/zone args, $toMillis: interpreted
+    assert(JsonataCompiler.transformCompiled(docs, "{'m': $fromMillis(value.n_chars * 1.5)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $fromMillis(value.n_chars, '[Y0001]')}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'m': $toMillis('2024-01-01T00:00:00.000Z')}").isEmpty)
+  }
+
   test("regex forms outside the compiled subset fall back") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // lambda replacement — replacement must be a string literal
