@@ -488,6 +488,56 @@ object TextOps {
                 FROM q WHERE quality >= 0.5 AND pred_lang = 'en'),
           k AS (SELECT doc_id, n_words, quality,
                   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
-        SELECT doc_id, n_words, quality FROM k WHERE rn = 1 ORDER BY doc_id"""))
+        SELECT doc_id, n_words, quality FROM k WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ---- pp02: per-source attrition report — where the corpus goes ----
+    // The observability query every production corpus build runs beside
+    // pp01's filter: per source, how many docs survive each pipeline stage
+    // (raw -> quality gate -> language gate -> dedup keep-first) and how
+    // many tokens the survivors carry — the table that decides which feed
+    // is worth its crawl budget. Stages are FLAGS on one map-only pass
+    // (same shared quality/langid builders as tx01/tx02/pp01, so the
+    // stages provably match the filter pipeline); dedup rank orders
+    // survivors-first inside each fingerprint partition so the window
+    // never concentrates filtered-out rows into a null mega-partition;
+    // then ONE partial-agg shuffle on source. Conditional aggregation
+    // keeps every stage count in a single pass — no per-stage scans.
+    Q("pp02_attrition_report",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val w = Window.partitionBy(col("fp"))
+          .orderBy(col("en_ok").desc, col("doc_id"))
+        Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), col("source"), nWords.as("n_words"),
+            qualityCol.as("quality"), predLangCol.as("pred_lang"),
+            md5(lower(trim(col("text")))).as("fp"))
+          .withColumn("q_ok", col("quality") >= 0.5)
+          .withColumn("en_ok", col("q_ok") && col("pred_lang") === "en")
+          .withColumn("uniq", col("en_ok") && row_number().over(w) === 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_raw"),
+            count_if(col("q_ok")).as("n_quality"),
+            count_if(col("en_ok")).as("n_en"),
+            count_if(col("uniq")).as("n_unique"),
+            sum(when(col("uniq"), col("n_words")).otherwise(0L)).as("tokens_unique"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source,
+              len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              $qualitySql AS quality, $predLangSql AS pred_lang,
+              md5(lower(trim(text))) AS fp
+            FROM documents),
+          f AS (SELECT *, quality >= 0.5 AS q_ok,
+                  (quality >= 0.5 AND pred_lang = 'en') AS en_ok FROM q),
+          r AS (SELECT *, en_ok AND row_number() OVER (PARTITION BY fp
+                  ORDER BY en_ok DESC, doc_id) = 1 AS uniq FROM f)
+        SELECT source, count(*) AS n_raw,
+          count(*) FILTER (q_ok) AS n_quality,
+          count(*) FILTER (en_ok) AS n_en,
+          count(*) FILTER (uniq) AS n_unique,
+          CAST(coalesce(sum(CASE WHEN uniq THEN n_words ELSE 0 END), 0) AS BIGINT)
+            AS tokens_unique
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }
