@@ -59,6 +59,32 @@ class RowJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.toSeq == Seq(1L, "1996", 246.9))
   }
 
+  test("timestamp_ntz renders zone-free ISO local and decodes back exactly") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", TimestampNTZType)))
+    val rows = Seq(
+      Row(1L, java.time.LocalDateTime.parse("2024-01-30T23:57:12.194062")),
+      Row(2L, java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
+    // encode: the envelope must carry the wall-clock reading with NO 'Z'
+    val enc = roundTrip(schema, rows,
+      "{'id': value.id, 'iso': value.t, 'hasZ': $contains(value.t, 'Z')}",
+      StructType.fromDDL("id BIGINT, iso STRING, hasZ BOOLEAN"))
+    assert(enc.map(_.toSeq).toSet == Set(
+      Seq(1L, "2024-01-30T23:57:12.194062", false),
+      Seq(2L, "2024-01-01T00:00", false))) // LocalDateTime ISO drops :00 seconds
+    // decode: identity projection back into a TIMESTAMP_NTZ output column
+    // must preserve micros exactly (symmetric branch)
+    val dec = roundTrip(schema, rows, "{'id': value.id, 't': value.t}",
+      StructType(Seq(StructField("id", LongType), StructField("t", TimestampNTZType))))
+    assert(dec.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    // instant-form input (trailing Z) is accepted at its UTC reading
+    val z = roundTrip(StructType.fromDDL("id BIGINT, s STRING"),
+      Seq(Row(1L, "2024-01-30T23:57:12.194062Z")), "{'id': value.id, 't': value.s}",
+      StructType(Seq(StructField("id", LongType), StructField("t", TimestampNTZType))))
+    assert(z.head.getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.parse("2024-01-30T23:57:12.194062"))
+  }
+
   test("binary encodes base64 both ways") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("p", BinaryType)))
     val rows = Seq(Row(1L, "hello".getBytes("UTF-8")))
