@@ -93,6 +93,22 @@ object ScaleSmoke {
       .filter(n => prefixes.exists(n.startsWith))
       .filter(n => only.isEmpty || only.exists(n.startsWith))
 
+    // Warm up JVM/codegen/parquet paths at the smallest SF (same schemas)
+    // so the FIRST measured query doesn't absorb first-job initialization —
+    // round 8 read aj01 at 8.9 s cold where the identical-shape aj03 ran
+    // 1.75 s warm. Same discipline Bench applies; one-time cost outside the
+    // measured window.
+    locally {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory) {
+        names.foreach { name =>
+          try SparkEntry.queries(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[smoke] warmup $name: ${e.getMessage}") }
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+
     val rows = mutable.LinkedHashMap.empty[String, (Double, Double, Long)]
     names.foreach { name =>
       listener.reset()

@@ -479,13 +479,23 @@ object Similarity {
         val all = vecs(s, d)
         val q = broadcast(all.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn")))
-        val wRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
-        val cand = q.join(all, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), col("vec"), col("nrm"),
+        // top-C relevance via the bounded double-score heap aggregate, not a
+        // per-q_id row_number window: the window shuffles and SORTS every
+        // (query, corpus) pair inside one task per q_id (the 3.3 s sf1
+        // straggler); the heap reduces each map slice to <=C entries before
+        // the shuffle and merges k-way — same (rel desc, vec_id asc) cutoff.
+        // The selected ids (|q|*C rows) then broadcast back against the
+        // corpus to fetch vectors — corpus never shuffles.
+        val candIds = q.join(all, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("rel"))
-          .withColumn("rn", row_number().over(wRel))
-          .filter(col("rn") <= C)
-          .drop("rn")
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("rel"), col("vec_id"), C).as("top"))
+          .select(col("q_id"), explode(col("top")).as("e"))
+          .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("rel"))
+        val cand = broadcast(candIds)
+          .join(all.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
+          .select(col("q_id"), col("vec_id"), col("vec"), col("nrm"), col("rel"))
         def argmax(df: org.apache.spark.sql.DataFrame, score: Column) = {
           val w = Window.partitionBy(col("q_id")).orderBy(score.desc, col("vec_id"))
           df.withColumn("mmr", score)

@@ -64,6 +64,34 @@ class TopKAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.groupBy(_.getString(0)).forall(_._2.size <= 5))
   }
 
+  test("double variant equals the window formulation under adversarial repartitioning") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // collide scores on purpose (two distinct doubles repeat per group)
+    val df = (0L until 800L).map(n => (s"g${n % 4}", ((n * 13) % 19).toDouble / 7.0, n))
+      .toDF("g", "s", "i")
+    val k = 5
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("i"))
+    val expected = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("g"), col("rank").cast("long").as("rank"), col("s"), col("i"))
+      .orderBy("g", "rank").collect().toSeq
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g"))
+        .agg(TopKAggregate.topkByDouble(col("s"), col("i"), k).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.score").as("s"), col("col.id").as("i"))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = agg(df.repartition(parts)).orderBy("g", "rank").collect().toSeq
+      assert(got == expected, s"double top-k diverged from the window at $parts partitions")
+    }
+    // NaN scores are ignored, not admitted
+    val withNaN = df.union(Seq(("g0", Double.NaN, 9999L)).toDF("g", "s", "i"))
+    val gotNaN = agg(withNaN).orderBy("g", "rank").collect().toSeq
+    assert(gotNaN == expected, "NaN row must not enter any heap")
+  }
+
   test("null score or id rows are ignored; groups smaller than k return all rows") {
     val sp = spark
     import sp.implicits._
