@@ -45,5 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[TopKByLong].getName, name),
         builder))
     }
+    RegexMatchAll.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[RegexMatchAll].getName, name),
+        builder))
+    }
   }
 }

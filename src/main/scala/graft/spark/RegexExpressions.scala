@@ -94,4 +94,22 @@ object RegexMatchAll {
 
   def column(str: Column, regex: String, flags: Int, limit: Int = Int.MaxValue): Column =
     Shims.column(RegexMatchAll(Shims.expression(str), regex, flags, limit))
+
+  /** SQL builders, injected by [[GraftExtensions]]:
+    * `regex_match_all(str, 'pattern'[, limit])` → the match struct array.
+    * Pattern (and limit) must be literals — they size/compile per plan, not
+    * per row, which is what keeps the kernel one static call inside codegen. */
+  private[spark] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "regex_match_all" -> { args =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      args match {
+        case Seq(str, Literal(re: UTF8String, StringType)) =>
+          RegexMatchAll(str, re.toString, 0, Int.MaxValue)
+        case Seq(str, Literal(re: UTF8String, StringType), Literal(lim: Int, IntegerType)) =>
+          RegexMatchAll(str, re.toString, 0, lim)
+        case _ => throw new IllegalArgumentException(
+          "regex_match_all(str, 'pattern'[, limit]) needs a literal pattern (and literal limit)")
+      }
+    })
 }

@@ -119,6 +119,29 @@ class TopKAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == viaCol)
   }
 
+  test("SQL surface: regex_match_all registered by the extensions, literal pattern enforced") {
+    val sp = spark
+    import sp.implicits._
+    Seq("a1b22c333", "none").toDF("s").createOrReplaceTempView("rx_in")
+    val got = spark.sql(
+      "SELECT s, regex_match_all(s, '([0-9])[0-9]*') AS m FROM rx_in ORDER BY s")
+      .collect()
+    // row 0: "a1b22c333" -> matches "1"@1, "22"@3, "333"@6, group 1 = first digit
+    val ms = got(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(ms.map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).head)) ==
+      Seq(("1", 1L, "1"), ("22", 3L, "2"), ("333", 6L, "3")))
+    assert(got(1).getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    // limit arg
+    val lim = spark.sql(
+      "SELECT regex_match_all(s, '[0-9]+', 2) AS m FROM rx_in WHERE s LIKE 'a%'").head()
+    assert(lim.getSeq[org.apache.spark.sql.Row](0).length == 2)
+    // non-literal pattern is a plan-time error, not a silent per-row compile
+    val e = intercept[Exception] {
+      spark.sql("SELECT regex_match_all(s, s) FROM rx_in").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("plan: partial ObjectHashAggregate before the shuffle, no corpus sort") {
     val sp = spark
     import sp.implicits._
