@@ -53,13 +53,28 @@ object Tables {
     df
   }
 
+  /** The NTZ→instant conversions below go through a session-timezone-
+    * dependent cast; only a UTC session reads the naive wall-clock at its
+    * UTC instant (what every oracle does). Anything else would shift every
+    * event time by the zone offset with plausible row counts — the same
+    * silent-corruption class the type check refuses — so the precondition
+    * is ENFORCED, not assumed. */
+  private def requireUtc(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"events NTZ timestamps require spark.sql.session.timeZone=UTC (got '$tz') — " +
+        "a non-UTC session would silently shift every event time by the zone offset.")
+  }
+
   /** Epoch-millis BIGINT view of the events `ts` column, derived from the
-    * ACTUAL loaded type (not an assumed unit). Sessions pin UTC, so casting
-    * the naive NTZ timestamp to an instant is exact and matches DuckDB's
-    * `epoch_ns(ts)//1000000` on the same naive column. */
+    * ACTUAL loaded type (not an assumed unit). Under the enforced UTC
+    * session, casting the naive NTZ timestamp to an instant is exact and
+    * matches DuckDB's `epoch_ns(ts)//1000000` on the same naive column. */
   def eventsTsMillis(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType         => expr("ts DIV 1000000L")                    // legacy: long nanos
-    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType)) // UTC session → exact
+    case LongType         => expr("ts DIV 1000000L") // legacy: long nanos
+    case TimestampNTZType =>
+      requireUtc(df)
+      unix_millis(col("ts").cast(TimestampType))
     case TimestampType    => unix_millis(col("ts"))
     case other => throw new IllegalStateException(s"events ts: unsupported type $other")
   }
@@ -67,7 +82,9 @@ object Tables {
   /** Micros-precision TimestampType view of events `ts` (UTC instant). */
   def eventsTsTimestamp(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType         => timestamp_micros(expr("ts DIV 1000L"))
-    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampNTZType =>
+      requireUtc(df)
+      col("ts").cast(TimestampType)
     case TimestampType    => col("ts")
     case other => throw new IllegalStateException(s"events ts: unsupported type $other")
   }

@@ -128,10 +128,14 @@ object StreamingFunnel {
       // step comparisons admit same-millisecond step chains
       ripe.sortBy(b => (b.ts, b.step)).foreach { b =>
         val s = b.step
-        // saturating window end: gaps are Long.MaxValue when unbounded
+        // saturating window end: gaps are Long.MaxValue when unbounded.
+        // Guard the ADD, not MaxValue-prev: gaps are >= 0 by construction so
+        // MaxValue - g never overflows, while MaxValue - prev DOES for
+        // negative prev (pre-epoch event times) and would silently unbound
+        // the window.
         def windowEnd(prev: Long): Long = {
           val g = gaps(s - 1)
-          if (g >= Long.MaxValue - prev) Long.MaxValue else prev + g
+          if (prev > Long.MaxValue - g) Long.MaxValue else prev + g
         }
         if (aligned(s) < 0 &&
             (s == 0 || (aligned(s - 1) >= 0 && b.ts >= aligned(s - 1) &&

@@ -51,6 +51,43 @@ class FixtureGuardSpec extends AnyFunSuite {
     assert(ms === 1704067201500L)
   }
 
+  test("REAL legacy generation: INT64 TIMESTAMP(NANOS) trips inference and takes the fallback") {
+    // Spark cannot WRITE this type, so the legacy fixture's footer is built
+    // with the parquet-java example writer directly — the inference failure
+    // (PARQUET_TYPE_ILLEGAL) and the catch-and-fallback branch in
+    // Tables.events are otherwise dead code in the suite, and a reworded
+    // Spark error message would break legacy loading with every test green.
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dir = tmpDir()
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val writer = ExampleParquetWriter.builder(path).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    writer.write(f.newGroup()
+      .append("event_id", 1L).append("ts", 1704067201500L * 1000000L)
+      .append("user_id", 7L).append("event_type", "click")
+      .append("value", 1.0).append("props", "{}"))
+    writer.close()
+    // sanity: plain inference really does refuse this footer
+    assertThrows[Exception](spark.read.parquet(path.toString).schema)
+    val ev = Tables.t(spark, dir, "events")
+    assert(ev.schema("ts").dataType === org.apache.spark.sql.types.LongType)
+    val ms = ev.select(Tables.eventsTsMillis(ev).as("ms")).head().getLong(0)
+    assert(ms === 1704067201500L)
+  }
+
   test("unknown ts type fails loudly at load, not silently downstream") {
     val dir = tmpDir()
     val sp = spark; import sp.implicits._

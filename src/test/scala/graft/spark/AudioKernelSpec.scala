@@ -6,9 +6,11 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The fused framing+energy kernel (FrameEnergies) must be BIT-EQUAL to the
-  * HOF pipeline it replaced in mm07 — same code-point indexing, same int
-  * overflow wrap in the square, same full-frames-only framing — on the real
-  * fixture and on adversarial unicode/edge rows. */
+  * HOF pipeline it replaced in mm07 — same code-point indexing, same
+  * full-frames-only framing — on the real fixture and on adversarial
+  * unicode/edge rows. The ONE intentional domain difference: the HOF's int
+  * square RAISED an ANSI overflow error on |amplitude| > 46340, where the
+  * kernel's long math is defined (third test below pins both sides). */
 class AudioKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _

@@ -157,6 +157,22 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       StepHit(7L, 2, "click", 1500L)), s"got $got")
   }
 
+  test("pre-epoch (negative) event times never reach the processor — the engine's watermark floor") {
+    // Spark's watermark initializes at 0, so negative-event-time rows are
+    // dropped by the late filter before any state is touched. This pins the
+    // boundary the windowEnd saturation guard (StreamingFunnel) defends:
+    // aligned times are always admitted times (> 0), so the guard's
+    // negative-prev overflow case cannot arise end-to-end — it is kept as
+    // defense in depth, and this test documents WHY it is unreachable.
+    val (input, query) = startQuery("funnel_neg", "0 seconds", Seq(1000L, 1000L))
+    input.addData((8L, -5000L, "view"), (8L, -1000L, "click"))
+    query.processAllAvailable()
+    drain(input, query)
+    val got = results("funnel_neg")
+    query.stop()
+    assert(got.isEmpty, s"negative-ts events must be dropped as late; got $got")
+  }
+
   test("windowed streaming funnel equals the windowed batch reference on seeded random data") {
     val sp = spark
     import sp.implicits._
