@@ -1112,6 +1112,8 @@ object JsonataCompiler {
       def num(i: Int): Option[TCol] = arg(i).filter(t => isNum(t.dt))
       def intLit(i: Int): Option[Long] = args.lift(i) match {
         case Some(NumLit(v)) if v.isIntegralNumber => Some(v.longValue())
+        // a negative literal parses as UnaryMinus(NumLit)
+        case Some(UnaryMinus(NumLit(v))) if v.isIntegralNumber => Some(-v.longValue())
         case _ => None
       }
       fn match {
@@ -1131,14 +1133,28 @@ object JsonataCompiler {
           str(0).map(t => TCol(trim(regexp_replace(t.col, "[ \\t\\n\\r]+", " ")), StringType))
         case "length" => str(0).map(t => TCol(length(t.col).cast(LongType), LongType))
         case "substring" =>
-          // positive literal start/length only (negative wraps differently)
+          // literal start/length; both signs of start compile (the engine
+          // wraps a negative start to max(0, len + start) in CODE POINTS —
+          // Spark's length/substr count code points too, so the wrap is one
+          // greatest() over the length column)
           (str(0), intLit(1)) match {
-            case (Some(t), Some(start)) if start >= 0 =>
-              val len = intLit(2)
-              if (args.length > 2 && len.isEmpty) None
-              else Some(TCol(
-                len.map(l => substring(t.col, start.toInt + 1, l.toInt))
-                  .getOrElse(substring(t.col, start.toInt + 1, Int.MaxValue)), StringType))
+            case (Some(t), Some(start)) if math.abs(start) <= Int.MaxValue =>
+              val lenOpt = intLit(2)
+              if (args.length > 2 && lenOpt.isEmpty) None
+              else if (lenOpt.exists(_ < 0))
+                // engine clamps a negative length to 0 -> empty (undefined
+                // input still propagates as NULL)
+                Some(TCol(when(t.col.isNotNull, lit("")), StringType))
+              else if (start >= 0)
+                Some(TCol(
+                  lenOpt.map(l => substring(t.col, start.toInt + 1, math.min(l, Int.MaxValue).toInt))
+                    .getOrElse(substring(t.col, start.toInt + 1, Int.MaxValue)), StringType))
+              else {
+                val eff = greatest(length(t.col) + lit(start.toInt), lit(0)) + lit(1)
+                val l = lenOpt.map(l => lit(math.min(l, Int.MaxValue).toInt).cast(IntegerType))
+                  .getOrElse(length(t.col))
+                Some(TCol(t.col.substr(eff, l), StringType))
+              }
             case _ => None
           }
         case "contains" => (str(0), args.lift(1)) match {

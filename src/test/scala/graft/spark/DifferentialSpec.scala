@@ -71,6 +71,13 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "k BIGINT, r DOUBLE, f BIGINT", "k")
   }
 
+  test("negative-precision $round compiles (intLit now reads UnaryMinus literals)") {
+    diff("orders",
+      "{'k': value.o_orderkey, 'tens': $round(value.o_totalprice, -1), " +
+        "'thou': $round(value.o_totalprice, -3)}",
+      "k BIGINT, tens DOUBLE, thou DOUBLE", "k")
+  }
+
   test("concat of strings and apply operator") {
     diff("documents",
       "{'doc_id': value.doc_id, 'tag': value.lang & '-' & value.source, 'lw': value.text ~> $substring(0, 5) ~> $lowercase}",
@@ -99,6 +106,20 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         " 'spz': $join($split(value.lang, /o*/), '-')}", // zero-width split edges
       "doc_id BIGINT, nm BIGINT, lim BIGINT, none BIGINT, rep STRING, nullgrp STRING, " +
         "dollars STRING, greedy STRING, has BOOLEAN, sp STRING, sp3 STRING, spz STRING",
+      "doc_id")
+  }
+
+  test("negative-start $substring compiles and wraps like the engine") {
+    diff("documents",
+      "{'doc_id': value.doc_id," +
+        " 'tail5': $substring(value.text, -5)," + // last 5 code points
+        " 'tail3of': $substring(value.text, -8, 3)," + // 3 from 8-before-end
+        " 'overwrap': $substring(value.lang, -99)," + // |start| > len -> whole string
+        " 'overwrap2': $substring(value.lang, -99, 1)," + // wraps to 0, one char
+        " 'zlen': $substring(value.text, 2, 0)," + // zero length -> ''
+        " 'neglen': $substring(value.text, 1, -4)}", // negative length clamps to ''
+      "doc_id BIGINT, tail5 STRING, tail3of STRING, overwrap STRING, " +
+        "overwrap2 STRING, zlen STRING, neglen STRING",
       "doc_id")
   }
 
