@@ -452,6 +452,26 @@ object JsonataCompiler {
         }
     }
 
+    /** Three-parameter HOF lambda ($v, $i, $a): the first two bind per
+      * element like [[compileLambda2]]; the third is the FIXED whole-array
+      * operand (the engine's arrNode) — same typed-probe scheme, with `v3`
+      * identical in probe and build (it is already a concrete column). */
+    private def compileLambda3(p1: String, t1: DataType, p2: String, t2: DataType,
+                               p3: String, v3: TCol,
+                               body: Ast): Option[((Column, Column) => Column, DataType)] = {
+      def inEnv[A](v1: TCol, v2: TCol)(f: => A): A = {
+        val (se, si) = (lambdaEnv, inLambda)
+        lambdaEnv += (p1 -> v1); lambdaEnv += (p2 -> v2); lambdaEnv += (p3 -> v3)
+        inLambda = true
+        try f finally { lambdaEnv = se; inLambda = si }
+      }
+      inEnv(TCol(lit(null).cast(t1), t1), TCol(lit(null).cast(t2), t2))(compile(body))
+        .map { probe =>
+          (((a: Column, x: Column) =>
+            inEnv(TCol(a, t1), TCol(x, t2))(compile(body)).get.col), probe.dt)
+        }
+    }
+
     /** `$map`/`$filter` with an inline arity-1 lambda over an array operand.
       * Engine semantics mirrored (Functions.scala:708-733): $map drops items
       * whose lambda result is undefined (SQL NULL here); $filter keeps items
@@ -495,6 +515,30 @@ object JsonataCompiler {
             t.dt match {
               case ArrayType(et, _) =>
                 compileLambda2(p1, et, p2, LongType, body).flatMap { case (bf, bt) =>
+                  fn match {
+                    case "map" =>
+                      Some(TCol(filter(transform(t.col,
+                        (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
+                        ArrayType(bt)))
+                    case "filter" if bt == BooleanType =>
+                      Some(TCol(filter(t.col,
+                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
+                        ArrayType(et)))
+                    case _ => None
+                  }
+                }
+              case _ => None
+            }
+          }
+        // arity-3 ($v, $i, $a): the third parameter is the WHOLE operand
+        // array (fMap/fFilter pass arrNode) — a FIXED outer column inside
+        // the per-element lambda, so the existing indexed transform/filter
+        // overloads carry it; only the env binding differs from arity-2
+        case (Some(arrA), Some(Lambda(Vector(p1, p2, p3), body, _))) if args.length == 2 =>
+          compile(arrA).flatMap { t =>
+            t.dt match {
+              case ArrayType(et, _) =>
+                compileLambda3(p1, et, p2, LongType, p3, t, body).flatMap { case (bf, bt) =>
                   fn match {
                     case "map" =>
                       Some(TCol(filter(transform(t.col,

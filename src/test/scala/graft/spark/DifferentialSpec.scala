@@ -386,12 +386,22 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.head(1).asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(60L, 20L, 20L, 14L))
   }
 
+  test("arity-3 lambdas compile: $a binds the whole operand array") {
+    diff("embeddings",
+      "{'vec_id': value.vec_id," +
+        " 'centered_sum': $sum($map(value.embedding, function($x, $i, $a){ $x - $max($a) }))," +
+        " 'above_avg': $count($filter(value.embedding, function($x, $i, $a){ $x > $average($a) }))," +
+        " 'idx_gated': $count($filter(value.embedding, function($x, $i, $a){ $i < 8 and $x >= $min($a) }))}",
+      "vec_id BIGINT, centered_sum DOUBLE, above_avg BIGINT, idx_gated BIGINT",
+      "vec_id")
+  }
+
   test("HOF shapes outside the subset fall back to the interpreter") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // arity-3 lambdas get the whole-array argument — interpreted only
-    // (arity-2 ($v, $i) compiles via the indexed transform/filter overloads)
+    // arity-3 now compiles ($a = the operand array as a fixed outer column);
+    // see the agreement test above
     assert(JsonataCompiler.transformCompiled(emb,
-      "{'m': $map(value.embedding, function($x, $i, $a){ $x })}").isEmpty)
+      "{'m': $map(value.embedding, function($x, $i, $a){ $x })}").isDefined)
     // row paths inside a lambda body resolve against the NULL invocation
     // context (undefined), not the row — must not compile as a column
     assert(JsonataCompiler.transformCompiled(emb,
@@ -637,9 +647,9 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = JsonataDF.transformAs(emb, expr, StructType.fromDDL(ddl))
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(a == b, s"tiers disagree on indexed lambdas:\n  ${a.take(2)}\n  ${b.take(2)}")
-    // arity-3 ($v, $i, $a) stays interpreted
+    // arity-3 ($v, $i, $a) compiles since round 8 (see the arity-3 test)
     assert(JsonataCompiler.transformCompiled(emb,
-      "{'n': $count($filter(value.embedding, function($x, $i, $a){ $x > 0 }))}").isEmpty)
+      "{'n': $count($filter(value.embedding, function($x, $i, $a){ $x > 0 }))}").isDefined)
   }
 
   test("schema-as-data preambles constant-fold and match the interpreter (jx07 shape)") {
