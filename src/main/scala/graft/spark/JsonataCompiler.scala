@@ -715,13 +715,18 @@ object JsonataCompiler {
       * map-typed twin of [[compileStructSift]] (maps arise from the compiled
       * `{}` group-by). An empty result is fSift's undef (see emptyAsNull). */
     private def compileMapSift(args: Seq[Ast]): Option[TCol] = args match {
-      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 2 =>
+      // arity <= 3: fSift passes (value, key, WHOLE OBJECT) — for a map
+      // object the third binding is simply the map column itself (struct
+      // objects stay interpreted at arity 3: their conditional field
+      // presence has no faithful single-column $o)
+      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 3 =>
         compile(objA).flatMap { t =>
           t.dt match {
             case MapType(StringType, vt, _) =>
               def bodyFor(v: Column, k: Column): Option[TCol] =
                 bound(Seq(params.head -> TCol(v, vt)) ++
-                  params.lift(1).map(_ -> TCol(k, StringType)))(compile(body))
+                  params.lift(1).map(_ -> TCol(k, StringType)) ++
+                  params.lift(2).map(_ -> t))(compile(body))
               bodyFor(lit(null).cast(vt), lit(null).cast(StringType)) match {
                 case Some(TCol(_, BooleanType)) =>
                   Some(TCol(emptyAsNull(map_filter(t.col,

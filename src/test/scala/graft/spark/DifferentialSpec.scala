@@ -565,6 +565,23 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.head == Seq(1L, 1L, 10L, 100L), s"group-map row wrong: ${a.head}")
   }
 
+  test("arity-3 map-sift compiles: $o binds the whole map object") {
+    val df = itemsDf
+    val g = "value.items{cat: $sum(price)}"
+    // keep entries contributing over a third of the object's own total —
+    // $o reaches back into the sifted map
+    val expr = s"{'id': value.id, " +
+      s"'nmajor': $$count($$keys($$sift($g, " +
+      s"function($$v, $$k, $$o){ $$v * 3 >= $$sum($$each($$o, function($$x){ $$x })) })))}"
+    val ddl = "id BIGINT, nmajor BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "arity-3 map sift should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on arity-3 map sift:\n  compiled:    $a\n  interpreted: $b")
+  }
+
   test("$sort swap-comparators compile in both orientations and match the interpreter") {
     // `$l > $r` (straight) and `$r < $l` (crossed) are both ascending; `$l < $r`
     // is descending — all three must agree with the interpreted msort
