@@ -317,6 +317,23 @@ object JsonataQueries {
           array_to_string(string_split_regex(text, '[ ]+')[1:4], '|') AS head
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx19: arity-3 lambdas on the COMPILED tier — $a binds the whole ----
+    // ---- operand array, so bodies can be ARRAY-RELATIVE (above-average   ----
+    // ---- filters, max-centering) without a preamble binding. Also rides  ----
+    // ---- the round-8 negative-literal path ($substring tail slice).      ----
+    q("jx19_array_relative", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'n_above': $count($filter(value.embedding, function($x, $i, $a){ $x > $average($a) })), " +
+        "'spread_sum': $sum($map(value.embedding, function($x, $i, $a){ $x - $min($a) }))}",
+      "vec_id BIGINT, n_above BIGINT, spread_sum DOUBLE",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          len(list_filter(embedding, x -> x > list_avg(list_transform(embedding,
+            e -> CAST(e AS DOUBLE))))) AS n_above,
+          list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) - list_min(embedding))) AS spread_sum
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

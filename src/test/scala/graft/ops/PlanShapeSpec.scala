@@ -169,6 +169,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), "fingerprint census must partial-aggregate")
   }
 
+  test("jx19 arity-3 lambdas run compiled: no interpreter in the plan") {
+    val p = plan("jx19_array_relative")
+    assert(!p.contains("jsonata"), "jx19 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("transform") || p.contains("filter"), p.take(2000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))
