@@ -252,6 +252,79 @@ object JsonataCompiler {
       }
   }
 
+  /** Free JSONata variable names of a subtree, or None when the node uses a
+    * scoping construct this analysis does not model (blocks/binds, transform
+    * expressions, focus/index step bindings) — None blocks hoisting of the
+    * node and every ancestor. `$` (context) counts as the free name "". */
+  private def freeVars(a: Ast): Option[Set[String]] = a match {
+    case VarRef(n) => Some(Set(n))
+    case Lambda(ps, b, _) => freeVars(b).map(_ -- ps)
+    case _: Block | _: Bind | _: TransformExpr => None
+    case p: Path if p.steps.exists(s => s.focus.isDefined || s.index.isDefined ||
+        s.stages.exists(_.isInstanceOf[IndexStage])) => None
+    case f: Filtered if f.stages.exists(_.isInstanceOf[IndexStage]) => None
+    case other =>
+      children(other).foldLeft(Option(Set.empty[String])) {
+        case (Some(acc), c) => freeVars(c).map(acc ++ _)
+        case (None, _) => None
+      }
+  }
+
+  /** Rewrite an arity-3 HOF lambda body, extracting maximal subtrees whose
+    * free variables are EXACTLY the whole-operand binding (`$a` / `$o`) —
+    * such subtrees are per-ROW constants that must not be re-evaluated per
+    * ELEMENT (Spark higher-order functions interpret their lambda per element
+    * with no common-subexpression elimination, so an inlined `$average($a)`
+    * costs O(n) per element = O(n²) per row). Each extracted subtree is
+    * replaced by a synthetic VarRef (space-prefixed — unspellable in JSONata
+    * source, whose variable names are word characters) that the caller binds
+    * to a once-per-row column. Bare `$a` and
+    * plain `$a.field` references stay put: they are O(1) column references,
+    * and hoisting them would gain nothing. Nested lambdas extend the
+    * per-element set with their own params; a nested lambda re-binding the
+    * whole-operand name shadows it, so its body is left untouched. */
+  private def hoistInvariant(body: Ast, perElem: Set[String], whole: String)
+      : (Ast, Vector[(String, Ast)]) = {
+    val out = Vector.newBuilder[(String, Ast)]
+    var n = 0
+    def cheap(a: Ast): Boolean = a match {
+      case VarRef(_) => true
+      case Path(steps, _, None)
+          if steps.forall(s => s.stages.isEmpty && !s.keepArray &&
+            s.focus.isEmpty && s.index.isEmpty) &&
+            steps.tail.forall(_.expr.isInstanceOf[NameStep]) => true
+      case _ => false
+    }
+    def go(a: Ast, pe: Set[String]): Ast = {
+      // invariant = references the whole-operand binding and nothing
+      // per-element. Other free names are fine: function references
+      // ($average, $min, ...) are free VARIABLES in JSONata but per-row
+      // constants — an unresolvable one simply fails the hoisted subtree's
+      // compilation, which falls back to the unhoisted build. `$`/`$$`
+      // (context/root) are never valid inside a compiled lambda body, so
+      // their presence blocks hoisting rather than riding along.
+      val invariant = freeVars(a).exists(fv =>
+        fv.contains(whole) && !fv.exists(v => pe.contains(v) || v == "" || v == "$"))
+      if (invariant && !cheap(a)) {
+        val name = " h" + n; n += 1
+        out += name -> a
+        VarRef(name)
+      } else a match {
+        case Lambda(ps, b, sig) =>
+          if (ps.contains(whole)) a else Lambda(ps, go(b, pe ++ ps), sig)
+        case Call(p, as) => Call(go(p, pe), as.map(go(_, pe)))
+        case Binary(op, l, r) => Binary(op, go(l, pe), go(r, pe))
+        case Cond(c, t, e) => Cond(go(c, pe), go(t, pe), e.map(go(_, pe)))
+        case ObjCtor(ps) => ObjCtor(ps.map { case (k, v) => (go(k, pe), go(v, pe)) })
+        case ArrCtor(is) => ArrCtor(is.map(go(_, pe)))
+        case UnaryMinus(e) => UnaryMinus(go(e, pe))
+        case ApplyOp(l, r) => ApplyOp(go(l, pe), go(r, pe))
+        case other => other // Paths etc.: either cheap refs or not hoist targets
+      }
+    }
+    (go(body, perElem), out.result())
+  }
+
   /** Substitute VarRef occurrences per `env`, honoring lambda-parameter
     * shadowing. Unknown node kinds pass through unchanged (see
     * [[inlineBinds]] for why that is safe). */
@@ -455,13 +528,16 @@ object JsonataCompiler {
     /** Three-parameter HOF lambda ($v, $i, $a): the first two bind per
       * element like [[compileLambda2]]; the third is the FIXED whole-array
       * operand (the engine's arrNode) — same typed-probe scheme, with `v3`
-      * identical in probe and build (it is already a concrete column). */
+      * identical in probe and build (it is already a concrete column).
+      * `extra` carries the hoisted loop-invariant bindings of
+      * [[withHoisted]] — fixed columns, same in probe and build. */
     private def compileLambda3(p1: String, t1: DataType, p2: String, t2: DataType,
-                               p3: String, v3: TCol,
+                               p3: String, v3: TCol, extra: Seq[(String, TCol)],
                                body: Ast): Option[((Column, Column) => Column, DataType)] = {
       def inEnv[A](v1: TCol, v2: TCol)(f: => A): A = {
         val (se, si) = (lambdaEnv, inLambda)
         lambdaEnv += (p1 -> v1); lambdaEnv += (p2 -> v2); lambdaEnv += (p3 -> v3)
+        extra.foreach { case (n, tc) => lambdaEnv += (n -> tc) }
         inLambda = true
         try f finally { lambdaEnv = se; inLambda = si }
       }
@@ -470,6 +546,36 @@ object JsonataCompiler {
           (((a: Column, x: Column) =>
             inEnv(TCol(a, t1), TCol(x, t2))(compile(body)).get.col), probe.dt)
         }
+    }
+
+    /** Evaluate hoisted per-row-constant subtrees ONCE via a single-element
+      * `transform` wrapper — a "let" encoded as a HOF. The hoisted columns
+      * are packed into a one-element array<struct>; the wrapper's lambda
+      * variable then carries them into the inner HOF, where they are plain
+      * O(1) field references instead of re-evaluated aggregates (HOF lambdas
+      * are interpreted per element with no common-subexpression elimination,
+      * so an inlined whole-array aggregate would cost O(n) per element).
+      * `build(body, extra)` constructs the full HOF column with the hoist
+      * names bound to `extra`; it is probed with typed nulls first (same
+      * two-phase scheme as the lambda compilers). Falls back to the
+      * unhoisted `build(origBody, Nil)` when any hoisted subtree fails to
+      * compile — hoisting only ever changes the plan, never compilability
+      * or results (pinned by DifferentialSpec). */
+    private def withHoisted(body: Ast, origBody: Ast, hoists: Vector[(String, Ast)],
+        operand: (String, TCol),
+        build: (Ast, Seq[(String, TCol)]) => Option[TCol]): Option[TCol] = {
+      val cs = hoists.map { case (nm, ha) => bound(Seq(operand))(compile(ha)).map(nm -> _) }
+      val hs = if (cs.forall(_.isDefined)) cs.flatten else Vector.empty
+      if (hs.isEmpty) build(origBody, Nil)
+      else build(body, hs.map { case (nm, tc) => nm -> TCol(lit(null).cast(tc.dt), tc.dt) }) match {
+        case Some(probe) =>
+          val hstruct = struct(hs.zipWithIndex.map { case ((_, tc), i) => tc.col.as(s"h$i") }: _*)
+          val c = element_at(transform(array(hstruct), h =>
+            build(body, hs.zipWithIndex.map { case ((nm, tc), i) =>
+              nm -> TCol(h.getField(s"h$i"), tc.dt) }).get.col), 1)
+          Some(TCol(c, probe.dt))
+        case None => build(origBody, Nil)
+      }
     }
 
     /** `$map`/`$filter` with an inline arity-1 lambda over an array operand.
@@ -533,24 +639,32 @@ object JsonataCompiler {
         // arity-3 ($v, $i, $a): the third parameter is the WHOLE operand
         // array (fMap/fFilter pass arrNode) — a FIXED outer column inside
         // the per-element lambda, so the existing indexed transform/filter
-        // overloads carry it; only the env binding differs from arity-2
+        // overloads carry it; only the env binding differs from arity-2.
+        // Loop-invariant $a-only subtrees ($average($a), $min($a), ...) are
+        // hoisted out of the per-element lambda and evaluated once per row
+        // (see hoistInvariant/withHoisted) — without this, each element
+        // would re-run the whole-array aggregate: O(n²) arithmetic per row.
         case (Some(arrA), Some(Lambda(Vector(p1, p2, p3), body, _))) if args.length == 2 =>
           compile(arrA).flatMap { t =>
             t.dt match {
               case ArrayType(et, _) =>
-                compileLambda3(p1, et, p2, LongType, p3, t, body).flatMap { case (bf, bt) =>
-                  fn match {
-                    case "map" =>
-                      Some(TCol(filter(transform(t.col,
-                        (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
-                        ArrayType(bt)))
-                    case "filter" if bt == BooleanType =>
-                      Some(TCol(filter(t.col,
-                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
-                        ArrayType(et)))
-                    case _ => None
+                def build(b: Ast, extra: Seq[(String, TCol)]): Option[TCol] =
+                  compileLambda3(p1, et, p2, LongType, p3, t, extra, b).flatMap {
+                    case (bf, bt) =>
+                      fn match {
+                        case "map" =>
+                          Some(TCol(filter(transform(t.col,
+                            (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
+                            ArrayType(bt)))
+                        case "filter" if bt == BooleanType =>
+                          Some(TCol(filter(t.col,
+                            (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
+                            ArrayType(et)))
+                        case _ => None
+                      }
                   }
-                }
+                val (body2, hoists) = hoistInvariant(body, Set(p1, p2), p3)
+                withHoisted(body2, body, hoists, p3 -> t, build)
               case _ => None
             }
           }
@@ -718,20 +832,29 @@ object JsonataCompiler {
       // arity <= 3: fSift passes (value, key, WHOLE OBJECT) — for a map
       // object the third binding is simply the map column itself (struct
       // objects stay interpreted at arity 3: their conditional field
-      // presence has no faithful single-column $o)
-      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 3 =>
+      // presence has no faithful single-column $o). $o-only subtrees are
+      // hoisted once per row, same as the arity-3 array HOFs.
+      case Seq(objA, Lambda(params, body0, _)) if params.nonEmpty && params.length <= 3 =>
         compile(objA).flatMap { t =>
           t.dt match {
             case MapType(StringType, vt, _) =>
-              def bodyFor(v: Column, k: Column): Option[TCol] =
-                bound(Seq(params.head -> TCol(v, vt)) ++
-                  params.lift(1).map(_ -> TCol(k, StringType)) ++
-                  params.lift(2).map(_ -> t))(compile(body))
-              bodyFor(lit(null).cast(vt), lit(null).cast(StringType)) match {
-                case Some(TCol(_, BooleanType)) =>
-                  Some(TCol(emptyAsNull(map_filter(t.col,
-                    (k, v) => coalesce(bodyFor(v, k).get.col, lit(false)))), t.dt))
-                case _ => None
+              def build(b: Ast, extra: Seq[(String, TCol)]): Option[TCol] = {
+                def bodyFor(v: Column, k: Column): Option[TCol] =
+                  bound(Seq(params.head -> TCol(v, vt)) ++
+                    params.lift(1).map(_ -> TCol(k, StringType)) ++
+                    params.lift(2).map(_ -> t) ++ extra)(compile(b))
+                bodyFor(lit(null).cast(vt), lit(null).cast(StringType)) match {
+                  case Some(TCol(_, BooleanType)) =>
+                    Some(TCol(emptyAsNull(map_filter(t.col,
+                      (k, v) => coalesce(bodyFor(v, k).get.col, lit(false)))), t.dt))
+                  case _ => None
+                }
+              }
+              if (params.length < 3) build(body0, Nil)
+              else {
+                val (body2, hoists) =
+                  hoistInvariant(body0, params.take(2).toSet, params(2))
+                withHoisted(body2, body0, hoists, params(2) -> t, build)
               }
             case _ => None
           }

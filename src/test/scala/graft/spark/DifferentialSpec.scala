@@ -396,6 +396,28 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id")
   }
 
+  test("arity-3 hoist: whole-array aggregates evaluate once per row, not per element") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, HigherOrderFunction}
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val expr = "{'vec_id': value.vec_id," +
+      " 'n_above': $count($filter(value.embedding, function($x, $i, $a){ $x > $average($a) }))," +
+      " 'spread_sum': $sum($map(value.embedding, function($x, $i, $a){ $x - $min($a) }))}"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "arity-3 bodies with $a aggregates should compile")
+    // the plan defect this pins against: an $a-only aggregate inlined INSIDE
+    // the per-element lambda re-evaluates the whole-array aggregate for each
+    // element — O(n²) per row (round-8 jx19 at 5.6 s vs ~0.6 s hoisted). The
+    // hoisted form carries the aggregate through a one-element transform
+    // wrapper, so no HigherOrderFunction's LAMBDA may contain an
+    // ArrayAggregate (the wrapper holds it in its argument, evaluated once).
+    val offenders = compiled.get.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case h: HigherOrderFunction
+          if h.functions.exists(f => f.collectFirst { case a: ArrayAggregate => a }.isDefined) => h
+    })
+    assert(offenders.isEmpty,
+      s"per-element lambda re-evaluates a whole-array aggregate:\n${offenders.mkString("\n")}")
+  }
+
   test("HOF shapes outside the subset fall back to the interpreter") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // arity-3 now compiles ($a = the operand array as a fixed outer column);
