@@ -14,6 +14,17 @@ object DateTimeFmt {
   private val DayNames = Array("Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
     "Saturday", "Sunday")
 
+  /** Fixed-offset seconds for a timezone argument, when it resolves to a
+    * CONSTANT offset (literal `[+-]HHMM`, `UTC`, `Z`, fixed-offset ids) —
+    * None for DST-bearing named zones (Europe/Paris) and invalid ids. Used
+    * by the compiled tier to shift millis statically; anything non-constant
+    * stays on the interpreter (where ZoneId.of's error is preserved). */
+  private[graft] def staticOffsetSeconds(tz: String): Option[Int] =
+    try zone(Some(tz)).normalized() match {
+      case off: ZoneOffset => Some(off.getTotalSeconds)
+      case _ => None
+    } catch { case _: Exception => None }
+
   private def zone(tz: Option[String]): ZoneId = tz match {
     case None => ZoneOffset.UTC
     case Some(s) =>
@@ -37,10 +48,10 @@ object DateTimeFmt {
     }
   }
 
-  private final case class Marker(comp: Char, mod: String)
+  private[graft] final case class Marker(comp: Char, mod: String)
 
   /** Split a picture into literal chunks and [..] markers; ]] escapes ]. */
-  private def tokens(pic: String): Seq[Either[String, Marker]] = {
+  private[graft] def tokens(pic: String): Seq[Either[String, Marker]] = {
     val out = scala.collection.mutable.ArrayBuffer[Either[String, Marker]]()
     val sb = new StringBuilder
     var i = 0

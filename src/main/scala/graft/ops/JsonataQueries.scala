@@ -334,6 +334,31 @@ object JsonataQueries {
             x -> CAST(x AS DOUBLE) - list_min(embedding))) AS spread_sum
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx20: datetime builtins on the COMPILED tier — default/pictured/  ----
+    // ---- zoned $fromMillis via date_format (picture translated to a Spark ----
+    // ---- pattern at compile time, fixed-offset zones shifted statically)  ----
+    // ---- and $toMillis via the regex-gated to_timestamp parse — all       ----
+    // ---- interpreter-free (PlanShapeSpec) and range-guarded (the ANSI     ----
+    // ---- timestamp overflow class is NULLed, never crashed).              ----
+    q("jx20_datetime", "documents",
+      "{'doc_id': value.doc_id, " +
+        "'iso': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000), " +
+        "'ymd': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01]'), " +
+        "'nice': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[FNn,3], [D] [MNn] [Y0001] [h]:[m] [PN]'), " +
+        "'ist': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01] [H01]:[m][Z01:01t]', '+0530'), " +
+        "'rt': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000)), " +
+        "'day_ms': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01]'))}",
+      "doc_id BIGINT, iso STRING, ymd STRING, nice STRING, ist STRING, rt BIGINT, day_ms BIGINT",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
+          strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000), '%Y-%m-%d') AS ymd,
+          strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000), '%a, %-d %B %Y %-I:%M %p') AS nice,
+          strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000 + 19800000), '%Y-%m-%d %H:%M') || '+05:30' AS ist,
+          doc_id*86400000 + n_chars*12345 + 1500000000000 AS rt,
+          epoch_ms(date_trunc('day', epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000))) AS day_ms
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

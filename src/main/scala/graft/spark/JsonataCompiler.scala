@@ -306,7 +306,7 @@ object JsonataCompiler {
       val invariant = freeVars(a).exists(fv =>
         fv.contains(whole) && !fv.exists(v => pe.contains(v) || v == "" || v == "$"))
       if (invariant && !cheap(a)) {
-        val name = " h" + n; n += 1
+        val name = " h" + n; n += 1
         out += name -> a
         VarRef(name)
       } else a match {
@@ -1351,18 +1351,89 @@ object JsonataCompiler {
             case (Some(t), Some(p)) => Some(TCol(bround(t.col, p.toInt), DoubleType))
             case _ => None
           }
-        // $fromMillis default picture: UTC ISO-8601 with exactly 3 fraction
-        // digits and 'Z' (DateTimeFmt.format None-picture branch). Integral
-        // input only (the engine math.round's a double input — that stays
-        // interpreted) and only under a UTC session (date_format renders in
-        // SESSION tz; the engine always renders UTC). Picture/zone args and
-        // $toMillis stay interpreted: parse failure is an engine ERROR where
-        // to_timestamp would null-swallow.
-        case "fromMillis" if args.length == 1 && utcSession =>
-          arg(0).collect { case t if t.dt == LongType || t.dt == IntegerType =>
-            TCol(concat(
-              date_format(timestamp_millis(t.col.cast(LongType)),
-                "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z")), StringType)
+        // $fromMillis via date_format — default picture, literal pictures in
+        // the verified marker subset (pictureToSparkPattern), and literal
+        // FIXED-offset zone args (shift the millis statically; [Z]/[z]
+        // markers render the statically-known offset as literal text).
+        // Integral input only (the engine math.round's a double input — that
+        // stays interpreted) and only under a UTC session (date_format
+        // renders in SESSION tz; the engine always renders UTC or the fixed
+        // offset). RANGE-GUARDED (ProbeDateTime, round 9): inside
+        // [year 1, Long.MaxValue/1000] millis the default picture agrees
+        // exactly with the interpreter's Java-pattern rendering (including
+        // the '+' prefix at year >= 10000); pictured output uses the
+        // engine's fmtNum (proleptic, no '+'), so its guard tightens to
+        // [year 1, year 9999]. Outside the guard the compiled tier yields
+        // NULL where the engine renders era-style/astronomic strings — the
+        // PINNED divergence class for this builtin (and what prevents the
+        // ANSI timestamp_millis overflow crash the unguarded form had).
+        // DST-bearing named zones and non-literal pictures stay interpreted.
+        case "fromMillis" if utcSession && args.length <= 3 =>
+          val picOpt: Option[Option[String]] = args.lift(1) match {
+            case None => Some(None)
+            case Some(StrLit(p)) => Some(Some(p))
+            case _ => None
+          }
+          val tzOff: Option[Int] = args.lift(2) match {
+            case None => Some(0)
+            case Some(StrLit(z)) => graft.jsonata.DateTimeFmt.staticOffsetSeconds(z)
+            case _ => None
+          }
+          (arg(0), picOpt, tzOff) match {
+            case (Some(t), Some(pic), Some(offSec))
+                if t.dt == LongType || t.dt == IntegerType =>
+              val shifted = legacyArith("+", t.col.cast(LongType), lit(offSec * 1000L))
+              pic match {
+                case None =>
+                  val offTxt =
+                    if (offSec == 0) "Z"
+                    else java.time.ZoneOffset.ofTotalSeconds(offSec).getId
+                  Some(TCol(when(
+                    shifted >= JsonataCompiler.MillisYear1 &&
+                      shifted <= JsonataCompiler.MillisTsMax,
+                    concat(date_format(timestamp_millis(shifted),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit(offTxt))), StringType))
+                case Some(p) =>
+                  JsonataCompiler.pictureToSparkPattern(p, offSec).map { pat =>
+                    TCol(when(
+                      shifted >= JsonataCompiler.MillisYear1 &&
+                        shifted <= JsonataCompiler.MillisYear9999,
+                      date_format(timestamp_millis(shifted), pat)), StringType)
+                  }
+              }
+            case _ => None
+          }
+        // $toMillis (no picture): the engine's parseIso accepts EXACTLY five
+        // shapes (DateTimeFmt.scala parseIso) — yyyy / yyyy-MM / yyyy-MM-dd /
+        // local datetime with 'T' / offset datetime ('Z' or ±HH:MM) — and
+        // ERRORS (D3110) on anything else, while Spark's to_timestamp is
+        // more lenient (5-digit years, space separators) and, outside ANSI,
+        // null-swallows. The compiled form gates the input through regexes
+        // replicating parseIso's branches, pads partial dates to full ones,
+        // truncates sub-milli fraction digits (engine keeps millis only),
+        // and raises on non-matching non-null input — so the error cases
+        // stay errors in every session mode (raise_error is ANSI-independent).
+        // The compiled tier surfaces only through JsonataDF.auto, whose
+        // interpreted sibling also propagates the engine exception — the
+        // permissive/DLQ path never selects the compiled tier. UTC session
+        // only (zone-less strings parse in SESSION tz).
+        case "toMillis" if args.length == 1 && utcSession =>
+          str(0).map { t =>
+            val s = trim(t.col)
+            val frac = "(\\.[0-9]{1,9})?"
+            val tail = "[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(:[0-9]{2}" + frac + ")?"
+            val padded = when(s.rlike("^[0-9]{4}$"), concat(s, lit("-01-01")))
+              .when(s.rlike("^[0-9]{4}-[0-9]{2}$"), concat(s, lit("-01")))
+              .when(s.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), s)
+              .when(s.rlike("^" + tail + "$") ||
+                s.rlike("^" + tail + "(Z|[+-][0-9]{2}:[0-9]{2})$"),
+                regexp_replace(s, "(\\.[0-9]{3})[0-9]+", "$1"))
+            val ms = unix_millis(to_timestamp(padded))
+            TCol(when(t.col.isNull, lit(null).cast(LongType))
+              .when(ms.isNotNull, ms)
+              .otherwise(raise_error(concat(
+                lit("D3110: unable to parse datetime '"), s, lit("'"))).cast(LongType)),
+              LongType)
           }
         // $number compiles only for already-numeric input, where it is an
         // identity in both tiers — the operand keeps its integral/double static
@@ -1623,6 +1694,125 @@ object JsonataCompiler {
         case _ => None
       }
     }
+  }
+
+  /** Millis of 0001-01-01T00:00:00Z — below this the interpreter's Java
+    * year-of-era rendering ("0001" for 1 BC, era years thereafter) has no
+    * date_format twin. */
+  private[spark] val MillisYear1 = -62135596800000L
+  /** Millis of 9999-12-31T23:59:59.999Z — above this the engine's pictured
+    * fmtNum prints "10000" where Java/Spark 'yyyy' prints "+10000". */
+  private[spark] val MillisYear9999 = 253402300799999L
+  /** Largest millis whose microsecond form fits a Spark timestamp —
+    * timestamp_millis ANSI-overflows beyond it. */
+  private[spark] val MillisTsMax = Long.MaxValue / 1000
+
+  /** Translate a LITERAL XPath datetime picture into an equivalent Spark
+    * date_format pattern, or None when any marker falls outside the subset
+    * whose Java rendering provably equals the interpreter's
+    * (DateTimeFmt.formatPicture) for years 1-9999: numeric Y/M/D/d/H/h/m/s/f
+    * with default/"1"/zero-pad modifiers, month/day NAMES in title case
+    * (full or 3-letter — English month/day take-3 abbreviations coincide
+    * with Java's), [PN] (Java 'a' is uppercase AM/PM), and [Z]/[z]/[C]/[E]
+    * rendered as LITERAL text (the offset is statically known — fixed-offset
+    * zones only reach this path). Out-of-subset: width-truncating mods
+    * ([Y01] never truncates in the engine, Java 'yy' does), ordinals/words/
+    * roman ([D1o], [Yw]), ISO week fields ([W]/[w] — Java weeks are
+    * locale-based), lowercase [P], numeric [F]. */
+  private[spark] def pictureToSparkPattern(pic: String, offSec: Int): Option[String] = {
+    // accumulate literal text vs pattern atoms SEPARATELY and merge adjacent
+    // literals before quoting: emitting `' '` directly followed by `'GMT'`
+    // would put `''` on the seam, which Java patterns read as an escaped
+    // QUOTE, not two adjacent literal runs
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
+    def litTxt(s: String): Unit = if (s.nonEmpty) parts.lastOption match {
+      case Some(Left(prev)) => parts(parts.length - 1) = Left(prev + s)
+      case _ => parts += Left(s)
+    }
+    def pat(s: String): Unit = if (s.nonEmpty) parts += Right(s)
+    val toks =
+      try graft.jsonata.DateTimeFmt.tokens(pic)
+      catch { case _: Exception => return None } // malformed picture: engine error, keep interpreted
+    toks.foreach {
+      case Left(l) => litTxt(l)
+      case Right(graft.jsonata.DateTimeFmt.Marker(comp, m)) =>
+        def num(unpadded: String, padded2: String): Option[String] = m match {
+          case "" | "1" | "#1" => Some(unpadded)
+          case "01" => Some(padded2)
+          case _ => None
+        }
+        val pat0: Option[String] = comp match {
+          case 'Y' => m match {
+            case "" | "1" | "#1" => Some("y")
+            case "0001" => Some("yyyy")
+            case _ => None
+          }
+          case 'M' => m match {
+            case "" | "1" | "#1" => Some("M")
+            case "01" => Some("MM")
+            case "Nn" => Some("MMMM")
+            case "Nn,3" | "Nn,3-3" | "Nn,1-3" => Some("MMM")
+            case _ => None
+          }
+          case 'D' => num("d", "dd")
+          case 'd' => m match {
+            case "" | "1" | "#1" => Some("D")
+            case "01" => Some("DD")
+            case "001" => Some("DDD")
+            case _ => None
+          }
+          case 'F' => m match {
+            case "" | "Nn" => Some("EEEE")
+            case "Nn,3" | "Nn,3-3" => Some("EEE")
+            case _ => None
+          }
+          case 'H' => num("H", "HH")
+          case 'h' => num("h", "hh")
+          case 'P' => if (m == "N") Some("a") else None
+          case 'm' => m match {
+            case "" | "01" => Some("mm")
+            case "1" | "#1" => Some("m")
+            case _ => None
+          }
+          case 's' => m match {
+            case "" | "01" => Some("ss")
+            case "1" | "#1" => Some("s")
+            case _ => None
+          }
+          case 'f' => m match {
+            case "1" => Some("S")
+            case "01" => Some("SS")
+            case "001" => Some("SSS")
+            case _ => None
+          }
+          case 'Z' | 'z' =>
+            // statically-known fixed offset: replicate DateTimeFmt's Z/z
+            // branch at COMPILE time and emit the result as literal text
+            val sign = if (offSec < 0) "-" else "+"
+            val hh = math.abs(offSec) / 3600
+            val mm = (math.abs(offSec) % 3600) / 60
+            val body =
+              if (m.contains(":")) f"$sign$hh%02d:$mm%02d"
+              else if (m == "0" || m == "#0") {
+                if (mm == 0) f"$sign$hh%d" else f"$sign$hh%d$mm%02d"
+              } else f"$sign$hh%02d$mm%02d"
+            val txt =
+              if (comp == 'z') "GMT" + body
+              else if (offSec == 0 && m.endsWith("t")) "Z"
+              else body
+            litTxt(txt); Some("")
+          case 'C' | 'E' => litTxt("ISO"); Some("")
+          case _ => None
+        }
+        pat0 match {
+          case Some(p) => pat(p)
+          case None => return None
+        }
+    }
+    Some(parts.map {
+      case Left(l) => "'" + l.replace("'", "''") + "'"
+      case Right(p) => p
+    }.mkString)
   }
 
   /** A regex literal's pattern string with its lexer flags (i/m/s) embedded

@@ -175,6 +175,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("transform") || p.contains("filter"), p.take(2000))
   }
 
+  test("jx20 datetime builtins run compiled: date_format/to_timestamp, no interpreter") {
+    val p = plan("jx20_datetime")
+    assert(!p.contains("jsonata"), "jx20 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("date_format"), "pictured $fromMillis must be a native date_format\n" + p.take(2000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))

@@ -131,12 +131,13 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         " 'zero': $fromMillis(0)}",
       "event_id BIGINT, iso STRING, neg STRING, zero STRING", "event_id")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // double input (engine rounds), picture/zone args, $toMillis: interpreted
+    // double input (engine rounds): interpreted. Literal pictures and
+    // $toMillis compile since round 9 (see the dedicated tests below).
     assert(JsonataCompiler.transformCompiled(docs, "{'m': $fromMillis(value.n_chars * 1.5)}").isEmpty)
     assert(JsonataCompiler.transformCompiled(docs,
-      "{'m': $fromMillis(value.n_chars, '[Y0001]')}").isEmpty)
+      "{'m': $fromMillis(value.n_chars, '[Y0001]')}").isDefined)
     assert(JsonataCompiler.transformCompiled(docs,
-      "{'m': $toMillis('2024-01-01T00:00:00.000Z')}").isEmpty)
+      "{'m': $toMillis('2024-01-01T00:00:00.000Z')}").isDefined)
   }
 
   test("regex forms outside the compiled subset fall back") {
@@ -729,6 +730,171 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // $lookup of an absent key is undefined — never folded
     assert(JsonataCompiler.transformCompiled(emb,
       "($o := {\"a\": 1}; {'n': $lookup($o, 'zzz')})").isEmpty)
+  }
+
+  // ---- compiled $fromMillis/$toMillis (round 9) -------------------------
+
+  private def millisDf = {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // in-guard-range probes: epoch, now-ish, pre-epoch, year-1 start, a day
+    // before year-9999 end (a ±14h zone shift must stay inside the pictured
+    // guard — shifting past year 9999 IS the pinned divergence, tested
+    // separately), sub-day corners
+    val rows = Seq(
+      1L -> 0L, 2L -> 1723600000000L, 3L -> -1000000000000L,
+      4L -> (JsonataCompiler.MillisYear1 + 86400000L),
+      5L -> (JsonataCompiler.MillisYear9999 - 86400000L),
+      6L -> 1000000L, 7L -> 86399999L)
+    spark.createDataFrame(
+      rows.map { case (id, ms) => Row(id, ms) }.asJava,
+      StructType.fromDDL("id BIGINT, ms BIGINT"))
+  }
+
+  private def diffDf(df: org.apache.spark.sql.DataFrame, expr: String, ddl: String,
+                     order: String): Unit = {
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, s"expected expression to compile to Columns: $expr")
+    val a = compiled.get.orderBy(order).collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy(order).collect().map(_.toSeq).toSeq
+    assert(a.size == b.size, s"row count differs: compiled=${a.size} interpreted=${b.size} for $expr")
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra == rb, s"row $i differs for $expr:\n  compiled:    $ra\n  interpreted: $rb")
+    }
+  }
+
+  test("compiled default-picture $fromMillis agrees across the whole guard range") {
+    diffDf(millisDf,
+      "{'id': value.id, 'iso': $fromMillis(value.ms)," +
+        " 'off': $fromMillis(value.ms, '[Y0001]-[M01]-[D01]T[H01]:[m]:[s].[f001][Z01:01t]', '+0530')}",
+      "id BIGINT, iso STRING, off STRING", "id")
+    // default-picture guard extends past year 9999 toward the timestamp max —
+    // the '+' year prefix agrees between Java ofPattern and date_format.
+    // Differential coverage stops below 2^53: beyond it the INTERPRETED
+    // tier itself rounds the millis through its JSON-number double space
+    // (the repo-wide pinned long-exactness class), so the exact boundary is
+    // covered by the guard/crash test below instead.
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val hi = spark.createDataFrame(
+      Seq(Row(0L, JsonataCompiler.MillisYear1),
+        Row(1L, JsonataCompiler.MillisYear9999),
+        Row(2L, JsonataCompiler.MillisYear9999 + 1L),
+        Row(3L, 4000000000000000L)).asJava, // year ~128746, < 2^53
+      StructType.fromDDL("id BIGINT, ms BIGINT"))
+    diffDf(hi, "{'id': value.id, 'iso': $fromMillis(value.ms)}",
+      "id BIGINT, iso STRING", "id")
+  }
+
+  test("pinned divergence: out-of-guard-range $fromMillis is NULL compiled, rendered interpreted") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, JsonataCompiler.MillisYear1 - 1L),
+        Row(2L, JsonataCompiler.MillisTsMax + 1L)).asJava,
+      StructType.fromDDL("id BIGINT, ms BIGINT"))
+    val expr = "{'id': value.id, 'iso': $fromMillis(value.ms)}"
+    val compiled = JsonataCompiler.transformCompiled(df, expr).get
+      .orderBy("id").collect()
+    // compiled: NULL (guard), NEVER a crash — the unguarded form ANSI-threw
+    // on timestamp_millis overflow
+    assert(compiled.forall(_.isNullAt(1)), "out-of-range must NULL, not render or throw")
+    // interpreter: era-style / astronomic strings (the divergence is pinned,
+    // not accidental)
+    val interp = JsonataDF.transformAs(df, expr, StructType.fromDDL("id BIGINT, iso STRING"))
+      .orderBy("id").collect()
+    assert(interp.forall(!_.isNullAt(1)))
+    // the guard boundary itself renders without the ANSI overflow crash
+    val edge = spark.createDataFrame(Seq(Row(1L, JsonataCompiler.MillisTsMax)).asJava,
+      StructType.fromDDL("id BIGINT, ms BIGINT"))
+    val r = JsonataCompiler.transformCompiled(edge, expr).get.collect()
+    assert(r.length == 1 && r(0).getString(1).startsWith("+294247-01-10"), r.mkString)
+  }
+
+  test("compiled pictured $fromMillis: names, 12-hour, day-of-year, zones, escapes") {
+    diffDf(millisDf,
+      "{'id': value.id," +
+        " 'a': $fromMillis(value.ms, '[Y0001]-[M01]-[D01] [H01]:[m]:[s].[f001]')," +
+        " 'b': $fromMillis(value.ms, '[Y]/[M]/[D]')," +
+        " 'c': $fromMillis(value.ms, '[D01] [MNn] [Y0001]')," +
+        " 'd': $fromMillis(value.ms, '[FNn,3], [D] [MNn,3] [Y0001] [h]:[m] [PN]')," +
+        " 'e': $fromMillis(value.ms, '[F], day [d] of [Y0001]')," +
+        " 'f': $fromMillis(value.ms, '[H01][m][s] [z]', '-0800')," +
+        " 'g': $fromMillis(value.ms, '[[Y]] is [Y0001] [Z]', '+0230')," +
+        " 'h': $fromMillis(value.ms, '[Y0001][M01][D01]T[H01][m][s][Z01:01t]')}",
+      "id BIGINT, a STRING, b STRING, c STRING, d STRING, e STRING, f STRING, g STRING, h STRING",
+      "id")
+  }
+
+  test("compiled $toMillis agrees on every parseIso branch and round-trips") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val strs = Seq(
+      "2024", "2024-08", "2024-08-14", "2024-08-14T01:02", "2024-08-14T01:02:03",
+      "2024-08-14T01:02:03.4", "2024-08-14T01:02:03.456", "2024-08-14T01:02:03.456Z",
+      "2024-08-14T01:02:03.456+05:30", "2024-08-14T01:02:03-08:00",
+      "2024-08-14T01:02:03.4567890Z", // sub-milli digits truncate on both tiers
+      "  2024-08-14  ", // engine trims
+      "0000-01-01", "9999-12-31T23:59:59.999Z", "1969-12-31T23:59:59.999Z")
+    val df = spark.createDataFrame(
+      strs.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }.asJava,
+      StructType.fromDDL("id BIGINT, s STRING"))
+    diffDf(df, "{'id': value.id, 'ms': $toMillis(value.s)}",
+      "id BIGINT, ms BIGINT", "id")
+    // round-trip composition stays compiled and exact
+    diffDf(millisDf,
+      "{'id': value.id, 'rt': $toMillis($fromMillis(value.ms))," +
+        " 'day': $toMillis($fromMillis(value.ms, '[Y0001]-[M01]-[D01]'))}",
+      "id BIGINT, rt BIGINT, day BIGINT", "id")
+  }
+
+  test("compiled $toMillis raises where the engine raises (shape and semantic errors)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // each is D3110 in the engine; Spark alone would ACCEPT the first three
+    // (lenient parser) or null-swallow outside ANSI — the compiled regex
+    // gate + raise_error keeps them errors in every session mode
+    val bad = Seq("10000-01-01T00:00:00Z", "2024-08-14 01:02:03", "24-08-14",
+      "garbage", "2024-13-45")
+    for (s <- bad) {
+      val df = spark.createDataFrame(Seq(Row(1L, s)).asJava,
+        StructType.fromDDL("id BIGINT, s STRING"))
+      val expr = "{'id': value.id, 'ms': $toMillis(value.s)}"
+      val compiled = JsonataCompiler.transformCompiled(df, expr)
+      assert(compiled.isDefined, s"gated $$toMillis should still compile for '$s'")
+      val eC = intercept[Exception](compiled.get.collect())
+      assert(eC != null)
+      val eI = intercept[Exception](
+        JsonataDF.transformAs(df, expr, StructType.fromDDL("id BIGINT, ms BIGINT")).collect())
+      assert(eI != null)
+    }
+    // null input is undefined, not an error, on both tiers
+    val df0 = spark.createDataFrame(Seq(Row(1L, null)).asJava,
+      StructType.fromDDL("id BIGINT, s STRING"))
+    diffDf(df0, "{'id': value.id, 'ms': $toMillis(value.s)}", "id BIGINT, ms BIGINT", "id")
+  }
+
+  test("datetime shapes outside the compiled subset fall back to the interpreter") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // ISO week numbers are locale traps — never compiled
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $fromMillis(value.vec_id, '[W] [Y0001]')}").isEmpty)
+    // ordinal / word modifiers
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $fromMillis(value.vec_id, '[D1o] [MNn]')}").isEmpty)
+    // width-truncating year ([Y01] never truncates in the engine; 'yy' does)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $fromMillis(value.vec_id, '[Y01]')}").isEmpty)
+    // lowercase [P] has no Java twin (Java 'a' renders uppercase)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $fromMillis(value.vec_id, '[h][P]')}").isEmpty)
+    // DST-bearing named zone: offset is not static
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $fromMillis(value.vec_id, '[Y0001]', 'Europe/Paris')}").isEmpty)
+    // pictured $toMillis stays interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $toMillis('2024-08-14', '[Y0001]-[M01]-[D01]')}").isEmpty)
   }
 
   test("object operator shapes outside the subset fall back to the interpreter") {
