@@ -359,6 +359,52 @@ object JsonataQueries {
           epoch_ms(date_trunc('day', epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000))) AS day_ms
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx21: multi-pair {} group-by on the COMPILED tier — the "object  ----
+    // ---- of named aggregates" shape with literal keys (D1009-free by      ----
+    // ---- static distinctness). Scalarized through compiled map-$lookup    ----
+    // ---- (registry convention: no raw maps through the driver hasher).    ----
+    q("jx21_multi_group", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'n': $lookup(value.embedding{'n': $count($), 'avg': $average($)}, 'n'), " +
+        "'avg': $lookup(value.embedding{'n': $count($), 'avg': $average($)}, 'avg'), " +
+        "'spread': $lookup(value.embedding{'hi': $max($), 'lo': $min($)}, 'hi') - " +
+        "$lookup(value.embedding{'hi': $max($), 'lo': $min($)}, 'lo')}",
+      "vec_id BIGINT, n DOUBLE, avg DOUBLE, spread DOUBLE",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          CAST(len(embedding) AS DOUBLE) AS n,
+          list_avg(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS avg,
+          CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE) AS spread
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- jx22: arity-3 map-$sift on the COMPILED tier with a driver       ----
+    // ---- oracle — $o binds the whole map object (built by the multi-pair  ----
+    // ---- group-by above), and the $o-only average is HOISTED once per row ----
+    // ---- (round-9 invariant hoisting). Scalarized via $count/$join of     ----
+    // ---- the surviving keys.                                              ----
+    q("jx22_map_sift", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'n_major': $count($keys($sift(" +
+        "value.embedding{'hi': $max($), 'lo': $min($), 'avg': $average($)}, " +
+        "function($v, $k, $o){ $v >= $lookup($o, 'avg') }))), " +
+        "'major_keys': $join($keys($sift(" +
+        "value.embedding{'hi': $max($), 'lo': $min($), 'avg': $average($)}, " +
+        "function($v, $k, $o){ $v >= $lookup($o, 'avg') })), ',')}",
+      "vec_id BIGINT, n_major BIGINT, major_keys STRING",
+      Seq("vec_id"),
+      Some("""WITH stats AS (
+          SELECT vec_id,
+            CAST(list_max(embedding) AS DOUBLE) AS hi,
+            CAST(list_min(embedding) AS DOUBLE) AS lo,
+            list_avg(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS avg
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(CAST(hi >= avg AS INT) + CAST(lo >= avg AS INT) + CAST(avg >= avg AS INT) AS BIGINT) AS n_major,
+          concat_ws(',', CASE WHEN hi >= avg THEN 'hi' END,
+            CASE WHEN lo >= avg THEN 'lo' END,
+            CASE WHEN avg >= avg THEN 'avg' END) AS major_keys
+        FROM stats ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

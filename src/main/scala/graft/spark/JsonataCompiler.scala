@@ -1013,33 +1013,88 @@ object JsonataCompiler {
       * groups evaluate the aggregate over their member sequence, and an
       * undefined aggregate omits the key (map_filter). A missing/empty input
       * array yields an EMPTY object in the engine — hence the coalesce.
-      * Single-pair constructors only (multi-pair can raise D1009 on key
-      * collisions across pairs, which must stay an interpreter error); key
-      * expressions must be statically strings (non-string keys raise T1003). */
+      * Per-item (dynamic) keys compile single-pair only (multi-pair can
+      * raise D1009 on key collisions across pairs, which must stay an
+      * interpreter error); multi-pair compiles when every key is a LITERAL
+      * string ([[compileLiteralKeyGroup]]). Key expressions must be
+      * statically strings (non-string keys raise T1003). */
     private def compileGroupPath(steps: Vector[Step], ctor: ObjCtor): Option[TCol] = {
-      if (ctor.pairs.length != 1) return None
-      val (kExpr, vExpr) = ctor.pairs.head
       arrayValuePath(steps).flatMap { case (arr, at) =>
         val et = at.elementType
-        elemKey(kExpr, et) match {
-          case Some((kf, StringType)) =>
-            compileGroupValue(vExpr, et).map { case (aggF, vt) =>
-              val keys = array_distinct(filter(transform(arr, e => kf(e)), k => k.isNotNull))
-              val entries = transform(keys, k =>
-                struct(k.as("key"), aggF(filter(arr, e => kf(e) === k)).as("value")))
-              val m = map_filter(map_from_entries(entries), (_, v) => v.isNotNull)
-              val empty = map_from_entries(array().cast(ArrayType(
-                StructType(Seq(StructField("key", StringType, nullable = false),
-                  StructField("value", vt))), containsNull = false)))
-              TCol(coalesce(m, empty), MapType(StringType, vt))
-            }
-          case _ => None
+        if (ctor.pairs.length != 1) compileLiteralKeyGroup(arr, et, ctor)
+        else {
+          val (kExpr, vExpr) = ctor.pairs.head
+          elemKey(kExpr, et) match {
+            case Some((kf, StringType)) =>
+              compileGroupValue(vExpr, et).map { case (aggF, vt) =>
+                val keys = array_distinct(filter(transform(arr, e => kf(e)), k => k.isNotNull))
+                val entries = transform(keys, k =>
+                  struct(k.as("key"), aggF(filter(arr, e => kf(e) === k)).as("value")))
+                val m = map_filter(map_from_entries(entries), (_, v) => v.isNotNull)
+                val empty = map_from_entries(array().cast(ArrayType(
+                  StructType(Seq(StructField("key", StringType, nullable = false),
+                    StructField("value", vt))), containsNull = false)))
+                TCol(coalesce(m, empty), MapType(StringType, vt))
+              }
+            case _ =>
+              // a single LITERAL-keyed pair is the degenerate multi-pair case
+              compileLiteralKeyGroup(arr, et, ctor)
+          }
         }
       }
     }
 
+    /** Multi-pair `{}` group-by with ALL-LITERAL, pairwise-distinct keys —
+      * the "object of named aggregates" analytics shape
+      * (`arr{'n': $count($), 'sum': $sum(x)}`). A literal key matches EVERY
+      * item, so each pair's group is the whole input array, and D1009 (one
+      * key arising from two different pairs) is ruled out at COMPILE time by
+      * the distinctness check; duplicate literals or any non-literal key in
+      * a multi-pair constructor stay interpreted, preserving the engine's
+      * data-dependent D1009. Engine corners mirrored: a missing/empty input
+      * becomes a single UNDEFINED item (evalGroup wraps it as Vector(null)),
+      * so literal keys still group and each value expression evaluates with
+      * undefined context — $count($) contributes `key: 0`, the other
+      * aggregates are undefined and omit their keys; an undefined aggregate
+      * omits its key on nonempty input too (map_filter); heterogeneous
+      * NUMERIC aggregate types unify to the widest (the map needs one value
+      * type — the interpreted tier's JSON decode under the declared schema
+      * performs the same widening). */
+    private def compileLiteralKeyGroup(arr: Column, et: DataType, ctor: ObjCtor): Option[TCol] = {
+      val keys = ctor.pairs.map(_._1).map { case StrLit(s) => Some(s); case _ => None }
+      if (keys.exists(_.isEmpty)) return None
+      val ks = keys.flatten
+      if (ks.distinct.length != ks.length) return None // duplicate keys: D1009, interpreted
+      val vals = ctor.pairs.map(p => compileGroupValue(p._2, et))
+      if (vals.exists(_.isEmpty)) return None
+      val vs = vals.flatten
+      val vt = vs.map(_._2).distinct match {
+        case Seq(one) => one
+        case many if many.forall(isNum) =>
+          if (many.forall(isIntegral)) LongType else DoubleType
+        case _ => return None
+      }
+      val entries = ks.zip(vs).map { case (k, (aggF, _)) =>
+        struct(lit(k).as("key"), aggF(arr).cast(vt).as("value"))
+      }
+      val m = map_filter(map_from_entries(array(entries: _*)), (_, v) => v.isNotNull)
+      // empty/missing input: the single-undefined-item group — $count($)
+      // pairs survive as `key: 0`, everything else is undefined
+      val emptyEntries = ks.zip(ctor.pairs.map(_._2)).collect {
+        case (k, Call(VarRef("count"), Vector(VarRef("")))) =>
+          struct(lit(k).as("key"), lit(0L).cast(vt).as("value"))
+      }
+      val empty =
+        if (emptyEntries.nonEmpty) map_from_entries(array(emptyEntries: _*))
+        else map_from_entries(array().cast(ArrayType(
+          StructType(Seq(StructField("key", StringType, nullable = false),
+            StructField("value", vt))), containsNull = false)))
+      Some(TCol(when(size(arr) > 0, m).otherwise(empty), MapType(StringType, vt)))
+    }
+
     /** Group aggregate bodies with exact engine equivalents: $count($) and
-      * $sum/$min/$max/$average over a numeric member field. The engine's $sum
+      * $sum/$min/$max/$average over a numeric member field or over `$` (the
+      * element itself, for atomic-element arrays). The engine's $sum
       * keeps integral fidelity (long arithmetic, wrapping) when every item is
       * integral and sums in double otherwise — mirrored by the static element
       * type; $min/$max/$average of an all-undefined group are undefined (null
@@ -1049,15 +1104,22 @@ object JsonataCompiler {
         case Call(VarRef("count"), Vector(VarRef(""))) =>
           Some(((g: Column) => size(g).cast(LongType), LongType))
         case Call(VarRef(fn @ ("sum" | "min" | "max" | "average")), Vector(fieldAst)) =>
-          relField(fieldAst).flatMap { f =>
-            val fl = et match {
-              case st: StructType =>
-                st.fields.find(_.name == f).filter(x => simpleAtomic(x.dataType) && isNum(x.dataType))
-              case _ => None
+          // the key extractor: a struct member field, or `$` for the element
+          val fl: Option[(Column => Column, DataType)] = fieldAst match {
+            case VarRef("") if simpleAtomic(et) && isNum(et) =>
+              Some((identity[Column] _, et))
+            case _ => relField(fieldAst).flatMap { f =>
+              et match {
+                case st: StructType => st.fields.find(_.name == f)
+                  .filter(x => simpleAtomic(x.dataType) && isNum(x.dataType))
+                  .map(x => (((e: Column) => e.getField(f)), x.dataType))
+                case _ => None
+              }
             }
-            fl.map { fld =>
-              val integral = isIntegral(fld.dataType)
-              def vals(g: Column) = filter(transform(g, e => e.getField(f)), x => x.isNotNull)
+          }
+          fl.map { case (extract, fdt) =>
+              val integral = isIntegral(fdt)
+              def vals(g: Column) = filter(transform(g, e => extract(e)), x => x.isNotNull)
               fn match {
                 case "sum" =>
                   val dt = if (integral) LongType else DoubleType
@@ -1068,7 +1130,7 @@ object JsonataCompiler {
                       (acc, x) => legacyArith("+", acc, x)))
                   }), dt)
                 case "min" | "max" =>
-                  val dt = if (integral) LongType else fld.dataType
+                  val dt = if (integral) LongType else fdt
                   (((g: Column) => {
                     val vs = transform(vals(g), x => x.cast(dt))
                     if (fn == "min") array_min(vs) else array_max(vs)
@@ -1080,7 +1142,6 @@ object JsonataCompiler {
                       aggregate(vs, lit(0.0), (acc, x) => legacyArith("+", acc, x)) / size(vs))
                   }), DoubleType)
               }
-            }
           }
         case _ => None
       }

@@ -181,6 +181,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("date_format"), "pictured $fromMillis must be a native date_format\n" + p.take(2000))
   }
 
+  test("jx21 multi-pair group-by and jx22 arity-3 map-sift run compiled") {
+    val p21 = plan("jx21_multi_group")
+    assert(!p21.contains("jsonata"), "jx21 must run on the compiled tier\n" + p21.take(2000))
+    assert(p21.contains("map_from_entries"), "literal-key group must build a native map\n" + p21.take(2000))
+    val p22 = plan("jx22_map_sift")
+    assert(!p22.contains("jsonata"), "jx22 must run on the compiled tier\n" + p22.take(2000))
+    assert(p22.contains("map_filter"), "map-$sift must be a native map_filter\n" + p22.take(2000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))

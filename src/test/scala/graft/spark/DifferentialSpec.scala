@@ -875,6 +875,43 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     diffDf(df0, "{'id': value.id, 'ms': $toMillis(value.s)}", "id BIGINT, ms BIGINT", "id")
   }
 
+  test("multi-pair literal-key {} group-by compiles and agrees (object of named aggregates)") {
+    diff("embeddings",
+      "{'vec_id': value.vec_id," +
+        " 'n': $lookup(value.embedding{'n': $count($), 'sum': $sum($)}, 'n')," +
+        " 'sum': $lookup(value.embedding{'n': $count($), 'sum': $sum($)}, 'sum')," +
+        " 'stats_keys': $join($keys(value.embedding{'hi': $max($), 'lo': $min($), 'avg': $average($)}), ',')}",
+      "vec_id BIGINT, n DOUBLE, sum DOUBLE, stats_keys STRING", "vec_id")
+    // struct-element arrays keep working with member-field aggregates
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row("a", 10L), Row("b", 40L), Row("a", 5L))),
+        Row(2L, Seq.empty[Row]), // empty input -> EMPTY object on both tiers
+        Row(3L, null)).asJava,   // missing input -> EMPTY object on both tiers
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT>>"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'n': $lookup(value.items{'n': $count($), 'total': $sum(price)}, 'n')," +
+        " 'total': $lookup(value.items{'n': $count($), 'total': $sum(price)}, 'total')}",
+      "id BIGINT, n BIGINT, total BIGINT", "id")
+  }
+
+  test("multi-pair group-by shapes that can raise D1009 stay interpreted") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // duplicate literal keys: engine D1009 on the second item
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $lookup(value.embedding{'n': $count($), 'n': $sum($)}, 'n')}").isEmpty)
+    // non-literal key in a multi-pair constructor: collision is data-dependent
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row("a", 10L)))).asJava,
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $lookup(value.items{cat: $count($), 'n': $count($)}, 'n')}").isEmpty)
+  }
+
   test("datetime shapes outside the compiled subset fall back to the interpreter") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // ISO week numbers are locale traps — never compiled
