@@ -761,25 +761,62 @@ object JsonataCompiler {
       go(a)
     }
 
-    /** `$sift(structObj, function($v[, $k]){bool})` — per-field keep flags.
-      * The lambda body must compile to a static boolean for EVERY field (after
-      * per-field key folding); fSift's general truthiness on non-boolean
-      * results stays interpreted, exactly like $filter. The engine's 3-arg
-      * lambda form (receives the object itself) is not compiled. */
+    /** `$sift(structObj, function($v[, $k[, $o]]){bool})` — per-field keep
+      * flags. The lambda body must compile to a static boolean for EVERY
+      * field (after per-field key folding); fSift's general truthiness on
+      * non-boolean results stays interpreted, exactly like $filter. The
+      * 3-arg form binds `$o` to the struct BRIDGED as a map column
+      * ([[bridgeStructAsMap]]) — possible only when the field types unify;
+      * heterogeneous structs stay interpreted (their conditional field
+      * presence has no single-column `$o` encoding). The per-field bodies
+      * are plain columns (no HOF lambda), so repeated `$o` subtrees across
+      * fields are shared by whole-stage codegen's subexpression elimination
+      * rather than the arity-3 HOF hoist. */
     private def compileStructSift(args: Seq[Ast]): Option[Seq[VField]] = args match {
-      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 2 =>
+      case Seq(objA, Lambda(params, body, _)) if params.nonEmpty && params.length <= 3 =>
         compileStructObj(objA).flatMap { fields =>
-          val kept = fields.map { f =>
-            val folded = params.lift(1).map(foldKey(body, _, f.name)).getOrElse(body)
-            bound(fieldBindings(params, f))(compile(folded)) match {
-              case Some(TCol(c, BooleanType)) =>
-                Some(f.copy(keep = f.keep && coalesce(c, lit(false))))
-              case _ => None
-            }
+          val oBind: Option[Seq[(String, TCol)]] = params.lift(2) match {
+            case None => Some(Nil)
+            case Some(p3) => bridgeStructAsMap(fields).map(tc => Seq(p3 -> tc))
           }
-          if (kept.forall(_.isDefined)) Some(kept.map(_.get)) else None
+          oBind.flatMap { ob =>
+            val kept = fields.map { f =>
+              val folded = params.lift(1).map(foldKey(body, _, f.name)).getOrElse(body)
+              bound(fieldBindings(params.take(2), f) ++ ob)(compile(folded)) match {
+                case Some(TCol(c, BooleanType)) =>
+                  Some(f.copy(keep = f.keep && coalesce(c, lit(false))))
+                case _ => None
+              }
+            }
+            if (kept.forall(_.isDefined)) Some(kept.map(_.get)) else None
+          }
         }
       case _ => None
+    }
+
+    /** The struct object AS a map column — the faithful `$o` for arity-3
+      * struct-$sift: an entry exists only for a PRESENT (kept) field, so
+      * absent keys behave exactly like the engine's key-absent object.
+      * Possible only when the field types share one atomic type or unify
+      * numerically (observation-equivalent inside the compiled subset,
+      * where numbers compare and compute in double space on both tiers);
+      * anything heterogeneous returns None and the query stays on the
+      * interpreter. */
+    private def bridgeStructAsMap(fields: Seq[VField]): Option[TCol] = {
+      val vt = fields.map(_.dt).distinct match {
+        case Seq(one) if simpleAtomic(one) => one
+        case many if many.nonEmpty && many.forall(d => simpleAtomic(d) && isNum(d)) =>
+          if (many.forall(isIntegral)) LongType else DoubleType
+        case _ => return None
+      }
+      val st = StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", vt)))
+      val entries = fields.map { f =>
+        when(f.keep, struct(lit(f.name).as("key"), f.col.cast(vt).as("value")))
+          .otherwise(lit(null).cast(st))
+      }
+      Some(TCol(map_from_entries(filter(array(entries: _*), e => e.isNotNull)),
+        MapType(StringType, vt)))
     }
 
     /** An empty array/map result becomes SQL NULL: the engine's empty
@@ -831,9 +868,10 @@ object JsonataCompiler {
     private def compileMapSift(args: Seq[Ast]): Option[TCol] = args match {
       // arity <= 3: fSift passes (value, key, WHOLE OBJECT) — for a map
       // object the third binding is simply the map column itself (struct
-      // objects stay interpreted at arity 3: their conditional field
-      // presence has no faithful single-column $o). $o-only subtrees are
-      // hoisted once per row, same as the arity-3 array HOFs.
+      // objects bridge to a map when their field types unify — see
+      // compileStructSift/bridgeStructAsMap — and stay interpreted
+      // otherwise). $o-only subtrees are hoisted once per row, same as the
+      // arity-3 array HOFs.
       case Seq(objA, Lambda(params, body0, _)) if params.nonEmpty && params.length <= 3 =>
         compile(objA).flatMap { t =>
           t.dt match {

@@ -897,6 +897,38 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id BIGINT, n BIGINT, total BIGINT", "id")
   }
 
+  test("arity-3 struct-sift bridges homogeneous structs to a map $o and agrees") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L, 40L, 5L), Row(2L, 100L, null, 3L), Row(3L, null, null, null)).asJava,
+      StructType.fromDDL("id BIGINT, a BIGINT, b BIGINT, c BIGINT"))
+    // keep fields at or above the object's own maximum-present value reach
+    // — $o sees only PRESENT fields (null b on row 2, all-null row 3)
+    val expr = "{'id': $lookup(value, 'id'), " +
+      "'n_top': $count($keys($sift(value, function($v, $k, $o){ " +
+      "$k != 'id' and $v >= $lookup($o, 'a') })))}"
+    val ddl = "id BIGINT, n_top BIGINT"
+    val compiled = JsonataCompiler.transformCompiled(df, expr)
+    assert(compiled.isDefined, "homogeneous arity-3 struct-sift should compile")
+    val a = compiled.get.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, s"tiers disagree on arity-3 struct sift:\n  compiled:    $a\n  interpreted: $b")
+    // mixed-width numerics unify; the widened $o is observation-equivalent
+    val dfm = spark.createDataFrame(
+      Seq(Row(1L, 10L, 2.5)).asJava,
+      StructType.fromDDL("id BIGINT, a BIGINT, x DOUBLE"))
+    val exprM = "{'id': $lookup(value, 'id'), " +
+      "'n': $count($keys($sift(value, function($v, $k, $o){ $v > $lookup($o, 'x') })))}"
+    val cm = JsonataCompiler.transformCompiled(dfm, exprM)
+    assert(cm.isDefined, "numeric-unifiable struct should bridge")
+    val am = cm.get.collect().map(_.toSeq).toSeq
+    val bm = JsonataDF.transformAs(dfm, exprM, StructType.fromDDL("id BIGINT, n BIGINT"))
+      .collect().map(_.toSeq).toSeq
+    assert(am == bm, s"tiers disagree on widened $$o:\n  compiled:    $am\n  interpreted: $bm")
+  }
+
   test("multi-pair group-by shapes that can raise D1009 stay interpreted") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // duplicate literal keys: engine D1009 on the second item
@@ -943,7 +975,9 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-boolean sift body (engine truthiness) must stay interpreted
     assert(JsonataCompiler.transformCompiled(df,
       "{'x': $count($keys($sift(value, function($v){ $v })))}").isEmpty)
-    // arity-3 sift lambda receives the object itself
+    // arity-3 sift over a HETEROGENEOUS struct (long+string fields): no
+    // single-column $o encoding — stays interpreted (homogeneous structs
+    // bridge to a map since round 9, see the dedicated test)
     assert(JsonataCompiler.transformCompiled(df,
       "{'x': $count($keys($sift(value, function($v, $k, $o){ $k = 'b' })))}").isEmpty)
     // literal key absent from the struct: engine-undefined with no static type
