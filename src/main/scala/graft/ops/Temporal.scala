@@ -172,6 +172,36 @@ object Temporal {
 
   private val HourMs = 3600000L
 
+  /** Parameterized funnel board over the events table: greedy alignment of
+    * `steps` (event types, in order) with optional per-transition conversion
+    * windows, reduced to the (step, step_name, n_users, sum_ms) summary.
+    * The alignment chain is [[graft.streaming.StreamingFunnel.batchReference]]
+    * — the same builder the streaming processor equality-pins against — so
+    * the batch registry queries (ev01/ev02/ev03), the streaming twin, and
+    * its spec share ONE step-chain implementation; only the step list and
+    * windows vary. A step nobody reaches still gets its zero row (the
+    * literal steps frame left-joins the per-step aggregate), matching the
+    * always-3-rows shape ev01 had before the builders merged. Scale shape
+    * unchanged: per-step partial agg + equi-join on user_id against the
+    * strictly-shrinking previous relation, all stages co-partitioned. */
+  private def funnelBoard(s: org.apache.spark.sql.SparkSession, d: String,
+                          steps: Seq[String], maxGaps: Seq[Long] = Nil): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = eventsMs(s, d)
+      .select(col("user_id"), col("e_ms").as("ts"), col("event_type"))
+    val hits = graft.streaming.StreamingFunnel.batchReference(e, steps, maxGaps)
+    val agg = hits.groupBy(col("step").cast("bigint").as("step"))
+      .agg(count(lit(1)).as("n_users"), sum(col("t_ms")).as("sum_ms"))
+    val names = steps.zipWithIndex
+      .map { case (nm, i) => ((i + 1).toLong, nm) }.toDF("step", "step_name")
+    names.join(agg, Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("sum_ms"), lit(0L)).as("sum_ms"))
+      .orderBy(col("step"))
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- aj01: as-of join — the customer's latest order as of each event ----
     // Point-in-time-correct feature lookup: no order newer than the event
@@ -305,25 +335,7 @@ object Temporal {
     // sum_ms (exact BIGINT) fingerprints the per-user step times so the
     // oracle checks the alignment itself, not just counts.
     Q("ev01_funnel",
-      (s, d) => {
-        val e = eventsMs(s, d).select(col("user_id"), col("e_ms"), col("event_type"))
-        val a = e.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        val b = e.filter(col("event_type") === "click")
-          .join(a, Seq("user_id")).filter(col("e_ms") >= col("t"))
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        val c = e.filter(col("event_type") === "purchase")
-          .join(b, Seq("user_id")).filter(col("e_ms") >= col("t"))
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        def step(df: DataFrame, n: Long, nm: String) =
-          df.agg(count(lit(1)).as("n_users"),
-              coalesce(sum(col("t")), lit(0L)).as("sum_ms"))
-            .select(lit(n).as("step"), lit(nm).as("step_name"),
-              col("n_users"), col("sum_ms"))
-        step(a, 1L, "view").unionByName(step(b, 2L, "click"))
-          .unionByName(step(c, 3L, "purchase"))
-          .orderBy(col("step"))
-      },
+      (s, d) => funnelBoard(s, d, Seq("view", "click", "purchase")),
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
           a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
           b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
@@ -344,29 +356,9 @@ object Temporal {
     // ---- shrinking partial-agg + equi-join scale shape; the window is   ----
     // ---- one extra residual predicate on each join, no new shuffle.     ----
     Q("ev02_funnel_window",
-      (s, d) => {
-        val W1 = 6L * 3600000L   // click within 6 h of the first view
-        val W2 = 72L * 3600000L  // purchase within 72 h of that click
-        val e = eventsMs(s, d).select(col("user_id"), col("e_ms"), col("event_type"))
-        val a = e.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        val b = e.filter(col("event_type") === "click")
-          .join(a, Seq("user_id"))
-          .filter(col("e_ms") >= col("t") && col("e_ms") <= col("t") + W1)
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        val c = e.filter(col("event_type") === "purchase")
-          .join(b, Seq("user_id"))
-          .filter(col("e_ms") >= col("t") && col("e_ms") <= col("t") + W2)
-          .groupBy(col("user_id")).agg(min(col("e_ms")).as("t"))
-        def step(df: DataFrame, n: Long, nm: String) =
-          df.agg(count(lit(1)).as("n_users"),
-              coalesce(sum(col("t")), lit(0L)).as("sum_ms"))
-            .select(lit(n).as("step"), lit(nm).as("step_name"),
-              col("n_users"), col("sum_ms"))
-        step(a, 1L, "view").unionByName(step(b, 2L, "click"))
-          .unionByName(step(c, 3L, "purchase"))
-          .orderBy(col("step"))
-      },
+      (s, d) => funnelBoard(s, d, Seq("view", "click", "purchase"),
+        Seq(6L * 3600000L,    // click within 6 h of the first view
+            72L * 3600000L)), // purchase within 72 h of that click
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
           a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
           b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
@@ -380,6 +372,35 @@ object Temporal {
             count(*) AS n_users, CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_ms FROM a
           UNION ALL SELECT 2, 'click', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM b
           UNION ALL SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM c)
+        ORDER BY step""")),
+
+    // ---- ev03: FOUR-step windowed funnel through the same parameterized ----
+    // ---- builder (signup -> view within 7d -> click within 6h ->        ----
+    // ---- purchase within 72h) — the round-9 generalization proof: the   ----
+    // ---- step list and windows are the only thing that differs from     ----
+    // ---- ev01/ev02, the chain itself is StreamingFunnel.batchReference. ----
+    Q("ev03_funnel_4step",
+      (s, d) => funnelBoard(s, d, Seq("signup", "view", "click", "purchase"),
+        Seq(7L * 24 * 3600000L, // first view within 7 d of the signup
+            6L * 3600000L,      // click within 6 h of that view
+            72L * 3600000L)),   // purchase within 72 h of that click
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+          b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
+                WHERE e.event_type = 'view' AND e.ms >= a.t AND e.ms <= a.t + 604800000
+                GROUP BY e.user_id),
+          c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
+                WHERE e.event_type = 'click' AND e.ms >= b.t AND e.ms <= b.t + 21600000
+                GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ms >= c.t AND e.ms <= c.t + 259200000
+                GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+            count(*) AS n_users, CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_ms FROM a
+          UNION ALL SELECT 2, 'view', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM b
+          UNION ALL SELECT 3, 'click', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM c
+          UNION ALL SELECT 4, 'purchase', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM p)
         ORDER BY step""")),
 
     // ---- ses01: batch gap sessionization (gaps-and-islands) ----

@@ -33,7 +33,8 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def startQuery(name: String, delay: String, gaps: Seq[Long] = Nil) = {
+  private def startQuery(name: String, delay: String, gaps: Seq[Long] = Nil,
+                         steps: Seq[String] = null) = {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -42,7 +43,7 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("ets", timestamp_millis(col("ts")))
       .withWatermark("ets", delay)
       .as[FunnelEvent]
-    val query = StreamingFunnel.funnel(events, Steps, gaps)
+    val query = StreamingFunnel.funnel(events, Option(steps).getOrElse(Steps), gaps)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     (input, query)
   }
@@ -192,6 +193,31 @@ class FunnelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
     val batch = StreamingFunnel.batchReference(
         rows.toDF("user_id", "ts", "event_type"), Steps, gaps)
+      .as[StepHit].collect().toSet
+    assert(streamed == batch,
+      s"streaming/batch divergence:\n only-streaming=${streamed -- batch}\n only-batch=${batch -- streamed}")
+  }
+
+  test("FOUR-step windowed funnel equals the batch reference (ev03's builder shape)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val steps4 = Seq("signup", "view", "click", "purchase")
+    val types = Vector("signup", "view", "click", "purchase", "scroll")
+    val rows = (1 to 2500).map { _ =>
+      (rnd.nextInt(40).toLong + 1L, rnd.nextInt(200_000).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    val gaps = Seq(50_000L, 20_000L, 60_000L)
+    val (input, query) = startQuery("funnel_4eqv", "10 seconds", gaps, steps4)
+    rows.sortBy(_._2).grouped(150).map(rnd.shuffle(_)).foreach { batch =>
+      input.addData(batch: _*); query.processAllAvailable()
+    }
+    drain(input, query)
+    val streamed = results("funnel_4eqv").filterNot(_.user_id == 9999L)
+    query.stop()
+    val batch = StreamingFunnel.batchReference(
+        rows.toDF("user_id", "ts", "event_type"), steps4, gaps)
       .as[StepHit].collect().toSet
     assert(streamed == batch,
       s"streaming/batch divergence:\n only-streaming=${streamed -- batch}\n only-batch=${batch -- streamed}")
