@@ -35,13 +35,32 @@ object Tables {
     * a silently mis-scaled epoch column (values 1000x off, row counts still
     * plausible) is precisely the corruption a 100 TB pipeline must refuse to
     * run on rather than propagate. */
+  /** True iff the failure is Spark's unsupported-parquet-type error — the
+    * error CONDITION (PARQUET_TYPE_ILLEGAL), walked through causes, not a
+    * message substring: message sniffing is brittle across Spark versions
+    * and would retry the long-nanos schema on UNRELATED illegal-type
+    * failures (e.g. a different column), masking the real error with a
+    * confusing schema mismatch. FixtureGuardSpec writes a real
+    * TIMESTAMP(NANOS) footer and pins this routing. */
+  private def isParquetTypeIllegal(e: Throwable): Boolean = {
+    @annotation.tailrec
+    def walk(t: Throwable): Boolean = t match {
+      case null => false
+      case st: org.apache.spark.SparkThrowable
+          if st.getCondition != null &&
+            st.getCondition.contains("PARQUET_TYPE_ILLEGAL") => true
+      case t2 => walk(t2.getCause)
+    }
+    walk(e)
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val df =
       try s.read.parquet(path)
       catch {
         // Inference failing on TIMESTAMP(NANOS) == the legacy fixture.
-        case e: Exception if String.valueOf(e.getMessage).contains("ILLEGAL") =>
+        case e: Exception if isParquetTypeIllegal(e) =>
           s.read.schema(eventsNanosSchema).parquet(path)
       }
     val tsType = df.schema("ts").dataType

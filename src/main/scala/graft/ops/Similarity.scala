@@ -32,10 +32,22 @@ object Similarity {
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** embeddings with vec (double) + precomputed norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with vec (double) + precomputed norm. Zero-norm vectors
+    * FAIL LOUDLY (the events-ts discipline, QueryDef.scala): their cosine is
+    * 0/0 = NaN, and NaN silently RANKS DIFFERENTLY between the TopKByDouble
+    * heap (drops NaN — TopKAggregate scaladoc) and a descending row_number
+    * window (ranks NaN first under Spark's double ordering), so one
+    * degenerate embedding would make ss01-ss08 results formulation-dependent
+    * with plausible row counts. The guard is a per-row when() — distributed,
+    * no driver action, negligible cost next to the dot product it follows. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    val nrm = sqrt(dot(col("vec"), col("vec")))
     Tables.spread(t(s, d, "embeddings")).select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
-      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .withColumn("nrm",
+        when(nrm > 0.0, nrm).otherwise(raise_error(concat(
+          lit("zero-norm embedding (vec_id="), col("vec_id").cast("string"),
+          lit(") — cosine would be NaN and rank inconsistently across formulations")))))
+  }
 
   /** Multi-table hyperplane LSH: L tables x B bits of deterministic
     * pseudo-random hyperplanes (seeded LCG, no RNG state). Short codes + many

@@ -35,6 +35,17 @@ object RowJson {
 
   private val F = JsonNodeFactory.instance
 
+  /** NTZ render shape: seconds ALWAYS present (unlike LocalDateTime
+    * .toString), fraction only when non-zero, up to micros (the column's
+    * precision). */
+  private[spark] val NtzFormatter: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 6, true)
+      .optionalEnd()
+      .toFormatter
+
   def rowToJson(row: InternalRow, schema: StructType): JsonNode = {
     val o = F.objectNode()
     var i = 0
@@ -70,11 +81,17 @@ object RowJson {
       // micros since epoch with NO zone attached: render the wall-clock
       // reading as ISO-8601 local date-time (no 'Z'), mirroring the logical
       // type's zone-free semantics (and the reference's logical-type
-      // fidelity, JsonataTransformation.java:530-649)
+      // fidelity, JsonataTransformation.java:530-649). A FIXED formatter,
+      // not LocalDateTime.toString: toString drops ":00" seconds, so the
+      // envelope string's width would vary per value and string operations
+      // ($substring, $split, lexicographic compares) over a rendered NTZ
+      // column would behave inconsistently across rows. Seconds always
+      // print; a non-zero fraction prints at its natural width (the decoder
+      // accepts both shapes).
       F.textNode(java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(v.asInstanceOf[Long], 1000000L),
         (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC).toString)
+        java.time.ZoneOffset.UTC).format(RowJson.NtzFormatter))
     case _: TimeType =>
       // nanos of day -> ISO-8601 local time
       F.textNode(java.time.LocalTime.ofNanoOfDay(v.asInstanceOf[Long]).toString)

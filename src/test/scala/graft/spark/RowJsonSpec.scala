@@ -71,7 +71,7 @@ class RowJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructType.fromDDL("id BIGINT, iso STRING, hasZ BOOLEAN"))
     assert(enc.map(_.toSeq).toSet == Set(
       Seq(1L, "2024-01-30T23:57:12.194062", false),
-      Seq(2L, "2024-01-01T00:00", false))) // LocalDateTime ISO drops :00 seconds
+      Seq(2L, "2024-01-01T00:00:00", false))) // fixed formatter: seconds always print
     // decode: identity projection back into a TIMESTAMP_NTZ output column
     // must preserve micros exactly (symmetric branch)
     val dec = roundTrip(schema, rows, "{'id': value.id, 't': value.t}",
