@@ -405,6 +405,33 @@ object JsonataQueries {
             CASE WHEN avg >= avg THEN 'avg' END) AS major_keys
         FROM stats ORDER BY vec_id""")),
 
+    // ---- jx23: bracket predicates + indexes on the COMPILED tier (B2/B3, ----
+    // ---- the language's most common idiom): boolean predicates ->        ----
+    // ---- native array filter with the per-item context bound, integral   ----
+    // ---- indexes -> get() with negative wrap and undefined out-of-range, ----
+    // ---- chained stages left-to-right, survivor-less = undefined.        ----
+    // (outputs are null-free by construction — the driver hasher reads float
+    // NULL as NaN and NaN != NaN, so undefined-able probes ride behind
+    // $exists ternaries / $count; the undefined corners themselves are
+    // pinned in DifferentialSpec)
+    q("jx23_predicates", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'n_pos': $count(value.embedding[$ > 0]), " +
+        "'head0': value.embedding[0], " +
+        "'tail0': value.embedding[-1], " +
+        "'n_band': $count(value.embedding[$ > 0.05][$ < 0.2]), " +
+        "'first_pos': $exists(value.embedding[$ > 0][0]) ? " +
+        "value.embedding[$ > 0][0] * 1 : 0.0}",
+      "vec_id BIGINT, n_pos BIGINT, head0 DOUBLE, tail0 DOUBLE, n_band BIGINT, first_pos DOUBLE",
+      Seq("vec_id"),
+      Some("""SELECT vec_id,
+          len(list_filter(embedding, x -> x > 0)) AS n_pos,
+          CAST(embedding[1] AS DOUBLE) AS head0,
+          CAST(embedding[-1] AS DOUBLE) AS tail0,
+          len(list_filter(embedding, x -> x > 0.05 AND x < 0.2)) AS n_band,
+          CAST(COALESCE(list_filter(embedding, x -> x > 0)[1], 0) AS DOUBLE) AS first_pos
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -466,9 +466,13 @@ object JsonataCompiler {
     }
 
     /** Param-rooted path inside a lambda body: `$x` / `$x.price.net` — name
-      * steps over the bound element only. Everything else (row paths, `$`,
-      * sorts, predicates, keep-array markers) returns None so the whole query
-      * falls back to the always-correct interpreted tier. */
+      * steps over the bound element only. When a CONTEXT element is bound
+      * (the "" env key, set only while compiling a bracket-predicate stage —
+      * see compilePredicate), bare-name heads also resolve against it:
+      * `price` inside `items[price > 10]` is the element's field, exactly
+      * the engine's per-item predicate context. Everything else (row paths,
+      * sorts, nested predicates, keep-array markers) returns None so the
+      * whole query falls back to the always-correct interpreted tier. */
     private def lambdaPath(p: Path): Option[TCol] = {
       val plain = !p.keepSingletonArray && p.group.isEmpty && p.steps.nonEmpty &&
         !p.steps.exists(s => s.stages.nonEmpty || s.keepArray ||
@@ -478,6 +482,13 @@ object JsonataCompiler {
         if (!plain) None
         else p.steps.head.expr match {
           case VarRef(n) => lambdaEnv.get(n)
+          case NameStep(f) => lambdaEnv.get("").flatMap { ctx =>
+            ctx.dt match {
+              case st: StructType => st.fields.find(_.name == f)
+                .map(fl => TCol(ctx.col.getField(f), fl.dataType))
+              case _ => None
+            }
+          }
           case _ => None
         }
       val it = p.steps.tail.iterator
@@ -584,6 +595,10 @@ object JsonataCompiler {
       * whose body is truthy — compiled only for statically-boolean bodies,
       * where truthiness is the boolean itself and undefined is false. An
       * undefined input array propagates (transform/filter of NULL is NULL).
+      * An EMPTY result is the engine's empty sequence = undefined, so it
+      * becomes SQL NULL (emptyAsNull, round 9): without it, `$sum` over a
+      * survivor-less `$filter` compiled to 0.0 where the engine yields
+      * undefined (found by ProbeEmptyFilter; pinned in DifferentialSpec).
       * Pinned divergence classes shared with the other compiled array ops: a
       * JSON-null ELEMENT raises a type error in the engine (T2010 in the
       * body's arithmetic/comparison) but flows through as NULL here, and a
@@ -605,10 +620,10 @@ object JsonataCompiler {
                 compileLambda(p, et, body).flatMap { case (bf, bt) =>
                   fn match {
                     case "map" =>
-                      Some(TCol(filter(transform(t.col, bf), x => x.isNotNull),
+                      Some(TCol(emptyAsNull(filter(transform(t.col, bf), x => x.isNotNull)),
                         ArrayType(bt)))
                     case "filter" if bt == BooleanType =>
-                      Some(TCol(filter(t.col, e => coalesce(bf(e), lit(false))),
+                      Some(TCol(emptyAsNull(filter(t.col, e => coalesce(bf(e), lit(false)))),
                         ArrayType(et)))
                     case _ => None
                   }
@@ -623,12 +638,12 @@ object JsonataCompiler {
                 compileLambda2(p1, et, p2, LongType, body).flatMap { case (bf, bt) =>
                   fn match {
                     case "map" =>
-                      Some(TCol(filter(transform(t.col,
-                        (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
+                      Some(TCol(emptyAsNull(filter(transform(t.col,
+                        (x, i) => bf(x, i.cast("long"))), x => x.isNotNull)),
                         ArrayType(bt)))
                     case "filter" if bt == BooleanType =>
-                      Some(TCol(filter(t.col,
-                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
+                      Some(TCol(emptyAsNull(filter(t.col,
+                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false)))),
                         ArrayType(et)))
                     case _ => None
                   }
@@ -653,12 +668,12 @@ object JsonataCompiler {
                     case (bf, bt) =>
                       fn match {
                         case "map" =>
-                          Some(TCol(filter(transform(t.col,
-                            (x, i) => bf(x, i.cast("long"))), x => x.isNotNull),
+                          Some(TCol(emptyAsNull(filter(transform(t.col,
+                            (x, i) => bf(x, i.cast("long"))), x => x.isNotNull)),
                             ArrayType(bt)))
                         case "filter" if bt == BooleanType =>
-                          Some(TCol(filter(t.col,
-                            (e, i) => coalesce(bf(e, i.cast("long")), lit(false))),
+                          Some(TCol(emptyAsNull(filter(t.col,
+                            (e, i) => coalesce(bf(e, i.cast("long")), lit(false)))),
                             ArrayType(et)))
                         case _ => None
                       }
@@ -1010,6 +1025,76 @@ object JsonataCompiler {
         }
       }
 
+    /** `value.arr[pred]` / `value.arr[n]` — predicate and index stages on
+      * the FINAL step of a plain value-rooted array path (B2/B3 on the
+      * compiled tier — the language's most common idiom). Boolean predicates
+      * compile like $filter bodies but with the CONTEXT bound: `$` is the
+      * element and bare field names resolve against struct elements (the
+      * context mode of [[lambdaPath]]); an undefined/non-true predicate
+      * drops the item (coalesce false), and a survivor-less result is the
+      * engine's empty sequence = undefined (emptyAsNull). An INTEGRAL
+      * LITERAL stage is an index: the value floors (engine Math.floor —
+      * [-0.5] is the last element), negatives wrap from the end, out of
+      * range is undefined (`get`'s NULL), and the result is the collapsed
+      * ELEMENT — indexing collapses the singleton at the stage boundary in
+      * the engine, so this is exact, not the pinned HOF singleton class.
+      * Stage lists apply left-to-right; an index must be the last stage
+      * (stages over a scalar re-wrap as a singleton in the engine — not
+      * modeled). Non-boolean truthiness predicates, number-VALUED dynamic
+      * predicate expressions (data-dependent index semantics), sort/index-
+      * binding stages, predicates on non-final steps, and predicates inside
+      * lambda bodies stay interpreted. */
+    private def compileStagedPath(steps: Vector[Step]): Option[TCol] = {
+      val last = steps.last
+      if (last.focus.isDefined || last.index.isDefined || last.keepArray) return None
+      if (!last.stages.forall(_.isInstanceOf[FilterStage])) return None
+      arrayValuePath(steps.init :+ last.copy(stages = Vector.empty)).flatMap {
+        case (arr0, at) =>
+          val et = at.elementType
+          var cur = arr0
+          var result: Option[TCol] = None
+          last.stages.foreach {
+            case _ if result.isDefined => return None // stages after an index
+            case FilterStage(ix @ (NumLit(_) | UnaryMinus(NumLit(_)))) =>
+              val signed = ix match {
+                case NumLit(v) => v.doubleValue()
+                case UnaryMinus(NumLit(v)) => -v.doubleValue()
+                case _ => return None
+              }
+              if (!java.lang.Double.isFinite(signed) ||
+                math.abs(signed) > Int.MaxValue.toDouble) return None
+              val idx = math.floor(signed).toLong
+              val gidx = if (idx >= 0) lit(idx.toInt) else (size(cur) + lit(idx.toInt))
+              result = Some(TCol(get(cur, gidx), et))
+            case FilterStage(pred) =>
+              compilePredicate(pred, et) match {
+                case Some(pf) => cur = filter(cur, e => coalesce(pf(e), lit(false)))
+                case None => return None
+              }
+            case _ => return None
+          }
+          result.orElse(Some(TCol(emptyAsNull(cur), at)))
+      }
+    }
+
+    /** A bracket-predicate body compiled against the context element type:
+      * the "" env key carries the element so `$` and bare field names
+      * resolve per item (see lambdaPath's context mode). Statically-boolean
+      * bodies only — the engine's number-valued predicates select by index
+      * per item and general truthiness differs, both stay interpreted. */
+    private def compilePredicate(pred: Ast, et: DataType): Option[Column => Column] = {
+      def inCtx[A](v: TCol)(f: => A): A = {
+        val (se, si) = (lambdaEnv, inLambda)
+        lambdaEnv += ("" -> v); inLambda = true
+        try f finally { lambdaEnv = se; inLambda = si }
+      }
+      inCtx(TCol(lit(null).cast(et), et))(compile(pred)) match {
+        case Some(TCol(_, BooleanType)) =>
+          Some((e: Column) => inCtx(TCol(e, et))(compile(pred)).get.col)
+        case _ => None
+      }
+    }
+
     /** `value.arr^(t1, t2)` -> array_sort with an explicit comparator that
       * replicates the engine's term semantics exactly: undefined keys last
       * (first under `>`), term-major chaining, stable (both sides TimSort).
@@ -1214,6 +1299,15 @@ object JsonataCompiler {
       case BoolLit(b) => Some(TCol(lit(b), BooleanType))
       // lambda parameter reference (`$x` inside a compiled HOF body)
       case VarRef(n) if lambdaEnv.contains(n) => Some(lambdaEnv(n))
+      // a BARE field name inside a bracket-predicate stage (the parser
+      // leaves single names as naked NameSteps there): resolves against the
+      // per-item context element — the "" binding set by compilePredicate
+      case NameStep(f) if lambdaEnv.contains("") =>
+        lambdaEnv("").dt match {
+          case st: StructType => st.fields.find(_.name == f)
+            .map(fl => TCol(lambdaEnv("").col.getField(f), fl.dataType))
+          case _ => None
+        }
       // inside a lambda body only param-rooted paths resolve (the engine's
       // invocation context is null, so `value.*` there is undefined)
       case p: Path if inLambda => lambdaPath(p)
@@ -1221,6 +1315,10 @@ object JsonataCompiler {
       case Path(steps, _, None)
           if steps.length >= 2 && steps.last.expr.isInstanceOf[SortOpNode] =>
         compileSortedPath(steps)
+      // `value.arr[pred][0]` — predicate/index stages on the final step (B2/B3)
+      case Path(steps, false, None)
+          if steps.nonEmpty && steps.last.stages.nonEmpty =>
+        compileStagedPath(steps)
       // `value.arr{key: agg}` — group-by over an array column (B18)
       case Path(steps, _, Some(ctor)) => compileGroupPath(steps, ctor)
       case p: Path =>

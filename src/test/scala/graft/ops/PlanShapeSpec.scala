@@ -190,6 +190,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p22.contains("map_filter"), "map-$sift must be a native map_filter\n" + p22.take(2000))
   }
 
+  test("jx23 bracket predicates/indexes run compiled: native filter/get, no interpreter") {
+    val p = plan("jx23_predicates")
+    assert(!p.contains("jsonata"), "jx23 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("filter("), "bracket predicates must be native array filters\n" + p.take(2000))
+  }
+
   test("jx03 now runs on the compiled tier (split+count fused)") {
     val p = plan("jx03_string_ops")
     assert(!p.contains("jsonata"), "jx03 must compile to native Columns\n" + p.take(2000))

@@ -397,6 +397,67 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id")
   }
 
+  test("bracket predicates and indexes compile and agree (B2/B3 on the compiled tier)") {
+    diff("embeddings",
+      "{'vec_id': value.vec_id," +
+        " 'n_pos': $count(value.embedding[$ > 0])," +
+        " 'sum_band': $sum(value.embedding[$ > 0.5][$ < 1.5])," +
+        " 'none': $sum(value.embedding[$ > 99999])," + // survivor-less -> undefined
+        " 'first': value.embedding[0]," +
+        " 'second': value.embedding[1]," +
+        " 'last': value.embedding[-1]," +
+        " 'fracidx': value.embedding[-0.5]," + // floors to -1: last element
+        " 'oob': value.embedding[999]," +       // out of range -> undefined
+        " 'firstpos': value.embedding[$ > 0][0]}", // filter then index
+      "vec_id BIGINT, n_pos BIGINT, sum_band DOUBLE, none DOUBLE, first FLOAT, " +
+        "second FLOAT, last FLOAT, fracidx FLOAT, oob FLOAT, firstpos FLOAT",
+      "vec_id")
+    // struct elements: bare field names resolve per item (the engine's
+    // predicate context), absent fields drop the item
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row("a", 10L), Row("b", null), Row("c", 40L), Row("d", 5L))),
+        Row(2L, Seq.empty[Row]), Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT>>"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'n_big': $count(value.items[price >= 10])," +
+        " 'any_cheap': $count(value.items[price < 10 and cat != 'zz']) > 0," +
+        " 'total_big': $sum($map(value.items[price >= 10], function($x){ $x.price }))}",
+      "id BIGINT, n_big BIGINT, any_cheap BOOLEAN, total_big BIGINT", "id")
+  }
+
+  test("bracket stages outside the compiled subset fall back") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // number-VALUED dynamic predicate: per-item index selection semantics
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': value.embedding[value.vec_id]}").isEmpty)
+    // truthiness (non-boolean) predicate
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $count(value.embedding[$])}").isEmpty)
+    // stage after an index (re-wraps a scalar as a singleton in the engine)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': value.embedding[0][$ > 0]}").isEmpty)
+    // predicates inside lambda bodies stay interpreted
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $map(value.embedding, function($v, $i, $a){ $count($a[$ > 0]) })}").isEmpty)
+  }
+
+  test("empty HOF results are undefined, not empty arrays ($sum of a survivor-less $filter)") {
+    // the engine's empty sequence is undefined: $sum(undefined) = undefined,
+    // while $sum([]) = 0 — a compiled filter that kept [] instead of NULL
+    // returned 0.0 here (round-9 ProbeEmptyFilter find, fixed by emptyAsNull
+    // on every compiled HOF result)
+    diff("embeddings",
+      "{'vec_id': value.vec_id," +
+        " 'zf': $sum($filter(value.embedding, function($x){ $x > 99999 }))," +
+        " 'zm': $sum($map(value.embedding, function($x){ $x > 99999 ? $x }))," +
+        " 'zc': $count($filter(value.embedding, function($x, $i){ $x > 99999 and $i < 0 }))," +
+        " 'za': $sum($filter(value.embedding, function($x, $i, $a){ $x > $max($a) }))}",
+      "vec_id BIGINT, zf DOUBLE, zm DOUBLE, zc BIGINT, za DOUBLE", "vec_id")
+  }
+
   test("arity-3 hoist: whole-array aggregates evaluate once per row, not per element") {
     import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, HigherOrderFunction}
     val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
