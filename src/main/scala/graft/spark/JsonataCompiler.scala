@@ -1040,21 +1040,31 @@ object JsonataCompiler {
       * the engine, so this is exact, not the pinned HOF singleton class.
       * Stage lists apply left-to-right; an index must be the last stage
       * (stages over a scalar re-wrap as a singleton in the engine — not
-      * modeled). Non-boolean truthiness predicates, number-VALUED dynamic
-      * predicate expressions (data-dependent index semantics), sort/index-
-      * binding stages, predicates on non-final steps, and predicates inside
-      * lambda bodies stay interpreted. */
+      * modeled). TRAILING NAVIGATION after the staged step compiles too:
+      * after an index, plain field access on the collapsed element
+      * (getField — undefined propagates); after predicates, each name maps
+      * over the survivors with engine path semantics (undefined results
+      * drop; empty = undefined) — array-typed fields would need sequence
+      * flattening and stay interpreted. Non-boolean truthiness predicates,
+      * number-VALUED dynamic predicate expressions (data-dependent index
+      * semantics), sort/index-binding stages, stages on more than one step,
+      * and predicates inside lambda bodies stay interpreted. */
     private def compileStagedPath(steps: Vector[Step]): Option[TCol] = {
-      val last = steps.last
-      if (last.focus.isDefined || last.index.isDefined || last.keepArray) return None
-      if (!last.stages.forall(_.isInstanceOf[FilterStage])) return None
-      arrayValuePath(steps.init :+ last.copy(stages = Vector.empty)).flatMap {
+      val si = steps.indexWhere(_.stages.nonEmpty)
+      if (si < 0 || steps.indexWhere(_.stages.nonEmpty, si + 1) >= 0) return None
+      val staged = steps(si)
+      if (staged.focus.isDefined || staged.index.isDefined || staged.keepArray) return None
+      if (!staged.stages.forall(_.isInstanceOf[FilterStage])) return None
+      val trailing = steps.drop(si + 1)
+      if (!trailing.forall(s => s.stages.isEmpty && !s.keepArray &&
+        s.focus.isEmpty && s.index.isEmpty && s.expr.isInstanceOf[NameStep])) return None
+      arrayValuePath(steps.take(si) :+ staged.copy(stages = Vector.empty)).flatMap {
         case (arr0, at) =>
-          val et = at.elementType
+          var et = at.elementType
           var cur = arr0
-          var result: Option[TCol] = None
-          last.stages.foreach {
-            case _ if result.isDefined => return None // stages after an index
+          var scalar: Option[TCol] = None
+          staged.stages.foreach {
+            case _ if scalar.isDefined => return None // stages after an index
             case FilterStage(ix @ (NumLit(_) | UnaryMinus(NumLit(_)))) =>
               val signed = ix match {
                 case NumLit(v) => v.doubleValue()
@@ -1065,7 +1075,7 @@ object JsonataCompiler {
                 math.abs(signed) > Int.MaxValue.toDouble) return None
               val idx = math.floor(signed).toLong
               val gidx = if (idx >= 0) lit(idx.toInt) else (size(cur) + lit(idx.toInt))
-              result = Some(TCol(get(cur, gidx), et))
+              scalar = Some(TCol(get(cur, gidx), et))
             case FilterStage(pred) =>
               compilePredicate(pred, et) match {
                 case Some(pf) => cur = filter(cur, e => coalesce(pf(e), lit(false)))
@@ -1073,7 +1083,36 @@ object JsonataCompiler {
               }
             case _ => return None
           }
-          result.orElse(Some(TCol(emptyAsNull(cur), at)))
+          scalar match {
+            case Some(sc0) =>
+              // collapsed element: trailing names are plain field access
+              trailing.foldLeft(Option(sc0)) {
+                case (Some(acc), st) =>
+                  val NameStep(f) = st.expr: @unchecked
+                  acc.dt match {
+                    case s2: StructType => s2.fields.find(_.name == f)
+                      .map(fl => TCol(acc.col.getField(f), fl.dataType))
+                    case _ => None
+                  }
+                case (none, _) => none
+              }
+            case None =>
+              // survivor array: trailing names map per element, dropping
+              // engine-undefined (NULL) results
+              trailing.foreach { st =>
+                val NameStep(f) = st.expr: @unchecked
+                et match {
+                  case s2: StructType => s2.fields.find(_.name == f) match {
+                    case Some(fl) if !fl.dataType.isInstanceOf[ArrayType] =>
+                      cur = filter(transform(cur, e => e.getField(f)), x => x.isNotNull)
+                      et = fl.dataType
+                    case _ => return None
+                  }
+                  case _ => return None
+                }
+              }
+              Some(TCol(emptyAsNull(cur), if (trailing.isEmpty) at else ArrayType(et)))
+          }
       }
     }
 
@@ -1315,9 +1354,9 @@ object JsonataCompiler {
       case Path(steps, _, None)
           if steps.length >= 2 && steps.last.expr.isInstanceOf[SortOpNode] =>
         compileSortedPath(steps)
-      // `value.arr[pred][0]` — predicate/index stages on the final step (B2/B3)
-      case Path(steps, false, None)
-          if steps.nonEmpty && steps.last.stages.nonEmpty =>
+      // `value.arr[pred][0].field` — predicate/index stages + trailing
+      // navigation on a value-rooted path (B2/B3)
+      case Path(steps, false, None) if steps.exists(_.stages.nonEmpty) =>
         compileStagedPath(steps)
       // `value.arr{key: agg}` — group-by over an array column (B18)
       case Path(steps, _, Some(ctor)) => compileGroupPath(steps, ctor)

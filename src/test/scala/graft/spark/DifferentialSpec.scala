@@ -426,6 +426,17 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         " 'any_cheap': $count(value.items[price < 10 and cat != 'zz']) > 0," +
         " 'total_big': $sum($map(value.items[price >= 10], function($x){ $x.price }))}",
       "id BIGINT, n_big BIGINT, any_cheap BOOLEAN, total_big BIGINT", "id")
+    // trailing navigation after stages: field access on the indexed element,
+    // per-survivor field mapping (null fields drop), empty -> undefined
+    diffDf(df,
+      "{'id': value.id," +
+        " 'first_cat': value.items[0].cat," +
+        " 'top_cat': value.items[price >= 10][0].cat," +
+        " 'n_prices': $count(value.items[cat != 'zz'].price)," + // b's null price drops
+        " 'sum_big': $sum(value.items[price >= 10].price)," +
+        " 'oob_cat': value.items[99].cat}",
+      "id BIGINT, first_cat STRING, top_cat STRING, n_prices BIGINT, " +
+        "sum_big BIGINT, oob_cat STRING", "id")
   }
 
   test("bracket stages outside the compiled subset fall back") {
