@@ -626,6 +626,85 @@ object Similarity {
           m AS (SELECT b.cluster, i - 1 AS dim, v.vec[i] AS x
                 FROM best b JOIN v USING (vec_id), generate_series(1, 64) t(i))
         SELECT cluster, CAST(dim AS INT) AS dim, count(*) AS n, avg(x) AS centroid
-        FROM m GROUP BY cluster, dim ORDER BY cluster, dim"""))
+        FROM m GROUP BY cluster, dim ORDER BY cluster, dim""")),
+
+    // ---- dd11: SemDeDup-style semantic dedup (cluster -> within-cluster ----
+    // ---- cosine -> keep-first). The embedding-space dedup a pretraining ----
+    // ---- pipeline runs where lexical dedup (dd01-dd09) can't see        ----
+    // ---- paraphrases: assign every vector to its nearest of K broadcast ----
+    // ---- seed centroids (ss09's map-only argmin fold), mine semantic-   ----
+    // ---- duplicate pairs (cosine >= Tau) ONLY within a cluster, and     ----
+    // ---- keep the lowest vec_id of each duplicate neighborhood. Scale:  ----
+    // ---- the only quadratic is within clusters — K grows with the       ----
+    // ---- corpus so the per-cluster population (and its pair work) stays ----
+    // ---- bounded, the SemDeDup trade; the pair join is an equi-join on  ----
+    // ---- cluster (ids+vecs only) and hot clusters are census-capped out ----
+    // ---- of pair mining (their members pass through undeduped — the    ----
+    // ---- dial is K, exactly like dd04/dd05's bucket caps). Per-vector   ----
+    // ---- output (cluster, n_semdup, keep) — linear, never a pair dump.  ----
+    Q("dd11_semantic_dedup",
+      (s, d) => {
+        val K = 8
+        val Tau = 0.3
+        val ClusterCap = 4096L
+        val v = vecs(s, d).select(col("vec_id"), col("vec"), col("nrm"))
+        val seed = v.orderBy(col("vec_id")).limit(K)
+          .select(col("vec_id").as("cid"), col("vec").as("cen"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
+        val best = aggregate(col("cs"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d2 = aggregate(zip_with(col("vec"), c.getField("cen"),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+          })
+        val assigned = v.crossJoin(broadcast(seed))
+          .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"), col("nrm"))
+          .persist()
+        val minable = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= ClusterCap).select(col("cluster"))
+        val kept = assigned.join(broadcast(minable), Seq("cluster"))
+        val a = kept.select(col("cluster"), col("vec_id").as("ia"),
+          col("vec").as("va"), col("nrm").as("na"))
+        val b = kept.select(col("cluster"), col("vec_id").as("ib"),
+          col("vec").as("vb"), col("nrm").as("nb"))
+        val sim = a.join(b, Seq("cluster")).filter(col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+          .filter(col("cos") >= Tau)
+        val perVec = sim.groupBy(col("ia")).agg(
+          count(lit(1)).as("n_semdup"),
+          sum(when(col("ib") < col("ia"), 1L).otherwise(0L)).as("earlier"))
+        assigned.join(perVec, col("vec_id") === col("ia"), "left")
+          .select(col("vec_id"), col("cluster"),
+            coalesce(col("n_semdup"), lit(0L)).as("n_semdup"),
+            (coalesce(col("earlier"), lit(0L)) === 0).as("keep"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+            FROM embeddings),
+          seed AS (SELECT vec_id AS cid, vec AS cen FROM v ORDER BY vec_id LIMIT 8),
+          asg AS (SELECT v.vec_id, seed.cid,
+                    list_sum(list_transform(range(1, 65), i ->
+                      (vec[i] - cen[i]) * (vec[i] - cen[i]))) AS d2
+                  FROM v CROSS JOIN seed),
+          best AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn FROM asg) WHERE rn = 1),
+          minable AS (SELECT cluster FROM best GROUP BY cluster HAVING count(*) <= 4096),
+          av AS (SELECT b.cluster, v.vec_id, v.vec
+                 FROM best b JOIN minable USING (cluster) JOIN v USING (vec_id)),
+          p AS (SELECT x.vec_id AS ia, y.vec_id AS ib,
+                  list_cosine_similarity(x.vec, y.vec) AS cos
+                FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id != y.vec_id),
+          f AS (SELECT ia, ib FROM p WHERE cos >= 0.3),
+          agg AS (SELECT ia, CAST(count(*) AS BIGINT) AS n_semdup,
+                    CAST(sum(CASE WHEN ib < ia THEN 1 ELSE 0 END) AS BIGINT) AS earlier
+                  FROM f GROUP BY ia)
+        SELECT b.vec_id, b.cluster, COALESCE(a.n_semdup, 0) AS n_semdup,
+          COALESCE(a.earlier, 0) = 0 AS keep
+        FROM best b LEFT JOIN agg a ON a.ia = b.vec_id
+        ORDER BY b.vec_id"""))
   )
 }
