@@ -403,6 +403,60 @@ object Temporal {
           UNION ALL SELECT 4, 'purchase', count(*), CAST(coalesce(sum(t), 0) AS BIGINT) FROM p)
         ORDER BY step""")),
 
+    // ---- ev04: funnel transition LATENCY stats — how long converting    ----
+    // ---- users take between steps (the product-analytics companion to   ----
+    // ---- the ev01-ev03 counts). Latencies come from the same aligned    ----
+    // ---- per-user step times (StreamingFunnel.batchReference), self-    ----
+    // ---- joined on (user, adjacent step) — co-partitioned equi-join,    ----
+    // ---- no window — then one percentile aggregate per transition       ----
+    // ---- (array of targets = a single per-group buffer, the q20        ----
+    // ---- convention; raw doubles, both engines interpolate lo+(hi-lo)f ----
+    // ---- identically). sum_ms fingerprints the latency multiset.        ----
+    Q("ev04_funnel_latency",
+      (s, d) => {
+        val steps = Seq("view", "click", "purchase")
+        val e = eventsMs(s, d)
+          .select(col("user_id"), col("e_ms").as("ts"), col("event_type"))
+        val hits = graft.streaming.StreamingFunnel.batchReference(e, steps)
+          .select(col("user_id"), col("step").cast("bigint").as("step"), col("t_ms"))
+        val nxt = hits.select(col("user_id"), (col("step") - 1).as("step"),
+          col("t_ms").as("t_next"))
+        hits.join(nxt, Seq("user_id", "step"))
+          .select(col("step"), (col("t_next") - col("t_ms")).as("lat"))
+          .groupBy(col("step"))
+          .agg(count(lit(1)).as("n_users"),
+            expr("percentile(lat, array(0.5D, 0.9D))").as("ps"),
+            sum(col("lat")).as("sum_ms"))
+          .select(col("step"),
+            when(col("step") === 1, "view->click")
+              .otherwise("click->purchase").as("transition"),
+            col("n_users"),
+            get(col("ps"), lit(0)).as("p50"),
+            get(col("ps"), lit(1)).as("p90"),
+            col("sum_ms"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+          b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
+                WHERE e.event_type = 'click' AND e.ms >= a.t GROUP BY e.user_id),
+          c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ms >= b.t GROUP BY e.user_id),
+          l1 AS (SELECT b.t - a.t AS lat FROM a JOIN b USING (user_id)),
+          l2 AS (SELECT c.t - b.t AS lat FROM b JOIN c USING (user_id))
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view->click' AS transition,
+            CAST(count(*) AS BIGINT) AS n_users,
+            quantile_cont(lat, 0.5) AS p50, quantile_cont(lat, 0.9) AS p90,
+            CAST(sum(lat) AS BIGINT) AS sum_ms
+          FROM l1 HAVING count(*) > 0
+          UNION ALL
+          SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT),
+            quantile_cont(lat, 0.5), quantile_cont(lat, 0.9),
+            CAST(sum(lat) AS BIGINT)
+          FROM l2 HAVING count(*) > 0)
+        ORDER BY step""")),
+
     // ---- ses01: batch gap sessionization (gaps-and-islands) ----
     // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
     // session starts when a user's inter-event gap exceeds GapMs. Two windows
