@@ -78,7 +78,7 @@ object DateTimeFmt {
   }
 
   /** Width from a digit-pattern modifier like "0001" / "01" / "#1"; 0 = no pad. */
-  private def padWidth(mod: String): Int = {
+  private[graft] def padWidth(mod: String): Int = {
     val core = mod.takeWhile(ch => ch.isDigit || ch == '#')
     if (core.length > 1 || core.count(_ == '0') > 0) core.length else 0
   }

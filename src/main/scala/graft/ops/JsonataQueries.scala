@@ -347,8 +347,9 @@ object JsonataQueries {
         "'nice': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[FNn,3], [D] [MNn] [Y0001] [h]:[m] [PN]'), " +
         "'ist': $fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01] [H01]:[m][Z01:01t]', '+0530'), " +
         "'rt': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000)), " +
-        "'day_ms': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01]'))}",
-      "doc_id BIGINT, iso STRING, ymd STRING, nice STRING, ist STRING, rt BIGINT, day_ms BIGINT",
+        "'day_ms': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01]')), " +
+        "'sec_ms': $toMillis($fromMillis(value.doc_id * 86400000 + value.n_chars * 12345 + 1500000000000, '[Y0001]-[M01]-[D01] [H01]:[m]:[s]'), '[Y0001]-[M01]-[D01] [H01]:[m]:[s]')}",
+      "doc_id BIGINT, iso STRING, ymd STRING, nice STRING, ist STRING, rt BIGINT, day_ms BIGINT, sec_ms BIGINT",
       Seq("doc_id"),
       Some("""SELECT doc_id,
           strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
@@ -356,7 +357,8 @@ object JsonataQueries {
           strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000), '%a, %-d %B %Y %-I:%M %p') AS nice,
           strftime(epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000 + 19800000), '%Y-%m-%d %H:%M') || '+05:30' AS ist,
           doc_id*86400000 + n_chars*12345 + 1500000000000 AS rt,
-          epoch_ms(date_trunc('day', epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000))) AS day_ms
+          epoch_ms(date_trunc('day', epoch_ms(doc_id*86400000 + n_chars*12345 + 1500000000000))) AS day_ms,
+          ((doc_id*86400000 + n_chars*12345 + 1500000000000) // 1000) * 1000 AS sec_ms
         FROM documents ORDER BY doc_id""")),
 
     // ---- jx21: multi-pair {} group-by on the COMPILED tier — the "object  ----

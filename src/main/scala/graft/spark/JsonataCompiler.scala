@@ -1653,6 +1653,45 @@ object JsonataCompiler {
         // interpreted sibling also propagates the engine exception — the
         // permissive/DLQ path never selects the compiled tier. UTC session
         // only (zone-less strings parse in SESSION tz).
+        // $toMillis with a LITERAL picture (numeric-marker subset): the
+        // engine's parsePicture regex gates the input exactly, components
+        // extract via regexp_extract (evaluated only behind the match check
+        // — And short-circuits, so the ANSI cast of an empty group can't
+        // fire), field bounds replicate ZonedDateTime.of's validation
+        // (minute 60 / hour 24 ERROR in the engine; make_timestamp alone
+        // would roll or null them), calendar validity (Feb 30) comes from
+        // make_timestamp itself (error under ANSI, NULL -> raise otherwise
+        // — the engine raises too), and the millis fraction appends as
+        // exact integer arithmetic. Absent components default like
+        // parsePicture (1970-01-01 00:00:00.000). UTC session only
+        // (make_timestamp reads the session zone).
+        case "toMillis" if args.length == 2 && utcSession =>
+          (str(0), args.lift(1)) match {
+            case (Some(t), Some(StrLit(pic))) =>
+              JsonataCompiler.pictureParseSpec(pic).map { spec =>
+                val s = trim(t.col)
+                def grp(c: Char, default: Int): Column = spec.groups.get(c) match {
+                  case Some(i) => regexp_extract(s, spec.regex, i).cast("int")
+                  case None => lit(default)
+                }
+                val milli = spec.groups.get('f') match {
+                  case Some(i) =>
+                    rpad(regexp_extract(s, spec.regex, i), 3, "0").cast("long")
+                  case None => lit(0L)
+                }
+                val (y, mo, dd) = (grp('Y', 1970), grp('M', 1), grp('D', 1))
+                val (hh, mi, se) = (grp('H', 0), grp('m', 0), grp('s', 0))
+                val bounds = hh <= 23 && mi <= 59 && se <= 59
+                val ms = unix_millis(make_timestamp(y, mo, dd, hh, mi,
+                  se.cast("double"))) + milli
+                TCol(when(t.col.isNull, lit(null).cast(LongType))
+                  .when(s.rlike(spec.regex) && bounds && ms.isNotNull, ms)
+                  .otherwise(raise_error(concat(
+                    lit(s"D3136: '"), s, lit(s"' does not match picture '$pic'")))
+                    .cast(LongType)), LongType)
+              }
+            case _ => None
+          }
         case "toMillis" if args.length == 1 && utcSession =>
           str(0).map { t =>
             val s = trim(t.col)
@@ -2049,6 +2088,43 @@ object JsonataCompiler {
       case Left(l) => "'" + l.replace("'", "''") + "'"
       case Right(p) => p
     }.mkString)
+  }
+
+  /** Compiled parse plan for a LITERAL $toMillis picture: the exact regex
+    * parsePicture would build (one capture group per marker, quoted
+    * literals, anchored) plus the capture-group index of each component.
+    * Numeric-marker subset only — Y/M/D/H/m/s/f with digit-pad modifiers.
+    * [Y] must be width-BOUNDED: its unbounded `(\d+)` group lets the engine
+    * parse 5+-digit years that Spark's timestamp range rejects (error where
+    * the engine succeeds); a bounded [Y0001] caps at 9999, inside both.
+    * 12-hour [h]/[P], zones [Z]/[z], day-of-year [d], and name components
+    * stay interpreted (their extraction arithmetic has no faithful
+    * column-side form). Duplicate components keep the LAST group —
+    * parsePicture overwrites on re-assignment. */
+  private[spark] final case class PictureParse(regex: String, groups: Map[Char, Int])
+
+  private[spark] def pictureParseSpec(pic: String): Option[PictureParse] = {
+    val toks =
+      try graft.jsonata.DateTimeFmt.tokens(pic)
+      catch { case _: Exception => return None }
+    val re = new StringBuilder("^")
+    var gi = 0
+    var groups = Map.empty[Char, Int]
+    toks.foreach {
+      case Left(l) => re.append(java.util.regex.Pattern.quote(l))
+      case Right(graft.jsonata.DateTimeFmt.Marker(comp, mod)) =>
+        if (!"YMDHmsf".contains(comp)) return None
+        // fmtNum-style mods only (no names/ordinals/words/roman)
+        val core = mod.split(',')(0)
+        if (!core.forall(ch => ch.isDigit || ch == '#')) return None
+        val w = graft.jsonata.DateTimeFmt.padWidth(core)
+        if (comp == 'Y' && w == 0) return None // unbounded year: see scaladoc
+        gi += 1
+        groups += (comp -> gi)
+        re.append(if (w > 0) s"(\\d{1,$w})" else "(\\d+)")
+    }
+    re.append("$")
+    if (groups.isEmpty) None else Some(PictureParse(re.toString, groups))
   }
 
   /** A regex literal's pattern string with its lexer flags (i/m/s) embedded

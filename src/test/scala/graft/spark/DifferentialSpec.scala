@@ -921,6 +921,64 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id BIGINT, rt BIGINT, day BIGINT", "id")
   }
 
+  test("compiled pictured $toMillis agrees on numeric-marker pictures") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def df(ss: Seq[String]) = spark.createDataFrame(
+      ss.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }.asJava,
+      StructType.fromDDL("id BIGINT, s STRING"))
+    // full datetime, compact, ragged widths (regex (\d{1,w}) accepts short
+    // groups), year 0, fraction widths, defaults for absent components
+    diffDf(df(Seq("2024-08-14 01:02:03", "0004-01-02 23:59:59", "0000-01-01 00:00:00")),
+      "{'id': value.id, 'ms': $toMillis(value.s, '[Y0001]-[M01]-[D01] [H01]:[m]:[s]')}",
+      "id BIGINT, ms BIGINT", "id")
+    diffDf(df(Seq("20240814", "00700101")),
+      "{'id': value.id, 'ms': $toMillis(value.s, '[Y0001][M01][D01]')}",
+      "id BIGINT, ms BIGINT", "id")
+    diffDf(df(Seq("14/8/2024 7:5:3.5", "1/1/1999 0:0:0.25")),
+      "{'id': value.id, 'ms': $toMillis(value.s, '[D]/[M]/[Y0001] [H]:[m]:[s].[f1]')}",
+      "id BIGINT, ms BIGINT", "id")
+    // round-trip through the compiled pictured formatter
+    diffDf(millisDf,
+      "{'id': value.id, 'rt': $toMillis($fromMillis(value.ms, " +
+        "'[Y0001]-[M01]-[D01] [H01]:[m]:[s].[f001]'), " +
+        "'[Y0001]-[M01]-[D01] [H01]:[m]:[s].[f001]')}",
+      "id BIGINT, rt BIGINT", "id")
+    // error parity: regex mismatch, hour 24 / minute 60 (ZonedDateTime.of
+    // validation), Feb 30 (calendar validity)
+    for (bad <- Seq("2024-13-14 01:02:03x", "2024-08-14 24:00:00",
+      "2024-08-14 01:60:00", "2024-02-30 01:02:03")) {
+      val d1 = df(Seq(bad))
+      val expr = "{'id': value.id, 'ms': $toMillis(value.s, '[Y0001]-[M01]-[D01] [H01]:[m]:[s]')}"
+      val c = JsonataCompiler.transformCompiled(d1, expr)
+      assert(c.isDefined)
+      assert(intercept[Exception](c.get.collect()) != null, s"compiled must raise on '$bad'")
+      assert(intercept[Exception](JsonataDF.transformAs(d1, expr,
+        StructType.fromDDL("id BIGINT, ms BIGINT")).collect()) != null,
+        s"interpreter must raise on '$bad'")
+    }
+    // UNDELIMITED [H01][m][s] is ambiguous under the engine's greedy (\d+)
+    // groups: "034729" binds minute=472 and BOTH tiers error — a picture
+    // design trap, not a tier divergence (found via jx20's first cut)
+    locally {
+      val d1 = df(Seq("20240814 034729"))
+      val expr = "{'id': value.id, 'ms': $toMillis(value.s, '[Y0001][M01][D01] [H01][m][s]')}"
+      val c = JsonataCompiler.transformCompiled(d1, expr)
+      assert(c.isDefined)
+      assert(intercept[Exception](c.get.collect()) != null,
+        "compiled must raise on the ambiguous undelimited picture")
+      assert(intercept[Exception](JsonataDF.transformAs(d1, expr,
+        StructType.fromDDL("id BIGINT, ms BIGINT")).collect()) != null,
+        "interpreter must raise on the ambiguous undelimited picture")
+    }
+    // out-of-subset pictures stay interpreted: unbounded year, 12-hour,
+    // zones, day-of-year, month names
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (pic <- Seq("[Y]-[M01]", "[h]:[m] [PN]", "[H01][Z]", "[d] [Y0001]", "[MNn] [Y0001]"))
+      assert(JsonataCompiler.transformCompiled(emb,
+        s"{'x': $$toMillis('x', '$pic')}").isEmpty, s"picture '$pic' must fall back")
+  }
+
   test("compiled $toMillis raises where the engine raises (shape and semantic errors)") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
@@ -1033,9 +1091,12 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DST-bearing named zone: offset is not static
     assert(JsonataCompiler.transformCompiled(emb,
       "{'x': $fromMillis(value.vec_id, '[Y0001]', 'Europe/Paris')}").isEmpty)
-    // pictured $toMillis stays interpreted
+    // numeric-marker pictured $toMillis compiles (see the dedicated test);
+    // non-literal pictures stay interpreted
     assert(JsonataCompiler.transformCompiled(emb,
-      "{'x': $toMillis('2024-08-14', '[Y0001]-[M01]-[D01]')}").isEmpty)
+      "{'x': $toMillis('2024-08-14', '[Y0001]-[M01]-[D01]')}").isDefined)
+    assert(JsonataCompiler.transformCompiled(emb,
+      "{'x': $toMillis('2024-08-14', value.vec_id & '')}").isEmpty)
   }
 
   test("object operator shapes outside the subset fall back to the interpreter") {
