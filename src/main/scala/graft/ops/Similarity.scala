@@ -628,6 +628,103 @@ object Similarity {
         SELECT cluster, CAST(dim AS INT) AS dim, count(*) AS n, avg(x) AS centroid
         FROM m GROUP BY cluster, dim ORDER BY cluster, dim""")),
 
+    // ---- ss10: product quantization (PQ) encode + ADC top-k scan ----
+    // The memory-bandwidth half of IVFADC (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search"): split each 64-dim vector
+    // into M=8 subspaces, encode every subvector as the id of its nearest
+    // sub-codebook centroid (squared L2, ties to the lowest id), and answer
+    // queries with asymmetric distance computation — the query precomputes a
+    // per-subspace distance TABLE against the codebook, and each corpus
+    // vector scores as M table lookups instead of a 64-dim float dot.
+    // Codebook = subvectors of a BOUNDED systematic sample (the ss04
+    // sampled-centroid flavor: stride = max(61, N/16) keeps it <= ~16 rows
+    // at any corpus size, one tiny driver scalar like ss04's). Scale shape:
+    // encoding is MAP-ONLY (one-row codebook broadcast crossJoin, argmin as
+    // a fold — no N x K candidate rows, no corpus shuffle); the stored code
+    // relation is M small ints per vector (~32x narrower than the float
+    // corpus — the reason PQ exists); the ADC scan is the ss01 broadcast
+    // shape over that narrow relation, with the final per-query top-k the
+    // only shuffle. Compose with ss04's bucket assignment for full IVFADC
+    // (probe buckets first, ADC-score inside). Deterministic end-to-end
+    // (sampled codebook, strict-< argmin, fold-ordered double sums) =>
+    // EXACT DuckDB oracle: list_sum over index comprehensions replays the
+    // identical left-to-right IEEE op sequence, and the ADC sum re-sums the
+    // m-terms through list(dd ORDER BY m) so even the aggregation order
+    // matches the Spark fold.
+    Q("ss10_pq_adc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val M = 8
+        val SubDim = 8
+        val K = 16L
+        val TopK = 5
+        val v = t(s, d, "embeddings").select(col("vec_id"), asD(col("embedding")).as("vec"))
+        val stride = math.max(61L, v.count() / K)
+        // sub-codebook: j-th centroid = the sampled vector at vec_id =
+        // j*stride + 7 (dense ids by construction — see the ss04 note)
+        val cbRows = v.filter(col("vec_id") % stride === 7)
+          .select(floor(col("vec_id") / stride).cast("int").as("j"), col("vec"))
+        val cbAgg = broadcast(cbRows
+          .agg(array_sort(collect_list(struct(col("j"), col("vec")))).as("cb")))
+        def sub(vc: Column, m: Column): Column =
+          slice(vc, m * lit(SubDim) + lit(1), lit(SubDim))
+        def sqd(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, z) => acc + z)
+        // PQ encode: array<int> of M sub-codes per vector, map-only
+        val enc = v.crossJoin(cbAgg).select(col("vec_id"),
+          transform(sequence(lit(0), lit(M - 1)), m =>
+            aggregate(col("cb"),
+              struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
+              (acc, e) => {
+                val dd = sqd(sub(col("vec"), m), sub(e.getField("vec"), m))
+                when(dd < acc.getField("d"),
+                  struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
+              },
+              acc => acc.getField("j"))).as("code"))
+        // per-query ADC tables: qtab[m][j] = ||q_sub_m - cb_j_sub_m||^2
+        val qt = broadcast(v.filter(col("vec_id") % 100 === 0).crossJoin(cbAgg)
+          .select(col("vec_id").as("q_id"),
+            transform(sequence(lit(0), lit(M - 1)), m =>
+              transform(col("cb"), e =>
+                sqd(sub(col("vec"), m), sub(e.getField("vec"), m)))).as("qtab")))
+        val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (a, m) =>
+          a + element_at(element_at(col("qtab"), m + lit(1)),
+            element_at(col("code"), m + lit(1)) + lit(1)))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+        qt.join(enc, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), adc.as("adc"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          cb AS (SELECT CAST(vec_id // greatest(61, (SELECT count(*) FROM v) // 16) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 16) = 7),
+          xd AS (SELECT v.vec_id, m.m, c.j,
+                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              for i in generate_series(1,8) ]) AS dd
+                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
+          codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dd ASC, j ASC) AS rn
+                      FROM xd) WHERE rn = 1),
+          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % 100 = 0),
+          pairs AS (SELECT qd.q_id, c.vec_id,
+                      list_sum(list(qd.dd ORDER BY qd.m)) AS adc
+                    FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.j
+                    WHERE c.vec_id <> qd.q_id
+                    GROUP BY qd.q_id, c.vec_id),
+          ranked AS (SELECT q_id, vec_id, adc,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc ASC, vec_id) AS rank
+                     FROM pairs)
+        SELECT q_id, vec_id AS neighbor_id, adc, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // ---- dd11: SemDeDup-style semantic dedup (cluster -> within-cluster ----
     // ---- cosine -> keep-first). The embedding-space dedup a pretraining ----
     // ---- pipeline runs where lexical dedup (dd01-dd09) can't see        ----

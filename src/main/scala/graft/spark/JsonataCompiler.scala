@@ -1044,11 +1044,14 @@ object JsonataCompiler {
       * after an index, plain field access on the collapsed element
       * (getField — undefined propagates); after predicates, each name maps
       * over the survivors with engine path semantics (undefined results
-      * drop; empty = undefined) — array-typed fields would need sequence
-      * flattening and stay interpreted. Non-boolean truthiness predicates,
-      * number-VALUED dynamic predicate expressions (data-dependent index
-      * semantics), sort/index-binding stages, stages on more than one step,
-      * and predicates inside lambda bodies stay interpreted. */
+      * drop; empty = undefined), and an ARRAY-typed field spreads its
+      * elements into the sequence (one-level flatten per navigation step,
+      * null results filtered before the flatten). String-typed predicates
+      * compile as truthiness (non-empty keeps). Array/object truthiness
+      * predicates, number-VALUED dynamic predicate expressions
+      * (data-dependent index semantics), sort/index-binding stages, stages
+      * on more than one step, and predicates inside lambda bodies stay
+      * interpreted. */
     private def compileStagedPath(steps: Vector[Step]): Option[TCol] = {
       val si = steps.indexWhere(_.stages.nonEmpty)
       if (si < 0 || steps.indexWhere(_.stages.nonEmpty, si + 1) >= 0) return None
@@ -1098,15 +1101,24 @@ object JsonataCompiler {
               }
             case None =>
               // survivor array: trailing names map per element, dropping
-              // engine-undefined (NULL) results
+              // engine-undefined (NULL) results; an ARRAY-typed field
+              // spreads its elements into the result sequence (engine path
+              // navigation flattens one level per step) — null results must
+              // be filtered BEFORE flatten, which would otherwise null the
+              // whole sequence
               trailing.foreach { st =>
                 val NameStep(f) = st.expr: @unchecked
                 et match {
                   case s2: StructType => s2.fields.find(_.name == f) match {
-                    case Some(fl) if !fl.dataType.isInstanceOf[ArrayType] =>
-                      cur = filter(transform(cur, e => e.getField(f)), x => x.isNotNull)
-                      et = fl.dataType
-                    case _ => return None
+                    case Some(fl) => fl.dataType match {
+                      case ArrayType(inner, _) =>
+                        cur = flatten(filter(transform(cur, e => e.getField(f)), x => x.isNotNull))
+                        et = inner
+                      case other =>
+                        cur = filter(transform(cur, e => e.getField(f)), x => x.isNotNull)
+                        et = other
+                    }
+                    case None => return None
                   }
                   case _ => return None
                 }
@@ -1119,8 +1131,13 @@ object JsonataCompiler {
     /** A bracket-predicate body compiled against the context element type:
       * the "" env key carries the element so `$` and bare field names
       * resolve per item (see lambdaPath's context mode). Statically-boolean
-      * bodies only — the engine's number-valued predicates select by index
-      * per item and general truthiness differs, both stay interpreted. */
+      * bodies compile directly; statically-STRING bodies compile as JSONata
+      * truthiness (non-empty string keeps the item — undefined and the
+      * empty string both drop, matching `truthy`'s textual branch, and a
+      * string result can never hit the numeric index-selection path). The
+      * engine's number-valued predicates select by index per item and
+      * array/object truthiness differs structurally — those stay
+      * interpreted. */
     private def compilePredicate(pred: Ast, et: DataType): Option[Column => Column] = {
       def inCtx[A](v: TCol)(f: => A): A = {
         val (se, si) = (lambdaEnv, inLambda)
@@ -1130,6 +1147,8 @@ object JsonataCompiler {
       inCtx(TCol(lit(null).cast(et), et))(compile(pred)) match {
         case Some(TCol(_, BooleanType)) =>
           Some((e: Column) => inCtx(TCol(e, et))(compile(pred)).get.col)
+        case Some(TCol(_, StringType)) =>
+          Some((e: Column) => length(inCtx(TCol(e, et))(compile(pred)).get.col) > lit(0))
         case _ => None
       }
     }

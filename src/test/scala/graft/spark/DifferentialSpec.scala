@@ -455,6 +455,40 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{'x': $map(value.embedding, function($v, $i, $a){ $count($a[$ > 0]) })}").isEmpty)
   }
 
+  test("string-truthiness predicates and array-field trailing navigation compile") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // cat exercises all three truthiness outcomes: non-empty keeps, empty
+    // string drops, absent (null) drops
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, Seq(Row("a", 10L, Seq("x", "y")), Row("", 20L, Seq.empty[String]),
+          Row(null, 30L, null), Row("d", 5L, Seq("z", null, "w")))),
+        Row(2L, Seq(Row("", 7L, Seq("only")))),
+        Row(3L, Seq.empty[Row]), Row(4L, null)).asJava,
+      StructType.fromDDL(
+        "id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT, tags: ARRAY<STRING>>>"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'n_named': $count(value.items[cat])," +            // string truthiness
+        " 'named_sum': $sum(value.items[cat].price)," +      // truthiness + trailing
+        " 'first_named': value.items[cat][0].cat," +         // truthiness + index + nav
+        " 'n_tags': $count(value.items[price < 25].tags)," + // ARRAY field spreads; null field drops
+        " 'n_dtags': $count($distinct(value.items[cat != ''][price <= 10].tags))}",
+      "id BIGINT, n_named BIGINT, named_sum BIGINT, first_named STRING, " +
+        "n_tags BIGINT, n_dtags BIGINT", "id")
+    // a null element spread from a tags array is a real JSON null in the
+    // sequence: $count counts it (row 1: x,y,z,null,w -> 5 through both tiers)
+    val counted = JsonataCompiler.transformCompiled(df,
+      "{'id': value.id, 'n': $count(value.items[price < 25].tags)}").get
+      .orderBy("id").collect()
+    assert(counted(0).getLong(1) == 5L, s"expected the spread null tag to count: ${counted.toSeq}")
+    // struct-typed (object-truthiness) predicates stay interpreted
+    assert(JsonataCompiler.transformCompiled(df, "{'x': $count(value.items[$])}").isEmpty)
+    // array-typed (array-truthiness) predicates stay interpreted
+    assert(JsonataCompiler.transformCompiled(df, "{'x': $count(value.items[tags])}").isEmpty)
+  }
+
   test("empty HOF results are undefined, not empty arrays ($sum of a survivor-less $filter)") {
     // the engine's empty sequence is undefined: $sum(undefined) = undefined,
     // while $sum([]) = 0 — a compiled filter that kept [] instead of NULL
