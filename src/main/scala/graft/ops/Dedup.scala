@@ -833,6 +833,87 @@ object Dedup {
           count(*) AS shared_fps, CAST(sum(a.n * b.n) AS BIGINT) AS dup_doc_pairs
         FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
         WHERE a.fp IN (SELECT fp FROM multi)
-        GROUP BY source_a, source_b ORDER BY source_a, source_b"""))
+        GROUP BY source_a, source_b ORDER BY source_a, source_b""")),
+
+    // ---- dd12: incremental NEAR-dup — the new batch screened against the ----
+    // ---- corpus's MinHash-LSH index (dd07's incremental shape x dd04's   ----
+    // ---- near-dup detection). The production daily-ingest step: exact    ----
+    // ---- incremental dedup (dd07/bf01) only catches byte-identical docs; ----
+    // ---- this catches the re-crawled/retemplated near-copies too.        ----
+    // Scale shape: the corpus side IS the precomputed banded index a 100 TB
+    // deployment stores (16 narrow (band, bkey, doc_id) rows per corpus
+    // doc); the increment computes its own bands map-only and equi-joins
+    // the index on (band, bkey) — candidates ∝ colliding bands, never
+    // batch x corpus; hot index buckets are census-capped (the dd04
+    // BlockCap argument, inert at test scale); candidates verify against
+    // exact shingle Jaccard so the output has NO false positives. Per-doc
+    // verdicts (n_near, max_j, keep), linear in the batch.
+    Q("dd12_incremental_neardup",
+      (s, d) => {
+        val base = withShingles(Tables.spread(t(s, d, "documents")), "sh",
+            col("doc_id"), col("source"), Sampling.hashBucket(col("doc_id")).as("bk"))
+          .withColumn("n", size(col("sh")))
+          .persist() // bands + both sides of verification share the shingle scan
+        val bands = base
+          .select(col("doc_id"), col("bk"), minhashSig(col("sh")).as("sig"))
+          .select(col("doc_id"), col("bk"), posexplode(
+            transform(sequence(lit(0), lit(15)), bnd =>
+              xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
+          ).as(Seq("band", "bkey")))
+          .persist()
+        val corpusBands = bands.filter(col("bk") < 80)
+          .select(col("doc_id").as("doc_c"), col("band"), col("bkey"))
+        val hot = corpusBands.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bc"))
+          .filter(col("bc") > BlockCap).select(col("band"), col("bkey"))
+        val keptCorpus = corpusBands.join(hot, Seq("band", "bkey"), "left_anti")
+        val cand = bands.filter(col("bk") >= 80)
+          .select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+          .join(keptCorpus, Seq("band", "bkey"))
+          .select(col("doc_b"), col("doc_c")).distinct()
+        val inter = size(array_intersect(col("shb"), col("shc"))).cast("double")
+        val verified = cand
+          .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+            col("n").as("n_b")), "doc_b")
+          .join(base.select(col("doc_id").as("doc_c"), col("sh").as("shc"),
+            col("n").as("n_c")), "doc_c")
+          .select(col("doc_b"),
+            (inter / (col("n_b") + col("n_c") - inter)).as("jaccard"))
+          .filter(col("jaccard") >= 0.3)
+        val perDoc = verified.groupBy(col("doc_b"))
+          .agg(count(lit(1)).as("n_near"), max(col("jaccard")).as("max_j"))
+        base.filter(col("bk") >= 80)
+          .select(col("doc_id"), col("source"))
+          .join(perDoc, col("doc_id") === col("doc_b"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            // 0.0 sentinel, not NULL: jaccard >= 0.3 so 0.0 is unambiguous,
+            // and a nullable double would make the driver's float compare
+            // NaN-poisoned on the no-neighbor rows
+            coalesce(col("max_j"), lit(0.0)).as("max_j"),
+            col("n_near").isNull.as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      // Exact oracle: all batch x corpus pairs at jaccard >= 0.3 (sound for
+      // the same reason as dd04 — verification removes all false positives
+      // and banded recall is 100% on the fixed fixtures, DedupRecallSpec).
+      Some(s"""WITH b AS (
+            SELECT doc_id, source, ${Sampling.hashBucketSql("doc_id")} AS bk,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w)-2)]) AS sh
+            FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                  FROM documents)),
+          k AS (SELECT doc_id, source, bk, sh, len(sh) AS n FROM b),
+          pairs AS (SELECT bt.doc_id AS doc_b,
+                      len(list_intersect(bt.sh, c.sh))::DOUBLE /
+                        (bt.n + c.n - len(list_intersect(bt.sh, c.sh))) AS jaccard
+                    FROM k bt JOIN k c ON bt.bk >= 80 AND c.bk < 80),
+          f AS (SELECT doc_b, CAST(count(*) AS BIGINT) AS n_near, max(jaccard) AS max_j
+                FROM pairs WHERE jaccard >= 0.3 GROUP BY doc_b)
+        SELECT bt.doc_id, bt.source, coalesce(f.n_near, 0) AS n_near,
+          coalesce(f.max_j, 0.0) AS max_j, f.n_near IS NULL AS keep
+        FROM k bt LEFT JOIN f ON f.doc_b = bt.doc_id
+        WHERE bt.bk >= 80
+        ORDER BY bt.doc_id"""))
   )
 }

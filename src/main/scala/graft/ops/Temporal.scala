@@ -457,6 +457,51 @@ object Temporal {
           FROM l2 HAVING count(*) > 0)
         ORDER BY step""")),
 
+    // ---- ev05: weekly cohort retention matrix — the other standard       ----
+    // ---- event-analytics board next to funnels: users cohorted by the    ----
+    // ---- epoch-week of their FIRST event, then counted as active in each ----
+    // ---- later week-period, with retention = active / cohort size.       ----
+    // Scale shape: first-event is a per-user partial agg (map-side
+    // combine); the cohort join co-partitions on user_id with the event
+    // scan; the (user, cohort, period) distinct partial-aggs BEFORE its
+    // exchange (a zipf-hot user collapses to one row per period map-side);
+    // the final matrix is |weeks| x |periods| — tiny — and the cohort-size
+    // attach is a broadcast self-join on that tiny relation. All time
+    // bucketing is INTEGRAL (`div` / `//`) — BIGINT-exact on both engines,
+    // no float-floor class at all.
+    Q("ev05_cohort_retention",
+      (s, d) => {
+        val week = 7L * 86400000L
+        val e = eventsMs(s, d).select(col("user_id"), col("e_ms"))
+        val first = e.groupBy(col("user_id")).agg(min(col("e_ms")).as("first_ms"))
+        val cohorted = e.join(first, Seq("user_id"))
+          .select(col("user_id"),
+            expr(s"first_ms div $week").as("cohort_week"),
+            (expr(s"e_ms div $week") - expr(s"first_ms div $week")).as("period"))
+          .distinct()
+        val g = cohorted.groupBy(col("cohort_week"), col("period"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = g.filter(col("period") === 0)
+          .select(col("cohort_week"), col("n_active").as("cohort_size"))
+        g.join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week"), col("period"), col("n_active"),
+            col("cohort_size"),
+            (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+          .orderBy(col("cohort_week"), col("period"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms FROM events),
+          f AS (SELECT user_id, min(ms) AS first_ms FROM e GROUP BY user_id),
+          c AS (SELECT DISTINCT e.user_id, first_ms // 604800000 AS cohort_week,
+                  ms // 604800000 - first_ms // 604800000 AS period
+                FROM e JOIN f USING (user_id)),
+          g AS (SELECT cohort_week, period, CAST(count(*) AS BIGINT) AS n_active
+                FROM c GROUP BY cohort_week, period),
+          s AS (SELECT cohort_week, n_active AS cohort_size FROM g WHERE period = 0)
+        SELECT g.cohort_week, g.period, g.n_active, s.cohort_size,
+          CAST(g.n_active AS DOUBLE) / s.cohort_size AS retention
+        FROM g JOIN s USING (cohort_week)
+        ORDER BY g.cohort_week, g.period""")),
+
     // ---- ses01: batch gap sessionization (gaps-and-islands) ----
     // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
     // session starts when a user's inter-event gap exceeds GapMs. Two windows
