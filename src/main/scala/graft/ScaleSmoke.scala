@@ -82,9 +82,11 @@ object ScaleSmoke {
     // documents/embeddings plus zipf-skewed events and a minimal orders
     // table for the temporal/session family)
     val prefixes = Seq("dd", "bf", "dc", "ss", "sp", "tx", "ch", "pii", "pp",
-      "ses", "aj", "rj", "ev0", "jx1", // jx10+ are the embeddings-based compiled-tier queries
-      "mm06", // the only multimodal op with a join (mm01-mm05 are map-only)
-      "mm07") // per-doc windows + the HOF energy loop (frame-count scaling)
+      "ses", "aj", "rj", "ev0",
+      "jx1", "jx2", // jx10+ are the embeddings/documents compiled-tier queries
+      "mm06", // multimodal ops with joins (mm01-mm05 are map-only)
+      "mm07", // per-doc windows + the fused energy kernel (frame-count scaling)
+      "mm08") // the banded per-doc summary over the same vector relation
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

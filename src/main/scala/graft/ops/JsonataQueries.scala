@@ -434,6 +434,29 @@ object JsonataQueries {
           CAST(COALESCE(list_filter(embedding, x -> x > 0)[1], 0) AS DOUBLE) AS first_pos
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx24: stages on NON-PATH bases + string truthiness on the       ----
+    // ---- COMPILED tier (round 9): `$split(..)[pred]` routes the shared    ----
+    // ---- FilterStage machinery over a compiled call result — string-     ----
+    // ---- truthiness predicates ($ = non-empty keeps), boolean predicates ----
+    // ---- with $ context, and index collapse, all inside whole-stage      ----
+    // ---- codegen. last_long rides behind a ternary so the output is      ----
+    // ---- null-free (the jx23 driver-hasher convention).                  ----
+    q("jx24_filtered_calls", "documents",
+      "{'doc_id': value.doc_id, " +
+        "'n_words': $count($split(value.text, ' ')[$]), " +
+        "'n_long': $count($split(value.text, ' ')[$length($) > 4]), " +
+        "'first_word': $split(value.text, ' ')[0], " +
+        "'last_long': $exists($split(value.text, ' ')[$length($) > 4][-1]) ? " +
+        "$split(value.text, ' ')[$length($) > 4][-1] : ''}",
+      "doc_id BIGINT, n_words BIGINT, n_long BIGINT, first_word STRING, last_long STRING",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          len(list_filter(string_split(text, ' '), x -> x != '')) AS n_words,
+          len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long,
+          string_split(text, ' ')[1] AS first_word,
+          COALESCE(list_filter(string_split(text, ' '), x -> len(x) > 4)[-1], '') AS last_long
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

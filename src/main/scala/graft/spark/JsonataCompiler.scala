@@ -1066,25 +1066,10 @@ object JsonataCompiler {
           var et = at.elementType
           var cur = arr0
           var scalar: Option[TCol] = None
-          staged.stages.foreach {
-            case _ if scalar.isDefined => return None // stages after an index
-            case FilterStage(ix @ (NumLit(_) | UnaryMinus(NumLit(_)))) =>
-              val signed = ix match {
-                case NumLit(v) => v.doubleValue()
-                case UnaryMinus(NumLit(v)) => -v.doubleValue()
-                case _ => return None
-              }
-              if (!java.lang.Double.isFinite(signed) ||
-                math.abs(signed) > Int.MaxValue.toDouble) return None
-              val idx = math.floor(signed).toLong
-              val gidx = if (idx >= 0) lit(idx.toInt) else (size(cur) + lit(idx.toInt))
-              scalar = Some(TCol(get(cur, gidx), et))
-            case FilterStage(pred) =>
-              compilePredicate(pred, et) match {
-                case Some(pf) => cur = filter(cur, e => coalesce(pf(e), lit(false)))
-                case None => return None
-              }
-            case _ => return None
+          runFilterStages(arr0, at, staged.stages) match {
+            case None => return None
+            case Some(Left(sc)) => scalar = Some(sc)
+            case Some(Right(arr)) => cur = arr
           }
           scalar match {
             case Some(sc0) =>
@@ -1126,6 +1111,43 @@ object JsonataCompiler {
               Some(TCol(emptyAsNull(cur), if (trailing.isEmpty) at else ArrayType(et)))
           }
       }
+    }
+
+    /** The FilterStage loop shared by [[compileStagedPath]] (stages on a
+      * path step) and the Filtered case (stages on a non-path base like
+      * `$split(..)[pred]`): boolean/string-truthiness predicates filter in
+      * order; an integral LITERAL stage indexes (floored value, negative
+      * wrap, out-of-range undefined) and must be last — the engine
+      * re-wraps a scalar as a singleton for later stages, which is not
+      * modeled. Returns Left(collapsed element) after an index,
+      * Right(surviving array) otherwise; the CALLER applies emptyAsNull
+      * (and any trailing navigation) to the array form. */
+    private def runFilterStages(arr0: Column, at: ArrayType,
+                                stages: Vector[Stage]): Option[Either[TCol, Column]] = {
+      val et = at.elementType
+      var cur = arr0
+      var scalar: Option[TCol] = None
+      stages.foreach {
+        case _ if scalar.isDefined => return None // stages after an index
+        case FilterStage(ix @ (NumLit(_) | UnaryMinus(NumLit(_)))) =>
+          val signed = ix match {
+            case NumLit(v) => v.doubleValue()
+            case UnaryMinus(NumLit(v)) => -v.doubleValue()
+            case _ => return None
+          }
+          if (!java.lang.Double.isFinite(signed) ||
+            math.abs(signed) > Int.MaxValue.toDouble) return None
+          val idx = math.floor(signed).toLong
+          val gidx = if (idx >= 0) lit(idx.toInt) else (size(cur) + lit(idx.toInt))
+          scalar = Some(TCol(get(cur, gidx), et))
+        case FilterStage(pred) =>
+          compilePredicate(pred, et) match {
+            case Some(pf) => cur = filter(cur, e => coalesce(pf(e), lit(false)))
+            case None => return None
+          }
+        case _ => return None
+      }
+      Some(scalar.toLeft(cur))
     }
 
     /** A bracket-predicate body compiled against the context element type:
@@ -1379,6 +1401,19 @@ object JsonataCompiler {
         compileStagedPath(steps)
       // `value.arr{key: agg}` — group-by over an array column (B18)
       case Path(steps, _, Some(ctor)) => compileGroupPath(steps, ctor)
+      // stages on a NON-PATH base — `$split(x, ' ')[pred]`, `$f()[0]` —
+      // the same stage machinery over any compiled array-typed expression
+      // (scalar bases re-wrap as singletons in the engine: not modeled,
+      // interpreted). Survivor-less = undefined, like every staged result.
+      case Filtered(base, stages, None, false) if stages.nonEmpty =>
+        compile(base).flatMap {
+          case TCol(c, at: ArrayType) =>
+            runFilterStages(c, at, stages).map {
+              case Left(sc) => sc
+              case Right(arr) => TCol(emptyAsNull(arr), at)
+            }
+          case _ => None
+        }
       case p: Path =>
         valuePath(p).flatMap { names =>
           if (names.isEmpty) None

@@ -450,9 +450,13 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stage after an index (re-wraps a scalar as a singleton in the engine)
     assert(JsonataCompiler.transformCompiled(emb,
       "{'x': value.embedding[0][$ > 0]}").isEmpty)
-    // predicates inside lambda bodies stay interpreted
-    assert(JsonataCompiler.transformCompiled(emb,
-      "{'x': $map(value.embedding, function($v, $i, $a){ $count($a[$ > 0]) })}").isEmpty)
+    // predicates inside lambda bodies: `$a[$ > 0]` is a Filtered(VarRef)
+    // node, which the round-9 non-path stage support compiles — and the
+    // $a-only subtree hoists out of the per-element lambda. Agreement:
+    diff("embeddings",
+      "{'vec_id': value.vec_id," +
+        " 'hits': $count($filter(value.embedding, function($v, $i, $a){ $v > $count($a[$ > 0.5]) / 64 }))}",
+      "vec_id BIGINT, hits BIGINT", "vec_id")
   }
 
   test("string-truthiness predicates and array-field trailing navigation compile") {
@@ -487,6 +491,26 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "{'x': $count(value.items[$])}").isEmpty)
     // array-typed (array-truthiness) predicates stay interpreted
     assert(JsonataCompiler.transformCompiled(df, "{'x': $count(value.items[tags])}").isEmpty)
+  }
+
+  test("stages on non-path bases compile: $split(...)[pred] and [index]") {
+    diff("documents",
+      "{'doc_id': value.doc_id," +
+        " 'n_words': $count($split(value.text, ' ')[$])," +            // string truthiness
+        " 'n_long': $count($split(value.text, ' ')[$length($) > 4])," +
+        " 'first_word': $split(value.text, ' ')[0]," +
+        " 'last_long': $split(value.text, ' ')[$length($) > 4][-1]," +
+        " 'lit_n': $count($split('a,,b', ',')[$])," +                  // empty strings drop
+        " 'none': $count($split(value.text, ' ')[$length($) > 9999])}",
+      "doc_id BIGINT, n_words BIGINT, n_long BIGINT, first_word STRING, " +
+        "last_long STRING, lit_n BIGINT, none BIGINT",
+      "doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // scalar bases re-wrap as singletons in the engine — interpreted
+    assert(JsonataCompiler.transformCompiled(docs, "{'x': value.doc_id[0]}").isEmpty)
+    // stages after an index stay interpreted (scalar re-wrap again)
+    assert(JsonataCompiler.transformCompiled(docs,
+      "{'x': $split(value.text, ' ')[0][$]}").isEmpty)
   }
 
   test("empty HOF results are undefined, not empty arrays ($sum of a survivor-less $filter)") {
