@@ -502,6 +502,36 @@ object Temporal {
         FROM g JOIN s USING (cohort_week)
         ORDER BY g.cohort_week, g.period""")),
 
+    // ---- ev06: event transition matrix — the Markov/Sankey edge counts   ----
+    // ---- product analytics builds from event sequences: for each user's  ----
+    // ---- time-ordered stream, count (previous type -> type) transitions  ----
+    // ---- ('^start' marks a user's first event) with per-origin shares.   ----
+    // Scale shape: ONE window partitioned by user_id (per-key sort, fully
+    // parallel across users — the ses01 shape), then a partial-agg shuffle
+    // to the |types|² matrix; the share window runs over that tiny matrix,
+    // so it costs nothing at any corpus size.
+    Q("ev06_transition_matrix",
+      (s, d) => {
+        val e = eventsMs(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("e_ms"), col("event_id"))
+        val wt = Window.partitionBy(col("from_type"))
+        e.withColumn("from_type",
+            coalesce(lag(col("event_type"), 1).over(w), lit("^start")))
+          .groupBy(col("from_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("from_type"), col("event_type").as("to_type"), col("n"),
+            (col("n").cast("double") / sum(col("n")).over(wt).cast("double")).as("share"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          l AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id),
+                  '^start') AS from_type, event_type AS to_type FROM e),
+          g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM l GROUP BY from_type, to_type)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+        FROM g ORDER BY from_type, to_type""")),
+
     // ---- ses01: batch gap sessionization (gaps-and-islands) ----
     // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
     // session starts when a user's inter-event gap exceeds GapMs. Two windows

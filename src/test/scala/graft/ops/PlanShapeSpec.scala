@@ -319,4 +319,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metadata extraction is map-only + the final orderBy exchange
     assert(p.split("Exchange").length - 1 <= 1, p.take(2000))
   }
+
+  test("jx24 non-path stages run compiled: native truthiness filter, no interpreter") {
+    val p = plan("jx24_filtered_calls")
+    assert(!p.contains("jsonata"), "jx24 must run on the compiled tier\n" + p.take(2000))
+    assert(p.contains("filter("), "stage predicates must be native array filters\n" + p.take(2000))
+  }
+
+  test("ss10 PQ+ADC: broadcast codebook/query tables, corpus never sort-merge- or cartesian-joined") {
+    val p = plan("ss10_pq_adc")
+    // codebook attach + ADC scan are broadcast nested loops over the
+    // map-only encode; the only shuffles are the tiny codebook aggregate
+    // and the final per-query top-k/order
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the corpus side must stream map-only\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("ev05 cohort retention: partial aggregation + broadcast cohort-size attach") {
+    val p = plan("ev05_cohort_retention")
+    assert(p.contains("partial_"), "first-event/distinct/matrix aggs must partial-aggregate\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "the size attach must broadcast the tiny matrix\n" + p.take(2000))
+  }
+
+  test("dd12 incremental near-dup: banded-index equi-joins only, no cartesian") {
+    val p = plan("dd12_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (band, bkey) equi-join\n" + p.take(2000))
+  }
 }
