@@ -741,10 +741,17 @@ object Similarity {
     // ---- output (cluster, n_semdup, keep) — linear, never a pair dump.  ----
     Q("dd11_semantic_dedup",
       (s, d) => {
-        val K = 8
         val Tau = 0.3
         val ClusterCap = 4096L
         val v = vecs(s, d).select(col("vec_id"), col("vec"), col("nrm"))
+        // ADAPTIVE K (the SemDeDup dial made real, not just documented):
+        // pair work per cluster is (N/K)^2, so a FIXED K turns the
+        // within-cluster quadratic back into a corpus quadratic as N grows.
+        // K = max(8, N/1024) holds expected cluster population at ~1024
+        // (pair work ~N*1024, linear in the corpus) — one tiny driver
+        // scalar, the ss04-stride precedent. The floor keeps driver-scale
+        // fixtures on the round-8 K=8 behavior.
+        val K = math.max(8L, v.count() / 1024L).toInt
         val seed = v.orderBy(col("vec_id")).limit(K)
           .select(col("vec_id").as("cid"), col("vec").as("cen"))
           .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
@@ -781,7 +788,10 @@ object Similarity {
       },
       Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
             FROM embeddings),
-          seed AS (SELECT vec_id AS cid, vec AS cen FROM v ORDER BY vec_id LIMIT 8),
+          -- adaptive K = max(8, N/1024), mirroring the engine's scalar
+          seed AS (SELECT vec_id AS cid, vec AS cen FROM (
+                     SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+                   WHERE rn <= greatest(8, (SELECT count(*) FROM v) // 1024)),
           asg AS (SELECT v.vec_id, seed.cid,
                     list_sum(list_transform(range(1, 65), i ->
                       (vec[i] - cen[i]) * (vec[i] - cen[i]))) AS d2
