@@ -658,26 +658,32 @@ object Similarity {
         val SubDim = 8
         val K = 16L
         val TopK = 5
-        val v = t(s, d, "embeddings").select(col("vec_id"), asD(col("embedding")).as("vec"))
+        // subvectors PRE-SLICED once per row in their own projection (the
+        // withShingles lesson: HOF lambdas get no CSE, so slicing inside
+        // the argmin lambda would re-slice per (m, j) step); the inner
+        // distance is the native SquaredDistance kernel — the composable
+        // aggregate(zip_with(...)) form paid an interpreted evaluation plus
+        // an intermediate array per (row, m, j), K*M of them per corpus row
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), asD(col("embedding")).as("vec"))
+          .withColumn("subs", transform(sequence(lit(0), lit(M - 1)), m =>
+            slice(col("vec"), m * lit(SubDim) + lit(1), lit(SubDim))))
         val stride = math.max(61L, v.count() / K)
         // sub-codebook: j-th centroid = the sampled vector at vec_id =
         // j*stride + 7 (dense ids by construction — see the ss04 note)
         val cbRows = v.filter(col("vec_id") % stride === 7)
-          .select(floor(col("vec_id") / stride).cast("int").as("j"), col("vec"))
+          .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
         val cbAgg = broadcast(cbRows
-          .agg(array_sort(collect_list(struct(col("j"), col("vec")))).as("cb")))
-        def sub(vc: Column, m: Column): Column =
-          slice(vc, m * lit(SubDim) + lit(1), lit(SubDim))
+          .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
         def sqd(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, z) => acc + z)
+          graft.spark.VectorExpressions.sqdist(a, b)
         // PQ encode: array<int> of M sub-codes per vector, map-only
         val enc = v.crossJoin(cbAgg).select(col("vec_id"),
           transform(sequence(lit(0), lit(M - 1)), m =>
             aggregate(col("cb"),
               struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
               (acc, e) => {
-                val dd = sqd(sub(col("vec"), m), sub(e.getField("vec"), m))
+                val dd = sqd(get(col("subs"), m), get(e.getField("subs"), m))
                 when(dd < acc.getField("d"),
                   struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
               },
@@ -687,10 +693,17 @@ object Similarity {
           .select(col("vec_id").as("q_id"),
             transform(sequence(lit(0), lit(M - 1)), m =>
               transform(col("cb"), e =>
-                sqd(sub(col("vec"), m), sub(e.getField("vec"), m)))).as("qtab")))
-        val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (a, m) =>
-          a + element_at(element_at(col("qtab"), m + lit(1)),
-            element_at(col("code"), m + lit(1)) + lit(1)))
+                sqd(get(col("subs"), m), get(e.getField("subs"), m)))).as("qtab")))
+        // UNROLLED over the literal M (not an `aggregate` HOF): the ADC sum
+        // runs once per (corpus row x query) — the hot loop of the whole
+        // operator — and HOFs are CodegenFallback, so the fold form paid an
+        // interpreted evaluation per pair (the sf1 smoke's 3.5 s max task).
+        // element_at chains are codegen'd; the left-to-right + keeps the
+        // IEEE op order of the fold, so the oracle is unaffected.
+        val adc = (0 until M).map(m =>
+            element_at(element_at(col("qtab"), lit(m + 1)),
+              element_at(col("code"), lit(m + 1)) + lit(1)))
+          .reduceLeft(_ + _)
         val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
         qt.join(enc, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), adc.as("adc"))

@@ -114,4 +114,32 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("\\*\\(\\d+\\) Project \\[vec_dot".r.findFirstIn(plan).isDefined, plan.take(2000))
     assert(out.filter(col("d") > 0).count() > 0)
   }
+
+  private def hofSqd = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  test("SquaredDistance bit-identical to the zip_with/aggregate formulation (both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    val df = cases.toDF("a", "b")
+    def check(): Unit = {
+      val rows = df.select(
+        VectorExpressions.sqdist(col("a"), col("b")).as("fast"),
+        hofSqd(col("a"), col("b")).as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"value mismatch: $r")
+      }
+    }
+    check() // codegen path
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted path
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
