@@ -600,8 +600,10 @@ object Similarity {
         val best = aggregate(col("cs"),
           struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
           (acc, c) => {
-            val d2 = aggregate(zip_with(col("vec"), c.getField("cen"),
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+            // native kernel (bit-identical to the zip_with/aggregate HOF
+            // form it replaced — VectorExpressionsSpec pin), so the K*N
+            // assignment loop runs codegen'd, not interpreted-per-centroid
+            val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
             when(d2 < acc.getField("d2"),
               struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
           })
@@ -771,8 +773,10 @@ object Similarity {
         val best = aggregate(col("cs"),
           struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
           (acc, c) => {
-            val d2 = aggregate(zip_with(col("vec"), c.getField("cen"),
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+            // native kernel (bit-identical to the zip_with/aggregate HOF
+            // form it replaced — VectorExpressionsSpec pin), so the K*N
+            // assignment loop runs codegen'd, not interpreted-per-centroid
+            val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
             when(d2 < acc.getField("d2"),
               struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
           })
