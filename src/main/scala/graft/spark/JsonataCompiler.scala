@@ -1047,11 +1047,16 @@ object JsonataCompiler {
       * drop; empty = undefined), and an ARRAY-typed field spreads its
       * elements into the sequence (one-level flatten per navigation step,
       * null results filtered before the flatten). String-typed predicates
-      * compile as truthiness (non-empty keeps). Array/object truthiness
-      * predicates, number-VALUED dynamic predicate expressions
-      * (data-dependent index semantics), sort/index-binding stages, stages
-      * on more than one step, and predicates inside lambda bodies stay
-      * interpreted. */
+      * compile as truthiness (non-empty keeps). When the staged step
+      * navigates an array-typed FIELD of the preceding array's struct
+      * elements (`items.tags[0]` — Shape B below), stages apply PER INPUT
+      * ITEM exactly like the engine's evalStep: an index collapses each
+      * element's array (the canonical a.b[0] idiom) and predicate
+      * survivors flatten. Array/object truthiness predicates, number-VALUED
+      * dynamic predicate expressions (data-dependent index semantics),
+      * sort/index-binding stages, stages on more than one step, per-element
+      * stages on non-array fields (engine singleton re-wrap), and
+      * array-of-array index collapse stay interpreted. */
     private def compileStagedPath(steps: Vector[Step]): Option[TCol] = {
       val si = steps.indexWhere(_.stages.nonEmpty)
       if (si < 0 || steps.indexWhere(_.stages.nonEmpty, si + 1) >= 0) return None
@@ -1061,56 +1066,95 @@ object JsonataCompiler {
       val trailing = steps.drop(si + 1)
       if (!trailing.forall(s => s.stages.isEmpty && !s.keepArray &&
         s.focus.isEmpty && s.index.isEmpty && s.expr.isInstanceOf[NameStep])) return None
-      arrayValuePath(steps.take(si) :+ staged.copy(stages = Vector.empty)).flatMap {
-        case (arr0, at) =>
-          var et = at.elementType
-          var cur = arr0
-          var scalar: Option[TCol] = None
+      // Shape A: the staged step's input is ONE array (scalar navigation up
+      // to it) — stages apply to the whole array, the engine's single
+      // context item
+      arrayValuePath(steps.take(si) :+ staged.copy(stages = Vector.empty)) match {
+        case Some((arr0, at)) =>
           runFilterStages(arr0, at, staged.stages) match {
-            case None => return None
-            case Some(Left(sc)) => scalar = Some(sc)
-            case Some(Right(arr)) => cur = arr
+            case None => None
+            case Some(Left(sc)) => trailingOnScalar(sc, trailing)
+            case Some(Right(arr)) => trailingOnArray(arr, at.elementType, trailing, at)
           }
-          scalar match {
-            case Some(sc0) =>
-              // collapsed element: trailing names are plain field access
-              trailing.foldLeft(Option(sc0)) {
-                case (Some(acc), st) =>
-                  val NameStep(f) = st.expr: @unchecked
-                  acc.dt match {
-                    case s2: StructType => s2.fields.find(_.name == f)
-                      .map(fl => TCol(acc.col.getField(f), fl.dataType))
-                    case _ => None
-                  }
-                case (none, _) => none
-              }
-            case None =>
-              // survivor array: trailing names map per element, dropping
-              // engine-undefined (NULL) results; an ARRAY-typed field
-              // spreads its elements into the result sequence (engine path
-              // navigation flattens one level per step) — null results must
-              // be filtered BEFORE flatten, which would otherwise null the
-              // whole sequence
-              trailing.foreach { st =>
-                val NameStep(f) = st.expr: @unchecked
-                et match {
-                  case s2: StructType => s2.fields.find(_.name == f) match {
-                    case Some(fl) => fl.dataType match {
-                      case ArrayType(inner, _) =>
-                        cur = flatten(filter(transform(cur, e => e.getField(f)), x => x.isNotNull))
-                        et = inner
-                      case other =>
-                        cur = filter(transform(cur, e => e.getField(f)), x => x.isNotNull)
-                        et = other
+        // Shape B: the staged step navigates an ARRAY-typed FIELD of the
+        // preceding array's struct elements (`items.tags[0]`) — the engine
+        // applies stages PER INPUT ITEM (evalStep), so an index means "of
+        // EACH element's array" (the canonical a.b[0] JSONata idiom), and
+        // predicate survivors flatten one level like any navigation result.
+        // Undefined (null) per-element results drop before the flatten.
+        case None =>
+          if (si == 0) return None
+          val f = staged.expr match { case NameStep(n) => n; case _ => return None }
+          arrayValuePath(steps.take(si)).flatMap { case (arr0, at) =>
+            at.elementType match {
+              case st: StructType => st.fields.find(_.name == f).flatMap { fl =>
+                fl.dataType match {
+                  // index collapse over array-of-array elements would need a
+                  // further spread — interpreted
+                  case ft: ArrayType if !(ft.elementType.isInstanceOf[ArrayType]) =>
+                    runFilterStages(lit(null).cast(ft), ft, staged.stages).flatMap { probe =>
+                      def perElem(e: Column): Column =
+                        runFilterStages(e.getField(f), ft, staged.stages).get match {
+                          case Left(tc) => tc.col
+                          case Right(arr) => arr
+                        }
+                      val kept = filter(transform(arr0, e => perElem(e)), x => x.isNotNull)
+                      val seq = probe match {
+                        case Left(_) => kept          // one collapsed value per element
+                        case Right(_) => flatten(kept) // per-element survivors spread
+                      }
+                      trailingOnArray(seq, ft.elementType, trailing, ArrayType(ft.elementType))
                     }
-                    case None => return None
-                  }
-                  case _ => return None
+                  case _ => None
                 }
               }
-              Some(TCol(emptyAsNull(cur), if (trailing.isEmpty) at else ArrayType(et)))
+              case _ => None
+            }
           }
       }
+    }
+
+    /** Trailing plain-name navigation on an index-collapsed element. */
+    private def trailingOnScalar(sc0: TCol, trailing: Vector[Step]): Option[TCol] =
+      trailing.foldLeft(Option(sc0)) {
+        case (Some(acc), st) =>
+          val NameStep(f) = st.expr: @unchecked
+          acc.dt match {
+            case s2: StructType => s2.fields.find(_.name == f)
+              .map(fl => TCol(acc.col.getField(f), fl.dataType))
+            case _ => None
+          }
+        case (none, _) => none
+      }
+
+    /** Trailing plain-name navigation mapped over a survivor sequence,
+      * dropping engine-undefined (NULL) results; an ARRAY-typed field
+      * spreads its elements into the result sequence (engine path
+      * navigation flattens one level per step) — null results must be
+      * filtered BEFORE flatten, which would otherwise null the whole
+      * sequence. `bare` is the result type when there is no trailing step. */
+    private def trailingOnArray(arr0: Column, et0: DataType, trailing: Vector[Step],
+                                bare: DataType): Option[TCol] = {
+      var cur = arr0
+      var et = et0
+      trailing.foreach { st =>
+        val NameStep(f) = st.expr: @unchecked
+        et match {
+          case s2: StructType => s2.fields.find(_.name == f) match {
+            case Some(fl) => fl.dataType match {
+              case ArrayType(inner, _) =>
+                cur = flatten(filter(transform(cur, e => e.getField(f)), x => x.isNotNull))
+                et = inner
+              case other =>
+                cur = filter(transform(cur, e => e.getField(f)), x => x.isNotNull)
+                et = other
+            }
+            case None => return None
+          }
+          case _ => return None
+        }
+      }
+      Some(TCol(emptyAsNull(cur), if (trailing.isEmpty) bare else ArrayType(et)))
     }
 
     /** The FilterStage loop shared by [[compileStagedPath]] (stages on a

@@ -493,6 +493,33 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "{'x': $count(value.items[tags])}").isEmpty)
   }
 
+  test("per-element stages on navigated array fields compile (the a.b[0] idiom)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, Seq(Row("a", 10L, Seq("x", "y")), Row("", 20L, Seq.empty[String]),
+          Row(null, 30L, null), Row("d", 5L, Seq("z", null, "w")))),
+        Row(2L, Seq(Row("e", 7L, Seq("only")))),
+        Row(3L, Seq.empty[Row]), Row(4L, null)).asJava,
+      StructType.fromDDL(
+        "id BIGINT, items ARRAY<STRUCT<cat: STRING, price: BIGINT, tags: ARRAY<STRING>>>"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'firsts': $count(value.items.tags[0])," +     // first tag of EACH item
+        " 'lasts': $count(value.items.tags[-1])," +
+        " 'named': $count(value.items.tags[$])," +      // truthiness per element's tags
+        " 'nonull': $count(value.items.tags[$ != 'x'])}", // null tag KEPT (nullish !=)
+      "id BIGINT, firsts BIGINT, lasts BIGINT, named BIGINT, nonull BIGINT", "id")
+    // two staged steps stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $count(value.items[price < 25].tags[0])}").isEmpty)
+    // per-element stages on a NON-array field stay interpreted (the engine
+    // wraps the scalar as a singleton — [0] would return the scalar)
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $count(value.items.price[0])}").isEmpty)
+  }
+
   test("stages on non-path bases compile: $split(...)[pred] and [index]") {
     diff("documents",
       "{'doc_id': value.doc_id," +
