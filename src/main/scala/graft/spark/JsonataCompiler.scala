@@ -1052,20 +1052,26 @@ object JsonataCompiler {
       * elements (`items.tags[0]` — Shape B below), stages apply PER INPUT
       * ITEM exactly like the engine's evalStep: an index collapses each
       * element's array (the canonical a.b[0] idiom) and predicate
-      * survivors flatten. Array/object truthiness predicates, number-VALUED
-      * dynamic predicate expressions (data-dependent index semantics),
-      * sort/index-binding stages, stages on more than one step, per-element
-      * stages on non-array fields (engine singleton re-wrap), and
-      * array-of-array index collapse stay interpreted. */
+      * survivors flatten; staged TRAILING steps chain the same way
+      * (`items[p].tags[0]` — Shape A filter then Shape B per element, and
+      * on a collapsed element the field's stages apply directly).
+      * Array/object truthiness predicates, number-VALUED dynamic predicate
+      * expressions (data-dependent index semantics), sort/index-binding
+      * stages, per-element stages on non-array fields (engine singleton
+      * re-wrap), array-of-array index collapse, and mid-path surviving
+      * sequences after a collapsed element stay interpreted. */
     private def compileStagedPath(steps: Vector[Step]): Option[TCol] = {
       val si = steps.indexWhere(_.stages.nonEmpty)
-      if (si < 0 || steps.indexWhere(_.stages.nonEmpty, si + 1) >= 0) return None
+      if (si < 0) return None
       val staged = steps(si)
       if (staged.focus.isDefined || staged.index.isDefined || staged.keepArray) return None
       if (!staged.stages.forall(_.isInstanceOf[FilterStage])) return None
+      // trailing steps are plain names, optionally with their OWN stage
+      // lists (`items[p].tags[0]` — applied per element, Shape B below)
       val trailing = steps.drop(si + 1)
-      if (!trailing.forall(s => s.stages.isEmpty && !s.keepArray &&
-        s.focus.isEmpty && s.index.isEmpty && s.expr.isInstanceOf[NameStep])) return None
+      if (!trailing.forall(s => !s.keepArray && s.focus.isEmpty && s.index.isEmpty &&
+        s.expr.isInstanceOf[NameStep] && s.stages.forall(_.isInstanceOf[FilterStage])))
+        return None
       // Shape A: the staged step's input is ONE array (scalar navigation up
       // to it) — stages apply to the whole array, the engine's single
       // context item
@@ -1087,41 +1093,70 @@ object JsonataCompiler {
           val f = staged.expr match { case NameStep(n) => n; case _ => return None }
           arrayValuePath(steps.take(si)).flatMap { case (arr0, at) =>
             at.elementType match {
-              case st: StructType => st.fields.find(_.name == f).flatMap { fl =>
-                fl.dataType match {
-                  // index collapse over array-of-array elements would need a
-                  // further spread — interpreted
-                  case ft: ArrayType if !(ft.elementType.isInstanceOf[ArrayType]) =>
-                    runFilterStages(lit(null).cast(ft), ft, staged.stages).flatMap { probe =>
-                      def perElem(e: Column): Column =
-                        runFilterStages(e.getField(f), ft, staged.stages).get match {
-                          case Left(tc) => tc.col
-                          case Right(arr) => arr
-                        }
-                      val kept = filter(transform(arr0, e => perElem(e)), x => x.isNotNull)
-                      val seq = probe match {
-                        case Left(_) => kept          // one collapsed value per element
-                        case Right(_) => flatten(kept) // per-element survivors spread
-                      }
-                      trailingOnArray(seq, ft.elementType, trailing, ArrayType(ft.elementType))
-                    }
-                  case _ => None
+              case st: StructType =>
+                perElementField(arr0, st, f, staged.stages).flatMap { case (seq, et) =>
+                  trailingOnArray(seq, et, trailing, ArrayType(et))
                 }
-              }
               case _ => None
             }
           }
       }
     }
 
-    /** Trailing plain-name navigation on an index-collapsed element. */
+    /** Shape B: apply a stage list to the array-typed field `f` of EACH
+      * struct element of `arr0` (the engine's per-input-item evalStep) —
+      * `items.tags[0]` collapses each element's array, predicate survivors
+      * flatten one level; undefined (null) per-element results drop before
+      * the flatten. Index collapse over array-of-array elements would need
+      * a further spread — interpreted. Returns the new sequence + its
+      * element type. */
+    private def perElementField(arr0: Column, elemSt: StructType, f: String,
+                                stages: Vector[Stage]): Option[(Column, DataType)] =
+      elemSt.fields.find(_.name == f).flatMap { fl =>
+        fl.dataType match {
+          case ft: ArrayType if !ft.elementType.isInstanceOf[ArrayType] =>
+            runFilterStages(lit(null).cast(ft), ft, stages).map { probe =>
+              def perElem(e: Column): Column =
+                runFilterStages(e.getField(f), ft, stages).get match {
+                  case Left(tc) => tc.col
+                  case Right(arr) => arr
+                }
+              val kept = filter(transform(arr0, e => perElem(e)), x => x.isNotNull)
+              val seq = probe match {
+                case Left(_) => kept           // one collapsed value per element
+                case Right(_) => flatten(kept) // per-element survivors spread
+              }
+              (seq, ft.elementType)
+            }
+          case _ => None
+        }
+      }
+
+    /** Trailing plain-name navigation on an index-collapsed element. A
+      * staged trailing step here (`items[0].tags[0]`) applies its stages
+      * to the single element's field — the Filtered shape over one item. */
     private def trailingOnScalar(sc0: TCol, trailing: Vector[Step]): Option[TCol] =
-      trailing.foldLeft(Option(sc0)) {
-        case (Some(acc), st) =>
+      trailing.zipWithIndex.foldLeft(Option(sc0)) {
+        case (Some(acc), (st, i)) =>
           val NameStep(f) = st.expr: @unchecked
           acc.dt match {
-            case s2: StructType => s2.fields.find(_.name == f)
-              .map(fl => TCol(acc.col.getField(f), fl.dataType))
+            case s2: StructType if st.stages.isEmpty =>
+              s2.fields.find(_.name == f)
+                .map(fl => TCol(acc.col.getField(f), fl.dataType))
+            case s2: StructType =>
+              s2.fields.find(_.name == f).flatMap(fl => fl.dataType match {
+                case ft: ArrayType =>
+                  runFilterStages(acc.col.getField(f), ft, st.stages).flatMap {
+                    case Left(sc) => Some(sc)
+                    case Right(arr) =>
+                      // a surviving ARRAY mid-path would need the sequence
+                      // machinery; as the FINAL step it is the result
+                      if (i == trailing.length - 1)
+                        Some(TCol(emptyAsNull(arr), ft))
+                      else None
+                  }
+                case _ => None
+              })
             case _ => None
           }
         case (none, _) => none
@@ -1140,6 +1175,12 @@ object JsonataCompiler {
       trailing.foreach { st =>
         val NameStep(f) = st.expr: @unchecked
         et match {
+          case s2: StructType if st.stages.nonEmpty =>
+            // staged trailing step: stages apply per element (Shape B)
+            perElementField(cur, s2, f, st.stages) match {
+              case Some((seq, inner)) => cur = seq; et = inner
+              case None => return None
+            }
           case s2: StructType => s2.fields.find(_.name == f) match {
             case Some(fl) => fl.dataType match {
               case ArrayType(inner, _) =>

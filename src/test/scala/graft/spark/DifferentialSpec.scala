@@ -511,13 +511,23 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         " 'named': $count(value.items.tags[$])," +      // truthiness per element's tags
         " 'nonull': $count(value.items.tags[$ != 'x'])}", // null tag KEPT (nullish !=)
       "id BIGINT, firsts BIGINT, lasts BIGINT, named BIGINT, nonull BIGINT", "id")
-    // two staged steps stay interpreted
-    assert(JsonataCompiler.transformCompiled(df,
-      "{'x': $count(value.items[price < 25].tags[0])}").isEmpty)
+    // chained staged steps: Shape A filter, then Shape B per-element stages
+    // on the survivors' array field; index-collapsed element + staged field
+    diffDf(df,
+      "{'id': value.id," +
+        " 'ab': $count(value.items[price < 25].tags[0])," + // first tag of each cheap item
+        " 'abp': $count(value.items[cat].tags[$ != 'x'])," +
+        " 'ii': value.items[0].tags[0]," +                  // scalar chain
+        " 'iip': $count(value.items[-1].tags[$])}",
+      "id BIGINT, ab BIGINT, abp BIGINT, ii STRING, iip BIGINT", "id")
     // per-element stages on a NON-array field stay interpreted (the engine
     // wraps the scalar as a singleton — [0] would return the scalar)
     assert(JsonataCompiler.transformCompiled(df,
       "{'x': $count(value.items.price[0])}").isEmpty)
+    // a mid-path surviving sequence after a collapsed element stays
+    // interpreted (items[0].tags[pred].length-style chains)
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': value.items[0].tags[$ != 'x'].missing}").isEmpty)
   }
 
   test("stages on non-path bases compile: $split(...)[pred] and [index]") {
