@@ -263,12 +263,41 @@ object JsonataCompiler {
     case p: Path if p.steps.exists(s => s.focus.isDefined || s.index.isDefined ||
         s.stages.exists(_.isInstanceOf[IndexStage])) => None
     case f: Filtered if f.stages.exists(_.isInstanceOf[IndexStage]) => None
+    // bracket-predicate stages REBIND the context per tested item
+    // (applyFilter evals the predicate with ctx = item), so `$` inside a
+    // stage is stage-local, not free — without this, `$a[$ > 0]` reads as
+    // using the per-element context and never hoists out of a lambda
+    case Path(steps, _, g) =>
+      val parts = steps.map(s => stageAware(freeVars(s.expr), s.stages)) :+
+        g.map(freeVars(_)).getOrElse(Some(Set.empty[String]))
+      unionFv(parts)
+    case Filtered(b, stages, g, _) =>
+      unionFv(Seq(stageAware(freeVars(b), stages),
+        g.map(freeVars(_)).getOrElse(Some(Set.empty[String]))))
     case other =>
       children(other).foldLeft(Option(Set.empty[String])) {
         case (Some(acc), c) => freeVars(c).map(acc ++ _)
         case (None, _) => None
       }
   }
+
+  /** Base free vars plus each FilterStage/SortStage expression's free vars
+    * MINUS the stage-local context binding `""`. */
+  private def stageAware(base: Option[Set[String]],
+                         stages: Vector[Stage]): Option[Set[String]] = {
+    val stageFvs = stages.map {
+      case FilterStage(e) => freeVars(e).map(_ - "")
+      case SortStage(ts) => unionFv(ts.map(t => freeVars(t.expr))).map(_ - "")
+      case IndexStage(_) => None // blocked above; defensive
+    }
+    unionFv(base +: stageFvs)
+  }
+
+  private def unionFv(parts: Seq[Option[Set[String]]]): Option[Set[String]] =
+    parts.foldLeft(Option(Set.empty[String])) {
+      case (Some(acc), Some(s)) => Some(acc ++ s)
+      case _ => None
+    }
 
   /** Rewrite an arity-3 HOF lambda body, extracting maximal subtrees whose
     * free variables are EXACTLY the whole-operand binding (`$a` / `$o`) —
