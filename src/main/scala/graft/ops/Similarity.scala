@@ -110,6 +110,69 @@ object Similarity {
     * the cap being inert there). */
   private[ops] val BucketCap = 2048L
 
+  // ---- PQ machinery shared by ss10 (flat ADC) and ss11 (IVFADC) ----
+  private val PqM = 8        // subspaces
+  private val PqSubDim = 8   // dims per subspace (M * SubDim = 64)
+  private val PqK = 16L      // codebook size bound per subspace
+  private val PqTopK = 5
+
+  /** embeddings with vec + the M subvectors PRE-SLICED once per row in
+    * their own projection (the withShingles lesson: HOF lambdas get no CSE,
+    * so slicing inside the argmin lambda would re-slice per (m, j) step). */
+  private def pqVecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), asD(col("embedding")).as("vec"))
+      .withColumn("subs", transform(sequence(lit(0), lit(PqM - 1)), m =>
+        slice(col("vec"), m * lit(PqSubDim) + lit(1), lit(PqSubDim))))
+
+  private def pqSqd(a: Column, b: Column): Column =
+    graft.spark.VectorExpressions.sqdist(a, b)
+
+  /** One-row broadcast sub-codebook: j-th centroid = the sampled vector at
+    * vec_id = j*stride + 7, stride = max(61, N/PqK) (dense ids by
+    * construction — see the ss04 note; one tiny driver scalar). */
+  private def pqCodebook(v: DataFrame): DataFrame = {
+    val stride = math.max(61L, v.count() / PqK)
+    broadcast(v.filter(col("vec_id") % stride === 7)
+      .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
+      .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
+  }
+
+  /** PQ encode: (vec_id, code array<int> of M sub-codes), MAP-ONLY (one-row
+    * codebook crossJoin + strict-< argmin fold, ties to the lowest j; the
+    * inner distance is the native SquaredDistance kernel). */
+  private def pqEncode(v: DataFrame, cbAgg: DataFrame): DataFrame =
+    v.crossJoin(cbAgg).select(col("vec_id"),
+      transform(sequence(lit(0), lit(PqM - 1)), m =>
+        aggregate(col("cb"),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
+          (acc, e) => {
+            val dd = pqSqd(get(col("subs"), m), get(e.getField("subs"), m))
+            when(dd < acc.getField("d"),
+              struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
+          },
+          acc => acc.getField("j"))).as("code"))
+
+  /** Broadcast per-query ADC tables: qtab[m][j] = ||q_sub_m − cb_j_sub_m||². */
+  private def pqQueryTables(v: DataFrame, cbAgg: DataFrame): DataFrame =
+    broadcast(v.filter(col("vec_id") % 100 === 0).crossJoin(cbAgg)
+      .select(col("vec_id").as("q_id"),
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          transform(col("cb"), e =>
+            pqSqd(get(col("subs"), m), get(e.getField("subs"), m)))).as("qtab")))
+
+  /** The ADC lookup sum over (qtab, code), UNROLLED over the literal M (not
+    * an `aggregate` HOF): it runs once per (corpus row × query) — the hot
+    * loop of the whole operator — and HOFs are CodegenFallback, so the fold
+    * form paid an interpreted evaluation per pair (the sf1 smoke's 3.5 s
+    * max task). element_at chains are codegen'd; the left-to-right + keeps
+    * the IEEE op order of the fold, so the oracles are unaffected. */
+  private def pqAdc: Column =
+    (0 until PqM).map(m =>
+      element_at(element_at(col("qtab"), lit(m + 1)),
+        element_at(col("code"), lit(m + 1)) + lit(1)))
+      .reduceLeft(_ + _)
+
   /** (tb, code, occ) LSH bucket census over a testdata dir — for the spec's
     * cap-inertness pin. */
   private[ops] def lshBucketCensus(s: SparkSession, d: String): DataFrame =
@@ -656,61 +719,15 @@ object Similarity {
     Q("ss10_pq_adc",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val M = 8
-        val SubDim = 8
-        val K = 16L
-        val TopK = 5
-        // subvectors PRE-SLICED once per row in their own projection (the
-        // withShingles lesson: HOF lambdas get no CSE, so slicing inside
-        // the argmin lambda would re-slice per (m, j) step); the inner
-        // distance is the native SquaredDistance kernel — the composable
-        // aggregate(zip_with(...)) form paid an interpreted evaluation plus
-        // an intermediate array per (row, m, j), K*M of them per corpus row
-        val v = t(s, d, "embeddings")
-          .select(col("vec_id"), asD(col("embedding")).as("vec"))
-          .withColumn("subs", transform(sequence(lit(0), lit(M - 1)), m =>
-            slice(col("vec"), m * lit(SubDim) + lit(1), lit(SubDim))))
-        val stride = math.max(61L, v.count() / K)
-        // sub-codebook: j-th centroid = the sampled vector at vec_id =
-        // j*stride + 7 (dense ids by construction — see the ss04 note)
-        val cbRows = v.filter(col("vec_id") % stride === 7)
-          .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
-        val cbAgg = broadcast(cbRows
-          .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
-        def sqd(a: Column, b: Column): Column =
-          graft.spark.VectorExpressions.sqdist(a, b)
-        // PQ encode: array<int> of M sub-codes per vector, map-only
-        val enc = v.crossJoin(cbAgg).select(col("vec_id"),
-          transform(sequence(lit(0), lit(M - 1)), m =>
-            aggregate(col("cb"),
-              struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
-              (acc, e) => {
-                val dd = sqd(get(col("subs"), m), get(e.getField("subs"), m))
-                when(dd < acc.getField("d"),
-                  struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
-              },
-              acc => acc.getField("j"))).as("code"))
-        // per-query ADC tables: qtab[m][j] = ||q_sub_m - cb_j_sub_m||^2
-        val qt = broadcast(v.filter(col("vec_id") % 100 === 0).crossJoin(cbAgg)
-          .select(col("vec_id").as("q_id"),
-            transform(sequence(lit(0), lit(M - 1)), m =>
-              transform(col("cb"), e =>
-                sqd(get(col("subs"), m), get(e.getField("subs"), m)))).as("qtab")))
-        // UNROLLED over the literal M (not an `aggregate` HOF): the ADC sum
-        // runs once per (corpus row x query) — the hot loop of the whole
-        // operator — and HOFs are CodegenFallback, so the fold form paid an
-        // interpreted evaluation per pair (the sf1 smoke's 3.5 s max task).
-        // element_at chains are codegen'd; the left-to-right + keeps the
-        // IEEE op order of the fold, so the oracle is unaffected.
-        val adc = (0 until M).map(m =>
-            element_at(element_at(col("qtab"), lit(m + 1)),
-              element_at(col("code"), lit(m + 1)) + lit(1)))
-          .reduceLeft(_ + _)
+        val v = pqVecs(s, d)
+        val cbAgg = pqCodebook(v)
+        val enc = pqEncode(v, cbAgg)
+        val qt = pqQueryTables(v, cbAgg)
         val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
         qt.join(enc, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), adc.as("adc"))
+          .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
           .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= TopK)
+          .filter(col("rank") <= PqTopK)
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
@@ -733,6 +750,121 @@ object Similarity {
                     FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.j
                     WHERE c.vec_id <> qd.q_id
                     GROUP BY qd.q_id, c.vec_id),
+          ranked AS (SELECT q_id, vec_id, adc,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc ASC, vec_id) AS rank
+                     FROM pairs)
+        SELECT q_id, vec_id AS neighbor_id, adc, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ---- ss11: full IVFADC — ss04's coarse inverted file composed with  ----
+    // ---- ss10's PQ codes (Jégou et al.'s production serving shape):     ----
+    // ---- queries probe their NProbe nearest coarse anchors and          ----
+    // ---- ADC-score ONLY those buckets' members from the 32x-narrower    ----
+    // ---- code relation — per-query work is bucket-local AND             ----
+    // ---- memory-light, the combination neither ss04 (full vectors in    ----
+    // ---- buckets) nor ss10 (whole-corpus scan) gives alone.             ----
+    // Scale shape: coarse assignment is a MAP-ONLY argmax fold over the
+    // one-row broadcast anchor array (ss09's pattern — ss04's crossJoin +
+    // groupBy exchange eliminated), computed in the SAME projection as the
+    // PQ codes, so the (aid, vec_id, code) relation — exactly what a
+    // deployment stores bucket-partitioned on aid — is produced without
+    // ANY corpus shuffle; the candidate join keys on aid against the
+    // broadcast probe list, ADC re-uses the broadcast query tables, and
+    // the only per-query shuffle is the final top-k window. Deterministic
+    // end-to-end => exact oracle from the ss04 + ss10 CTEs composed.
+    Q("ss11_ivfadc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vv = vecs(s, d)
+        val astride = math.max(AnchorStride, vv.count() / MaxAnchors)
+        val anchorRows = vv.filter(col("vec_id") % astride === AnchorOffset)
+          .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an"))
+        // anchors twice, both tiny: as ROWS for the per-query probe window,
+        // as a ONE-ROW aid-sorted array for the map-only assignment fold
+        val aAgg = broadcast(anchorRows
+          .agg(sort_array(collect_list(struct(col("aid"), col("av"), col("an")))).as("arr")))
+        // argmax cosine, ties to the smaller aid: strict > keeps the FIRST
+        // maximum of the aid-sorted array — the oracle's ORDER BY cos DESC, aid
+        val bestAid = aggregate(col("arr"),
+          struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("aid")),
+          (acc, a) => {
+            val c = cosine(col("vec"), a.getField("av"), col("nrm"), a.getField("an"))
+            when(c > acc.getField("c"),
+              struct(c.as("c"), a.getField("aid").as("aid"))).otherwise(acc)
+          },
+          acc => acc.getField("aid"))
+        val pv = pqVecs(s, d)
+        val cbAgg = pqCodebook(pv)
+        // ONE map-only pass emits the stored relation: (aid, vec_id, code)
+        val asnCodes = pv
+          .withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
+          .crossJoin(aAgg).crossJoin(cbAgg)
+          .select(col("vec_id"), bestAid.as("aid"),
+            transform(sequence(lit(0), lit(PqM - 1)), m =>
+              aggregate(col("cb"),
+                struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
+                (acc, e) => {
+                  val dd = pqSqd(get(col("subs"), m), get(e.getField("subs"), m))
+                  when(dd < acc.getField("d"),
+                    struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
+                },
+                acc => acc.getField("j"))).as("code"))
+        val q = vv.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
+        val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))
+        val probes = broadcast(q.crossJoin(broadcast(anchorRows))
+          .select(col("q_id"), col("aid"),
+            cosine(col("qv"), col("av"), col("qn"), col("an")).as("pc"))
+          .withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
+          .select(col("q_id"), col("aid")))
+        val qt = pqQueryTables(pv, cbAgg)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+        probes.join(asnCodes, Seq("aid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(qt, Seq("q_id"))
+          .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= PqTopK)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS aid, vec AS av FROM v
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
+          asn AS (SELECT vec_id, aid FROM (
+              SELECT v.vec_id, a.aid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          probes AS (SELECT q_id, aid FROM (
+              SELECT q.q_id, a.aid,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
+              FROM q CROSS JOIN a) WHERE rn <= 4),
+          cb AS (SELECT CAST(vec_id // greatest(61, (SELECT count(*) FROM v) // 16) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 16) = 7),
+          xd AS (SELECT v.vec_id, m.m, c.j,
+                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              for i in generate_series(1,8) ]) AS dd
+                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
+          codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dd ASC, j ASC) AS rn
+                      FROM xd) WHERE rn = 1),
+          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % 100 = 0),
+          candv AS (SELECT p.q_id, s.vec_id
+                    FROM probes p JOIN asn s USING (aid)
+                    WHERE s.vec_id <> p.q_id),
+          pairs AS (SELECT cv.q_id, c.vec_id,
+                      list_sum(list(qd.dd ORDER BY qd.m)) AS adc
+                    FROM candv cv
+                      JOIN codes c ON c.vec_id = cv.vec_id
+                      JOIN qd ON qd.m = c.m AND qd.j = c.j AND qd.q_id = cv.q_id
+                    GROUP BY cv.q_id, c.vec_id),
           ranked AS (SELECT q_id, vec_id, adc,
                        row_number() OVER (PARTITION BY q_id
                          ORDER BY adc ASC, vec_id) AS rank

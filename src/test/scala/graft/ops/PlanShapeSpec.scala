@@ -336,6 +336,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("ss11 IVFADC: map-only assignment+encode, candidates via broadcast probe join") {
+    val p = plan("ss11_ivfadc")
+    // the stored-relation pass (assignment fold + PQ codes) must not
+    // shuffle the corpus: the only joins touching it are the broadcast
+    // probe list (aid) and the broadcast query tables (q_id)
+    assert(!p.contains("SortMergeJoin"), "the corpus side must never sort-merge\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("ev05 cohort retention: partial aggregation + broadcast cohort-size attach") {
     val p = plan("ev05_cohort_retention")
     assert(p.contains("partial_"), "first-event/distinct/matrix aggs must partial-aggregate\n" + p.take(2000))
