@@ -113,7 +113,7 @@ object Similarity {
   // ---- PQ machinery shared by ss10 (flat ADC) and ss11 (IVFADC) ----
   private val PqM = 8        // subspaces
   private val PqSubDim = 8   // dims per subspace (M * SubDim = 64)
-  private val PqK = 16L      // codebook size bound per subspace
+  private val PqK = 256L      // codebook size bound per subspace
   private val PqTopK = 5
 
   /** embeddings with vec + the M subvectors PRE-SLICED once per row in
@@ -129,11 +129,11 @@ object Similarity {
     graft.spark.VectorExpressions.sqdist(a, b)
 
   /** One-row broadcast sub-codebook: j-th centroid = the sampled vector at
-    * vec_id = j*stride + 7, stride = max(61, N/PqK) (dense ids by
+    * vec_id = j*stride + (7 mod stride), stride = max(2, N/PqK) (dense ids by
     * construction — see the ss04 note; one tiny driver scalar). */
   private def pqCodebook(v: DataFrame): DataFrame = {
-    val stride = math.max(61L, v.count() / PqK)
-    broadcast(v.filter(col("vec_id") % stride === 7)
+    val stride = math.max(2L, v.count() / PqK)
+    broadcast(v.filter(col("vec_id") % stride === (7L % stride))
       .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
       .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
   }
@@ -732,8 +732,9 @@ object Similarity {
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-          cb AS (SELECT CAST(vec_id // greatest(61, (SELECT count(*) FROM v) // 16) AS INT) AS j, vec
-                 FROM v WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 16) = 7),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
           xd AS (SELECT v.vec_id, m.m, c.j,
                    list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
                               * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
@@ -819,14 +820,31 @@ object Similarity {
           .withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
           .select(col("q_id"), col("aid")))
         val qt = pqQueryTables(pv, cbAgg)
-        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-        probes.join(asnCodes, Seq("aid"))
+        // stage 1: ADC top-R candidates per query — ids only (the ss03/ss07
+        // ids-first lesson); PQ quantization error on near-isotropic data
+        // makes raw ADC ranking lossy (ProbeRecall: ~0.2-0.3 recall@5), so
+        // ADC's production role is CANDIDATE GENERATION
+        val R = 20
+        val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+        val cands = probes.join(asnCodes, Seq("aid"))
           .filter(col("vec_id") =!= col("q_id"))
           .join(qt, Seq("q_id"))
           .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
+          .withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= R)
+          .select(col("q_id"), col("vec_id"), col("adc"))
+        // stage 2: exact L2 rescore of just R candidates per query (full
+        // vectors re-attach by id — the only stage that touches them)
+        val full = pv.select(col("vec_id"), col("vec"))
+        val qFull = broadcast(pv.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec")))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+        cands.join(full, Seq("vec_id")).join(qFull, Seq("q_id"))
+          .withColumn("d2", pqSqd(col("q_vec"), col("vec")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= PqTopK)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"), col("rank"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            col("adc"), col("d2"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -843,8 +861,9 @@ object Similarity {
                 row_number() OVER (PARTITION BY q.q_id
                   ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
               FROM q CROSS JOIN a) WHERE rn <= 4),
-          cb AS (SELECT CAST(vec_id // greatest(61, (SELECT count(*) FROM v) // 16) AS INT) AS j, vec
-                 FROM v WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 16) = 7),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
           xd AS (SELECT v.vec_id, m.m, c.j,
                    list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
                               * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
@@ -865,11 +884,21 @@ object Similarity {
                       JOIN codes c ON c.vec_id = cv.vec_id
                       JOIN qd ON qd.m = c.m AND qd.j = c.j AND qd.q_id = cv.q_id
                     GROUP BY cv.q_id, c.vec_id),
-          ranked AS (SELECT q_id, vec_id, adc,
+          topr AS (SELECT q_id, vec_id, adc FROM (
+                     SELECT q_id, vec_id, adc,
                        row_number() OVER (PARTITION BY q_id
-                         ORDER BY adc ASC, vec_id) AS rank
-                     FROM pairs)
-        SELECT q_id, vec_id AS neighbor_id, adc, CAST(rank AS INT) AS rank
+                         ORDER BY adc ASC, vec_id) AS crank
+                     FROM pairs) WHERE crank <= 20),
+          resc AS (SELECT t.q_id, t.vec_id, t.adc,
+                     list_sum(list_transform(range(1, 65), i ->
+                       (qv.vec[i] - xv.vec[i]) * (qv.vec[i] - xv.vec[i]))) AS d2
+                   FROM topr t JOIN v qv ON qv.vec_id = t.q_id
+                     JOIN v xv ON xv.vec_id = t.vec_id),
+          ranked AS (SELECT q_id, vec_id, adc, d2,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY d2 ASC, vec_id) AS rank
+                     FROM resc)
+        SELECT q_id, vec_id AS neighbor_id, adc, d2, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     // ---- dd11: SemDeDup-style semantic dedup (cluster -> within-cluster ----
