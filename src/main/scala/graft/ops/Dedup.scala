@@ -914,6 +914,79 @@ object Dedup {
           coalesce(f.max_j, 0.0) AS max_j, f.n_near IS NULL AS keep
         FROM k bt LEFT JOIN f ON f.doc_b = bt.doc_id
         WHERE bt.bk >= 80
-        ORDER BY bt.doc_id"""))
+        ORDER BY bt.doc_id""")),
+
+    // ---- dd13: hot-span report — corpus-frequent 5-gram spans per document ----
+    // The memorization/boilerplate audit (the Lee et al. "Deduplicating
+    // Training Data" exact-substring signal reshaped to fixed 5-gram spans):
+    // find spans that recur across >= 3 DISTINCT documents, then report per
+    // doc how much of it is built from them — the "how templated is this
+    // feed" dial that complements dd03's pairwise Jaccard (which scores doc
+    // PAIRS; this scores each doc against the whole corpus at once).
+    // Scale shape: spans are 5 consecutive word HASHES combined with
+    // xxhash64 (never materialized strings — the module lesson), computed in
+    // a narrow map; then (doc, span) occurrence counts partial-aggregate
+    // into shuffle 1; span document-frequency partial-aggregates the
+    // already-distinct (doc, span) relation into shuffle 2 — both are the
+    // tf/df shapes tx06 ships at any corpus size. The join back attaches the
+    // df-filtered hot set to the per-doc span relation on the span hash
+    // (equi-join of two partial-agg'd narrow relations; AQE broadcasts when
+    // the hot set is small, falls back to a bounded shuffle join when a
+    // pathological corpus makes it big — unlike dd03's DfCap-bounded hot
+    // set, |hot| here is only bounded by instances/3, so a forced broadcast
+    // would be a scale bug). One final per-doc partial agg. No pair
+    // enumeration anywhere — work is linear in span instances.
+    Q("dd13_hot_spans",
+      (s, d) => {
+        val K = 5
+        val DfT = 3
+        // span hashes with MULTIPLICITY (unlike shinglesFromWh's set): the
+        // report counts every window. Same unconditional zero-length-slice
+        // guard for sub-K docs; word hashes materialize in their own
+        // projection first (HOF lambdas get no common-subexpression
+        // elimination — the withShingles lesson).
+        val spansFromWh = (wh: Column) => {
+          val idx = slice(sequence(lit(0), greatest(size(wh) - K, lit(0))),
+            lit(1), greatest(size(wh) - (K - 1), lit(0)))
+          transform(idx, i => xxhash64((0 until K).map(o => get(wh, i + o)): _*))
+        }
+        val spans = Tables.spread(t(s, d, "documents"))
+          .withColumn("graft_wh", wordHashes(col("text")))
+          .select(col("doc_id"), explode_outer(spansFromWh(col("graft_wh"))).as("h"))
+        val docSpan = spans.groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("occ"))
+          .persist() // read twice: df aggregation + the hot join-back
+        val hot = docSpan.filter(col("h").isNotNull)
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= DfT)
+        docSpan.join(hot, Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            // the explode_outer null-span row (sub-K doc) must count zero
+            sum(when(col("h").isNotNull, col("occ")).otherwise(0L)).as("n_spans"),
+            coalesce(sum(when(col("df").isNotNull, col("occ"))), lit(0L)).as("n_hot"),
+            count(col("df")).as("n_hot_distinct"))
+          .select(col("doc_id"), col("n_spans"), col("n_hot"), col("n_hot_distinct"),
+            (col("n_hot").cast("double") / greatest(col("n_spans"), lit(1L)))
+              .as("hot_frac"))
+          .orderBy(col("doc_id"))
+      },
+      // String spans in the oracle stand in for the hash-combined spans —
+      // equivalent as multisets modulo 64-bit collisions (the dd03 argument).
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          g AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                  for i in generate_series(1, len(w)-4)]) AS g FROM t),
+          dg AS (SELECT doc_id, g, count(*) AS occ FROM g GROUP BY doc_id, g),
+          hot AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 3),
+          per AS (SELECT dg.doc_id,
+                    CAST(sum(occ) AS BIGINT) AS n_spans,
+                    CAST(coalesce(sum(CASE WHEN h.g IS NOT NULL THEN occ END), 0)
+                      AS BIGINT) AS n_hot,
+                    CAST(count(h.g) AS BIGINT) AS n_hot_distinct
+                  FROM dg LEFT JOIN hot h ON dg.g = h.g GROUP BY dg.doc_id)
+        SELECT t.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(n_hot, 0) AS n_hot,
+          coalesce(n_hot_distinct, 0) AS n_hot_distinct,
+          coalesce(n_hot, 0)::DOUBLE / greatest(coalesce(n_spans, 0), 1) AS hot_frac
+        FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id"""))
   )
 }

@@ -423,6 +423,64 @@ object Multimodal {
         SELECT doc_id,
           row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS seg_id,
           start_frame, end_frame, n_frames, energy
-        FROM g ORDER BY doc_id, seg_id"""))
+        FROM g ORDER BY doc_id, seg_id""")),
+
+    // ---- mm09: video shot-boundary detection — consecutive-frame deltas ----
+    // The video-pipeline pre-step next to mm03's frame sampling: score each
+    // 64-byte frame (the same fused FrameEnergies kernel as mm07 — a real
+    // decoder swaps in behind the same array-of-frame-scores signature),
+    // then flag a SHOT BOUNDARY wherever the absolute energy delta between
+    // consecutive frames exceeds a threshold — the histogram-difference
+    // shot detector reshaped for columnar execution. Everything happens
+    // INSIDE one row: deltas are a zip_with of the energy array against
+    // itself shifted by one (slice guards use the unconditional
+    // greatest(n-1,0) length — empty for sub-2-frame docs — not a when(),
+    // which would block codegen subexpression reuse, the shinglesFromWh
+    // lesson), so the operator is a pure narrow map: no explode, no window,
+    // no shuffle of any kind before the output sort. Per-doc facts
+    // (n_frames, n_shots = boundaries+1, max_delta) are what a curation
+    // pipeline keeps; T=6000 ≈ the p75 frame delta of the fixture corpus.
+    Q("mm09_shot_detect",
+      (s, d) => {
+        val F = 64
+        val T = 6000L
+        // energies materialize in their OWN projection: `es` is referenced
+        // 4x downstream and HOF lambdas get no common-subexpression
+        // elimination (the withShingles lesson)
+        val base = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"),
+            graft.spark.FrameEnergies.column(col("text"), F, 96).as("es"))
+        val shifted = (off: Int) =>
+          slice(col("es"), lit(off), greatest(size(col("es")) - 1, lit(0)))
+        base
+          .select(col("doc_id"), col("es"),
+            zip_with(shifted(2), shifted(1), (a, b) => abs(a - b)).as("ds"))
+          .select(col("doc_id"),
+            size(col("es")).cast("bigint").as("n_frames"),
+            when(size(col("es")) === 0, lit(0L))
+              .otherwise(size(filter(col("ds"), x => x > T)) + 1)
+              .cast("bigint").as("n_shots"),
+            coalesce(array_max(col("ds")), lit(0L)).as("max_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+              unnest(list_transform(range(length(text)//64), j ->
+                {'frame': j, 'e': list_sum(list_transform(range(64), i ->
+                  CAST((ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) *
+                       (ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) AS BIGINT)))})) AS u
+            FROM documents),
+          fr AS (SELECT doc_id, u.frame AS frame, u.e AS e FROM f),
+          de AS (SELECT doc_id,
+                   abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY frame)) AS d
+                 FROM fr),
+          agg AS (SELECT doc_id, count(*) AS n_frames,
+                    CAST(1 + coalesce(sum(CASE WHEN d > 6000 THEN 1 END), 0) AS BIGINT)
+                      AS n_shots,
+                    CAST(coalesce(max(d), 0) AS BIGINT) AS max_delta
+                  FROM de GROUP BY doc_id)
+        SELECT m.doc_id, coalesce(n_frames, 0) AS n_frames,
+          coalesce(n_shots, 0) AS n_shots, coalesce(max_delta, 0) AS max_delta
+        FROM documents m LEFT JOIN agg USING (doc_id)
+        ORDER BY m.doc_id"""))
   )
 }

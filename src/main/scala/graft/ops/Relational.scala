@@ -352,6 +352,43 @@ object Relational {
           quantile_cont(l_extendedprice, 0.5) AS p50,
           quantile_cont(l_extendedprice, 0.75) AS p75,
           quantile_cont(l_extendedprice, 0.95) AS p95
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q21: per-customer order momentum (lag + sliding-frame average) ----
+    // The remaining window-function family q18's prefix sum doesn't cover:
+    // offset functions (lag) and a BOUNDED sliding frame (3-order moving
+    // average) over the same per-customer sequence — the order-velocity
+    // report shape. One shuffle on o_custkey; every window is partitioned
+    // (parallel at any customer count, no global frame). The customer
+    // filter pushes to the parquet scan. prev_price uses a 0.0 sentinel,
+    // not NULL: a nullable double would NaN-poison the driver's float
+    // compare (the dd12 lesson). Raw doubles, no round() — both engines
+    // average the same 3 values; the driver's 6dp compare absorbs ulp noise
+    // (the q20 argument).
+    Q("q21_order_momentum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wm = w.rowsBetween(-2, Window.currentRow)
+        orders(s, d)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("price"),
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+            avg(col("o_totalprice")).over(wm).as("ma3"))
+          .withColumn("delta", col("price") - col("prev_price"))
+          .orderBy(col("custkey"), col("orderkey"))
+      },
+      Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+          o_totalprice AS price,
+          coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey), 0.0) AS prev_price,
+          avg(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+          o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey), 0.0) AS delta
+        FROM orders WHERE o_custkey <= 100
+        ORDER BY custkey, orderkey"""))
   )
 }

@@ -358,4 +358,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the (band, bkey) equi-join\n" + p.take(2000))
   }
+
+  test("mm09 shot detect: pure narrow map — no explode, only the output-sort exchange") {
+    val p = plan("mm09_shot_detect")
+    assert(p.contains("frame_energies") || p.contains("FrameEnergies"),
+      "frame scoring must run on the fused kernel\n" + p.take(2000))
+    assert(!p.contains("Generate"), "deltas happen inside the row, not via explode\n" + p.take(2000))
+    // map-only: the only exchanges are the spread repartition + output sort
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+  }
+
+  test("dd13 hot spans: partial aggregation, equi-joins only, no pair enumeration") {
+    val p = plan("dd13_hot_spans")
+    assert(p.contains("partial_"), "span counts must partial-aggregate map-side\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the hot join-back must be an equi-join on the span hash\n" + p.take(2000))
+  }
+
+  test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
+    val p = plan("q21_order_momentum")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
 }
