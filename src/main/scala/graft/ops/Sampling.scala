@@ -52,7 +52,7 @@ object Sampling {
     math.max(500L, nDocs / math.max(1, parallelism))
 
   /** Tokens per packed shard (whitespace tokens, the tx03 definition). */
-  private val ShardTokens = 4096L
+  private[ops] val ShardTokens = 4096L // shared with pp03's survivor packing
 
   val entries: Seq[Q] = Seq(
     // ---- sp01: deterministic train/val/test split (80/10/10 by doc hash) ----

@@ -538,6 +538,71 @@ object TextOps {
           count(*) FILTER (uniq) AS n_unique,
           CAST(coalesce(sum(CASE WHEN uniq THEN n_words ELSE 0 END), 0) AS BIGINT)
             AS tokens_unique
-        FROM r GROUP BY source ORDER BY source"""))
+        FROM r GROUP BY source ORDER BY source""")),
+
+    // ---- pp03: shard manifest for the CLEANED corpus — pp01 x sp03 ----
+    // The end-to-end materialization a production build actually ships:
+    // pp01's survivor set (quality gate -> language gate -> exact-dedup
+    // keep-first; the SAME shared builders, so survivorship provably matches
+    // the filter pipeline) packed into 4096-token shards in doc_id order via
+    // sp03's two-level prefix sum — per-block running totals in parallel,
+    // one ordered window over the ≈parallelism-row block summary, never the
+    // corpus (the documented bounded-summary window class). Output is the
+    // shard manifest (doc/token counts + id range per shard) — the artifact
+    // a training job's data loader consumes. Block keys come from the RAW
+    // doc_id (block size from the raw count — no extra count() action over
+    // the filtered lineage); blocks just carry fewer survivors, the prefix
+    // sum is indifferent.
+    Q("pp03_shard_manifest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val blockSize = Sampling.blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val surv = docs
+          .select(col("doc_id"), col("text"), nWords.as("tokens"),
+            qualityCol.as("quality"), predLangCol.as("pred_lang"))
+          .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("rn", row_number().over(wFp))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tokens"),
+            (col("doc_id") / blockSize).cast("bigint").as("blk"))
+        val wBlk = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = surv.groupBy(col("blk"))
+          .agg(sum(col("tokens")).as("blk_sum"))
+          .withColumn("blk_off", sum(col("blk_sum")).over(wBlk) - col("blk_sum"))
+          .select(col("blk"), col("blk_off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        surv.join(broadcast(offsets), Seq("blk"))
+          .withColumn("cum_end", col("blk_off") + sum(col("tokens")).over(wIn))
+          .withColumn("shard",
+            ((col("cum_end") - col("tokens")) / Sampling.ShardTokens).cast("bigint"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text,
+              len(string_split_regex(trim(text), '\\s+')) AS tokens,
+              $qualitySql AS quality, $predLangSql AS pred_lang
+            FROM documents),
+          f AS (SELECT doc_id, tokens, md5(lower(trim(text))) AS fp
+                FROM q WHERE quality >= 0.5 AND pred_lang = 'en'),
+          k AS (SELECT doc_id, tokens,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f),
+          c AS (SELECT doc_id, tokens,
+                  sum(tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+                FROM k WHERE rn = 1),
+          a AS (SELECT doc_id, tokens,
+                  CAST((cum_end - tokens) // 4096 AS BIGINT) AS shard
+                FROM c)
+        SELECT shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -292,7 +292,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // summary (second level of the stacked prefix sums), same class as sp03
     val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture",
       "tx09_zipf", "sp10_unimax_budget", "sp11_curriculum_interleave",
-      "sp12_pack_examples") // sp12 = sp03's block-summary window, same class
+      "sp12_pack_examples", // sp12 = sp03's block-summary window, same class
+      "pp03_shard_manifest") // pp03 = sp03's block-summary window over survivors
     def unpartitionedWindows(p: SparkPlan): Seq[String] = {
       val here = p match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
