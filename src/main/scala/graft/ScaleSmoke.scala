@@ -86,7 +86,8 @@ object ScaleSmoke {
       "jx1", "jx2", // jx10+ are the embeddings/documents compiled-tier queries
       "mm06", // multimodal ops with joins (mm01-mm05 are map-only)
       "mm07", // per-doc windows + the fused energy kernel (frame-count scaling)
-      "mm08") // the banded per-doc summary over the same vector relation
+      "mm08", // the banded per-doc summary over the same vector relation
+      "mm09") // shot deltas: per-row frame HOF cost scales with doc length
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

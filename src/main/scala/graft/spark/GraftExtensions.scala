@@ -51,5 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[RegexMatchAll].getName, name),
         builder))
     }
+    // two-tier decision on the SQL surface: jsonata_typed calls in the
+    // compiled subset rewrite to native expressions at analysis time
+    ext.injectResolutionRule(session => JsonataCompileRule(session))
   }
 }

@@ -46,14 +46,20 @@ object JsonataCompiler {
   /** A compiled top-level query: optional tombstone filter + named outputs. */
   final case class CompiledQuery(filter: Option[Column], outputs: Seq[(String, Column)])
 
-  def compileQuery(df: DataFrame, exprSource: String): Option[CompiledQuery] = {
-    val ast = JsonataTransform.compile(exprSource).ast
-    val schema = df.schema
+  def compileQuery(df: DataFrame, exprSource: String): Option[CompiledQuery] =
     // $fromMillis renders through date_format, which follows the SESSION
     // time zone where the engine always renders UTC — only a UTC session
     // can compile it (others fall back to the interpreter, same results)
-    val utc = df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC"
-    val ctx = new Ctx(schema, utcSession = utc)
+    compileForSchema(df.schema, exprSource,
+      utcSession = df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC")
+
+  /** Schema-rooted compile — the DataFrame-free entry the analyzer-rule
+    * surface ([[JsonataCompileRule]]) shares with [[compileQuery]]: `schema`
+    * is the record struct `value.*` paths resolve against. */
+  def compileForSchema(schema: StructType, exprSource: String,
+                       utcSession: Boolean): Option[CompiledQuery] = {
+    val ast = JsonataTransform.compile(exprSource).ast
+    val ctx = new Ctx(schema, utcSession = utcSession)
     inlineBinds(ast) match {
       // `cond ? {obj} : null` / `cond ? {obj}` — tombstone filter + projection
       case Cond(c, t, e) if isNullOrAbsent(e) =>

@@ -11,6 +11,16 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column -> Expression conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper that only the Dataset API's own
+    * plan-construction path converts; a tree spliced into a LogicalPlan by
+    * an analyzer rule bypasses that path, so the wrapper would survive to
+    * execution and fail codegen (Unevaluable). This converts the node tree
+    * to real catalyst expressions up front (UnresolvedFunction /
+    * UnresolvedAttribute nodes, which analysis then resolves in place). */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a NATIVE expression builder as a session temp function — the
     * route `SparkSessionExtensions.injectFunction` takes at startup, available
     * post-startup (sessionState is private[sql], hence this shim). Unlike
