@@ -571,6 +571,34 @@ object Dedup {
                   GROUP BY h.tok)
         SELECT tok, n_exact, n_est FROM est ORDER BY n_exact DESC, tok""")),
 
+    // ---- bf03: HLL cardinality — the sketch that replaces count(DISTINCT) ----
+    // ---- at scale, error-bound-pinned against the exact answer           ----
+    // Completes the sketch family (bf01 bloom membership, bf02 count-min
+    // frequency): per-source DISTINCT-fingerprint cardinality via Spark's
+    // native HyperLogLog++ (approx_count_distinct, rsd 2%), compared in the
+    // SAME aggregation pass against the exact distinct. The exact column is
+    // the oracle-checkable output; the approx path is the one a 100 TB
+    // deployment ships (fixed-size sketch, partial-aggregated, no distinct
+    // shuffle) — `within_bound` pins |approx - exact| / exact <= 3·rsd,
+    // which is DETERMINISTIC on fixed data (HLL++ has no randomness), the
+    // ss-family recall-floor convention for approximate operators.
+    Q("bf03_hll_cardinality",
+      (s, d) => {
+        val rsd = 0.02
+        t(s, d, "documents")
+          .select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+          .groupBy(col("source"))
+          .agg(count_distinct(col("fp")).as("n_exact"),
+            approx_count_distinct(col("fp"), rsd).as("n_approx"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")).cast("double") /
+              col("n_exact") <= 3 * rsd).as("within_bound"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(DISTINCT md5(lower(trim(text)))) AS n_exact,
+          TRUE AS within_bound
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---- dc01: decontamination — training docs sharing any 3-gram with ----
     // ---- the benchmark split ----
     // The eval-leakage scan every training corpus needs: the benchmark set

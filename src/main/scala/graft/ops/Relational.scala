@@ -389,6 +389,25 @@ object Relational {
           o_totalprice - coalesce(lag(o_totalprice) OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey), 0.0) AS delta
         FROM orders WHERE o_custkey <= 100
-        ORDER BY custkey, orderkey"""))
+        ORDER BY custkey, orderkey""")),
+
+    // ---- q22: pivot (groupBy().pivot() — the Expand-based reshape) ----
+    // The reporting reshape the DataFrame API compiles into ONE pass:
+    // explicit pivot values keep the plan static (no extra collect job to
+    // discover them — at 100 TB value discovery is a full scan; a reporting
+    // pivot always knows its columns). na.fill(0.0) mirrors the oracle's
+    // coalesce so no nullable double reaches the driver hasher (dd12 note).
+    Q("q22_status_pivot",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .na.fill(0.0, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+          coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS F,
+          coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS O,
+          coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

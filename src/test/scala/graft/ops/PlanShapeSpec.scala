@@ -377,6 +377,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the hot join-back must be an equi-join on the span hash\n" + p.take(2000))
   }
 
+  test("q22 pivot: two-level aggregation with pivotfirst, no value-discovery job") {
+    val p = plan("q22_status_pivot")
+    assert(p.contains("partial_"), "pivot aggregates must partial-aggregate\n" + p.take(2000))
+    assert(p.contains("pivotfirst"), p.take(2000))
+    // (status,priority) agg + pivotfirst agg + output sort — explicit pivot
+    // values must not add a 4th exchange (the value-discovery collect job)
+    assert(p.split("Exchange").length - 1 <= 3, p.take(2000))
+  }
+
+  test("bf03 HLL: approx and exact distinct share one partial-aggregated pass") {
+    val p = plan("bf03_hll_cardinality")
+    assert(p.contains("partial_"), p.take(2000))
+    assert(p.contains("approx_count_distinct"), p.take(2000))
+  }
+
   test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
     val p = plan("q21_order_momentum")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),
