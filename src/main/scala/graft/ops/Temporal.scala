@@ -539,6 +539,41 @@ object Temporal {
     // number them — so the plan is a single exchange on user_id + one sort,
     // then a partial-agg rollup. Scale: every window is PARTITIONED by
     // user_id (per-key work, parallel across keys); nothing spans the corpus.
+    // ---- ev07: per-user event paths — the sequence-export shape ----
+    // The training-sequence extraction next to ev06's edge counts: each
+    // user's first-8 chronological event types as one path string (the
+    // behavioral-sequence feature a recommender/LM pipeline exports), plus
+    // span timestamps. Scale shape: the row_number window BOUNDS per-user
+    // rows BEFORE any collection (a user with a million events contributes
+    // 8 rows, never an unbounded in-memory list), and the groupBy reuses
+    // the window's user_id hash partitioning — one exchange end to end
+    // plus the output sort (plan-pinned). collect_list is order-
+    // nondeterministic, so the path sorts deterministically via array_sort
+    // on (ts, event_id, type) structs before joining.
+    Q("ev07_user_paths",
+      (s, d) => {
+        val Cap = 8
+        val ev = eventsMs(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("e_ms"), col("event_id"))
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= Cap)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_path"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("e_ms"), col("event_id"), col("event_type")))),
+                e => e.getField("event_type")), ">").as("path"),
+            min(col("e_ms")).as("first_ms"), max(col("e_ms")).as("last_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS e_ms, event_type FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY e_ms, event_id) AS rn FROM e)
+        SELECT user_id, count(*) AS n_path,
+          string_agg(event_type, '>' ORDER BY e_ms, event_id) AS path,
+          min(e_ms) AS first_ms, max(e_ms) AS last_ms
+        FROM r WHERE rn <= 8 GROUP BY user_id ORDER BY user_id""")),
+
     Q("ses01_sessionize",
       (s, d) => {
         val GapMs = 30 * 60000L

@@ -392,6 +392,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("approx_count_distinct"), p.take(2000))
   }
 
+  test("ev07 user paths: the groupBy reuses the window's user_id partitioning") {
+    val p = plan("ev07_user_paths")
+    // window exchange + output sort only — a third exchange means the
+    // aggregation re-shuffled what the window already partitioned
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+    assert(p.contains("row_number"), p.take(2000))
+  }
+
   test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
     val p = plan("q21_order_momentum")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),

@@ -103,6 +103,30 @@ class JsonataRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("nested struct paths re-root as extraction chains (value.a.b)") {
+    val df = spark.sql("""
+      SELECT r.x FROM (
+        SELECT jsonata_typed(named_struct('a', named_struct('b', id * 10)),
+                 '{''x'': value.a.b}', 'x BIGINT') AS r FROM t)
+      ORDER BY r.x""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("jsonata"), plan.take(2000))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("compiled HOF lambdas survive the re-rooting (lambda vars untouched)") {
+    val df = spark.sql("""
+      SELECT r.s FROM (
+        SELECT jsonata_typed(named_struct('xs', array(id, id + 1)),
+                 '{''s'': $sum($map(value.xs, function($v){$v * 2}))}',
+                 's BIGINT') AS r FROM t)
+      ORDER BY r.s""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("jsonata"), plan.take(2000))
+    // id in 1..3: sum(2*id + 2*(id+1)) = 4id + 2
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(6L, 10L, 14L))
+  }
+
   test("declared-but-absent output fields decode as typed nulls") {
     val df = spark.sql("""
       SELECT r.x, r.z FROM (
