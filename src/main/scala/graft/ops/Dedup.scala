@@ -169,6 +169,62 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** Near-dup connected components over [[verifiedPairs]] — iterative
+    * label propagation with pointer jumping. Returns one `(doc_id, cluster)`
+    * row per doc that appears in at least one verified pair; cluster = the
+    * component's smallest doc_id. Factored out so dd06 (the raw cluster
+    * dump) and dd14 (quality-aware canonical selection) share one
+    * implementation. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    var prevCheckpoint: DataFrame = labels // released once round 0's next is materialized
+    while (!converged && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nc")).as("nmin"))
+        .select(col("doc_a").as("doc_id"), col("nmin"))
+      // checkpointed BEFORE the self-join below: both join sides read the
+      // materialized blocks, so the edges-join-labels aggregation runs
+      // once per round, not twice
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("prev"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+        .localCheckpoint()
+      // pointer jumping: follow the new label one hop (labels are doc_ids,
+      // so c1 always resolves in the same relation)
+      val next = stepped
+        .join(stepped.select(col("doc_id").as("jid"), col("c1").as("jc")),
+          col("c1") === col("jid"), "left")
+        .select(col("doc_id"),
+          least(col("c1"), coalesce(col("jc"), col("c1"))).as("cluster"),
+          (least(col("c1"), coalesce(col("jc"), col("c1"))) =!= col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = !next
+        .agg(coalesce(max(col("changed")), lit(false))).first().getBoolean(0)
+      // release this round's intermediate and the previous round's labels:
+      // localCheckpoint blocks bypass the cache manager, so without an
+      // explicit unpersist up to 25 generations of label RDDs would sit in
+      // executor storage until the driver's ContextCleaner happens to GC
+      // them (evicting deliberately-cached datasets at scale)
+      releaseCheckpoint(stepped)
+      releaseCheckpoint(prevCheckpoint)
+      prevCheckpoint = next
+      labels = next.select(col("doc_id"), col("cluster"))
+      iter += 1
+    }
+    // the returned plan reads only the LAST round's blocks — edges can go
+    releaseCheckpoint(edges)
+    labels
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- dd01: exact dedup — keep min doc_id per identical text ----
     Q("dd01_dedup_exact",
@@ -307,55 +363,7 @@ object Dedup {
     //    new labels (a `changed` column aggregated from the checkpointed
     //    rows), not a second join+count job per round.
     Q("dd06_dup_clusters",
-      (s, d) => {
-        val pairs = verifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val edges = pairs
-          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .localCheckpoint()
-        var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-          .localCheckpoint()
-        var converged = false
-        var iter = 0
-        var prevCheckpoint: DataFrame = labels // released once round 0's next is materialized
-        while (!converged && iter < 25) {
-          val nbrMin = edges
-            .join(labels.select(col("doc_id").as("doc_b"), col("cluster").as("nc")), "doc_b")
-            .groupBy(col("doc_a")).agg(min(col("nc")).as("nmin"))
-            .select(col("doc_a").as("doc_id"), col("nmin"))
-          // checkpointed BEFORE the self-join below: both join sides read the
-          // materialized blocks, so the edges-join-labels aggregation runs
-          // once per round, not twice
-          val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("cluster").as("prev"),
-              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
-            .localCheckpoint()
-          // pointer jumping: follow the new label one hop (labels are doc_ids,
-          // so c1 always resolves in the same relation)
-          val next = stepped
-            .join(stepped.select(col("doc_id").as("jid"), col("c1").as("jc")),
-              col("c1") === col("jid"), "left")
-            .select(col("doc_id"),
-              least(col("c1"), coalesce(col("jc"), col("c1"))).as("cluster"),
-              (least(col("c1"), coalesce(col("jc"), col("c1"))) =!= col("prev")).as("changed"))
-            .localCheckpoint()
-          converged = !next
-            .agg(coalesce(max(col("changed")), lit(false))).first().getBoolean(0)
-          // release this round's intermediate and the previous round's labels:
-          // localCheckpoint blocks bypass the cache manager, so without an
-          // explicit unpersist up to 25 generations of label RDDs would sit in
-          // executor storage until the driver's ContextCleaner happens to GC
-          // them (evicting deliberately-cached datasets at scale)
-          releaseCheckpoint(stepped)
-          releaseCheckpoint(prevCheckpoint)
-          prevCheckpoint = next
-          labels = next.select(col("doc_id"), col("cluster"))
-          iter += 1
-        }
-        // the returned plan reads only the LAST round's blocks — edges can go
-        releaseCheckpoint(edges)
-        labels.orderBy(col("doc_id"))
-      },
+      (s, d) => dupClusters(s, d).orderBy(col("doc_id")),
       // transitive closure via recursive CTE over the same >= 0.3 pairs
       Some("""WITH RECURSIVE b AS (
           SELECT doc_id,
@@ -1015,6 +1023,59 @@ object Dedup {
         SELECT t.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(n_hot, 0) AS n_hot,
           coalesce(n_hot_distinct, 0) AS n_hot_distinct,
           coalesce(n_hot, 0)::DOUBLE / greatest(coalesce(n_spans, 0), 1) AS hot_frac
-        FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id"""))
+        FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""")),
+
+    // ---- dd14: quality-aware canonical selection — dd06 x tx02 ----
+    // The production dedup DECISION the raw cluster dump feeds: within each
+    // near-dup cluster keep the HIGHEST-QUALITY member (ties to the lowest
+    // doc_id), not the arbitrary lowest-id one — re-crawls and mirrors often
+    // carry the cleaner copy of a page, and keep-lowest-id throws it away.
+    // Composes the factored [[dupClusters]] components with tx02's shared
+    // quality builder (TextOps.qualityCol — the same raw-double arithmetic
+    // on both engines, so the per-cluster argmax agrees exactly). Shapes:
+    // the quality attach is an equi-join of two doc_id-keyed relations; the
+    // keep decision is one window PARTITIONED by cluster (parallel at any
+    // cluster count — clusters are near-dup components, bounded by the
+    // banded-candidate machinery, never corpus-sized).
+    Q("dd14_canonical_quality",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val labels = dupClusters(s, d)
+        val q = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), TextOps.qualityCol.as("quality"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        labels.join(q, "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      // dd06's recursive-CTE closure + tx02's quality formula, argmax via the
+      // same deterministic (quality DESC, doc_id ASC) rank
+      Some(s"""WITH RECURSIVE b AS (
+          SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in generate_series(1, len(w)-2)]) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+        k AS (SELECT doc_id, sh, len(sh) AS n FROM b),
+        pairs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jacc
+            FROM k a JOIN k b ON a.doc_id < b.doc_id)
+          WHERE jacc >= 0.3),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (SELECT u, v FROM edges
+                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                FROM reach GROUP BY u),
+        q AS (SELECT doc_id, ${TextOps.qualitySql} AS quality FROM documents),
+        j AS (SELECT lab.doc_id, cluster, quality FROM lab JOIN q USING (doc_id))
+        SELECT doc_id, cluster, quality,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+        FROM j ORDER BY doc_id"""))
   )
 }

@@ -63,7 +63,7 @@ object TextOps {
 
   /** tx02's quality score, shared with pp01 (same raw-double arithmetic on
     * both engines, so a threshold on it filters identically). */
-  private def qualityCol: Column = {
+  private[ops] def qualityCol: Column = {
     val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
     val stops = stopwords.map(occ(padded(col("text")), _)).reduce(_ + _)
@@ -73,7 +73,7 @@ object TextOps {
       lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * least(stopRatio * 5, lit(1.0))
   }
 
-  private val qualitySql: String = {
+  private[ops] val qualitySql: String = {
     val stopsSql = stopwords.map(m => occSql(paddedSql, m)).mkString(" + ")
     s"""0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
         + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))

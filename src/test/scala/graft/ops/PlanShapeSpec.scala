@@ -400,6 +400,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("row_number"), p.take(2000))
   }
 
+  test("dd14 canonical quality: cluster-partitioned keep window, equi-join attach") {
+    val p = plan("dd14_canonical_quality")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("row_number"), p.take(2000))
+  }
+
   test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
     val p = plan("q21_order_momentum")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),
