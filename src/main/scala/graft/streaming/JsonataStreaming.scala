@@ -24,6 +24,17 @@ object JsonataStreaming {
   def transform(stream: DataFrame, expr: String, topic: String = "stream"): DataFrame =
     JsonataDF.transform(stream, expr, topic)
 
+  /** Typed two-tier transform on a stream: compiled native Columns when the
+    * expression falls in the compiled subset (whole-stage codegen inside
+    * every micro-batch — the tier decision happens ONCE, driver-side, at
+    * plan construction), the interpreted expression otherwise — the same
+    * [[JsonataDF.auto]] decision, streaming-safe because both tiers are
+    * stateless narrow maps. Null results (tombstones) drop, as everywhere. */
+  def transformTyped(stream: DataFrame, expr: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     topic: String = "stream"): DataFrame =
+    JsonataDF.auto(stream, expr, schema, topic)
+
   /** Transform + extract the (possibly rewritten) topic as a column, for
     * routing to per-topic sinks. */
   def transformWithTopic(stream: DataFrame, expr: String, topic: String = "stream"): DataFrame =

@@ -49,6 +49,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).contains("\"id\":3"))
   }
 
+  test("typed two-tier transform: the compiled tier runs inside micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "kind")
+    val out = JsonataStreaming.transformTyped(df,
+      "value.kind != 'drop' ? {'id': value.id + 100, 'kind': $uppercase(value.kind)}",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, kind STRING"))
+    // tier decision is visible on the streaming plan itself: no interpreter
+    assert(!out.queryExecution.analyzed.toString.toLowerCase.contains("jsonata"),
+      "compilable expression must take the compiled tier on streams")
+
+    val query = out.writeStream.format("memory").queryName("tt_out").outputMode("append").start()
+    input.addData((1L, "keep"), (2L, "drop"), (3L, "also"))
+    query.processAllAvailable()
+    val rows = sp.sql("SELECT id, kind FROM tt_out ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    query.stop()
+    assert(rows == Seq((101L, "KEEP"), (103L, "ALSO")), s"got $rows")
+
+    // outside the subset the interpreted tier serves the same stream contract
+    val input2 = MemoryStream[(Long, String)]
+    val out2 = JsonataStreaming.transformTyped(input2.toDF().toDF("id", "kind"),
+      "{'id': value.id, 'k': $eval('\"x\"')}",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, k STRING"))
+    assert(out2.queryExecution.analyzed.toString.toLowerCase.contains("jsonata"))
+    val q2 = out2.writeStream.format("memory").queryName("tt_out2").outputMode("append").start()
+    input2.addData((7L, "z"))
+    q2.processAllAvailable()
+    val rows2 = sp.sql("SELECT id, k FROM tt_out2").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q2.stop()
+    assert(rows2 == Seq((7L, "x")), s"got $rows2")
+  }
+
   test("topic rewrite routes to per-topic partitions") {
     val sp = spark
     import sp.implicits._
