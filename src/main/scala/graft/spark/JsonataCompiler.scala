@@ -67,6 +67,17 @@ object JsonataCompiler {
           cond <- ctx.compileBool(c)
           outs <- compileOutputs(ctx, t)
         } yield CompiledQuery(Some(cond), outs)
+      // the INVERTED authoring shape — `cond ? null : {obj}` (the reference
+      // README's own `value = null ? null : $` idiom, object-output form):
+      // keep the record when the condition is NOT truthy. An undefined
+      // condition is falsy and must KEEP the record (the engine takes the
+      // else branch), so the negation wraps in coalesce(_, false) — a bare
+      // NOT would propagate the null and drop it.
+      case Cond(c, t, Some(e)) if isNullOrAbsent(Some(t)) =>
+        for {
+          cond <- ctx.compileBool(c)
+          outs <- compileOutputs(ctx, e)
+        } yield CompiledQuery(Some(!coalesce(cond, lit(false))), outs)
       case other =>
         compileOutputs(ctx, other).map(outs => CompiledQuery(None, outs))
     }

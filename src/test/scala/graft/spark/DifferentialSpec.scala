@@ -65,6 +65,15 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT", "doc_id")
   }
 
+  test("inverted tombstone: cond ? null : {obj} keeps the non-matching records") {
+    diff("events",
+      "value.event_type = 'click' ? null : {'event_id': value.event_id, 'v2': value.value * 2}",
+      "event_id BIGINT, v2 DOUBLE", "event_id")
+    diff("documents",
+      "value.lang != 'en' ? null : {'doc_id': value.doc_id, 'lang': value.lang}",
+      "doc_id BIGINT, lang STRING", "doc_id")
+  }
+
   test("numeric functions half-even rounding") {
     diff("orders",
       "{'k': value.o_orderkey, 'r': $round(value.o_totalprice / 7, 2), 'f': $floor(value.o_totalprice)}",

@@ -80,6 +80,24 @@ class JsonataRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
   }
 
+  test("inverted tombstone: an UNDEFINED condition is falsy and keeps the record") {
+    // a = null for id 2: `value.a > 1` is undefined there — the engine takes
+    // the else branch ({} decodes to an all-null row), so the compiled
+    // negation must coalesce, not propagate, the null condition
+    val df = spark.sql("""
+      SELECT r FROM (
+        SELECT jsonata_typed(named_struct('a', IF(id = 2, CAST(NULL AS BIGINT), id)),
+                 'value.a > 1 ? null : {''x'': value.a}', 'x BIGINT') AS r FROM t)
+      WHERE r IS NOT NULL""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("jsonata"), plan.take(2000))
+    val rows = df.collect().map(r =>
+      if (r.getStruct(0).isNullAt(0)) None else Some(r.getStruct(0).getLong(0))).toSet
+    // id 1 -> x=1 (1 > 1 false); id 2 -> undefined cond, kept, x absent ->
+    // null; id 3 -> 3 > 1 truthy -> tombstone, filtered
+    assert(rows == Set(Some(1L), None), s"got $rows")
+  }
+
   test("NULL input struct yields a NULL result row, like nullSafeEval") {
     val df = spark.sql("""
       SELECT r FROM (
