@@ -42,6 +42,21 @@ object Dedup {
   private[graft] def shingleHashes(text: Column): Column =
     shinglesFromWh(wordHashes(text))
 
+  /** K-gram span hashes with MULTIPLICITY (unlike [[shinglesFromWh]]'s set):
+    * dd13's report counts every window. Same unconditional zero-length-slice
+    * guard for sub-K docs; callers materialize the word-hash array in its
+    * own projection first (HOF lambdas get no common-subexpression
+    * elimination — the withShingles lesson). Factored for the property spec
+    * that pins the window arithmetic against string grams. */
+  private[graft] def spansFromWh(wh: Column, k: Int): Column = {
+    val idx = slice(sequence(lit(0), greatest(size(wh) - k, lit(0))),
+      lit(1), greatest(size(wh) - (k - 1), lit(0)))
+    transform(idx, i => xxhash64((0 until k).map(o => get(wh, i + o)): _*))
+  }
+
+  /** Word-hash column for [[spansFromWh]] callers outside this object. */
+  private[graft] def wordHashCol(text: Column): Column = wordHashes(text)
+
   /** Shingle hashes from a word-hash ARRAY column/expression. The guard is a
     * zero-length slice, NOT a when() branch: conditional branches block
     * codegen subexpression elimination, so a when() here re-evaluated the
@@ -974,21 +989,10 @@ object Dedup {
     // enumeration anywhere — work is linear in span instances.
     Q("dd13_hot_spans",
       (s, d) => {
-        val K = 5
         val DfT = 3
-        // span hashes with MULTIPLICITY (unlike shinglesFromWh's set): the
-        // report counts every window. Same unconditional zero-length-slice
-        // guard for sub-K docs; word hashes materialize in their own
-        // projection first (HOF lambdas get no common-subexpression
-        // elimination — the withShingles lesson).
-        val spansFromWh = (wh: Column) => {
-          val idx = slice(sequence(lit(0), greatest(size(wh) - K, lit(0))),
-            lit(1), greatest(size(wh) - (K - 1), lit(0)))
-          transform(idx, i => xxhash64((0 until K).map(o => get(wh, i + o)): _*))
-        }
         val spans = Tables.spread(t(s, d, "documents"))
           .withColumn("graft_wh", wordHashes(col("text")))
-          .select(col("doc_id"), explode_outer(spansFromWh(col("graft_wh"))).as("h"))
+          .select(col("doc_id"), explode_outer(spansFromWh(col("graft_wh"), 5)).as("h"))
         val docSpan = spans.groupBy(col("doc_id"), col("h"))
           .agg(count(lit(1)).as("occ"))
           .persist() // read twice: df aggregation + the hot join-back
