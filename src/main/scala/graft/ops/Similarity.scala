@@ -990,6 +990,55 @@ object Similarity {
         SELECT b.vec_id, b.cluster, COALESCE(a.n_semdup, 0) AS n_semdup,
           COALESCE(a.earlier, 0) = 0 AS keep
         FROM best b LEFT JOIN agg a ON a.ia = b.vec_id
-        ORDER BY b.vec_id"""))
+        ORDER BY b.vec_id""")),
+
+    // ---- ss12: embedding outlier detection — distance to own-label centroid ----
+    // The embedding-quality gate before the vectors feed dedup/search: score
+    // each vector by squared L2 distance to ITS label's centroid (ss05's
+    // relation reshaped into ordered arrays) and flag the farthest 5% per
+    // label. The flag is RANK-based (top ceil(0.05·n) by dist desc, vec_id
+    // tiebreak), not threshold-based: a `dist > p95` comparison sits on a
+    // float knife edge where ulp noise between engines could flip boundary
+    // rows, while ranks are total-ordered and deterministic. Shapes: the
+    // centroid relation is tiny (labels × dims) and broadcasts back; the
+    // distance fold is the native SquaredDistance kernel (one codegen'd
+    // pass, no posexplode of the corpus); the flag window partitions by
+    // label. Raw double dist (ss01 note).
+    Q("ss12_embedding_outliers",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.spread(t(s, d, "embeddings"))
+          .select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
+        val cent = v
+          .select(col("label"), posexplode(col("vec")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+            e => e.getField("c")).as("cvec"))
+        val w = Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+        val wn = Window.partitionBy(col("label"))
+        v.join(broadcast(cent), "label")
+          .withColumn("dist", graft.spark.VectorExpressions.sqdist(col("vec"), col("cvec")))
+          .withColumn("is_outlier",
+            row_number().over(w) <= ceil(count(lit(1)).over(wn) * 0.05))
+          .select(col("vec_id"), col("label"), col("dist"), col("is_outlier"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+          x AS (SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) t(i)),
+          cd AS (SELECT label, dim, avg(x) AS c FROM x GROUP BY label, dim),
+          c AS (SELECT label, array_agg(c ORDER BY dim) AS cvec FROM cd GROUP BY label),
+          dist AS (SELECT vec_id, v.label,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (vec[CAST(i AS INT)] - cvec[CAST(i AS INT)])
+                          * (vec[CAST(i AS INT)] - cvec[CAST(i AS INT)]))) AS dist
+                   FROM v JOIN c ON v.label = c.label),
+          r AS (SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY dist DESC, vec_id) AS rn,
+                  count(*) OVER (PARTITION BY label) AS n FROM dist)
+        SELECT vec_id, label, dist, rn <= ceil(0.05 * n) AS is_outlier
+        FROM r ORDER BY vec_id"""))
   )
 }

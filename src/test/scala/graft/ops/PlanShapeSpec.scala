@@ -406,6 +406,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("row_number"), p.take(2000))
   }
 
+  test("ss12 embedding outliers: broadcast centroid attach, native sqdist, no corpus shuffle for the distance") {
+    val p = plan("ss12_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), "the labels x dims centroid table must broadcast\n" + p.take(2000))
+    assert(p.contains("vec_sqdist"), "the distance fold must be the native kernel\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
     val p = plan("q21_order_momentum")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),
