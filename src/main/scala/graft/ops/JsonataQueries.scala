@@ -457,6 +457,16 @@ object JsonataQueries {
           COALESCE(list_filter(string_split(text, ' '), x -> len(x) > 4)[-1], '') AS last_long
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx25: inverted tombstone — `cond ? null : {obj}`, the reference ----
+    // ---- README's authoring polarity (compiled: keep on NOT-truthy)      ----
+    q("jx25_inverted_tombstone", "documents",
+      "value.lang = 'en' ? null : {'doc_id': value.doc_id, 'lang': value.lang, " +
+        "'n100': value.n_chars > 100}",
+      "doc_id BIGINT, lang STRING, n100 BOOLEAN",
+      Seq("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars > 100 AS n100 FROM documents
+        WHERE lang <> 'en' ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

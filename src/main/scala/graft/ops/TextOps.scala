@@ -460,6 +460,50 @@ object TextOps {
           n_tokens::DOUBLE / sum(n_tokens) OVER () AS mass_frac
         FROM a ORDER BY band""")),
 
+    // ---- tx11: bigram model EXPORT — the table tx08 scores against ----
+    // tx08 trains a bigram LM internally and emits per-doc scores; tx11
+    // exports the MODEL itself: the top-25 bigrams by corpus count with
+    // their add-one-smoothed conditional probability P(w2|w1) =
+    // (c12+1)/(c1+V) — what a deployment materializes for downstream
+    // scorers. Shapes: two partial-agg count relations (bigram, history)
+    // joined on the history token; the top-k is TakeOrderedAndProject
+    // (never a global sort); ties at the cutoff break on (w1, w2) so the
+    // export is deterministic. The probability is a ratio of exact
+    // integers — identical IEEE division both engines.
+    Q("tx11_bigram_model",
+      (s, d) => {
+        val w = split(lower(col("text")), " ")
+        val pairIdx = slice(sequence(lit(0), greatest(size(col("w")) - 2, lit(0))),
+          lit(1), greatest(size(col("w")) - 1, lit(0)))
+        val pairs = transform(pairIdx, i => struct(
+          get(col("w"), i).as("w1"), get(col("w"), i + 1).as("w2")))
+        val base = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), w.as("w"))
+          .persist() // read twice: pair counts + the vocab scalar
+        val ex = base.select(explode(pairs).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val vocab = base.select(explode(col("w")).as("word")).distinct().count()
+        val c12 = ex.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = ex.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        c12.join(c1, "w1")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            ((col("c12") + 1).cast("double") / (col("c1") + vocab)).as("p_smoothed"))
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(25)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+          pairs AS (SELECT
+                      unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+                      unnest([w[i+1] for i in generate_series(1, len(w)-1)]) AS w2
+                    FROM d),
+          c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+          c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+          v AS (SELECT count(DISTINCT u.word) AS v
+                FROM (SELECT unnest(w) AS word FROM d) u)
+        SELECT w1, w2, c12, c1, (c12 + 1)::DOUBLE / (c1 + v.v) AS p_smoothed
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+        ORDER BY c12 DESC, w1, w2 LIMIT 25""")),
+
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
     // Reuses tx01's language argmax and tx02's quality score verbatim (shared

@@ -413,6 +413,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("jx25 inverted tombstone runs compiled: negated-filter projection, no interpreter") {
+    val p = plan("jx25_inverted_tombstone")
+    assert(!p.contains("jsonata"), "jx25 must take the compiled tier\n" + p.take(2000))
+  }
+
+  test("tx11 bigram model: top-k via TakeOrderedAndProject, counts partial-aggregate") {
+    val p = plan("tx11_bigram_model")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
   test("q21 order momentum: windows all partitioned, customer filter pushed to scan") {
     val p = plan("q21_order_momentum")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(o_custkey,100)"),
