@@ -87,7 +87,8 @@ object ScaleSmoke {
       "mm06", // multimodal ops with joins (mm01-mm05 are map-only)
       "mm07", // per-doc windows + the fused energy kernel (frame-count scaling)
       "mm08", // the banded per-doc summary over the same vector relation
-      "mm09") // shot deltas: per-row frame HOF cost scales with doc length
+      "mm09", // shot deltas: per-row frame HOF cost scales with doc length
+      "q21", "q22") // window-frame + pivot shapes over the sf1 orders slice
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq).getOrElse(Nil)

@@ -34,6 +34,15 @@ import org.apache.spark.sql.types.StructType
   * a NULL input struct yields a NULL result row (nullSafeEval), and a
   * compiled tombstone condition (`cond ? {...}`) yields NULL exactly where
   * the engine returns JSON null.
+  *
+  * Deliberately NOT rewritten: the JSON-STRING surfaces (`jsonata`,
+  * `jsonata_row`, `jsonata_row_try`). Their contract is the serialized
+  * text itself, and a to_json-based compiled form cannot reproduce the
+  * engine serializer byte-for-byte (null-field emission, number
+  * rendering across the BigDecimal/double tower) — a rewrite would be
+  * faster and WRONG at the contract boundary. Typed output has no such
+  * boundary: values compare as values, which is why jsonata_typed is the
+  * rewrite target.
   */
 case class JsonataCompileRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
