@@ -122,7 +122,16 @@ object JsonataCompiler {
     * defined once and passed to $sift/$filter/$sort/$map, or schema-as-data
     * objects navigated and counted (the jx07/removeEmail pattern) — run on
     * the compiled tier. */
+  /** Any Bind anywhere in the subtree (frame-sensitive — blocks paren
+    * unwrapping; see the Block case in compileCore/inlineBinds). */
+  private[spark] def containsBind(a: Ast): Boolean = a match {
+    case _: Bind => true
+    case other => Ast.children(other).exists(containsBind)
+  }
+
   private def inlineBinds(ast: Ast): Ast = ast match {
+    // top-level `( {...} )` — same pure-paren unwrap as compileCore's
+    case Block(Seq(e)) if !containsBind(e) => inlineBinds(e)
     case Block(exprs) if exprs.length >= 2 && exprs.init.forall(_.isInstanceOf[Bind]) =>
       val env = exprs.init.foldLeft(Option(Map.empty[String, Ast])) {
         case (Some(m), Bind(n, v)) =>
@@ -276,6 +285,9 @@ object JsonataCompiler {
   private def freeVars(a: Ast): Option[Set[String]] = a match {
     case VarRef(n) => Some(Set(n))
     case Lambda(ps, b, _) => freeVars(b).map(_ -- ps)
+    // pure parens are transparent (the compileCore Block unwrap): without
+    // this, `($average($a) * 2)` would never hoist
+    case Block(Seq(e)) if !containsBind(e) => freeVars(e)
     case _: Block | _: Bind | _: TransformExpr => None
     case p: Path if p.steps.exists(s => s.focus.isDefined || s.index.isDefined ||
         s.stages.exists(_.isInstanceOf[IndexStage])) => None
@@ -1503,6 +1515,14 @@ object JsonataCompiler {
     }
 
     private def compileCore(a: Ast): Option[TCol] = a match {
+      // `( e )` — the parser wraps every parenthesized subexpression in a
+      // single-expression Block (a new-frame evaluation). When the subtree
+      // binds nothing the frame is unobservable and `(e)` ≡ e — this is how
+      // parenthesized arithmetic/comparison/concat subtrees reach the
+      // compiled tier (found by FuzzDifferentialSpec: the grammar emits
+      // parens everywhere real queries do). A subtree containing a Bind
+      // keeps the interpreter: unwrapping would re-home the bind's frame.
+      case Block(Seq(e)) if !containsBind(e) => compile(e)
       case NumLit(v) =>
         if (v.isIntegralNumber) Some(TCol(lit(v.longValue()), LongType))
         else Some(TCol(lit(v.doubleValue()), DoubleType))

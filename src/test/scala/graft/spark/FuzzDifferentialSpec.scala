@@ -1,0 +1,137 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded random-expression differential fuzz over the compiled tier: a
+  * generator draws expressions from a grammar chosen to sit INSIDE the
+  * compiled subset (paths over nullable columns, arithmetic without
+  * error-domain corners, comparisons, and/or, ternary, string builtins,
+  * array aggregates), and every generated expression must (a) compile and
+  * (b) agree with the interpreter row-for-row on data that includes NULLs
+  * — the undefined-propagation semantics where tier bugs would hide.
+  * Complements DifferentialSpec's hand-picked cases with breadth: ~240
+  * random shapes per run, deterministic seed so failures replay. */
+class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private final class Gen(rnd: scala.util.Random) {
+    // depth-bounded grammar; every production stays in the compiled subset
+    def num(d: Int): String =
+      if (d <= 0) rnd.nextInt(5) match {
+        case 0 => "value.num_a"
+        case 1 => "value.num_b"
+        case 2 => rnd.nextInt(100).toString
+        case 3 => s"${rnd.nextInt(50)}.${rnd.nextInt(9) + 1}"
+        case _ => "value.num_a"
+      }
+      else rnd.nextInt(8) match {
+        case 0 => s"(${num(d - 1)} + ${num(d - 1)})"
+        case 1 => s"(${num(d - 1)} - ${num(d - 1)})"
+        case 2 => s"(${num(d - 1)} * ${num(d - 1)})"
+        case 3 => s"$$abs(${num(d - 1)})"
+        case 4 => s"$$floor(${num(d - 1)})"
+        case 5 => s"$$round(${num(d - 1)}, ${rnd.nextInt(3)})"
+        case 6 => rnd.nextInt(3) match {
+          case 0 => "$sum(value.arr)"
+          case 1 => "$max(value.arr)"
+          case _ => "$count(value.arr)"
+        }
+        case _ => num(0)
+      }
+
+    def str(d: Int): String =
+      if (d <= 0) rnd.nextInt(3) match {
+        case 0 => "value.str_a"
+        case 1 => "value.str_b"
+        case _ => s"'${"abcxyz".charAt(rnd.nextInt(6))}'"
+      }
+      else rnd.nextInt(4) match {
+        case 0 => s"$$uppercase(${str(d - 1)})"
+        case 1 => s"$$lowercase(${str(d - 1)})"
+        case 2 => s"$$substring(${str(d - 1)}, ${rnd.nextInt(3)}, ${rnd.nextInt(4) + 1})"
+        case _ => s"(${str(d - 1)} & ${str(d - 1)})"
+      }
+
+    def bool(d: Int): String =
+      if (d <= 0) {
+        val op = Seq(">", "<", ">=", "<=", "=", "!=")(rnd.nextInt(6))
+        if (rnd.nextBoolean()) s"(${num(1)} $op ${num(1)})"
+        else s"(${str(1)} ${Seq("=", "!=")(rnd.nextInt(2))} ${str(1)})"
+      }
+      else rnd.nextInt(3) match {
+        case 0 => s"(${bool(d - 1)} and ${bool(d - 1)})"
+        case 1 => s"(${bool(d - 1)} or ${bool(d - 1)})"
+        case _ => bool(0)
+      }
+
+    /** (expression, DDL of the r column) */
+    def top(): (String, String) = rnd.nextInt(4) match {
+      case 0 => (s"{'k': value.k, 'r': ${num(2)}}", "k BIGINT, r DOUBLE")
+      case 1 => (s"{'k': value.k, 'r': ${str(2)}}", "k BIGINT, r STRING")
+      case 2 => (s"{'k': value.k, 'r': ${bool(2)}}", "k BIGINT, r BOOLEAN")
+      case _ =>
+        (s"${bool(1)} ? {'k': value.k, 'r': ${num(1)}}", "k BIGINT, r DOUBLE")
+    }
+  }
+
+  test("240 seeded random expressions: all compile, all agree with the interpreter on NULL-bearing rows") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // nullable everything: null numbers/strings/arrays exercise undefined
+    // propagation through every operator in the grammar
+    val rows = (1 to 60).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else java.lang.Double.valueOf((i % 13) - 6.5),
+        if (i % 5 == 0) null else java.lang.Long.valueOf((i % 17).toLong),
+        if (i % 6 == 0) null else s"s${i % 4}",
+        if (i % 9 == 0) null else ("x" * (i % 5)) + (i % 3),
+        if (i % 8 == 0) null else Seq.tabulate(i % 4)(j => (j + i % 3).toDouble))
+    }
+    val df = rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+
+    val gen = new Gen(rnd)
+    var compiled = 0
+    var skipped = 0
+    (1 to 240).foreach { n =>
+      val (expr, ddl) = gen.top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => skipped += 1 // grammar corner outside the subset: fine,
+        // but the rate is asserted below so the grammar cannot rot silently
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size,
+            s"[fuzz #$n] row count: compiled=${a.size} interpreted=${b.size}\n  $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            val same = ra.zip(rb).forall {
+              case (x: Double, y: Double) =>
+                (x.isNaN && y.isNaN) || math.abs(x - y) <= math.abs(x).max(1.0) * 1e-12
+              case (x, y) => x == y
+            }
+            assert(same, s"[fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assert(compiled >= 200, s"compile rate dropped: $compiled/240 (skipped $skipped)")
+  }
+}
