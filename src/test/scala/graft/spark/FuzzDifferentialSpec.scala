@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * array aggregates), and every generated expression must (a) compile and
   * (b) agree with the interpreter row-for-row on data that includes NULLs
   * — the undefined-propagation semantics where tier bugs would hide.
-  * Complements DifferentialSpec's hand-picked cases with breadth: ~240
+  * Complements DifferentialSpec's hand-picked cases with breadth: ~400
   * random shapes per run, deterministic seed so failures replay. */
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -41,7 +41,7 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 3 => s"${rnd.nextInt(50)}.${rnd.nextInt(9) + 1}"
         case _ => "value.num_a"
       }
-      else rnd.nextInt(8) match {
+      else rnd.nextInt(10) match {
         case 0 => s"(${num(d - 1)} + ${num(d - 1)})"
         case 1 => s"(${num(d - 1)} - ${num(d - 1)})"
         case 2 => s"(${num(d - 1)} * ${num(d - 1)})"
@@ -52,6 +52,11 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
           case 0 => "$sum(value.arr)"
           case 1 => "$max(value.arr)"
           case _ => "$count(value.arr)"
+        }
+        case 7 => s"(${bool(0)} ? ${num(d - 1)} : ${num(d - 1)})"
+        case 8 => rnd.nextInt(2) match {
+          case 0 => s"$$count($$filter(value.arr, function($$v){ $$v > ${rnd.nextInt(4)} }))"
+          case _ => s"$$sum($$map(value.arr, function($$v){ ($$v * ${rnd.nextInt(3) + 1}) }))"
         }
         case _ => num(0)
       }
@@ -75,9 +80,10 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (rnd.nextBoolean()) s"(${num(1)} $op ${num(1)})"
         else s"(${str(1)} ${Seq("=", "!=")(rnd.nextInt(2))} ${str(1)})"
       }
-      else rnd.nextInt(3) match {
+      else rnd.nextInt(4) match {
         case 0 => s"(${bool(d - 1)} and ${bool(d - 1)})"
         case 1 => s"(${bool(d - 1)} or ${bool(d - 1)})"
+        case 2 => s"(value.str_a in ['s0', 's${rnd.nextInt(3)}'])"
         case _ => bool(0)
       }
 
@@ -91,7 +97,7 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("240 seeded random expressions: all compile, all agree with the interpreter on NULL-bearing rows") {
+  test("400 seeded random expressions: all compile, all agree with the interpreter on NULL-bearing rows") {
     val sp = spark
     import sp.implicits._
     val rnd = new scala.util.Random(20260814L)
@@ -110,7 +116,7 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gen = new Gen(rnd)
     var compiled = 0
     var skipped = 0
-    (1 to 240).foreach { n =>
+    (1 to 400).foreach { n =>
       val (expr, ddl) = gen.top()
       JsonataCompiler.transformCompiled(df, expr) match {
         case None => skipped += 1 // grammar corner outside the subset: fine,
@@ -132,6 +138,6 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
       }
     }
-    assert(compiled >= 200, s"compile rate dropped: $compiled/240 (skipped $skipped)")
+    assert(compiled >= 330, s"compile rate dropped: $compiled/400 (skipped $skipped)")
   }
 }
