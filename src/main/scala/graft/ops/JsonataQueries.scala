@@ -467,6 +467,21 @@ object JsonataQueries {
       Some("""SELECT doc_id, lang, n_chars > 100 AS n100 FROM documents
         WHERE lang <> 'en' ORDER BY doc_id""")),
 
+    // ---- jx26: parenthesized subexpressions on the COMPILED tier — the ----
+    // ---- `(e)` single-expression-Block transparency the fuzzer forced  ----
+    q("jx26_paren_math", "orders",
+      "{'orderkey': value.o_orderkey, " +
+        "'m': ((value.o_totalprice * 2) - (value.o_totalprice + 1000)), " +
+        "'band': (value.o_totalprice > 150000) ? 'hi' : 'lo', " +
+        "'odd': (($floor(value.o_orderkey) % 2) = 1)}",
+      "orderkey BIGINT, m DOUBLE, band STRING, odd BOOLEAN",
+      Seq("orderkey"),
+      Some("""SELECT o_orderkey AS orderkey,
+          (o_totalprice * 2) - (o_totalprice + 1000) AS m,
+          CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS band,
+          (CAST(floor(o_orderkey) AS BIGINT) % 2) = 1 AS odd
+        FROM orders ORDER BY orderkey""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -418,6 +418,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx25 must take the compiled tier\n" + p.take(2000))
   }
 
+  test("jx26 parenthesized math runs compiled: Block transparency holds end to end") {
+    val p = plan("jx26_paren_math")
+    assert(!p.contains("jsonata"), "jx26 must take the compiled tier\n" + p.take(2000))
+  }
+
   test("tx11 bigram model: top-k via TakeOrderedAndProject, counts partial-aggregate") {
     val p = plan("tx11_bigram_model")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

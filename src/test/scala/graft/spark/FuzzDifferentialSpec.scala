@@ -14,6 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * — the undefined-propagation semantics where tier bugs would hide.
   * Complements DifferentialSpec's hand-picked cases with breadth: ~400
   * random shapes per run, deterministic seed so failures replay. */
+/** Element type for the staged-path fuzz (top-level: Spark needs a
+  * resolvable encoder). Nullable fields on purpose. */
+case class FuzzItem(p: java.lang.Long, q: String)
+
 class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -139,5 +143,55 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(compiled >= 330, s"compile rate dropped: $compiled/400 (skipped $skipped)")
+  }
+
+  test("200 seeded staged-path shapes (predicates/indexes/trailing nav) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(99177L)
+    // array-of-struct rows: empty arrays, null arrays, null fields inside
+    // elements — the undefined corners of the round-9 staged-path compiler
+    val rows = (1 to 50).map { i =>
+      val items =
+        if (i % 11 == 0) null
+        else Seq.tabulate(i % 5) { j =>
+          FuzzItem(
+            if ((i + j) % 6 == 0) null else java.lang.Long.valueOf(((i + j) % 7).toLong),
+            if ((i + j) % 8 == 0) null else s"q${(i + j) % 3}")
+        }
+      (i.toLong, items)
+    }
+    val df = rows.toDF("k", "items")
+
+    def stage(): String = rnd.nextInt(4) match {
+      case 0 => s"[p ${Seq(">", "<", ">=", "=", "!=")(rnd.nextInt(5))} ${rnd.nextInt(6)}]"
+      case 1 => s"[q ${Seq("=", "!=")(rnd.nextInt(2))} 'q${rnd.nextInt(3)}']"
+      case 2 => s"[q]" // string truthiness
+      case _ => s"[${rnd.nextInt(7) - 3}]" // index incl. negative wrap
+    }
+    def staged(): String = {
+      val stages = (1 to (rnd.nextInt(2) + 1)).map(_ => stage()).mkString
+      s"value.items$stages"
+    }
+    def top(): (String, String) = rnd.nextInt(3) match {
+      case 0 => (s"{'k': value.k, 'r': $$count(${staged()})}", "k BIGINT, r BIGINT")
+      case 1 => (s"{'k': value.k, 'r': $$sum(${staged()}.p)}", "k BIGINT, r BIGINT")
+      case _ => (s"{'k': value.k, 'r': $$join(${staged()}.q, ',')}", "k BIGINT, r STRING")
+    }
+
+    var compiled = 0
+    (1 to 200).foreach { n =>
+      val (expr, ddl) = top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => // outside the subset (e.g. index-then-stage chains): fine
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[staged-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assert(compiled >= 100, s"staged compile rate dropped: $compiled/200")
   }
 }
