@@ -194,4 +194,60 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(compiled >= 100, s"staged compile rate dropped: $compiled/200")
   }
+
+  test("150 seeded group-by-map shapes ($lookup/$keys/map-$sift) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(55310L)
+    // null and EMPTY arrays included: the multi-pair group-by's engine corner
+    // (one undefined item — $count pairs survive as 0, others omit) is
+    // exactly where the tiers could drift
+    val rows = (1 to 40).map { i =>
+      val arr =
+        if (i % 9 == 0) null
+        else Seq.tabulate(i % 6)(j => ((i + j) % 7 - 3).toDouble)
+      (i.toLong, arr)
+    }
+    val df = rows.toDF("k", "arr")
+
+    val aggs = Vector("hi" -> "$max($)", "lo" -> "$min($)",
+      "avg" -> "$average($)", "n" -> "$count($)", "s" -> "$sum($)")
+    def gmap(): (String, Seq[String]) = {
+      val chosen = rnd.shuffle(aggs).take(rnd.nextInt(3) + 2)
+      (s"value.arr{${chosen.map { case (k, v) => s"'$k': $v" }.mkString(", ")}}",
+        chosen.map(_._1))
+    }
+    def top(): (String, String) = {
+      val (g, keys) = gmap()
+      rnd.nextInt(4) match {
+        case 0 =>
+          (s"{'k': value.k, 'r': $$lookup($g, '${keys(rnd.nextInt(keys.size))}')}",
+            "k BIGINT, r DOUBLE")
+        case 1 => (s"{'k': value.k, 'r': $$count($$keys($g))}", "k BIGINT, r BIGINT")
+        case 2 =>
+          (s"{'k': value.k, 'r': $$count($$keys($$sift($g, " +
+            s"function($$v, $$kk, $$o){ $$v >= $$lookup($$o, '${keys.head}') })))}",
+            "k BIGINT, r BIGINT")
+        case _ =>
+          (s"{'k': value.k, 'r': $$join($$keys($$sift($g, " +
+            s"function($$v, $$kk, $$o){ $$v >= $$lookup($$o, '${keys.head}') })), ',')}",
+            "k BIGINT, r STRING")
+      }
+    }
+
+    var compiled = 0
+    (1 to 150).foreach { n =>
+      val (expr, ddl) = top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[gmap-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assert(compiled >= 75, s"group-map compile rate dropped: $compiled/150")
+  }
 }
