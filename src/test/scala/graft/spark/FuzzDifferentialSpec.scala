@@ -18,24 +18,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * resolvable encoder). Nullable fields on purpose. */
 case class FuzzItem(p: java.lang.Long, q: String)
 
-class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    SparkSession.getActiveSession.foreach(_.stop())
-    spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-  }
-
-  override def afterAll(): Unit = if (spark != null) spark.stop()
-
-  private final class Gen(rnd: scala.util.Random) {
+/** The scalar-expression grammar, shared with JsonataRuleSpec's SQL-surface
+  * fuzz (same shapes through `jsonata_typed` + the analyzer rule). */
+private[spark] object FuzzGrammar {
+  final class Gen(rnd: scala.util.Random) {
     // depth-bounded grammar; every production stays in the compiled subset
     def num(d: Int): String =
       if (d <= 0) rnd.nextInt(5) match {
@@ -101,13 +87,9 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("400 seeded random expressions: all compile, all agree with the interpreter on NULL-bearing rows") {
-    val sp = spark
-    import sp.implicits._
-    val rnd = new scala.util.Random(20260814L)
-    // nullable everything: null numbers/strings/arrays exercise undefined
-    // propagation through every operator in the grammar
-    val rows = (1 to 60).map { i =>
+  /** The NULL-bearing row set every fuzz family shares. */
+  def rows: Seq[(Long, java.lang.Double, java.lang.Long, String, String, Seq[Double])] =
+    (1 to 60).map { i =>
       (i.toLong,
         if (i % 7 == 0) null else java.lang.Double.valueOf((i % 13) - 6.5),
         if (i % 5 == 0) null else java.lang.Long.valueOf((i % 17).toLong),
@@ -115,9 +97,34 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i % 9 == 0) null else ("x" * (i % 5)) + (i % 3),
         if (i % 8 == 0) null else Seq.tabulate(i % 4)(j => (j + i % 3).toDouble))
     }
-    val df = rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+}
 
-    val gen = new Gen(rnd)
+class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("400 seeded random expressions: all compile, all agree with the interpreter on NULL-bearing rows") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // nullable everything (FuzzGrammar.rows): null numbers/strings/arrays
+    // exercise undefined propagation through every operator in the grammar
+    val df = FuzzGrammar.rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+
+    val gen = new FuzzGrammar.Gen(rnd)
     var compiled = 0
     var skipped = 0
     (1 to 400).foreach { n =>

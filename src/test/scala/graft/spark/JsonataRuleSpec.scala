@@ -145,6 +145,41 @@ class JsonataRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(6L, 10L, 14L))
   }
 
+  test("200 fuzz-grammar shapes through the SQL surface agree with the interpreter") {
+    // the same grammar FuzzDifferentialSpec drives through the DataFrame
+    // tier, here routed through `jsonata_typed` + the analyzer rule: shapes
+    // in the compiled subset execute rewritten, the rest interpreted — both
+    // must equal the reference transformAs row-for-row
+    val sp = spark
+    import sp.implicits._
+    val df = FuzzGrammar.rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+    df.createOrReplaceTempView("fuzz_t")
+    val gen = new FuzzGrammar.Gen(new scala.util.Random(777L))
+    (1 to 200).foreach { n =>
+      val (expr, ddl) = gen.top()
+      val sqlExpr = expr.replace("'", "''")
+      val out = sp.sql(
+        s"""SELECT r.* FROM (
+              SELECT jsonata_typed(named_struct('k', k, 'num_a', num_a,
+                       'num_b', num_b, 'str_a', str_a, 'str_b', str_b,
+                       'arr', arr), '$sqlExpr', '$ddl') AS r FROM fuzz_t)
+            WHERE r IS NOT NULL ORDER BY r.k""")
+      val a = out.collect().map(_.toSeq).toSeq
+      val b = JsonataDF.transformAs(df, expr,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(a.size == b.size, s"[sql-fuzz #$n] rows ${a.size} != ${b.size}\n  $expr")
+      a.zip(b).foreach { case (ra, rb) =>
+        val same = ra.zip(rb).forall {
+          case (x: Double, y: Double) =>
+            (x.isNaN && y.isNaN) || math.abs(x - y) <= math.abs(x).max(1.0) * 1e-12
+          case (x, y) => x == y
+        }
+        assert(same, s"[sql-fuzz #$n] $expr\n  sql:         $ra\n  interpreted: $rb")
+      }
+    }
+  }
+
   test("declared-but-absent output fields decode as typed nulls") {
     val df = spark.sql("""
       SELECT r.x, r.z FROM (
