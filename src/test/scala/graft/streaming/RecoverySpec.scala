@@ -84,4 +84,51 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(after2.toSet == batch, s"sink=${after2.toSet} batch=$batch")
   }
+
+  test("windowed-aggregation state (stateStoreSave) survives a checkpoint restart") {
+    // the OTHER stateful-operator family: StreamingEnrich's watermarked
+    // window agg. An open window's partial state must carry across the
+    // restart, and an already-finalized window must not re-emit.
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("graft_recovery_w").toFile.getAbsolutePath
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("c_custkey", "c_mktsegment")
+
+    def run(): Unit = {
+      val events = sp.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, value DOUBLE")
+        .parquet(inDir)
+        .withColumn("ets", org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("ts")))
+      val query = StreamingEnrich.segmentRollup(events, dim,
+          width = "10 seconds", delay = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      query.processAllAvailable()
+      query.stop()
+      query.awaitTermination()
+    }
+
+    // incarnation 1: [0,10) gets two AUTO events and finalizes (wm -> 12s);
+    // [10,20) is OPEN with one RETAIL event in state
+    Seq((1L, 1000L, 1L, 5.0), (2L, 3000L, 1L, 7.0), (3L, 12000L, 2L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value").write.mode("append").parquet(inDir)
+    run()
+    val after1 = sp.read.parquet(outDir)
+      .select("segment", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+    assert(after1 == Set(("AUTO", 2L, 12.0)), s"got $after1")
+
+    // incarnation 2: one more RETAIL event into the open [10,20) window,
+    // then an event at 25s pushes the watermark past it — the finalized
+    // window must combine PRE- and post-restart events exactly once
+    Seq((4L, 15000L, 2L, 6.0), (5L, 25000L, 1L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value").write.mode("append").parquet(inDir)
+    run()
+    val after2 = sp.read.parquet(outDir)
+      .select("segment", "n", "sum_value").as[(String, Long, Double)].collect().toList.sorted
+    assert(after2 == List(("AUTO", 2L, 12.0), ("RETAIL", 2L, 10.0)),
+      s"restart must finalize [10,20) with both RETAIL events, once; got $after2")
+  }
 }
