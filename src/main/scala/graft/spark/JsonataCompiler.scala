@@ -1348,7 +1348,10 @@ object JsonataCompiler {
             }
             cs.reduceRight((c, acc) => when(c =!= 0, c).otherwise(acc))
           }
-          Some(TCol(array_sort(arr, cmp), at))
+          // an empty sort result is the engine's empty SEQUENCE, not an
+          // empty array — undefined downstream ($sum -> undefined, not 0;
+          // found by the sort fuzz family)
+          Some(TCol(emptyAsNull(array_sort(arr, cmp)), at))
         }
       }
     }
@@ -2069,7 +2072,7 @@ object JsonataCompiler {
         case "sort" if args.length == 1 => arg(0).collect {
           case t if t.dt.isInstanceOf[ArrayType] &&
             simpleAtomic(t.dt.asInstanceOf[ArrayType].elementType) =>
-            TCol(array_sort(t.col), t.dt)
+            TCol(emptyAsNull(array_sort(t.col)), t.dt) // empty = undefined (sort fuzz)
         }
         // $sort with an inline swap-comparator of the mirrored strict-
         // comparison idiom: function($l, $r){ $l.key > $r.key } (ascending —
@@ -2118,7 +2121,7 @@ object JsonataCompiler {
                         .when(ka < kb, lit(-1)).when(ka > kb, lit(1)).otherwise(lit(0))
                       if (asc) base else base * lit(-1)
                     }
-                    TCol(array_sort(t.col, cmp), at)
+                    TCol(emptyAsNull(array_sort(t.col, cmp)), at) // empty = undefined
                   }
                 case _ => None
               }

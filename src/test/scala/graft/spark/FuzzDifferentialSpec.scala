@@ -257,4 +257,52 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(compiled >= 75, s"group-map compile rate dropped: $compiled/150")
   }
+
+  test("120 seeded sort shapes (^() and comparator $sort) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(40193L)
+    // NON-NULL sort keys by design: JSON-null keys are the documented
+    // pinned-divergence class (T2010 vs ordering) — this family fuzzes the
+    // agreeing domain, with HEAVY ties so stability is actually exercised
+    val rows = (1 to 40).map { i =>
+      val items = Seq.tabulate(i % 6) { j =>
+        FuzzItem(java.lang.Long.valueOf(((i * 3 + j) % 3).toLong), s"q${(i + j) % 4}")
+      }
+      (i.toLong, items, Seq.tabulate(i % 5)(j => ((i + 2 * j) % 4).toDouble))
+    }
+    val df = rows.toDF("k", "items", "arr")
+
+    def top(): (String, String) = rnd.nextInt(4) match {
+      case 0 =>
+        val dir = if (rnd.nextBoolean()) ">" else ""
+        (s"{'k': value.k, 'r': $$join($$map(value.items^(${dir}p), " +
+          s"function($$v){ $$v.q }), ',')}", "k BIGINT, r STRING")
+      case 1 =>
+        val dir = if (rnd.nextBoolean()) ">$" else "$"
+        (s"{'k': value.k, 'r': $$sum(value.arr^($dir))}", "k BIGINT, r DOUBLE")
+      case 2 =>
+        val op = if (rnd.nextBoolean()) ">" else "<"
+        (s"{'k': value.k, 'r': $$join($$map($$sort(value.items, " +
+          s"function($$l, $$r){ $$l.p $op $$r.p }), function($$v){ $$v.q }), ',')}",
+          "k BIGINT, r STRING")
+      case _ =>
+        (s"{'k': value.k, 'r': $$count(value.items^(p, >q))}", "k BIGINT, r BIGINT")
+    }
+
+    var compiled = 0
+    (1 to 120).foreach { n =>
+      val (expr, ddl) = top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[sort-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assert(compiled >= 60, s"sort compile rate dropped: $compiled/120")
+  }
 }
