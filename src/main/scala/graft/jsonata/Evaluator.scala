@@ -532,7 +532,8 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
       else if (bv == null) -1
       else (av, bv) match {
         case (x: JsonNode, y: JsonNode) if x.isNumber && y.isNumber =>
-          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+          // + 0.0: IEEE zero-sign normalization (see evalBinary's comparison)
+          java.lang.Double.compare(x.doubleValue() + 0.0, y.doubleValue() + 0.0)
         case (x: JsonNode, y: JsonNode) if x.isTextual && y.isTextual =>
           x.textValue().compareTo(y.textValue())
         case _ =>
@@ -580,7 +581,12 @@ final class Interp(val timeoutMs: Long, val maxDepth: Int,
       else {
         val c = (l, r) match {
           case (x: JsonNode, y: JsonNode) if x.isNumber && y.isNumber =>
-            java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+            // + 0.0 normalizes the zero sign: the engine's JS comparisons
+            // are IEEE (-0 == 0), while Double.compare is a TOTAL order
+            // that puts -0.0 below 0.0 — the fuzzer caught `-0.0 < 0.0`
+            // returning true here where both the engine and the compiled
+            // tier return false
+            java.lang.Double.compare(x.doubleValue() + 0.0, y.doubleValue() + 0.0)
           case (x: JsonNode, y: JsonNode) if x.isTextual && y.isTextual =>
             x.textValue().compareTo(y.textValue())
           case _ =>

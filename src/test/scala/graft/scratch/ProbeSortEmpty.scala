@@ -21,6 +21,8 @@ object ProbeSortEmpty {
     show("{'k': value.k, 'r': $sum($sort(value.arr))}", "k BIGINT, r DOUBLE")
     show("{'k': value.k, 'r': $sum($sort([]))}", "k BIGINT, r DOUBLE")
     show("{'k': value.k, 'r': $join($sort([]), ',')}", "k BIGINT, r STRING")
+    show("{'k': value.k, 'r': $reduce(value.arr, function($a, $v){($a + $v)}, 0)}", "k BIGINT, r DOUBLE")
+    show("{'k': value.k, 'r': $reduce(value.arr, function($a, $v){($a + ($v * 2))}, 10)}", "k BIGINT, r DOUBLE")
     spark.stop()
   }
 }

@@ -31,7 +31,7 @@ private[spark] object FuzzGrammar {
         case 3 => s"${rnd.nextInt(50)}.${rnd.nextInt(9) + 1}"
         case _ => "value.num_a"
       }
-      else rnd.nextInt(10) match {
+      else rnd.nextInt(11) match {
         case 0 => s"(${num(d - 1)} + ${num(d - 1)})"
         case 1 => s"(${num(d - 1)} - ${num(d - 1)})"
         case 2 => s"(${num(d - 1)} * ${num(d - 1)})"
@@ -48,6 +48,8 @@ private[spark] object FuzzGrammar {
           case 0 => s"$$count($$filter(value.arr, function($$v){ $$v > ${rnd.nextInt(4)} }))"
           case _ => s"$$sum($$map(value.arr, function($$v){ ($$v * ${rnd.nextInt(3) + 1}) }))"
         }
+        case 9 =>
+          s"$$reduce(value.arr, function($$a, $$v){ ($$a + ($$v * ${rnd.nextInt(3) + 1})) }, ${rnd.nextInt(5)})"
         case _ => num(0)
       }
 
