@@ -31,7 +31,7 @@ private[spark] object FuzzGrammar {
         case 3 => s"${rnd.nextInt(50)}.${rnd.nextInt(9) + 1}"
         case _ => "value.num_a"
       }
-      else rnd.nextInt(11) match {
+      else rnd.nextInt(12) match {
         case 0 => s"(${num(d - 1)} + ${num(d - 1)})"
         case 1 => s"(${num(d - 1)} - ${num(d - 1)})"
         case 2 => s"(${num(d - 1)} * ${num(d - 1)})"
@@ -50,6 +50,7 @@ private[spark] object FuzzGrammar {
         }
         case 9 =>
           s"$$reduce(value.arr, function($$a, $$v){ ($$a + ($$v * ${rnd.nextInt(3) + 1})) }, ${rnd.nextInt(5)})"
+        case 10 => s"$$length(${str(d - 1)})"
         case _ => num(0)
       }
 
@@ -59,10 +60,14 @@ private[spark] object FuzzGrammar {
         case 1 => "value.str_b"
         case _ => s"'${"abcxyz".charAt(rnd.nextInt(6))}'"
       }
-      else rnd.nextInt(4) match {
+      else rnd.nextInt(6) match {
         case 0 => s"$$uppercase(${str(d - 1)})"
         case 1 => s"$$lowercase(${str(d - 1)})"
         case 2 => s"$$substring(${str(d - 1)}, ${rnd.nextInt(3)}, ${rnd.nextInt(4) + 1})"
+        case 3 => s"$$trim(${str(d - 1)})"
+        case 4 =>
+          val w = rnd.nextInt(6) + 1
+          s"$$pad(${str(d - 1)}, ${if (rnd.nextBoolean()) w else -w})"
         case _ => s"(${str(d - 1)} & ${str(d - 1)})"
       }
 
