@@ -139,19 +139,14 @@ object Similarity {
   }
 
   /** PQ encode: (vec_id, code array<int> of M sub-codes), MAP-ONLY (one-row
-    * codebook crossJoin + strict-< argmin fold, ties to the lowest j; the
-    * inner distance is the native SquaredDistance kernel). */
+    * codebook crossJoin + strict-< argmin, ties to the lowest j). The whole
+    * per-row M×K argmin is the fused codegen [[graft.spark.PqEncode]] kernel
+    * — the `transform`+`aggregate` compose it replaces ran ~M·K interpreted
+    * lambda steps per corpus row (the PQ family's dominant cost; bit-equality
+    * with the fold pinned by VectorExpressionsSpec). */
   private def pqEncode(v: DataFrame, cbAgg: DataFrame): DataFrame =
     v.crossJoin(cbAgg).select(col("vec_id"),
-      transform(sequence(lit(0), lit(PqM - 1)), m =>
-        aggregate(col("cb"),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
-          (acc, e) => {
-            val dd = pqSqd(get(col("subs"), m), get(e.getField("subs"), m))
-            when(dd < acc.getField("d"),
-              struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
-          },
-          acc => acc.getField("j"))).as("code"))
+      graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
 
   /** Broadcast per-query ADC tables: qtab[m][j] = ||q_sub_m − cb_j_sub_m||². */
   private def pqQueryTables(v: DataFrame, cbAgg: DataFrame): DataFrame =
@@ -721,7 +716,17 @@ object Similarity {
         import org.apache.spark.sql.expressions.Window
         val v = pqVecs(s, d)
         val cbAgg = pqCodebook(v)
-        val enc = pqEncode(v, cbAgg)
+        // persist() the code relation: (a) it IS the artifact a deployment
+        // stores (M bytes/vector, the reason PQ exists) so materializing it
+        // is the production shape, and (b) without a materialization barrier
+        // whole-stage codegen FUSES the now-codegen'd pq_encode projection
+        // into the BroadcastNestedLoopJoin span below, where deferred
+        // variable evaluation re-runs the M×K argmin once per (query, row)
+        // PAIR instead of once per row — measured 2.2 s → 7 s at sf0.1 (the
+        // interpreted fold it replaced was immune only because CodegenFallback
+        // projections materialize their output rows). ss13/ss14 make the
+        // stored-index shape explicit (bucketed parquet build + probe).
+        val enc = pqEncode(v, cbAgg).persist()
         val qt = pqQueryTables(v, cbAgg)
         val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
         qt.join(enc, col("vec_id") =!= col("q_id"))
@@ -797,20 +802,18 @@ object Similarity {
           acc => acc.getField("aid"))
         val pv = pqVecs(s, d)
         val cbAgg = pqCodebook(pv)
-        // ONE map-only pass emits the stored relation: (aid, vec_id, code)
+        // ONE map-only pass emits the stored relation: (aid, vec_id, code).
+        // persist(): it IS the deployment's stored index, and the barrier
+        // keeps the codegen'd pq_encode from being fused into the candidate
+        // hash join below, where a corpus row probed by several queries would
+        // re-run the M×K argmin once per MATCH (the ss10 fusion trap — see
+        // that query's note; ss13/ss14 store this same relation in parquet).
         val asnCodes = pv
           .withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
           .crossJoin(aAgg).crossJoin(cbAgg)
           .select(col("vec_id"), bestAid.as("aid"),
-            transform(sequence(lit(0), lit(PqM - 1)), m =>
-              aggregate(col("cb"),
-                struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
-                (acc, e) => {
-                  val dd = pqSqd(get(col("subs"), m), get(e.getField("subs"), m))
-                  when(dd < acc.getField("d"),
-                    struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
-                },
-                acc => acc.getField("j"))).as("code"))
+            graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
+          .persist()
         val q = vv.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
         val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))

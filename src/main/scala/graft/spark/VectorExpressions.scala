@@ -152,6 +152,157 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused PQ encoder: the whole `transform(sequence(0, M−1), m =>
+  * aggregate(cb, (MaxValue,−1), argmin-by-sqdist))` compose of ss10/ss11
+  * (ops/Similarity.scala pqEncode) as ONE codegen'd expression. The fold
+  * form runs K(≤256) interpreted lambda steps — each allocating an
+  * accumulator struct and re-reading `subs[m]` — per (row, m): ~M·K ≈ 2k
+  * interpreted sqdists per corpus row, the dominant cost of the PQ family
+  * and the exact shape the DotProduct/SquaredDistance kernels fixed for
+  * ss01/ss09 (flagged again by the round-9 review as the ANN serving hot
+  * loop).
+  *
+  * left  = subs : array<array<double>> — the M pre-sliced subvectors
+  * right = cb   : array<struct<j:int, subs:array<array<double>>>> — the
+  *                one-row broadcast sub-codebook, iterated in array order
+  *                (= ascending j after pqCodebook's array_sort)
+  * result       : array<int> of M sub-codes
+  *
+  * Bit-identical replay of the HOF compose (pinned by
+  * VectorExpressionsSpec): per m, left-to-right strict-< argmin with init
+  * (Double.MaxValue, −1) — ties keep the FIRST (lowest-j) entry; a null
+  * codebook entry / null or ragged subvector makes the fold's sqdist null,
+  * whose `when(dd < acc.d, …)` evaluates to the `otherwise` branch, i.e.
+  * the entry is SKIPPED — replicated here as `continue`. A null element of
+  * `subs` skips every entry, yielding that fold's −1. Divergence (documented,
+  * registry-unreachable): a NULL top-level input returns NULL, where the
+  * compose gives per-element nulls / all −1. */
+case class PqEncode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(StructType(Array(
+              StructField(_, IntegerType, _, _),
+              StructField(_, ArrayType(ArrayType(DoubleType, _), _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<struct<int, array<array<double>>>>), " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val subs = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val m = subs.numElements()
+    val k = cb.numElements()
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.MaxValue
+      var bestJ: Any = -1
+      if (!subs.isNullAt(mi)) {
+        val sub = subs.getArray(mi)
+        val n = sub.numElements()
+        var ki = 0
+        while (ki < k) {
+          if (!cb.isNullAt(ki)) {
+            val e = cb.getStruct(ki, 2)
+            if (!e.isNullAt(1)) {
+              val esubs = e.getArray(1)
+              if (mi < esubs.numElements() && !esubs.isNullAt(mi)) {
+                val es = esubs.getArray(mi)
+                if (es.numElements() == n) {
+                  var dd = 0.0
+                  var i = 0
+                  var isNull = false
+                  while (i < n && !isNull) {
+                    if (sub.isNullAt(i) || es.isNullAt(i)) isNull = true
+                    else { val d = sub.getDouble(i) - es.getDouble(i); dd += d * d }
+                    i += 1
+                  }
+                  if (!isNull && dd < best) {
+                    best = dd
+                    bestJ = if (e.isNullAt(0)) null else e.getInt(0)
+                  }
+                }
+              }
+            }
+          }
+          ki += 1
+        }
+      }
+      out(mi) = bestJ
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (subs, cb) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val out = ctx.freshName("out")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val sub = ctx.freshName("sub")
+      val n = ctx.freshName("n")
+      val e = ctx.freshName("e")
+      val esubs = ctx.freshName("esubs")
+      val es = ctx.freshName("es")
+      val dd = ctx.freshName("dd")
+      val ddNull = ctx.freshName("ddNull")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $m = $subs.numElements();
+         |final int $k = $cb.numElements();
+         |final Object[] $out = new Object[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.MAX_VALUE;
+         |  Object $bestJ = (Object) (-1);
+         |  if (!$subs.isNullAt($mi)) {
+         |    final ArrayData $sub = $subs.getArray($mi);
+         |    final int $n = $sub.numElements();
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      if ($cb.isNullAt($ki)) continue;
+         |      final InternalRow $e = $cb.getStruct($ki, 2);
+         |      if ($e.isNullAt(1)) continue;
+         |      final ArrayData $esubs = $e.getArray(1);
+         |      if ($mi >= $esubs.numElements() || $esubs.isNullAt($mi)) continue;
+         |      final ArrayData $es = $esubs.getArray($mi);
+         |      if ($es.numElements() != $n) continue;
+         |      double $dd = 0.0;
+         |      boolean $ddNull = false;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        if ($sub.isNullAt($i) || $es.isNullAt($i)) { $ddNull = true; break; }
+         |        final double $d = $sub.getDouble($i) - $es.getDouble($i);
+         |        $dd += $d * $d;
+         |      }
+         |      if (!$ddNull && $dd < $best) {
+         |        $best = $dd;
+         |        $bestJ = $e.isNullAt(0) ? null : (Object) $e.getInt(0);
+         |      }
+         |    }
+         |  }
+         |  $out[$mi] = $bestJ;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `array<double>` columns. */
   def dot(a: Column, b: Column): Column =
@@ -160,6 +311,10 @@ object VectorExpressions {
   /** Codegen'd squared L2 distance over two `array<double>` columns. */
   def sqdist(a: Column, b: Column): Column =
     Shims.column(SquaredDistance(Shims.expression(a), Shims.expression(b)))
+
+  /** Codegen'd PQ sub-code argmin over (subs, codebook) — see [[PqEncode]]. */
+  def pqEncode(subs: Column, cb: Column): Column =
+    Shims.column(PqEncode(Shims.expression(subs), Shims.expression(cb)))
 
   /** SQL builders, injected at startup by [[GraftExtensions]] and installable
     * post-startup via [[registerNativeSql]] (one definition, like the jsonata
@@ -175,6 +330,11 @@ object VectorExpressions {
       case Seq(a, b) => SquaredDistance(a, b)
       case args => throw new IllegalArgumentException(
         s"vec_sqdist(array<double>, array<double>) takes 2 arguments, got ${args.length}")
+    },
+    "pq_encode" -> {
+      case Seq(a, b) => PqEncode(a, b)
+      case args => throw new IllegalArgumentException(
+        s"pq_encode(subs, codebook) takes 2 arguments, got ${args.length}")
     })
 
   /** Session-wide registration of the vector surface (same caveats as

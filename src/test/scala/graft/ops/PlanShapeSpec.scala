@@ -335,6 +335,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "the corpus side must stream map-only\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the encode + candidate scan must be HOF-free: the per-row M×K argmin
+    // is the fused pq_encode kernel, the per-pair ADC sum an unrolled
+    // element_at chain — an `aggregate(` in the plan means an interpreted
+    // CodegenFallback fold crept back into the hot loop
+    assert(p.contains("pq_encode"), "encode must use the fused kernel\n" + p.take(2000))
+    assert(!p.contains("aggregate("), "no interpreted HOF fold in the scan\n" + p.take(2000))
   }
 
   test("ss11 IVFADC: map-only assignment+encode, candidates via broadcast probe join") {

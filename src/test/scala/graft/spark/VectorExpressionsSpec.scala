@@ -142,4 +142,94 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  // ---- PqEncode: the fused M×K argmin must replay the transform+aggregate
+  // compose it replaced in ops/Similarity.scala pqEncode bit-for-bit ----
+
+  /** The EXACT former compose (interpreted HOF fold over the codebook with
+    * the native sqdist inside), kept here as the reference semantics. */
+  private def pqRef(subs: org.apache.spark.sql.Column,
+                    cb: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(m - 1)), mi =>
+      aggregate(cb,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("j")),
+        (acc, e) => {
+          val dd = VectorExpressions.sqdist(get(subs, mi), get(e.getField("subs"), mi))
+          when(dd < acc.getField("d"),
+            struct(dd.as("d"), e.getField("j").as("j"))).otherwise(acc)
+        },
+        acc => acc.getField("j")))
+
+  private def pqCases: Seq[PqCase] = {
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int): Seq[Option[Double]] = Seq.fill(n)(Some(rnd.nextDouble() * 4 - 2))
+    def subs(m: Int, n: Int): Seq[Option[Seq[Option[Double]]]] =
+      Seq.fill(m)(Some(vec(n)))
+    val m = 4; val n = 3
+    val normal = (0 until 120).map { _ =>
+      val k = 1 + rnd.nextInt(6)
+      PqCase(Some(subs(m, n)),
+        (0 until k).map(j => Some(PqEntry(Some(j), Some(subs(m, n))))))
+    }
+    val shared = subs(m, n)
+    val edges = Seq(
+      // exact tie: identical entries at j=0 and j=1 -> strict < keeps j=0
+      PqCase(Some(shared), Seq(Some(PqEntry(Some(0), Some(shared))),
+        Some(PqEntry(Some(1), Some(shared))))),
+      // empty codebook -> all -1
+      PqCase(Some(subs(m, n)), Seq.empty),
+      // null codebook ENTRY is skipped (fold: getField on null -> null dd)
+      PqCase(Some(subs(m, n)), Seq(None, Some(PqEntry(Some(5), Some(subs(m, n)))))),
+      // entry with null subs is skipped
+      PqCase(Some(subs(m, n)), Seq(Some(PqEntry(Some(0), None)),
+        Some(PqEntry(Some(1), Some(subs(m, n)))))),
+      // ragged entry subvector (len 2 vs 3) is skipped for that m
+      PqCase(Some(subs(m, n)), Seq(
+        Some(PqEntry(Some(0), Some(Seq(Some(vec(2)), Some(vec(n)), Some(vec(n)), Some(vec(n)))))),
+        Some(PqEntry(Some(1), Some(subs(m, n)))))),
+      // null element INSIDE a row subvector -> every entry skipped for that m -> -1
+      PqCase(Some(Seq(Some(Seq(Some(1.0), None, Some(2.0))), Some(vec(n)), Some(vec(n)), Some(vec(n)))),
+        (0 until 3).map(j => Some(PqEntry(Some(j), Some(subs(m, n)))))),
+      // null row subvector at m=0 -> -1 there
+      PqCase(Some(Seq(None, Some(vec(n)), Some(vec(n)), Some(vec(n)))),
+        (0 until 3).map(j => Some(PqEntry(Some(j), Some(subs(m, n)))))),
+      // null j on the winning entry propagates as a null code element
+      PqCase(Some(shared), Seq(Some(PqEntry(None, Some(shared))))))
+    normal ++ edges
+  }
+
+  test("PqEncode bit-identical to the transform+aggregate compose (both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    val df = pqCases.toDF("subs", "cb")
+    def check(): Unit = {
+      val rows = df.select(
+        VectorExpressions.pqEncode(col("subs"), col("cb")).as("fast"),
+        pqRef(col("subs"), col("cb"), 4).as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"mismatch: $r")
+      }
+    }
+    check() // codegen path
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted path
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("PqEncode rejects wrong input types at analysis") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Seq(1.0), Seq(2.0))).toDF("a", "b")
+    val e = intercept[Exception](
+      df.select(VectorExpressions.pqEncode(col("a"), col("b"))).collect())
+    assert(e.getMessage.contains("pq_encode"), e.getMessage)
+  }
 }
+
+private[spark] case class PqEntry(j: Option[Int], subs: Option[Seq[Option[Seq[Option[Double]]]]])
+private[spark] case class PqCase(subs: Option[Seq[Option[Seq[Option[Double]]]]],
+                                 cb: Seq[Option[PqEntry]])
