@@ -116,6 +116,39 @@ object Tables {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  private val rowCountMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact full-table row count from parquet FOOTER metadata — no Spark job,
+    * no data scan, memoized per resolved path for the session lifetime.
+    *
+    * Seven adaptive-scalar queries (PQ codebook stride, IVF anchor stride,
+    * SemDeDup K, the sp03/sp11/sp12/pp03 block sizing, tx06's N) previously
+    * sized themselves with a `df.count()` — a full extra scan per query
+    * before the main job, which at 100 TB is a second pass over the corpus
+    * just to learn a number the footers already hold. Plain parquet footers
+    * record exact row counts (`RowGroup.num_rows`; no deletion vectors in
+    * this format), so this is value-identical to `.count()` on the raw
+    * table — pinned by RowCountSpec. Only valid for UNFILTERED tables;
+    * derived/filtered DataFrames must keep counting. */
+  def rowCount(s: SparkSession, dir: String, name: String): Long = {
+    val raw = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = raw.getFileSystem(hconf)
+    val key = fs.makeQualified(raw).toString
+    rowCountMemo.computeIfAbsent(key, _ => {
+      val files: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(raw).isDirectory)
+          fs.listStatus(raw).toSeq.map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        else Seq(raw)
+      files.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
+
   /** Ensure enough input splits for compute-heavy per-row operators.
     *
     * The local testdata files are ~1 MB: a single parquet row group = a single

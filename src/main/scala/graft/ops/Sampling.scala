@@ -96,7 +96,7 @@ object Sampling {
     Q("sp03_pack_shards",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val blockSize = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val blockSize = blockSizeFor(Tables.rowCount(s, d, "documents"), s.sparkContext.defaultParallelism)
         val toks = docs
           .select(col("doc_id"),
             size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),
@@ -470,7 +470,7 @@ object Sampling {
     Q("sp11_curriculum_interleave",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val rBlock = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val rBlock = blockSizeFor(Tables.rowCount(s, d, "documents"), s.sparkContext.defaultParallelism)
         val toks = size(split(trim(col("text")), "\\s+")).cast("bigint")
         val tier = when(col("tokens") <= 1L, lit(1L))
           .otherwise(expr("shiftleft(1L, length(bin(tokens - 1)))"))
@@ -533,7 +533,7 @@ object Sampling {
       (s, d) => {
         val Ex = 1024L
         val docs = t(s, d, "documents")
-        val blockSize = blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val blockSize = blockSizeFor(Tables.rowCount(s, d, "documents"), s.sparkContext.defaultParallelism)
         val toks = docs
           .select(col("doc_id"),
             size(split(trim(col("text")), "\\s+")).cast("bigint").as("tokens"),

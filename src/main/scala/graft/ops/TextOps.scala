@@ -200,7 +200,7 @@ object TextOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents")
-        val n = docs.count() // driver-side scalar: one tiny job, constant-folds into the score
+        val n = Tables.rowCount(s, d, "documents") // driver-side scalar from footer metadata: ZERO jobs
         val toks = docs.select(col("doc_id"), explode(vocabTokens).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -601,7 +601,7 @@ object TextOps {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents")
-        val blockSize = Sampling.blockSizeFor(docs.count(), s.sparkContext.defaultParallelism)
+        val blockSize = Sampling.blockSizeFor(Tables.rowCount(s, d, "documents"), s.sparkContext.defaultParallelism)
         val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
         val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
         val surv = docs
