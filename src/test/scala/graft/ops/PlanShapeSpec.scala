@@ -353,6 +353,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("ss14 probe serves from the STORED index with dynamic partition pruning on aid") {
+    val p = plan("ss14_ivf_probe")
+    // the candidate scan must read the aid-partitioned parquet index (not
+    // re-encode the corpus), and the broadcast probe join must push the
+    // probed aids into that scan as a dynamic partition-pruning filter —
+    // only probed buckets' files open at scale
+    assert(p.contains("graft_ivf_index"), "must scan the stored index\n" + p.take(2000))
+    assert(p.contains("dynamicpruning"), "probed aids must prune index partitions\n" + p.take(2000))
+    assert(!p.contains("pq_encode"), "the probe path must never re-encode the corpus\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("ss13 build reads back the stored artifact, not the in-memory plan") {
+    val p = plan("ss13_ivf_build")
+    assert(p.contains("graft_ivf_index"), "output must come from the written index\n" + p.take(2000))
+  }
+
   test("ev05 cohort retention: partial aggregation + broadcast cohort-size attach") {
     val p = plan("ev05_cohort_retention")
     assert(p.contains("partial_"), "first-event/distinct/matrix aggs must partial-aggregate\n" + p.take(2000))
