@@ -532,13 +532,6 @@ object Temporal {
           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
         FROM g ORDER BY from_type, to_type""")),
 
-    // ---- ses01: batch gap sessionization (gaps-and-islands) ----
-    // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
-    // session starts when a user's inter-event gap exceeds GapMs. Two windows
-    // over ONE (partition, sort) — lag to flag session starts, running sum to
-    // number them — so the plan is a single exchange on user_id + one sort,
-    // then a partial-agg rollup. Scale: every window is PARTITIONED by
-    // user_id (per-key work, parallel across keys); nothing spans the corpus.
     // ---- ev07: per-user event paths — the sequence-export shape ----
     // The training-sequence extraction next to ev06's edge counts: each
     // user's first-8 chronological event types as one path string (the
@@ -574,6 +567,13 @@ object Temporal {
           min(e_ms) AS first_ms, max(e_ms) AS last_ms
         FROM r WHERE rn <= 8 GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- ses01: batch gap sessionization (gaps-and-islands) ----
+    // The batch twin of streaming/Sessionize (same 30-min gap rule): a new
+    // session starts when a user's inter-event gap exceeds GapMs. Two windows
+    // over ONE (partition, sort) — lag to flag session starts, running sum to
+    // number them — so the plan is a single exchange on user_id + one sort,
+    // then a partial-agg rollup. Scale: every window is PARTITIONED by
+    // user_id (per-key work, parallel across keys); nothing spans the corpus.
     Q("ses01_sessionize",
       (s, d) => {
         val GapMs = 30 * 60000L

@@ -53,11 +53,53 @@ object JsonataCompiler {
     compileForSchema(df.schema, exprSource,
       utcSession = df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC")
 
+  private final class MemoEntry(val result: Option[CompiledQuery]) {
+    val touched = new java.util.concurrent.atomic.AtomicLong()
+  }
+  private val memoClock = new java.util.concurrent.atomic.AtomicLong()
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(StructType, String, Boolean), MemoEntry]()
+  private val MemoMax = 512
+
   /** Schema-rooted compile — the DataFrame-free entry the analyzer-rule
     * surface ([[JsonataCompileRule]]) shares with [[compileQuery]]: `schema`
-    * is the record struct `value.*` paths resolve against. */
+    * is the record struct `value.*` paths resolve against.
+    *
+    * MEMOIZED per (schema, source, utcSession) — the analyzer re-runs
+    * resolution rules to a fixed point, so an un-memoized rule re-parsed
+    * and re-attempted compilation of every fallback expression once per
+    * pass; the decision (including the None fallback verdict) is computed
+    * once per distinct query instead. Column trees are immutable, so
+    * sharing a cached compile across plans is safe ([[JsonataCompileRule]]
+    * copies along the rebind path anyway). Same lock-free stamp-LRU as the
+    * `$eval` compile cache (Jsonata.compileCached). */
   def compileForSchema(schema: StructType, exprSource: String,
                        utcSession: Boolean): Option[CompiledQuery] = {
+    val key = (schema, exprSource, utcSession)
+    val hit = memo.get(key)
+    if (hit != null) { hit.touched.set(memoClock.incrementAndGet()); return hit.result }
+    val result = doCompileForSchema(schema, exprSource, utcSession)
+    val entry = new MemoEntry(result)
+    entry.touched.set(memoClock.incrementAndGet())
+    val prev = memo.putIfAbsent(key, entry)
+    if (prev != null) prev.touched.set(memoClock.incrementAndGet())
+    else if (memo.size() > MemoMax) memo.synchronized {
+      while (memo.size() > MemoMax) {
+        var lruKey: (StructType, String, Boolean) = null
+        var lruStamp = Long.MaxValue
+        memo.forEach { (k, v) =>
+          val s = v.touched.get()
+          if (s < lruStamp) { lruStamp = s; lruKey = k }
+        }
+        if (lruKey == null) return result
+        memo.remove(lruKey)
+      }
+    }
+    result
+  }
+
+  private def doCompileForSchema(schema: StructType, exprSource: String,
+                                 utcSession: Boolean): Option[CompiledQuery] = {
     val ast = JsonataTransform.compile(exprSource).ast
     val ctx = new Ctx(schema, utcSession = utcSession)
     inlineBinds(ast) match {

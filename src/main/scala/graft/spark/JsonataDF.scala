@@ -107,12 +107,19 @@ object JsonataDF {
   /** Two-tier entry point: compile the expression to native Columns when the
     * subset allows (whole-stage codegen, no JSON round-trip — SURVEY.md §2
     * "two-tier execution decision"); fall back to the interpreter otherwise.
-    * Differential tests pin that both tiers agree. */
+    * Differential tests pin that both tiers agree. A declared-but-absent
+    * output field null-fills with its declared type — the interpreter
+    * decodes key-absent JSON the same way, and [[JsonataCompileRule]]'s SQL
+    * surface already did; a bare col() here failed analysis instead,
+    * diverging from both. */
   def auto(df: DataFrame, expr: String, schema: StructType,
            topic: String = "rows"): DataFrame =
     JsonataCompiler.transformCompiled(df, expr) match {
       case Some(out) =>
-        out.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        val present = out.columns.toSet
+        out.select(schema.fields.map(f =>
+          (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
       case None => transformAs(df, expr, schema, topic)
     }
 

@@ -230,6 +230,23 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("auto null-fills a declared-but-absent output field on BOTH tiers") {
+    // the declared schema asks for a field the expression never emits; the
+    // interpreter decodes key-absent JSON to a typed null, and the compiled
+    // branch (like the SQL rule) must null-fill rather than fail analysis
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val expr = "{'k': value.o_orderkey}"
+    val ddl = "k BIGINT, ghost STRING"
+    assert(JsonataCompiler.transformCompiled(df, expr).isDefined)
+    val a = JsonataDF.auto(df, expr, StructType.fromDDL(ddl))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+      .orderBy(col("k")).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, s"tiers differ: ${a.take(2)} vs ${b.take(2)}")
+    assert(a.forall(_(1) == null))
+  }
+
   test("substringBefore/After: first occurrence; whole string when absent") {
     diff("documents",
       "{'doc_id': value.doc_id, 'b': $substringBefore(value.text, 'the'), " +
