@@ -482,6 +482,22 @@ object JsonataQueries {
           (CAST(floor(o_orderkey) AS BIGINT) % 2) = 1 AS odd
         FROM orders ORDER BY orderkey""")),
 
+    // ---- jx27: $single on the COMPILED tier — native filter + exactly-  ----
+    // ---- one guard (zero/multi matches raise with the engine's D3139/   ----
+    // ---- D3138 codes; DifferentialSpec pins both raise paths and the    ----
+    // ---- non-boolean-body fallback). The index-equality predicate       ----
+    // ---- guarantees exactly one match per row, so the registry row      ----
+    // ---- stays oracle-exact.                                            ----
+    q("jx27_single", "embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'x3': $single(value.embedding, function($x, $i){ $i = 3 }), " +
+        "'first': $single(value.embedding, function($x, $i, $a){ $x = $a[0] and $i = 0 })}",
+      "vec_id BIGINT, x3 DOUBLE, first DOUBLE",
+      Seq("vec_id"),
+      Some("""SELECT vec_id, CAST(embedding[4] AS DOUBLE) AS x3,
+          CAST(embedding[1] AS DOUBLE) AS first
+        FROM embeddings ORDER BY vec_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -725,6 +725,9 @@ object JsonataCompiler {
                     case "filter" if bt == BooleanType =>
                       Some(TCol(emptyAsNull(filter(t.col, e => coalesce(bf(e), lit(false)))),
                         ArrayType(et)))
+                    case "single" if bt == BooleanType =>
+                      Some(TCol(singleFrom(
+                        filter(t.col, e => coalesce(bf(e), lit(false))), et), et))
                     case _ => None
                   }
                 }
@@ -745,6 +748,9 @@ object JsonataCompiler {
                       Some(TCol(emptyAsNull(filter(t.col,
                         (e, i) => coalesce(bf(e, i.cast("long")), lit(false)))),
                         ArrayType(et)))
+                    case "single" if bt == BooleanType =>
+                      Some(TCol(singleFrom(filter(t.col,
+                        (e, i) => coalesce(bf(e, i.cast("long")), lit(false))), et), et))
                     case _ => None
                   }
                 }
@@ -775,6 +781,9 @@ object JsonataCompiler {
                           Some(TCol(emptyAsNull(filter(t.col,
                             (e, i) => coalesce(bf(e, i.cast("long")), lit(false)))),
                             ArrayType(et)))
+                        case "single" if bt == BooleanType =>
+                          Some(TCol(singleFrom(filter(t.col,
+                            (e, i) => coalesce(bf(e, i.cast("long")), lit(false))), et), et))
                         case _ => None
                       }
                   }
@@ -783,6 +792,41 @@ object JsonataCompiler {
               case _ => None
             }
           }
+        case _ => None
+      }
+
+    /** `$single`: the one-and-only matching element. Engine contract
+      * (Functions.scala fSingle): zero matches raise D3139, more than one
+      * raise D3138 — and an UNDEFINED operand is an empty item list, so it
+      * raises D3139 too (signature 'a' passes undefined through; asIterable
+      * (null) = Nil), which is why the null operand is NOT given the usual
+      * undefined-propagation treatment here. The compiled form filters
+      * (sharing $filter's pinned JSON-null-element divergence class) and
+      * raises through raise_error with the engine's code in the message;
+      * size(NULL) is NULL → the when falls through to the zero-match raise,
+      * matching the engine's undefined behavior. */
+    private def singleFrom(matched: Column, et: DataType): Column = {
+      val n = size(matched)
+      when(n === 1, element_at(matched, lit(1)))
+        .otherwise(raise_error(
+          when(coalesce(n, lit(0)) <= 0, lit("D3139: $single: no matching item"))
+            .otherwise(concat(lit("D3138: $single: "), n.cast("string"),
+              lit(" matching items")))).cast(et))
+    }
+
+    /** `$single(arr)` (no predicate: every item matches — exactly-one means
+      * the array IS a singleton) and `$single(arr, fn)` via [[compileHof]]'s
+      * lambda machinery. */
+    private def compileSingle(args: Seq[Ast]): Option[TCol] =
+      args match {
+        case Seq(arrA) =>
+          compile(arrA).flatMap { t =>
+            t.dt match {
+              case ArrayType(et, _) => Some(TCol(singleFrom(t.col, et), et))
+              case _ => None
+            }
+          }
+        case Seq(_, _) => compileHof("single", args)
         case _ => None
       }
 
@@ -1779,6 +1823,7 @@ object JsonataCompiler {
         // the builtin (the engine would call the bound function value)
         case _ if lambdaEnv.contains(fn) => None
         case "map" | "filter" => compileHof(fn, args)
+        case "single" => compileSingle(args)
         case "reduce" => compileReduce(args)
         case "keys" => compileKeys(args)
         case "lookup" => compileLookup(args)

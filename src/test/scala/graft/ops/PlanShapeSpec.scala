@@ -206,6 +206,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx11 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx27 $single runs on the compiled tier (native filter + exactly-one guard)") {
+    val p = plan("jx27_single")
+    assert(!p.contains("jsonata"), "jx27 must compile to native Columns\n" + p.take(2000))
+  }
+
   test("jx12 $reduce folds run on the compiled tier (native aggregate)") {
     val p = plan("jx12_reduce_fold")
     assert(!p.contains("jsonata"), "jx12 must compile to native Columns\n" + p.take(2000))

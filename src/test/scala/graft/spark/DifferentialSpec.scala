@@ -247,6 +247,50 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(_(1) == null))
   }
 
+  test("$single compiles: exactly-one match agrees across tiers (all arities)") {
+    diff("embeddings",
+      "{'vec_id': value.vec_id, " +
+        "'x3': $single(value.embedding, function($x, $i){ $i = 3 }), " +
+        "'first': $single(value.embedding, function($x, $i, $a){ $x = $a[0] and $i = 0 })}",
+      "vec_id BIGINT, x3 DOUBLE, first DOUBLE", "vec_id")
+  }
+
+  test("$single raises where the engine raises (zero and multiple matches)") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def runBoth(expr: String, ddl: String): (Throwable, Throwable) = {
+      val c = JsonataCompiler.transformCompiled(df, expr)
+      assert(c.isDefined, s"expected $expr to compile")
+      val ce = intercept[Exception](c.get.collect())
+      val ie = intercept[Exception](
+        JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl)).collect())
+      (ce, ie)
+    }
+    def msgChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    // no element exceeds 1e9 -> D3139 on both tiers
+    val (c0, i0) = runBoth(
+      "{'vec_id': value.vec_id, 'x': $single(value.embedding, function($x){ $x > 1000000000 })}",
+      "vec_id BIGINT, x DOUBLE")
+    assert(msgChain(c0).contains("D3139"), msgChain(c0).take(500))
+    assert(msgChain(i0).contains("D3139"), msgChain(i0).take(500))
+    // every row has >1 element below 1e9 -> D3138 on both tiers
+    val (c2, i2) = runBoth(
+      "{'vec_id': value.vec_id, 'x': $single(value.embedding, function($x){ $x < 1000000000 })}",
+      "vec_id BIGINT, x DOUBLE")
+    assert(msgChain(c2).contains("D3138"), msgChain(c2).take(500))
+    assert(msgChain(i2).contains("D3138"), msgChain(i2).take(500))
+  }
+
+  test("$single with a non-boolean predicate body falls back") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': $single(value.embedding, function($v){ $v * 2 })}").isEmpty)
+  }
+
   test("substringBefore/After: first occurrence; whole string when absent") {
     diff("documents",
       "{'doc_id': value.doc_id, 'b': $substringBefore(value.text, 'the'), " +
