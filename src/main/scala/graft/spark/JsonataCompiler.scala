@@ -1453,8 +1453,23 @@ object JsonataCompiler {
       * interpreter error); multi-pair compiles when every key is a LITERAL
       * string ([[compileLiteralKeyGroup]]). Key expressions must be
       * statically strings (non-string keys raise T1003). */
+    /** Group-by base: the fast plain-path shape, or ANY compiled path whose
+      * result is an array — which is what lets `{}` compose with the staged-
+      * path compiler (`value.items[pred].p{...}`): the engine evaluates the
+      * base sequence first and groups it, so grouping the compiled stage
+      * output is exact (empty/undefined base → NULL column → the group-by's
+      * coalesce renders the engine's empty object; a singleton survivor is
+      * a 1-element array, and grouping a scalar is grouping its singleton). */
+    private def groupBase(steps: Vector[Step]): Option[(Column, ArrayType)] =
+      arrayValuePath(steps).orElse {
+        compile(Path(steps, keepSingletonArray = false, group = None)) match {
+          case Some(TCol(c, at: ArrayType)) => Some((c, at))
+          case _ => None
+        }
+      }
+
     private def compileGroupPath(steps: Vector[Step], ctor: ObjCtor): Option[TCol] = {
-      arrayValuePath(steps).flatMap { case (arr, at) =>
+      groupBase(steps).flatMap { case (arr, at) =>
         val et = at.elementType
         if (ctor.pairs.length != 1) compileLiteralKeyGroup(arr, et, ctor)
         else {

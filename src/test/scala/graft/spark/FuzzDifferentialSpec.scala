@@ -312,4 +312,142 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(compiled >= 60, s"sort compile rate dropped: $compiled/120")
   }
+
+  test("150 seeded datetime shapes (pictures, round-trips, predicates) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(71204L)
+    // epoch-millis spread across the COMPILED range guard [year 1, year
+    // 9999], kept a ≥15 h margin INSIDE both ends: the guard applies to the
+    // zone-SHIFTED instant, so an exact-boundary value under a fixed offset
+    // lands outside it — the compiled tier then yields its documented NULL
+    // where the engine still renders (the pinned range-divergence class,
+    // found by this fuzz's first run at the year-1 boundary with '-0500').
+    // The exact zone-less boundaries are pinned by hand below instead.
+    val margin = 15L * 3600_000L
+    val interesting = Seq(-62135596800000L + margin, -2_000_000_000_000L, -1L, 0L, 1L,
+      86_399_999L, 951_867_600_000L, 1_700_000_000_123L, 4_000_000_000_000L,
+      250_000_000_000_000L, 253402300799999L - margin)
+    val rows = (1 to 44).map { i =>
+      val ms: java.lang.Long =
+        if (i % 7 == 0) null
+        else if (i <= interesting.size) java.lang.Long.valueOf(interesting(i - 1))
+        else java.lang.Long.valueOf(math.abs(rnd.nextLong()) % 4_000_000_000_000L)
+      (i.toLong, ms)
+    }
+    val df = rows.toDF("k", "ms")
+
+    // pictures inside the verified numeric-marker compile subset
+    val pics = Vector("[Y0001]-[M01]-[D01]", "[Y0001]/[M01]/[D01] [H01]:[m01]",
+      "[Y0001][M01][D01]", "[H01]:[m01]:[s01]", "[D01].[M01].[Y0001]",
+      "[Y0001]-[M01]-[D01]T[H01]:[m01]:[s01]")
+    val zones = Vector("+0100", "-0500", "+0530")
+    def top(): (String, String) = rnd.nextInt(5) match {
+      case 0 => // pictured render
+        (s"{'k': value.k, 'r': $$fromMillis(value.ms, '${pics(rnd.nextInt(pics.size))}')}",
+          "k BIGINT, r STRING")
+      case 1 => // picture ROUND-TRIP: parse what was just rendered
+        val p = pics(rnd.nextInt(pics.size))
+        (s"{'k': value.k, 'r': $$toMillis($$fromMillis(value.ms, '$p'), '$p')}",
+          "k BIGINT, r BIGINT")
+      case 2 => // default-picture round-trip (identity inside the guard)
+        (s"{'k': value.k, 'r': $$toMillis($$fromMillis(value.ms))}", "k BIGINT, r BIGINT")
+      case 3 => // datetime PREDICATE: rendered strings order lexicographically
+        val p = "[Y0001]-[M01]-[D01]"
+        (s"{'k': value.k, 'r': ($$fromMillis(value.ms, '$p') > '1999-06-15' ? " +
+          s"$$substring($$fromMillis(value.ms, '$p'), 0, 4) : 'early')}",
+          "k BIGINT, r STRING")
+      case _ => // fixed-offset zone render
+        (s"{'k': value.k, 'r': $$fromMillis(value.ms, " +
+          s"'${pics(rnd.nextInt(pics.size))}', '${zones(rnd.nextInt(zones.size))}')}",
+          "k BIGINT, r STRING")
+    }
+
+    var compiled = 0
+    (1 to 150).foreach { n =>
+      val (expr, ddl) = top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[dt-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assert(compiled >= 100, s"datetime compile rate dropped: $compiled/150")
+
+    // hand-pinned: the exact zone-less guard boundaries must AGREE (the
+    // guard is [year 1, year 9999] on the unshifted instant)
+    val bdf = Seq((1L, java.lang.Long.valueOf(-62135596800000L)),
+      (2L, java.lang.Long.valueOf(253402300799999L))).toDF("k", "ms")
+    val bexpr = "{'k': value.k, 'r': $fromMillis(value.ms, '[Y0001]-[M01]-[D01]T[H01]:[m01]:[s01]')}"
+    val bc = JsonataCompiler.transformCompiled(bdf, bexpr)
+    assert(bc.isDefined)
+    val ba = bc.get.orderBy("k").collect().map(_.toSeq).toSeq
+    val bb = JsonataDF.transformAs(bdf, bexpr, StructType.fromDDL("k BIGINT, r STRING"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(ba == bb, s"boundary divergence:\n  compiled:    $ba\n  interpreted: $bb")
+  }
+
+  test("150 seeded group-by-in-staged-path shapes agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(83671L)
+    // the round-9 staged-path compiler COMPOSED with the multi-pair
+    // group-by: predicates/indexes select elements, a trailing field
+    // projects the scalar sequence, and the group-by aggregates it —
+    // empty/null arrays and null fields exercise the undefined corners of
+    // BOTH tiers at once
+    val rows = (1 to 50).map { i =>
+      val items =
+        if (i % 11 == 0) null
+        else Seq.tabulate(i % 6) { j =>
+          FuzzItem(
+            if ((i + j) % 6 == 0) null else java.lang.Long.valueOf(((i + j) % 7).toLong),
+            if ((i + j) % 8 == 0) null else s"q${(i + j) % 3}")
+        }
+      (i.toLong, items)
+    }
+    val df = rows.toDF("k", "items")
+
+    val aggs = Vector("hi" -> "$max($)", "lo" -> "$min($)",
+      "avg" -> "$average($)", "n" -> "$count($)", "s" -> "$sum($)")
+    def stage(): String = rnd.nextInt(3) match {
+      case 0 => s"[p ${Seq(">", "<", ">=", "=", "!=")(rnd.nextInt(5))} ${rnd.nextInt(6)}]"
+      case 1 => s"[q ${Seq("=", "!=")(rnd.nextInt(2))} 'q${rnd.nextInt(3)}']"
+      case _ => s"[q]"
+    }
+    def gmap(): (String, Seq[String]) = {
+      val chosen = rnd.shuffle(aggs).take(rnd.nextInt(3) + 2)
+      (s"value.items${stage()}.p{${chosen.map { case (kk, v) => s"'$kk': $v" }.mkString(", ")}}",
+        chosen.map(_._1))
+    }
+    def top(): (String, String) = {
+      val (g, keys) = gmap()
+      rnd.nextInt(3) match {
+        case 0 =>
+          (s"{'k': value.k, 'r': $$lookup($g, '${keys(rnd.nextInt(keys.size))}')}",
+            "k BIGINT, r DOUBLE")
+        case 1 => (s"{'k': value.k, 'r': $$count($$keys($g))}", "k BIGINT, r BIGINT")
+        case _ => (s"{'k': value.k, 'r': $$join($$keys($g), ',')}", "k BIGINT, r STRING")
+      }
+    }
+
+    var compiled = 0
+    (1 to 150).foreach { n =>
+      val (expr, ddl) = top()
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[staged-gmap-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assert(compiled >= 75, s"staged-group-by compile rate dropped: $compiled/150")
+  }
 }
