@@ -187,19 +187,16 @@ object Similarity {
   private def ivfCodes(s: SparkSession, d: String): DataFrame = {
     val aAgg = broadcast(ivfAnchorRows(s, d)
       .agg(sort_array(collect_list(struct(col("aid"), col("av"), col("an")))).as("arr")))
-    val bestAid = aggregate(col("arr"),
-      struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("aid")),
-      (acc, a) => {
-        val c = cosine(col("vec"), a.getField("av"), col("nrm"), a.getField("an"))
-        when(c > acc.getField("c"),
-          struct(c.as("c"), a.getField("aid").as("aid"))).otherwise(acc)
-      },
-      acc => acc.getField("aid"))
+    // coarse assignment + PQ codes both via fused codegen kernels
+    // (CosineArgmax / PqEncode) — bit-identical to the argmax/argmin folds
+    // they replaced (VectorExpressionsSpec pins), which ran N x |anchors|
+    // interpreted lambda steps in the build's hot loop
     val pv = pqVecs(s, d)
     val cbAgg = pqCodebook(pv, Tables.rowCount(s, d, "embeddings"))
     pv.withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
       .crossJoin(aAgg).crossJoin(cbAgg)
-      .select(col("vec_id"), bestAid.as("aid"),
+      .select(col("vec_id"),
+        graft.spark.VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("arr")).as("aid"),
         graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
   }
 
@@ -299,18 +296,13 @@ object Similarity {
     val seed = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("vec").as("cen"))
       .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
-    val best = aggregate(col("cs"),
-      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
-      (acc, c) => {
-        // native kernel (bit-identical to the zip_with/aggregate HOF form
-        // it replaced — VectorExpressionsSpec pin), so the K*N assignment
-        // loop's inner distance runs codegen'd, not interpreted-per-dim
-        val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-      })
+    // whole argmin fused into the codegen SqdistArgmin kernel — the fold
+    // form paid K interpreted lambda steps + an accumulator struct per row
+    // (bit-equality with the fold pinned by VectorExpressionsSpec)
     v.crossJoin(broadcast(seed))
-      .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"), col("nrm"))
+      .select(col("vec_id"),
+        graft.spark.VectorExpressions.sqdArgmin(col("vec"), col("cs")).as("cluster"),
+        col("vec"), col("nrm"))
   }
 
   /** Two-level (inverted-file) assignment — the ss04/ss11 shape applied to
@@ -874,23 +866,16 @@ object Similarity {
         val seed = v.orderBy(col("vec_id")).limit(K)
           .select(col("vec_id").as("cid"), col("vec").as("cen"))
           .agg(sort_array(collect_list(struct(col("cid"), col("cen")))).as("cs"))
-        // argmin as a FOLD over the broadcast array — no per-vector
-        // candidate rows, no corpus-wide groupBy(vec_id) exchange: the
-        // assignment is map-only however large the corpus (strict < keeps
-        // the first minimum = lowest cid on ties, the oracle's ORDER BY
-        // d2, cid)
-        val best = aggregate(col("cs"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
-          (acc, c) => {
-            // native kernel (bit-identical to the zip_with/aggregate HOF
-            // form it replaced — VectorExpressionsSpec pin), so the K*N
-            // assignment loop runs codegen'd, not interpreted-per-centroid
-            val d2 = graft.spark.VectorExpressions.sqdist(col("vec"), c.getField("cen"))
-            when(d2 < acc.getField("d2"),
-              struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
-          })
+        // argmin over the broadcast array as the fused codegen SqdistArgmin
+        // kernel — no per-vector candidate rows, no corpus-wide
+        // groupBy(vec_id) exchange: the assignment is map-only however
+        // large the corpus (kernel replays the fold's strict < = first
+        // minimum = lowest cid on ties, the oracle's ORDER BY d2, cid —
+        // VectorExpressionsSpec pins bit-equality)
         val assigned = v.crossJoin(broadcast(seed))
-          .select(col("vec_id"), best.getField("cid").as("cluster"), col("vec"))
+          .select(col("vec_id"),
+            graft.spark.VectorExpressions.sqdArgmin(col("vec"), col("cs")).as("cluster"),
+            col("vec"))
         assigned
           .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
           .groupBy(col("cluster"), col("dim"))

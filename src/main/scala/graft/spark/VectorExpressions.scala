@@ -303,6 +303,245 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused coarse-assignment argmax for ss11/ss13's inverted-file build: the
+  * `aggregate(anchors, (−∞,−1), argmax-by-cosine)` fold as ONE codegen'd
+  * expression — the last interpreted per-row loop in the IVFADC build path
+  * (N × ≤MaxAnchors interpreted lambda steps with an accumulator struct
+  * allocation each; the [[PqEncode]] class of cost).
+  *
+  * children: vec array<double>, nrm double, anchors
+  * array<struct<aid:long, av:array<double>, an:double>> (the aid-sorted
+  * one-row broadcast). Bit-identical replay of the fold (pinned by
+  * VectorExpressionsSpec): left-to-right strict-> argmax of
+  * dot(vec,av)/(nrm·an) — ties keep the FIRST (lowest-aid) entry; a null
+  * entry / null-or-ragged av makes the fold's cosine null, whose
+  * `when(c > acc.c, …)` takes the otherwise branch — the entry is skipped;
+  * a NaN cosine (zero norms) compares false and is skipped the same way.
+  * Divergence (documented, registry-unreachable): NULL top-level inputs
+  * return NULL where the compose yields −1. */
+case class CosineArgmax(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType,
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _),
+              StructField(_, DoubleType, _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, array<struct<long, array<double>, double>>), " +
+          s"got ${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_argmax_cos"
+
+  override def nullSafeEval(v: Any, n: Any, a: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val nrm = n.asInstanceOf[Double]
+    val anchors = a.asInstanceOf[ArrayData]
+    val d = vec.numElements()
+    val k = anchors.numElements()
+    var best = Double.NegativeInfinity
+    var bestAid: Any = -1L
+    var ki = 0
+    while (ki < k) {
+      if (!anchors.isNullAt(ki)) {
+        val e = anchors.getStruct(ki, 3)
+        if (!e.isNullAt(1) && !e.isNullAt(2)) {
+          val av = e.getArray(1)
+          if (av.numElements() == d) {
+            var dot = 0.0
+            var i = 0
+            var isNull = false
+            while (i < d && !isNull) {
+              if (vec.isNullAt(i) || av.isNullAt(i)) isNull = true
+              else { dot += vec.getDouble(i) * av.getDouble(i) }
+              i += 1
+            }
+            if (!isNull && nrm * e.getDouble(2) != 0.0) {
+              // zero divisor mirrors the fold: NULL cosine (non-ANSI
+              // division) takes the otherwise branch = skip (under ANSI
+              // the fold raises instead — documented, registry-unreachable)
+              val c = dot / (nrm * e.getDouble(2))
+              if (c > best) {
+                best = c
+                bestAid = if (e.isNullAt(0)) null else e.getLong(0)
+              }
+            }
+          }
+        }
+      }
+      ki += 1
+    }
+    bestAid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, nrm, anchors) => {
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val ki = ctx.freshName("ki")
+      val best = ctx.freshName("best")
+      val bestAid = ctx.freshName("bestAid")
+      val bestNull = ctx.freshName("bestNull")
+      val e = ctx.freshName("e")
+      val av = ctx.freshName("av")
+      val dot = ctx.freshName("dot")
+      val dNull = ctx.freshName("dNull")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $d = $vec.numElements();
+         |final int $k = $anchors.numElements();
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bestAid = -1L;
+         |boolean $bestNull = false;
+         |for (int $ki = 0; $ki < $k; $ki++) {
+         |  if ($anchors.isNullAt($ki)) continue;
+         |  final InternalRow $e = $anchors.getStruct($ki, 3);
+         |  if ($e.isNullAt(1) || $e.isNullAt(2)) continue;
+         |  final ArrayData $av = $e.getArray(1);
+         |  if ($av.numElements() != $d) continue;
+         |  double $dot = 0.0;
+         |  boolean $dNull = false;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($vec.isNullAt($i) || $av.isNullAt($i)) { $dNull = true; break; }
+         |    $dot += $vec.getDouble($i) * $av.getDouble($i);
+         |  }
+         |  if ($dNull || $nrm * $e.getDouble(2) == 0.0) continue;
+         |  final double $c = $dot / ($nrm * $e.getDouble(2));
+         |  if ($c > $best) {
+         |    $best = $c;
+         |    $bestNull = $e.isNullAt(0);
+         |    $bestAid = $bestNull ? -1L : $e.getLong(0);
+         |  }
+         |}
+         |${ev.isNull} = $bestNull;
+         |${ev.value} = $bestAid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Fused nearest-centroid argmin for the dd11/ss09 assignment folds: the
+  * `aggregate(cents, (MaxValue,−1), argmin-by-sqdist)` compose as ONE
+  * codegen'd expression. children: vec array<double>, cents
+  * array<struct<cid:long, cen:array<double>>> (cid-sorted one-row
+  * broadcast). Bit-identical to the fold (VectorExpressionsSpec): strict-<
+  * left-to-right argmin, ties keep the FIRST (lowest-cid) entry, null
+  * entry / null-or-ragged cen skipped, NaN skipped (compares false).
+  * Divergence (documented, registry-unreachable): NULL top-level inputs
+  * return NULL where the compose yields −1. */
+case class SqdistArgmin(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<struct<long, array<double>>>), " +
+          s"got ${a.catalogString} and ${b.catalogString}")
+    }
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_argmin_sqd"
+
+  override def nullSafeEval(v: Any, a: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = a.asInstanceOf[ArrayData]
+    val d = vec.numElements()
+    val k = cents.numElements()
+    var best = Double.MaxValue
+    var bestCid: Any = -1L
+    var ki = 0
+    while (ki < k) {
+      if (!cents.isNullAt(ki)) {
+        val e = cents.getStruct(ki, 2)
+        if (!e.isNullAt(1)) {
+          val cen = e.getArray(1)
+          if (cen.numElements() == d) {
+            var dd = 0.0
+            var i = 0
+            var isNull = false
+            while (i < d && !isNull) {
+              if (vec.isNullAt(i) || cen.isNullAt(i)) isNull = true
+              else { val x = vec.getDouble(i) - cen.getDouble(i); dd += x * x }
+              i += 1
+            }
+            if (!isNull && dd < best) {
+              best = dd
+              bestCid = if (e.isNullAt(0)) null else e.getLong(0)
+            }
+          }
+        }
+      }
+      ki += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cents) => {
+      val d = ctx.freshName("d")
+      val k = ctx.freshName("k")
+      val ki = ctx.freshName("ki")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val bestNull = ctx.freshName("bestNull")
+      val e = ctx.freshName("e")
+      val cen = ctx.freshName("cen")
+      val dd = ctx.freshName("dd")
+      val dNull = ctx.freshName("dNull")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $d = $vec.numElements();
+         |final int $k = $cents.numElements();
+         |double $best = Double.MAX_VALUE;
+         |long $bestCid = -1L;
+         |boolean $bestNull = false;
+         |for (int $ki = 0; $ki < $k; $ki++) {
+         |  if ($cents.isNullAt($ki)) continue;
+         |  final InternalRow $e = $cents.getStruct($ki, 2);
+         |  if ($e.isNullAt(1)) continue;
+         |  final ArrayData $cen = $e.getArray(1);
+         |  if ($cen.numElements() != $d) continue;
+         |  double $dd = 0.0;
+         |  boolean $dNull = false;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($vec.isNullAt($i) || $cen.isNullAt($i)) { $dNull = true; break; }
+         |    final double $x = $vec.getDouble($i) - $cen.getDouble($i);
+         |    $dd += $x * $x;
+         |  }
+         |  if ($dNull) continue;
+         |  if ($dd < $best) {
+         |    $best = $dd;
+         |    $bestNull = $e.isNullAt(0);
+         |    $bestCid = $bestNull ? -1L : $e.getLong(0);
+         |  }
+         |}
+         |${ev.isNull} = $bestNull;
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `array<double>` columns. */
   def dot(a: Column, b: Column): Column =
@@ -315,6 +554,15 @@ object VectorExpressions {
   /** Codegen'd PQ sub-code argmin over (subs, codebook) — see [[PqEncode]]. */
   def pqEncode(subs: Column, cb: Column): Column =
     Shims.column(PqEncode(Shims.expression(subs), Shims.expression(cb)))
+
+  /** Codegen'd nearest-anchor argmax-by-cosine — see [[CosineArgmax]]. */
+  def cosArgmax(vec: Column, nrm: Column, anchors: Column): Column =
+    Shims.column(CosineArgmax(Shims.expression(vec), Shims.expression(nrm),
+      Shims.expression(anchors)))
+
+  /** Codegen'd nearest-centroid argmin-by-sqdist — see [[SqdistArgmin]]. */
+  def sqdArgmin(vec: Column, cents: Column): Column =
+    Shims.column(SqdistArgmin(Shims.expression(vec), Shims.expression(cents)))
 
   /** SQL builders, injected at startup by [[GraftExtensions]] and installable
     * post-startup via [[registerNativeSql]] (one definition, like the jsonata

@@ -220,6 +220,105 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- CosineArgmax / SqdistArgmin: the fused assignment argmax/argmin
+  // must replay the aggregate folds they replaced bit-for-bit ----
+
+  private def argmaxRef(vec: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+                        anchors: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(anchors,
+      struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("aid")),
+      (acc, a) => {
+        val c = VectorExpressions.dot(vec, a.getField("av")) / (nrm * a.getField("an"))
+        when(c > acc.getField("c"),
+          struct(c.as("c"), a.getField("aid").as("aid"))).otherwise(acc)
+      },
+      acc => acc.getField("aid"))
+
+  private def argminRef(vec: org.apache.spark.sql.Column,
+                        cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d2 = VectorExpressions.sqdist(vec, c.getField("cen"))
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  test("CosineArgmax and SqdistArgmin bit-identical to their folds (both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    def vec(n: Int): Seq[Option[Double]] = Seq.fill(n)(Some(rnd.nextDouble() * 2 - 1))
+    val dim = 4
+    val normal = (0 until 150).map { _ =>
+      val k = 1 + rnd.nextInt(7)
+      val v = vec(dim)
+      val nrm = math.sqrt(v.flatten.map(x => x * x).sum)
+      ArgCase(Some(v), Some(nrm),
+        (0 until k).map(j => Some(AnchorEntry(Some(j.toLong), Some(vec(dim)), Some(1.0 + j)))))
+    }
+    val shared = vec(dim)
+    val edges = Seq(
+      // exact tie (identical anchors at aid 0 and 1) -> first wins
+      ArgCase(Some(shared), Some(1.0), Seq(
+        Some(AnchorEntry(Some(0L), Some(shared), Some(2.0))),
+        Some(AnchorEntry(Some(1L), Some(shared), Some(2.0))))),
+      // empty anchor array -> -1
+      ArgCase(Some(vec(dim)), Some(1.0), Seq.empty),
+      // null entry skipped; ragged av skipped (zero-norm NaN is pinned
+      // separately below: under ANSI the fold's division RAISES where the
+      // kernel's Java arithmetic skips the NaN — registry-unreachable,
+      // fixtures have no zero vectors)
+      ArgCase(Some(vec(dim)), Some(1.0), Seq(None,
+        Some(AnchorEntry(Some(3L), Some(vec(2)), Some(1.0))),
+        Some(AnchorEntry(Some(5L), Some(vec(dim)), Some(1.5))))),
+      // null element inside vec -> every entry skipped -> -1
+      ArgCase(Some(Seq(Some(1.0), None, Some(2.0), Some(0.5))), Some(1.0),
+        (0 until 3).map(j => Some(AnchorEntry(Some(j.toLong), Some(vec(dim)), Some(1.0))))))
+    val df = (normal ++ edges).toDF("vec", "nrm", "anchors")
+      .withColumn("cents", transform(col("anchors"), a =>
+        struct(a.getField("aid").as("cid"), a.getField("av").as("cen"))))
+    def check(): Unit = {
+      val rows = df.select(
+        VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("anchors")).as("fmax"),
+        argmaxRef(col("vec"), col("nrm"), col("anchors")).as("rmax"),
+        VectorExpressions.sqdArgmin(col("vec"), col("cents")).as("fmin"),
+        argminRef(col("vec"), col("cents")).as("rmin")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) && (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+          s"argmax mismatch: $r")
+        assert(r.isNullAt(2) == r.isNullAt(3) && (r.isNullAt(2) || r.getLong(2) == r.getLong(3)),
+          s"argmin mismatch: $r")
+      }
+    }
+    check() // codegen path
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted path
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+
+    // zero-norm anchor: the fold's NaN cosine compares false and skips —
+    // the kernel matches that NON-ANSI semantics (under ANSI the fold
+    // raises DIVIDE_BY_ZERO instead; documented registry-unreachable
+    // divergence — the fixtures hold no zero vectors)
+    val prevAnsi = sp.conf.get("spark.sql.ansi.enabled")
+    try {
+      sp.conf.set("spark.sql.ansi.enabled", "false")
+      val zdf = Seq(ArgCase(Some(shared), Some(1.0), Seq(
+        Some(AnchorEntry(Some(4L), Some(shared), Some(0.0))),
+        Some(AnchorEntry(Some(5L), Some(shared), Some(1.5))))))
+        .toDF("vec", "nrm", "anchors")
+      val zr = zdf.select(
+        VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("anchors")).as("f"),
+        argmaxRef(col("vec"), col("nrm"), col("anchors")).as("r")).collect().head
+      assert(zr.getLong(0) == 5L && zr.getLong(1) == 5L, s"zero-norm skip: $zr")
+    } finally sp.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("PqEncode rejects wrong input types at analysis") {
     val sp = spark
     import sp.implicits._
@@ -233,3 +332,7 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 private[spark] case class PqEntry(j: Option[Int], subs: Option[Seq[Option[Seq[Option[Double]]]]])
 private[spark] case class PqCase(subs: Option[Seq[Option[Seq[Option[Double]]]]],
                                  cb: Seq[Option[PqEntry]])
+private[spark] case class AnchorEntry(aid: Option[Long], av: Option[Seq[Option[Double]]],
+                                      an: Option[Double])
+private[spark] case class ArgCase(vec: Option[Seq[Option[Double]]], nrm: Option[Double],
+                                  anchors: Seq[Option[AnchorEntry]])
