@@ -264,11 +264,21 @@ object Similarity {
 
   /** Build-if-absent: write the code relation PARTITIONED ON aid — the
     * bucket-partitioned layout a deployment stores, and what lets the
-    * probe path prune to probed buckets only. Idempotent per fingerprint. */
+    * probe path prune to probed buckets only. Idempotent per fingerprint.
+    *
+    * The repartition(aid) before the write is load-bearing twice: without
+    * it every input split writes its own fragment into EVERY bucket dir
+    * (splits × ≤MaxAnchors tiny files — the sf1 smoke read the fragmented
+    * index in ~6 s and the unshuffled write straggled at 13 s), and with
+    * it each bucket is ONE file written by its own task. The shuffle moves
+    * only the narrow (vec_id, aid, code) relation — M bytes/vector, the
+    * thing PQ made 32× smaller — which is the standard clustered-index
+    * build cost, not a corpus shuffle. */
   private[ops] def ensureIvfIndex(s: SparkSession, d: String): String = {
     val dir = ivfIndexDir(s, d)
     if (!new java.io.File(dir, "_SUCCESS").exists())
-      ivfCodes(s, d).write.mode("overwrite").partitionBy("aid").parquet(dir)
+      ivfCodes(s, d).repartition(col("aid"))
+        .write.mode("overwrite").partitionBy("aid").parquet(dir)
     dir
   }
 
