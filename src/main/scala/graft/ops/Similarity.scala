@@ -148,13 +148,15 @@ object Similarity {
     v.crossJoin(cbAgg).select(col("vec_id"),
       graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
 
-  /** Broadcast per-query ADC tables: qtab[m][j] = ||q_sub_m − cb_j_sub_m||². */
+  /** Broadcast per-query ADC tables: qtab[m][j] = ||q_sub_m − cb_j_sub_m||²
+    * — the fused codegen [[graft.spark.PqQueryTable]] kernel (the nested
+    * transform compose it replaces ran M·K interpreted lambda steps per
+    * query row, ss10's dominant task at sf1; bit-equality pinned by
+    * VectorExpressionsSpec). */
   private def pqQueryTables(v: DataFrame, cbAgg: DataFrame): DataFrame =
     broadcast(v.filter(col("vec_id") % 100 === 0).crossJoin(cbAgg)
       .select(col("vec_id").as("q_id"),
-        transform(sequence(lit(0), lit(PqM - 1)), m =>
-          transform(col("cb"), e =>
-            pqSqd(get(col("subs"), m), get(e.getField("subs"), m)))).as("qtab")))
+        graft.spark.VectorExpressions.pqQueryTable(col("subs"), col("cb")).as("qtab")))
 
   /** The ADC lookup sum over (qtab, code), UNROLLED over the literal M (not
     * an `aggregate` HOF): it runs once per (corpus row × query) — the hot
@@ -1250,6 +1252,87 @@ object Similarity {
           COALESCE(a.earlier, 0) = 0 AS keep
         FROM best b LEFT JOIN agg a ON a.ia = b.vec_id
         ORDER BY b.vec_id""")),
+
+    // ---- dd15: SemDeDup threshold sweep — the τ operating curve a       ----
+    // ---- pipeline reads BEFORE committing to a dedup threshold: per τ   ----
+    // ---- in a fixed grid, the duplicate-pair count, the docs the        ----
+    // ---- keep-first rule would drop, and the corpus drop rate.          ----
+    // Scale shape: the ONLY pair relation is dd11's census-capped within-
+    // cluster join, computed ONCE and floored at the grid minimum; the
+    // sweep itself is a 7-row broadcast grid against (a) that bounded pair
+    // relation and (b) the per-doc drop score m = max cosine to an EARLIER
+    // neighbor (one partial agg) — a doc is dropped at τ iff m ≥ τ, so the
+    // whole curve costs |pairs|·7 + N·0 extra (the m relation is pairs-
+    // bounded, not corpus-bounded). Grid rows with zero counts survive via
+    // left joins from the grid. Deterministic => exact oracle (the dd11
+    // cosine-comparison convention; identical double literals join).
+    Q("dd15_semdedup_sweep",
+      (s, d) => {
+        val ClusterCap = 4096L
+        val TauGrid = Seq(0.2, 0.25, 0.3, 0.35, 0.4, 0.5, 0.6)
+        val n = Tables.rowCount(s, d, "embeddings")
+        val v = vecs(s, d).select(col("vec_id"), col("vec"), col("nrm"))
+        val K = math.max(8L, n / 1024L).toInt
+        val assigned = semdedupAssign(v, K).persist()
+        val minable = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= ClusterCap).select(col("cluster"))
+        val kept = assigned.join(broadcast(minable), Seq("cluster"))
+        val a = kept.select(col("cluster"), col("vec_id").as("ia"),
+          col("vec").as("va"), col("nrm").as("na"))
+        val b = kept.select(col("cluster"), col("vec_id").as("ib"),
+          col("vec").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("cluster")).filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+          .filter(col("cos") >= TauGrid.min)
+          .persist() // read twice: pair counts + drop scores
+        // keep-first drop score: the larger id of each pair is the one the
+        // rule can drop — m(ib) = max cosine to any earlier neighbor
+        val dropScore = pairs.groupBy(col("ib")).agg(max(col("cos")).as("m"))
+        val grid = broadcast(s.createDataset(TauGrid)(
+          org.apache.spark.sql.Encoders.scalaDouble).toDF("tau"))
+        val pairCounts = grid.crossJoin(pairs).filter(col("cos") >= col("tau"))
+          .groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+        val dropCounts = grid.crossJoin(dropScore).filter(col("m") >= col("tau"))
+          .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
+        grid.join(pairCounts, Seq("tau"), "left").join(dropCounts, Seq("tau"), "left")
+          .select(col("tau"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (coalesce(col("n_dropped"), lit(0L)).cast("double") / lit(n.toDouble)).as("drop_rate"))
+          .orderBy(col("tau"))
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec
+            FROM embeddings),
+          seed AS (SELECT vec_id AS cid, vec AS cen FROM (
+                     SELECT vec_id, vec, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+                   WHERE rn <= greatest(8, (SELECT count(*) FROM v) // 1024)),
+          asg AS (SELECT v.vec_id, seed.cid,
+                    list_sum(list_transform(range(1, 65), i ->
+                      (vec[i] - cen[i]) * (vec[i] - cen[i]))) AS d2
+                  FROM v CROSS JOIN seed),
+          best AS (SELECT vec_id, cid AS cluster
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn FROM asg) WHERE rn = 1),
+          minable AS (SELECT cluster FROM best GROUP BY cluster HAVING count(*) <= 4096),
+          av AS (SELECT b.cluster, v.vec_id, v.vec
+                 FROM best b JOIN minable USING (cluster) JOIN v USING (vec_id)),
+          pp AS (SELECT x.vec_id AS ia, y.vec_id AS ib,
+                   list_cosine_similarity(x.vec, y.vec) AS cos
+                 FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+          p AS (SELECT * FROM pp WHERE cos >= 0.2),
+          ds AS (SELECT ib, max(cos) AS m FROM p GROUP BY ib),
+          grid AS (SELECT tau FROM (VALUES (0.2),(0.25),(0.3),(0.35),(0.4),(0.5),(0.6)) t(tau)),
+          pc AS (SELECT g.tau, CAST(count(*) AS BIGINT) AS n_pairs
+                 FROM grid g JOIN p ON p.cos >= g.tau GROUP BY g.tau),
+          dc AS (SELECT g.tau, CAST(count(*) AS BIGINT) AS n_dropped
+                 FROM grid g JOIN ds ON ds.m >= g.tau GROUP BY g.tau)
+        SELECT g.tau, COALESCE(pc.n_pairs, 0) AS n_pairs,
+          COALESCE(dc.n_dropped, 0) AS n_dropped,
+          CAST(COALESCE(dc.n_dropped, 0) AS DOUBLE)
+            / (SELECT count(*) FROM v) AS drop_rate
+        FROM grid g LEFT JOIN pc ON pc.tau = g.tau LEFT JOIN dc ON dc.tau = g.tau
+        ORDER BY g.tau""")),
 
     // ---- ss12: embedding outlier detection — distance to own-label centroid ----
     // The embedding-quality gate before the vectors feed dedup/search: score

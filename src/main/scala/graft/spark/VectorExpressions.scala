@@ -303,6 +303,129 @@ case class PqEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused ADC query-table builder: the `transform(sequence(0,M−1), m =>
+  * transform(cb, e => sqdist(subs[m], e.subs[m])))` compose of
+  * pqQueryTables as ONE codegen'd expression — per QUERY row it ran M·K
+  * interpreted lambda steps (K ≤ 256), the dominant task of ss10's table
+  * broadcast at sf1 (2.3 s max task). Same operand shapes as [[PqEncode]];
+  * result array<array<double>> with qtab[m][j] = ‖subs[m] − cb[j].subs[m]‖².
+  * Null semantics replay the transform compose (it MAPS, it does not skip):
+  * a null codebook entry / null-or-ragged subvector / null element makes
+  * that table CELL null. Divergence (documented, registry-unreachable):
+  * NULL top-level inputs return NULL where the compose yields nested nulls. */
+case class PqQueryTable(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _),
+            ArrayType(StructType(Array(
+              StructField(_, IntegerType, _, _),
+              StructField(_, ArrayType(ArrayType(DoubleType, _), _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<double>>, array<struct<int, array<array<double>>>>), " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_query_table"
+
+  private def cell(subs: ArrayData, cb: ArrayData, mi: Int, ki: Int): Any = {
+    if (subs.isNullAt(mi) || cb.isNullAt(ki)) return null
+    val e = cb.getStruct(ki, 2)
+    if (e.isNullAt(1)) return null
+    val esubs = e.getArray(1)
+    if (mi >= esubs.numElements() || esubs.isNullAt(mi)) return null
+    val a = subs.getArray(mi)
+    val b = esubs.getArray(mi)
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(s: Any, c: Any): Any = {
+    val subs = s.asInstanceOf[ArrayData]
+    val cb = c.asInstanceOf[ArrayData]
+    val m = subs.numElements()
+    val k = cb.numElements()
+    val rows = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val row = new Array[Any](k)
+      var ki = 0
+      while (ki < k) { row(ki) = cell(subs, cb, mi, ki); ki += 1 }
+      rows(mi) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (subs, cb) => {
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val rows = ctx.freshName("rows")
+      val row = ctx.freshName("row")
+      val sub = ctx.freshName("sub")
+      val e = ctx.freshName("e")
+      val esubs = ctx.freshName("esubs")
+      val es = ctx.freshName("es")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val ok = ctx.freshName("ok")
+      val i = ctx.freshName("i")
+      val dd = ctx.freshName("dd")
+      s"""
+         |final int $m = $subs.numElements();
+         |final int $k = $cb.numElements();
+         |final Object[] $rows = new Object[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  final Object[] $row = new Object[$k];
+         |  if (!$subs.isNullAt($mi)) {
+         |    final ArrayData $sub = $subs.getArray($mi);
+         |    final int $n = $sub.numElements();
+         |    for (int $ki = 0; $ki < $k; $ki++) {
+         |      if ($cb.isNullAt($ki)) continue;
+         |      final InternalRow $e = $cb.getStruct($ki, 2);
+         |      if ($e.isNullAt(1)) continue;
+         |      final ArrayData $esubs = $e.getArray(1);
+         |      if ($mi >= $esubs.numElements() || $esubs.isNullAt($mi)) continue;
+         |      final ArrayData $es = $esubs.getArray($mi);
+         |      if ($es.numElements() != $n) continue;
+         |      double $acc = 0.0;
+         |      boolean $ok = true;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        if ($sub.isNullAt($i) || $es.isNullAt($i)) { $ok = false; break; }
+         |        final double $dd = $sub.getDouble($i) - $es.getDouble($i);
+         |        $acc += $dd * $dd;
+         |      }
+         |      if ($ok) $row[$ki] = (Object) $acc;
+         |    }
+         |  }
+         |  $rows[$mi] = new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused coarse-assignment argmax for ss11/ss13's inverted-file build: the
   * `aggregate(anchors, (−∞,−1), argmax-by-cosine)` fold as ONE codegen'd
   * expression — the last interpreted per-row loop in the IVFADC build path
@@ -554,6 +677,10 @@ object VectorExpressions {
   /** Codegen'd PQ sub-code argmin over (subs, codebook) — see [[PqEncode]]. */
   def pqEncode(subs: Column, cb: Column): Column =
     Shims.column(PqEncode(Shims.expression(subs), Shims.expression(cb)))
+
+  /** Codegen'd ADC query-table build over (subs, codebook) — see [[PqQueryTable]]. */
+  def pqQueryTable(subs: Column, cb: Column): Column =
+    Shims.column(PqQueryTable(Shims.expression(subs), Shims.expression(cb)))
 
   /** Codegen'd nearest-anchor argmax-by-cosine — see [[CosineArgmax]]. */
   def cosArgmax(vec: Column, nrm: Column, anchors: Column): Column =

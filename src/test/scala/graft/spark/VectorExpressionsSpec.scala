@@ -220,6 +220,35 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The EXACT former compose for the query tables (nested transforms). */
+  private def qtabRef(subs: org.apache.spark.sql.Column,
+                      cb: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(m - 1)), mi =>
+      transform(cb, e =>
+        VectorExpressions.sqdist(get(subs, mi), get(e.getField("subs"), mi))))
+
+  test("PqQueryTable bit-identical to the nested-transform compose (both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    val df = pqCases.toDF("subs", "cb")
+    def check(): Unit = {
+      val rows = df.select(
+        VectorExpressions.pqQueryTable(col("subs"), col("cb")).as("fast"),
+        qtabRef(col("subs"), col("cb"), 4).as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Seq[Any]](0) == r.getSeq[Seq[Any]](1), s"mismatch: $r")
+      }
+    }
+    check() // codegen path
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted path
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   // ---- CosineArgmax / SqdistArgmin: the fused assignment argmax/argmin
   // must replay the aggregate folds they replaced bit-for-bit ----
 
