@@ -569,6 +569,68 @@ object Sampling {
                 FROM c)
         SELECT example_id, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS n_tokens,
           string_agg(rel_off, ',' ORDER BY doc_id) AS boundaries_csv
-        FROM a GROUP BY example_id ORDER BY example_id"""))
+        FROM a GROUP BY example_id ORDER BY example_id""")),
+
+    // ---- sp13: span-corruption masking statistics (T5-style denoising) ----
+    // The objective-side counterpart of sp12's packing: deterministic
+    // ~15% token masking in length-3 spans, reported per doc as
+    // (n_tokens, n_masked, n_spans, mask_ratio) — what an infilling
+    // pipeline audits before training (actual vs target corruption rate,
+    // span fragmentation). Determinism: a token STARTS a span iff the
+    // first md5 byte of "doc_id:i" is < 0x0D (13/256 ≈ 5.1% start rate —
+    // ×3-token spans minus overlap lands the MASKED fraction at ~15%,
+    // the T5 corruption target; compared LEXICALLY on the fixed-width
+    // hex — identical in both engines);
+    // a token is MASKED iff a span starts at i, i-1, or i-2 (overlapping
+    // spans union); a span is COUNTED at each masked token whose
+    // predecessor is unmasked (maximal runs). Scale shape: everything is
+    // per-row array arithmetic over the token positions — a narrow map,
+    // no explode, no shuffle before the output sort; the per-doc work is
+    // O(tokens), the md5 the same per-position cost class as tx04's
+    // rolling fingerprint.
+    Q("sp13_span_corruption",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = size(split(trim(col("text")), "\\s+"))
+        val idx = sequence(lit(0), col("n") - 1)
+        def startFlag(i: Column): Column =
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            i.cast("string"))), 1, 2) < "0d"
+        docs
+          .select(col("doc_id"), toks.as("n"))
+          .withColumn("st", transform(idx, i => startFlag(i)))
+          .withColumn("mk", transform(idx, i =>
+            element_at(col("st"), i + 1) ||
+              (i >= 1 && element_at(col("st"), i)) ||
+              (i >= 2 && element_at(col("st"), i - 1))))
+          .select(col("doc_id"), col("n").cast("bigint").as("n_tokens"),
+            size(filter(col("mk"), x => x)).cast("bigint").as("n_masked"),
+            size(filter(idx, i =>
+              element_at(col("mk"), i + 1) &&
+                !(i >= 1 && element_at(col("mk"), i)))).cast("bigint").as("n_spans"))
+          .withColumn("mask_ratio",
+            col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+              len(string_split_regex(trim(text), '\s+')) AS n
+            FROM documents),
+          pos AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM t),
+          st AS (SELECT doc_id, n, i,
+                   substr(md5(doc_id || ':' || i), 1, 2) < '0d' AS s
+                 FROM pos),
+          mk AS (SELECT doc_id, n, i,
+                   (s OR coalesce(lag(s, 1) OVER w, false)
+                      OR coalesce(lag(s, 2) OVER w, false)) AS m
+                 FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+          runs AS (SELECT doc_id, n, m,
+                     (m AND NOT coalesce(lag(m, 1) OVER w2, false)) AS run_start
+                   FROM mk WINDOW w2 AS (PARTITION BY doc_id ORDER BY i))
+        SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+          CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(any_value(n) AS DOUBLE) AS mask_ratio
+        FROM runs GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1295,7 +1295,8 @@ object Similarity {
           .groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
         val dropCounts = grid.crossJoin(dropScore).filter(col("m") >= col("tau"))
           .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
-        grid.join(pairCounts, Seq("tau"), "left").join(dropCounts, Seq("tau"), "left")
+        grid.join(broadcast(pairCounts), Seq("tau"), "left")
+          .join(broadcast(dropCounts), Seq("tau"), "left")
           .select(col("tau"),
             coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
             coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),

@@ -375,6 +375,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("graft_ivf_index"), "output must come from the written index\n" + p.take(2000))
   }
 
+  test("sp13 span corruption: per-row array arithmetic — no Generate, no join") {
+    val p = plan("sp13_span_corruption")
+    assert(!p.contains("Generate"), "masking must stay inside per-row arrays\n" + p.take(2000))
+    assert(!p.contains("Join"), "no join anywhere\n" + p.take(2000))
+  }
+
+  test("dd15 threshold sweep: the only non-broadcast join work is the capped pair relation") {
+    val p = plan("dd15_semdedup_sweep")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // the grid attaches as a tiny broadcast against bounded relations
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("ev05 cohort retention: partial aggregation + broadcast cohort-size attach") {
     val p = plan("ev05_cohort_retention")
     assert(p.contains("partial_"), "first-event/distinct/matrix aggs must partial-aggregate\n" + p.take(2000))
