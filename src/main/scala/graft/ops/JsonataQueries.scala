@@ -498,6 +498,22 @@ object JsonataQueries {
           CAST(embedding[1] AS DOUBLE) AS first
         FROM embeddings ORDER BY vec_id""")),
 
+    // ---- jx28: function-valued $replace on the COMPILED tier — the      ----
+    // ---- split-stitch + RegexMatchAll form (lambda body over the match  ----
+    // ---- struct; group refs via the round-10 staged lambda paths). The  ----
+    // ---- lambdas here are template-expressible so DuckDB's backref      ----
+    // ---- regexp_replace replays them exactly.                           ----
+    q("jx28_replace_lambda", "documents",
+      "{'doc_id': value.doc_id, " +
+        "'sw': $replace(value.text, /([ao])([rn])/, function($m){ $m.groups[1] & $m.groups[0] }), " +
+        "'tagged': $replace(value.lang, /([aeiou])/, function($m){ '<' & $m.match & '>' })}",
+      "doc_id BIGINT, sw STRING, tagged STRING",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          regexp_replace(text, '([ao])([rn])', '\2\1', 'g') AS sw,
+          regexp_replace(lang, '([aeiou])', '<\1>', 'g') AS tagged
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -574,9 +574,16 @@ object JsonataCompiler {
       * sorts, nested predicates, keep-array markers) returns None so the
       * whole query falls back to the always-correct interpreted tier. */
     private def lambdaPath(p: Path): Option[TCol] = {
+      // stages are allowed on the LAST step only — `$m.groups[0]` /
+      // `$x.tags[q = 'a']` run the ordinary stage machinery over the
+      // navigated array ($replace lambda bodies made this the most common
+      // in-lambda shape); anything staged mid-path stays interpreted
+      val lastStages = p.steps.lastOption.map(_.stages).getOrElse(Vector.empty)
       val plain = !p.keepSingletonArray && p.group.isEmpty && p.steps.nonEmpty &&
-        !p.steps.exists(s => s.stages.nonEmpty || s.keepArray ||
+        !p.steps.init.exists(s => s.stages.nonEmpty || s.keepArray ||
           s.focus.isDefined || s.index.isDefined) &&
+        !p.steps.last.keepArray && p.steps.last.focus.isEmpty &&
+        p.steps.last.index.isEmpty &&
         p.steps.tail.forall(_.expr.isInstanceOf[NameStep])
       var acc: Option[TCol] =
         if (!plain) None
@@ -601,7 +608,16 @@ object JsonataCompiler {
           case _ => None
         }
       }
-      acc
+      if (lastStages.isEmpty) acc
+      else acc.flatMap { base =>
+        base.dt match {
+          case at: ArrayType => runFilterStages(base.col, at, lastStages).map {
+            case Left(sc) => sc
+            case Right(arr) => TCol(emptyAsNull(arr), at)
+          }
+          case _ => None // scalar re-wrap: interpreted
+        }
+      }
     }
 
     /** Compile a single-parameter lambda body against an element of type `et`.
@@ -2027,7 +2043,13 @@ object JsonataCompiler {
         // cast() yields NULL.
         case "number" => num(0)
         case "string" => arg(0) match {
-          case Some(t) if t.dt == StringType => Some(t) // identity only; numeric formatting differs
+          case Some(t) if t.dt == StringType => Some(t) // identity
+          // integral input renders as plain Long.toString in the engine
+          // (numberToString keeps integer-valued numbers point-free) — the
+          // Spark cast is character-identical; DOUBLE formatting differs
+          // (JS-style shortest-round-trip vs Java) and stays interpreted
+          case Some(t) if isIntegral(t.dt) =>
+            Some(TCol(t.col.cast(StringType), StringType))
           case _ => None
         }
         case "not" => compileBool(args.head).map(c => TCol(!coalesce(c, lit(false)), BooleanType))
@@ -2068,6 +2090,46 @@ object JsonataCompiler {
           case (Some(t), Some(RegexLit(p)), Some(StrLit(rep))) if args.length == 3 =>
             Some(TCol(regexp_replace(t.col, JsonataCompiler.regexStr(p),
               JsonataCompiler.javaReplacement(rep, p.matcher("").groupCount())), StringType))
+          // regex-literal pattern + INLINE LAMBDA replacement: stitch with
+          // split-on-the-same-pattern (unmatched segments, trailing empties
+          // kept) interleaved with the lambda body over the RegexMatchAll
+          // kernel's match structs — the exact {match,index,groups} object
+          // fReplace hands the function, so the body compiles through the
+          // ordinary lambda machinery and the whole thing avoids
+          // index-arithmetic stitching (engine indexes are UTF-16 units,
+          // Spark substr counts code points — the split form sidesteps the
+          // divergence class entirely). A non-string (SQL NULL) body result
+          // raises the engine's D3012. GATES (stay interpreted): patterns
+          // that can match zero-width (the split stitch and the engine's
+          // find() loop disagree there — probed via matcher("").find()) and
+          // any "(?" construct (lookaround can zero-width on nonempty input
+          // invisibly to that probe; inline flags arrive as Pattern flags,
+          // not source, so real flagged literals still compile); a literal
+          // limit must be non-negative (engine raises D3011 on negatives —
+          // errors stay interpreter-shaped).
+          case (Some(t), Some(RegexLit(p)), Some(Lambda(Vector(pm), body, _)))
+              if args.length <= 4 && !p.matcher("").find() && !p.pattern.contains("(?") =>
+            val limOpt: Option[Int] =
+              if (args.length == 3) Some(Int.MaxValue)
+              else intLit(3).collect { case l if l >= 0 && l <= Int.MaxValue => l.toInt }
+            val et = RegexMatchAll.resultType.asInstanceOf[ArrayType].elementType
+            (limOpt, compileLambda(pm, et, body)) match {
+              case (Some(lim), Some((bf, StringType))) =>
+                val re = JsonataCompiler.regexStr(p)
+                val ms = RegexMatchAll.column(t.col, p.pattern, p.flags, lim)
+                val segs = split(t.col, re, if (lim == Int.MaxValue) -1 else lim + 1)
+                def repC(m: Column): Column = {
+                  val r = bf(m)
+                  when(r.isNotNull, r).otherwise(raise_error(
+                    lit("D3012: $replace replacement function must return a string"))
+                    .cast(StringType))
+                }
+                Some(TCol(concat(
+                  array_join(transform(ms, (m, i) =>
+                    concat(element_at(segs, i.cast("int") + 1), repC(m))), ""),
+                  element_at(segs, size(ms) + 1)), StringType))
+              case _ => None
+            }
           case _ => None
         }
         // $pad never truncates (unlike bare lpad/rpad) — guard on length;

@@ -211,6 +211,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx27 must compile to native Columns\n" + p.take(2000))
   }
 
+  test("jx28 lambda $replace runs on the compiled tier (split-stitch + match kernel)") {
+    val p = plan("jx28_replace_lambda")
+    assert(!p.contains("jsonata"), "jx28 must compile to native Columns\n" + p.take(2000))
+    assert(p.contains("regex_match_all"), "the stitch must use the native match kernel\n" + p.take(2000))
+  }
+
   test("jx12 $reduce folds run on the compiled tier (native aggregate)") {
     val p = plan("jx12_reduce_fold")
     assert(!p.contains("jsonata"), "jx12 must compile to native Columns\n" + p.take(2000))

@@ -151,10 +151,11 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("regex forms outside the compiled subset fall back") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // lambda replacement — replacement must be a string literal
+    // regex-literal + lambda replacement COMPILES since round 10
     assert(JsonataCompiler.transformCompiled(docs,
-      "{'m': $replace(value.lang, /e/, function($m) { $m.match })}").isEmpty)
-    // $replace limit arg stays interpreted
+      "{'m': $replace(value.lang, /e/, function($m) { $m.match })}").isDefined)
+    // $replace limit arg with a STRING replacement stays interpreted
+    // (the compiled regexp_replace form has no limit; the lambda form does)
     assert(JsonataCompiler.transformCompiled(docs,
       "{'m': $replace(value.text, /a/, 'b', 2)}").isEmpty)
     // non-literal split limit
@@ -291,6 +292,48 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{'x': $single(value.embedding, function($v){ $v * 2 })}").isEmpty)
   }
 
+  test("$replace with a lambda replacement compiles and agrees (match/groups/index/limit)") {
+    diff("documents",
+      "{'doc_id': value.doc_id, " +
+        "'up': $replace(value.text, /the/, function($m){ $uppercase($m.match) }), " +
+        "'swap': $replace(value.lang, /([a-z])([a-z])/, function($m){ $m.groups[1] & $m.groups[0] }), " +
+        "'tag': $replace(value.text, /data/, function($m){ $m.match & '@' & $string($m.index) }, 2)}",
+      "doc_id BIGINT, up STRING, swap STRING, tag STRING", "doc_id")
+  }
+
+  test("$replace lambda: a non-string body result raises D3012 on both tiers") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    // /the/ has no capture groups -> $m.groups[0] is undefined -> the engine
+    // raises D3012; the compiled tier must raise too, not null-swallow
+    val expr = "{'doc_id': value.doc_id, 'r': $replace(value.text, /the/, function($m){ $m.groups[0] })}"
+    val c = JsonataCompiler.transformCompiled(df, expr)
+    assert(c.isDefined, "lambda $replace should compile")
+    def msgChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    val ce = intercept[Exception](c.get.collect())
+    assert(msgChain(ce).contains("D3012"), msgChain(ce).take(400))
+    val ie = intercept[Exception](
+      JsonataDF.transformAs(df, expr, StructType.fromDDL("doc_id BIGINT, r STRING")).collect())
+    assert(msgChain(ie).contains("D3012"), msgChain(ie).take(400))
+  }
+
+  test("$replace lambda fallback pins: zero-width patterns, lookaround, negative limit") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    // zero-width-capable pattern: split stitching diverges from find()
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /x*/, function($m){ 'y' })}").isEmpty)
+    // lookahead zero-widths on nonempty input invisibly to the ""-probe
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /th(?=e)/, function($m){ 'y' })}").isEmpty)
+    // negative limit raises D3011 in the engine — errors stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /the/, function($m){ 'y' }, -1)}").isEmpty)
+  }
+
   test("substringBefore/After: first occurrence; whole string when absent") {
     diff("documents",
       "{'doc_id': value.doc_id, 'b': $substringBefore(value.text, 'the'), " +
@@ -305,19 +348,20 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id BIGINT, r STRING, l STRING, no STRING", "doc_id")
   }
 
-  test("$replace with literal pattern/replacement compiles; lambda stays interpreted") {
+  test("$replace with literal pattern/replacement compiles; string-pattern+lambda stays interpreted") {
     diff("documents",
       "{'doc_id': value.doc_id, 'r': $replace(value.text, 'the', 'THE'), " +
         "'none': $replace(value.lang, 'zz', 'x'), " +
         "'dollar': $replace(value.lang, 'e', '$5')}", // $-escape in the replacement
       "doc_id BIGINT, r STRING, none STRING, dollar STRING", "doc_id")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // regex-literal patterns compile too since round 8 (see the regex
-    // builtin cases above); only lambda replacements remain interpreted
+    // regex-literal patterns compile since round 8, lambda replacements
+    // since round 10 (regex-literal pattern only) — a STRING pattern with a
+    // lambda is the engine's D3012 error shape and stays interpreted
     assert(JsonataCompiler.transformCompiled(docs, "{'r': $replace(value.text, /th./, 'x')}").isDefined)
     assert(JsonataCompiler.transformCompiled(docs,
       "{'r': $replace(value.text, 'a', function($m) { 'x' })}").isEmpty,
-      "lambda replacement must stay interpreted")
+      "string-pattern lambda replacement must stay interpreted (engine D3012)")
   }
 
   test("split+count fusion and join-of-split round-trip") {
