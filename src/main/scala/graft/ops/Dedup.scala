@@ -40,6 +40,12 @@ object Dedup {
     * the oracles' NULL-trigram concat drops, so the two engines would
     * disagree on any sub-trigram doc. */
   private[graft] def shingleHashes(text: Column): Column =
+    graft.spark.SketchExpressions.shingleHashes(text)
+
+  /** The former two-layer HOF compose, kept as the fused kernel's reference
+    * semantics (SketchExpressionsSpec pins bit-equality on adversarial
+    * texts — multi-space runs, sub-trigram docs, duplicate shingles). */
+  private[graft] def shingleHashesCompose(text: Column): Column =
     shinglesFromWh(wordHashes(text))
 
   /** K-gram span hashes with MULTIPLICITY (unlike [[shinglesFromWh]]'s set):
@@ -80,8 +86,10 @@ object Dedup {
     * the intermediate step (the alias is expensive and multiply-referenced),
     * making every get() an O(1) attribute read. */
   private def withShingles(df: DataFrame, out: String, keep: Column*): DataFrame =
-    df.withColumn("graft_wh", wordHashes(col("text")))
-      .select(keep :+ shinglesFromWh(col("graft_wh")).as(out): _*)
+    // one fused kernel expression now — the two-step wh projection was the
+    // HOF-CSE workaround and is obsolete on this path (spansFromWh callers
+    // still need it: their per-K transform reads the wh array repeatedly)
+    df.select(keep :+ graft.spark.SketchExpressions.shingleHashes(col("text")).as(out): _*)
 
   /** Document-frequency cap for shingle blocking keys (dd03): a shingle shared
     * by more than this many documents is dropped from both sides of the

@@ -161,6 +161,91 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused distinct 3-word shingle hashes STRAIGHT FROM TEXT: the whole
+  * `array_distinct(transform(idx, i => xxhash64(wh[i], wh[i+1], wh[i+2])))`
+  * over `transform(split(lower(text), " "), w => xxhash64(w))` compose
+  * (ops/Dedup.scala shingleHashes) as ONE static-call expression. The
+  * compose paid TWO interpreted transform layers — one lambda step per word
+  * and one per shingle window, each with the codegen'd hash inside but an
+  * interpreted dispatch + accumulator around it — across every dd03/dd04/
+  * dd06/dd12/dd14/dc01 scan (the documented verifiedPairs floor).
+  *
+  * Bit-identical by CONSTRUCTION, not reimplementation: tokenization calls
+  * the same `UTF8String.toLowerCase.split(" ", -1)` the Lower/StringSplit
+  * expressions call; word hashes call `XXH64.hashUTF8String(tok, 42)` and
+  * shingles chain `XXH64.hashLong` from seed 42 — exactly XxHash64's
+  * multi-argument seed chaining; distinct keeps FIRST-occurrence order like
+  * array_distinct (LinkedHashSet). Sub-trigram docs yield the compose's
+  * EMPTY set (the zero-length-slice guard) — and so does NULL text: the
+  * compose's `greatest(size(null), 0)` swallows the null into the same
+  * empty set (caught by the spec's first run; never nullable, like the
+  * compose). Pinned against the compose by SketchExpressionsSpec. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.emptyArray()
+    else ShingleHashes.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull}
+        ? graft.spark.ShingleHashes.emptyArray()
+        : graft.spark.ShingleHashes.compute(${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val Empty: ArrayData = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** The compose's null-text result: the same empty set (immutable, shared). */
+  def emptyArray(): ArrayData = Empty
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = s.toLowerCase.split(Space, -1)
+    val n = toks.length
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = XXH64.hashUTF8String(toks(i), 42L); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - 3) {
+      var h = 42L
+      h = XXH64.hashLong(wh(i), h)
+      h = XXH64.hashLong(wh(i + 1), h)
+      h = XXH64.hashLong(wh(i + 2), h)
+      seen.add(h)
+      i += 1
+    }
+    val res = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+}
+
 object SketchExpressions {
   /** Codegen'd MinHash signature: per permutation i, min over the hash array
     * of (a(i)*h + b(i)) & mask. Empty array → all Long.MaxValue. */
@@ -170,4 +255,9 @@ object SketchExpressions {
   /** Codegen'd 32-bit SimHash over a word-hash array. */
   def simhash32(hashes: Column): Column =
     Shims.column(SimHash32(Shims.expression(hashes)))
+
+  /** Codegen'd distinct 3-shingle hashes straight from text — see
+    * [[ShingleHashes]]. */
+  def shingleHashes(text: Column): Column =
+    Shims.column(ShingleHashes(Shims.expression(text)))
 }

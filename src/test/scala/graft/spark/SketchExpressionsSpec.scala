@@ -66,6 +66,47 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("ShingleHashes bit-identical to the two-layer HOF compose (real corpus + adversarial texts)") {
+    val sp = spark
+    import sp.implicits._
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(
+        SketchExpressions.shingleHashes(col("text")).as("fast"),
+        Dedup.shingleHashesCompose(col("text")).as("ref")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingle mismatch: $r")
+      }
+    }
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    // adversarial: multi-space runs (empty tokens hash too), sub-trigram
+    // docs (empty SET, not null), duplicate shingles (first-occurrence
+    // distinct order), unicode + case folding, null text
+    check(Seq(
+      Option("a  b   c a  b   c"), Option("one two"), Option(""), Option("  "),
+      Option("x y z x y z x y z"), Option("ÅÄÖ Istá ß ÅÄÖ Istá ß mixED Case tokens"),
+      Option("w1 w2 w3 w4 w5 w6 w7"), None).toDF("text"))
+  }
+
+  test("ShingleHashes: both eval paths agree") {
+    val sp = spark
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val fast = df.select(col("doc_id"), SketchExpressions.shingleHashes(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("doc_id"), SketchExpressions.shingleHashes(col("text")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(fast == interp)
+    } finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("interpreted eval agrees with codegen") {
     val sp = spark
     sp.conf.set("spark.sql.codegen.wholeStage", "false")
