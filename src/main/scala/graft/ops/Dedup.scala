@@ -27,8 +27,14 @@ object Dedup {
   /** Normalized text: lowercase, whitespace collapsed, trimmed. */
   private def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** xxhash64 per word occurrence (order preserved, duplicates kept). */
+  /** xxhash64 per word occurrence (order preserved, duplicates kept) —
+    * the fused [[graft.spark.WordHashes]] kernel (the transform compose
+    * paid one interpreted lambda step per word). */
   private def wordHashes(text: Column): Column =
+    graft.spark.SketchExpressions.wordHashes(text)
+
+  /** The former compose, kept as the kernel's reference semantics. */
+  private[graft] def wordHashesCompose(text: Column): Column =
     transform(split(lower(text), " "), w => xxhash64(w))
 
   /** Distinct 3-word shingle hashes: consecutive word hashes combined with
@@ -54,7 +60,11 @@ object Dedup {
     * own projection first (HOF lambdas get no common-subexpression
     * elimination — the withShingles lesson). Factored for the property spec
     * that pins the window arithmetic against string grams. */
-  private[graft] def spansFromWh(wh: Column, k: Int): Column = {
+  private[graft] def spansFromWh(wh: Column, k: Int): Column =
+    graft.spark.SketchExpressions.spanHashes(wh, k)
+
+  /** The former compose, kept as the kernel's reference semantics. */
+  private[graft] def spansFromWhCompose(wh: Column, k: Int): Column = {
     val idx = slice(sequence(lit(0), greatest(size(wh) - k, lit(0))),
       lit(1), greatest(size(wh) - (k - 1), lit(0)))
     transform(idx, i => xxhash64((0 until k).map(o => get(wh, i + o)): _*))

@@ -246,6 +246,105 @@ object ShingleHashes {
   }
 }
 
+/** Fused per-word xxhash64 straight from text — the single-layer
+  * `transform(split(lower(text), " "), w => xxhash64(w))` compose as one
+  * static call (order preserved, duplicates kept, NULL text → NULL like
+  * the transform). Same construction-identity contract as
+  * [[ShingleHashes]]; feeds dd05's SimHash and dd13's span windows. */
+case class WordHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.spark.WordHashes.compute($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordHashes {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = s.toLowerCase.split(Space, -1)
+    val res = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { res(i) = XXH64.hashUTF8String(toks(i), 42L); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+}
+
+/** Fused K-gram span hashes WITH MULTIPLICITY over a word-hash array — the
+  * `transform(idx, i => xxhash64(wh[i..i+k-1]))` compose of spansFromWh
+  * (dd13 counts every window, unlike [[ShingleHashes]]'s set). Same
+  * zero-length guard for sub-K docs (empty, never null — greatest swallows
+  * the size like the compose); chains `XXH64.hashLong` from seed 42. A
+  * NULL ARRAY input also yields the compose's empty set (the slice/
+  * sequence guard nulls collapse through greatest). */
+case class SpanHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "span_hashes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes.emptyArray()
+    else SpanHashes.compute(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = ${c.isNull}
+        ? graft.spark.ShingleHashes.emptyArray()
+        : graft.spark.SpanHashes.compute(${c.value}, $k);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SpanHashes {
+  def compute(wh: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = wh.numElements()
+    if (n < k) return ShingleHashes.emptyArray()
+    val res = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 42L
+      var o = 0
+      while (o < k) { h = XXH64.hashLong(wh.getLong(i + o), h); o += 1 }
+      res(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(res)
+  }
+}
+
 object SketchExpressions {
   /** Codegen'd MinHash signature: per permutation i, min over the hash array
     * of (a(i)*h + b(i)) & mask. Empty array → all Long.MaxValue. */
@@ -260,4 +359,12 @@ object SketchExpressions {
     * [[ShingleHashes]]. */
   def shingleHashes(text: Column): Column =
     Shims.column(ShingleHashes(Shims.expression(text)))
+
+  /** Codegen'd per-word hashes straight from text — see [[WordHashes]]. */
+  def wordHashes(text: Column): Column =
+    Shims.column(WordHashes(Shims.expression(text)))
+
+  /** Codegen'd K-span hashes with multiplicity — see [[SpanHashes]]. */
+  def spanHashes(wh: Column, k: Int): Column =
+    Shims.column(SpanHashes(Shims.expression(wh), k))
 }

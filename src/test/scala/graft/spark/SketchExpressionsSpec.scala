@@ -107,6 +107,34 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WordHashes and SpanHashes bit-identical to their composes") {
+    val sp = spark
+    import sp.implicits._
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val base = df.withColumn("whf", SketchExpressions.wordHashes(col("text")))
+        .withColumn("whr", Dedup.wordHashesCompose(col("text")))
+      val rows = base.select(
+        col("whf"), col("whr"),
+        SketchExpressions.spanHashes(col("whf"), 5).as("spf"),
+        Dedup.spansFromWhCompose(col("whr"), 5).as("spr"),
+        SketchExpressions.spanHashes(col("whf"), 1).as("sp1f"),
+        Dedup.spansFromWhCompose(col("whr"), 1).as("sp1r")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"wh null mismatch: $r")
+        if (!r.isNullAt(0)) assert(r.getSeq[Long](0) == r.getSeq[Long](1), "wh mismatch")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), "span k=5 mismatch")
+        assert(r.getSeq[Long](4) == r.getSeq[Long](5), "span k=1 mismatch")
+      }
+    }
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    // adversarial: multi-space, sub-K, empty, unicode case folds, null text
+    // (wordHashes compose is NULL on null text; spans of that null array
+    // collapse to the compose's empty set — both replayed)
+    check(Seq(Option("a  b   c"), Option("one two"), Option(""), Option("  "),
+      Option("ÅÄÖ Istá ß MiXeD"), None).toDF("text"))
+  }
+
   test("interpreted eval agrees with codegen") {
     val sp = spark
     sp.conf.set("spark.sql.codegen.wholeStage", "false")
