@@ -241,25 +241,30 @@ object TextOps {
     // Raw double ratios of exact integers — no round() (see tx01 note).
     Q("tx07_repetition",
       (s, d) => {
-        def grams(w: Column, k: Int): Column =
-          when(size(w) >= k,
-            transform(sequence(lit(1), size(w) - (k - 1)),
-              i => array_join(slice(w, i, lit(k)), " ")))
-            .otherwise(array().cast("array<string>"))
-        def tagged(w: Column, k: Int): Column =
-          transform(if (k == 1) w else grams(w, k),
+        // grams are SPAN HASHES over hashed tokens, not joined strings: the
+        // counting stats (distinct counts, mode counts) are hash-invariant
+        // modulo 64-bit collisions (~1e-8 at 1M grams — the dd03 set
+        // argument; the oracle computes the same counts from strings), the
+        // string-gram transform+slice+array_join layer disappears into the
+        // fused SpanHashes kernel, and the exploded relation shuffles longs
+        // instead of gram strings
+        def tagged(wh: Column, k: Int): Column =
+          transform(
+            if (k == 1) wh else graft.spark.SketchExpressions.spanHashes(wh, k),
             g => struct(lit(k).as("k"), g.as("g")))
-        val w = col("w")
+        val wh = col("wh")
         def kd(k: Int, c: Column): Column = when(col("k") === k, c)
         t(s, d, "documents")
           // explode(array(..)) = Generate barrier: the token array is
           // computed once per row before the gram explode
           .select(col("doc_id"), explode(array(vocabTokens)).as("w"))
+          // token hashes in their OWN projection (HOF lambdas get no CSE)
+          .select(col("doc_id"), transform(col("w"), t2 => xxhash64(t2)).as("wh"))
           // explode_OUTER: a doc with zero vocab tokens (all digits/punct)
           // must survive as a null-tagged row — the oracle emits it with
           // n_tokens=0, so a plain explode would row-count-mismatch on it
           .select(col("doc_id"),
-            explode_outer(concat(tagged(w, 1), tagged(w, 2), tagged(w, 3))).as("t"))
+            explode_outer(concat(tagged(wh, 1), tagged(wh, 2), tagged(wh, 3))).as("t"))
           .groupBy(col("doc_id"), col("t.k").as("k"), col("t.g").as("g"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("doc_id"))
@@ -306,24 +311,32 @@ object TextOps {
     // absorbed by the driver's 6dp normalization — the rj01 precedent.
     Q("tx08_perplexity",
       (s, d) => {
-        val w = split(lower(col("text")), " ")
+        // tokens, histories, and bigrams are all 64-bit HASHES (the fused
+        // WordHashes/SpanHashes kernels): every count the model needs is
+        // hash-invariant modulo collisions (the dd03/tx07 set argument —
+        // the oracle computes the same counts from strings), the per-pair
+        // concat_ws string allocation disappears, and the count/score joins
+        // key on longs instead of bigram strings
         // (history, bigram) pairs; empty for docs under 2 words (slice guard,
         // not when() — see Dedup.shingleHashes on conditional-branch CSE)
-        val pairIdx = slice(sequence(lit(0), greatest(size(col("w")) - 2, lit(0))),
-          lit(1), greatest(size(col("w")) - 1, lit(0)))
+        val pairIdx = slice(sequence(lit(0), greatest(size(col("wh")) - 2, lit(0))),
+          lit(1), greatest(size(col("wh")) - 1, lit(0)))
         val pairs = transform(pairIdx, i => struct(
-          get(col("w"), i).as("w1"),
-          concat_ws(" ", get(col("w"), i), get(col("w"), i + 1)).as("bg")))
+          get(col("wh"), i).as("w1"),
+          get(col("bgh"), i).as("bg")))
         val base = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"), w.as("w"))
+          .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"),
+            graft.spark.SketchExpressions.wordHashes(col("text")).as("wh"))
           .persist() // read three times: train counts, vocab scalar, eval side
-        val ex = base.select(col("doc_id"), col("bk"), explode(pairs).as("p"))
+        val ex = base
+          .withColumn("bgh", graft.spark.SketchExpressions.spanHashes(col("wh"), 2))
+          .select(col("doc_id"), col("bk"), explode(pairs).as("p"))
           .select(col("doc_id"), col("bk"), col("p.w1").as("w1"), col("p.bg").as("bg"))
         val train = ex.filter(col("bk") < 80)
         val c12 = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
         val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
         val vocab = base.filter(col("bk") < 80)
-          .select(explode(col("w")).as("word")).distinct().count()
+          .select(explode(col("wh")).as("word")).distinct().count()
         val scored = ex
           .join(c12, Seq("bg"), "left")
           .join(c1, Seq("w1"), "left")
