@@ -1289,18 +1289,31 @@ object Similarity {
         // keep-first drop score: the larger id of each pair is the one the
         // rule can drop — m(ib) = max cosine to any earlier neighbor
         val dropScore = pairs.groupBy(col("ib")).agg(max(col("cos")).as("m"))
-        val grid = broadcast(s.createDataset(TauGrid)(
-          org.apache.spark.sql.Encoders.scalaDouble).toDF("tau"))
-        val pairCounts = grid.crossJoin(pairs).filter(col("cos") >= col("tau"))
-          .groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
-        val dropCounts = grid.crossJoin(dropScore).filter(col("m") >= col("tau"))
-          .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
-        grid.join(broadcast(pairCounts), Seq("tau"), "left")
-          .join(broadcast(dropCounts), Seq("tau"), "left")
-          .select(col("tau"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-            (coalesce(col("n_dropped"), lit(0L)).cast("double") / lit(n.toDouble)).as("drop_rate"))
+        // the whole curve from ONE conditional-aggregation pass per
+        // relation: seven count-ifs fold map-side into a single row (a
+        // grid×pairs join would re-stream the pair relation SEVEN times —
+        // the first cut did exactly that and cost 3× the pair pass at sf1),
+        // then the 7-row curve explodes out of the one-row aggregate
+        def countIf(c: Column, name: Int => String): Seq[Column] =
+          TauGrid.zipWithIndex.map { case (tau, i) =>
+            sum(when(c >= tau, 1L).otherwise(0L)).as(name(i)) }
+        val pAgg = {
+          val es = countIf(col("cos"), i => s"np$i")
+          pairs.agg(es.head, es.tail: _*)
+        }
+        val dAgg = {
+          val es = countIf(col("m"), i => s"nd$i")
+          dropScore.agg(es.head, es.tail: _*)
+        }
+        pAgg.crossJoin(dAgg) // 1 row × 1 row
+          .select(explode(array(TauGrid.zipWithIndex.map { case (tau, i) =>
+            struct(lit(tau).as("tau"),
+              coalesce(col(s"np$i"), lit(0L)).as("n_pairs"),
+              coalesce(col(s"nd$i"), lit(0L)).as("n_dropped"))
+          }: _*)).as("r"))
+          .select(col("r.tau").as("tau"), col("r.n_pairs").as("n_pairs"),
+            col("r.n_dropped").as("n_dropped"),
+            (col("r.n_dropped").cast("double") / lit(n.toDouble)).as("drop_rate"))
           .orderBy(col("tau"))
       },
       Some("""WITH v AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vec

@@ -387,11 +387,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), "no join anywhere\n" + p.take(2000))
   }
 
-  test("dd15 threshold sweep: the only non-broadcast join work is the capped pair relation") {
+  test("dd15 threshold sweep: one conditional-agg pass, pairs never re-streamed per tau") {
     val p = plan("dd15_semdedup_sweep")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
-    // the grid attaches as a tiny broadcast against bounded relations
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    // the curve folds map-side out of the single pair pass — a grid×pairs
+    // nested loop would stream the pair relation once per tau
+    assert(p.contains("partial_"), "count-ifs must partial-aggregate\n" + p.take(2000))
+    assert(!p.contains("tau") || !p.contains("BroadcastNestedLoopJoin (cos"),
+      "no per-tau pair duplication\n" + p.take(2000))
   }
 
   test("ev05 cohort retention: partial aggregation + broadcast cohort-size attach") {
