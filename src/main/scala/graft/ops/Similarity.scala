@@ -73,15 +73,25 @@ object Similarity {
     }
   }
 
-  /** Array of L bucket codes for a vector (one per table), as a single
-    * constant-folded nested-literal expression — no UDF. */
-  private def lshCodes(vec: Column): Column = {
+  /** Array of L bucket codes for a vector (one per table) — the fused
+    * codegen [[graft.spark.LshCodes]] kernel (the nested transform/fold
+    * compose ran L×B interpreted lambda steps per corpus row; bit-equality
+    * pinned by VectorExpressionsSpec). */
+  private def lshCodes(vec: Column): Column =
+    graft.spark.VectorExpressions.lshCodes(vec,
+      planes.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq)))
+
+  /** The former compose, kept as the kernel's reference semantics. */
+  private[graft] def lshCodesCompose(vec: Column): Column = {
     val planesLit = array(planes.map(tbl =>
       array(tbl.map(p => array(p.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
     transform(sequence(lit(0), lit(NumTables - 1)), tb =>
       aggregate(sequence(lit(0), lit(NumBits - 1)), lit(0L), (acc, b) =>
         acc * 2 + when(dot(get(get(planesLit, tb), b), vec) >= 0, 1L).otherwise(0L)))
   }
+
+  /** The kernel's Column form for the spec (private planes). */
+  private[graft] def lshCodesKernel(vec: Column): Column = lshCodes(vec)
 
   /** ss04 IVF parameters: anchors are a BOUNDED deterministic systematic
     * sample — every `stride`-th vec_id with stride = max(61, N/MaxAnchors) —

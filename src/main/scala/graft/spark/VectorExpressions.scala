@@ -665,6 +665,83 @@ case class SqdistArgmin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused multi-table LSH bucket codes: the ss03 compose —
+  * `transform(tables, tb => aggregate(bits, 0L, acc*2 + (dot(plane,vec)>=0)))`
+  * — as ONE expression (L×B interpreted fold steps per corpus row before,
+  * native dot inside each). Bit-identical replay: per table, bits fold
+  * left-to-right as acc*2 + bit where bit=1 iff the plane·vec dot is
+  * non-null, non-NaN-negative, and >= 0 — a NULL dot (null element /
+  * length mismatch) or NaN takes the compose's otherwise-0 branch; a NULL
+  * vector yields the compose's ALL-ZERO code array (dot(plane, null) is
+  * null for every bit), so the expression is never nullable. Plane
+  * multiplication/sum order matches the DotProduct kernel exactly. */
+case class LshCodes(child: Expression, planes: Seq[Seq[Seq[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val planesArr: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "lsh_codes"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LshCodes.compute(child.eval(input).asInstanceOf[ArrayData], planesArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val pRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[][][]")
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $jt ${ev.value} = graft.spark.LshCodes.compute(
+        ${c.isNull} ? null : ${c.value}, $pRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshCodes {
+  def compute(vec: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Long](planes.length)
+    val n = if (vec == null) -1 else vec.numElements()
+    var t = 0
+    while (t < planes.length) {
+      val tbl = planes(t)
+      var code = 0L
+      var b = 0
+      while (b < tbl.length) {
+        val plane = tbl(b)
+        var bit = 0L
+        if (n == plane.length) {
+          var d = 0.0
+          var i = 0
+          var isNull = false
+          while (i < n && !isNull) {
+            if (vec.isNullAt(i)) isNull = true
+            else d += plane(i) * vec.getDouble(i)
+            i += 1
+          }
+          if (!isNull && d >= 0) bit = 1L
+        }
+        code = code * 2 + bit
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `array<double>` columns. */
   def dot(a: Column, b: Column): Column =
@@ -681,6 +758,10 @@ object VectorExpressions {
   /** Codegen'd ADC query-table build over (subs, codebook) — see [[PqQueryTable]]. */
   def pqQueryTable(subs: Column, cb: Column): Column =
     Shims.column(PqQueryTable(Shims.expression(subs), Shims.expression(cb)))
+
+  /** Codegen'd multi-table LSH bucket codes — see [[LshCodes]]. */
+  def lshCodes(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    Shims.column(LshCodes(Shims.expression(vec), planes))
 
   /** Codegen'd nearest-anchor argmax-by-cosine — see [[CosineArgmax]]. */
   def cosArgmax(vec: Column, nrm: Column, anchors: Column): Column =

@@ -348,6 +348,33 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
+  test("LshCodes bit-identical to the transform/fold compose (corpus + adversarial vectors)") {
+    val sp = spark
+    import sp.implicits._
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(
+        graft.ops.Similarity.lshCodesKernel(col("vec")).as("fast"),
+        graft.ops.Similarity.lshCodesCompose(col("vec")).as("ref")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(!r.isNullAt(0), "kernel is never null")
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"codes mismatch: $r")
+      }
+    }
+    check(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("vec")))
+    // adversarial: NULL vector (compose folds every bit to 0 -> all-zero
+    // codes), ragged length (dot null -> 0 bits), null element, zero vector
+    // (dot 0.0 >= 0 -> all-ones codes on every table)
+    check(Seq(
+      Option.empty[Seq[java.lang.Double]],
+      Option(Seq.fill(3)(java.lang.Double.valueOf(1.0))),
+      Option(Seq[java.lang.Double](1.0, null) ++ Seq.fill(62)(java.lang.Double.valueOf(0.5))),
+      Option(Seq.fill(64)(java.lang.Double.valueOf(0.0))),
+      Option(Seq.fill(64)(java.lang.Double.valueOf(-0.25))))
+      .toDF("vec").select(col("vec").cast("array<double>").as("vec")))
+  }
+
   test("PqEncode rejects wrong input types at analysis") {
     val sp = spark
     import sp.implicits._
