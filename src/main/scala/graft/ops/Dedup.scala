@@ -532,9 +532,15 @@ object Dedup {
           md5(norm(col("text"))).as("fp"), Sampling.hashBucket(col("doc_id")).as("bk"))
           .persist() // corpus + increment branches share the fingerprint scan
         val corpusFp = f.filter(col("bk") < 80).select(col("fp")).distinct().persist()
+        // Bloom sizing needs only an UPPER bound on the insert count, so the
+        // table's parquet-footer row count (raw rows >= distinct corpus-slice
+        // fingerprints) replaces what used to be a corpus-side count() job —
+        // zero extra actions in the build DAG, and overshooting the bound
+        // only LOWERS the effective fpp (answer unchanged: the exact confirm
+        // semi-join removes every false positive regardless)
         val bloom = graft.spark.BloomFunctions.buildLong(
           corpusFp.select(xxhash64(col("fp")).as("h")), "h",
-          expectedItems = corpusFp.count(), fpp = 0.01)
+          expectedItems = Tables.rowCount(s, d, "documents"), fpp = 0.01)
         val inc = f.filter(col("bk") >= 80)
         val dropped = inc
           .filter(graft.spark.BloomFunctions.mightContain(bloom, xxhash64(col("fp"))))

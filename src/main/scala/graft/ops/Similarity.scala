@@ -156,7 +156,7 @@ object Similarity {
     * with the fold pinned by VectorExpressionsSpec). */
   private def pqEncode(v: DataFrame, cbAgg: DataFrame): DataFrame =
     v.crossJoin(cbAgg).select(col("vec_id"),
-      graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
+      graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb"), PqM).as("code"))
 
   /** Broadcast per-query ADC tables: qtab[m][j] = ||q_sub_m − cb_j_sub_m||²
     * — the fused codegen [[graft.spark.PqQueryTable]] kernel (the nested
@@ -166,7 +166,7 @@ object Similarity {
   private def pqQueryTables(v: DataFrame, cbAgg: DataFrame): DataFrame =
     broadcast(v.filter(col("vec_id") % 100 === 0).crossJoin(cbAgg)
       .select(col("vec_id").as("q_id"),
-        graft.spark.VectorExpressions.pqQueryTable(col("subs"), col("cb")).as("qtab")))
+        graft.spark.VectorExpressions.pqQueryTable(col("subs"), col("cb"), PqM).as("qtab")))
 
   /** The ADC lookup sum over (qtab, code), UNROLLED over the literal M (not
     * an `aggregate` HOF): it runs once per (corpus row × query) — the hot
@@ -209,7 +209,7 @@ object Similarity {
       .crossJoin(aAgg).crossJoin(cbAgg)
       .select(col("vec_id"),
         graft.spark.VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("arr")).as("aid"),
-        graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb")).as("code"))
+        graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb"), PqM).as("code"))
   }
 
   /** Broadcast probe list (q_id, aid): each query's NProbe nearest coarse
@@ -348,9 +348,15 @@ object Similarity {
     * not any specific centroid, so bounded disagreement is the documented
     * trade — SemDedupAssignSpec pins the machinery and a 0.5 agreement
     * floor; the oracle-checked scales never take this path (K=8 floor,
-    * [[SemHierK]]). Anchors self-assign (distance 0), so no group is
-    * empty and the probe joins are total; all ties break to the lowest
-    * anchor/cid, so the path stays deterministic end-to-end. */
+    * [[SemHierK]]). TOTALITY: an anchor's group can be EMPTY when a
+    * byte-identical twin with a lower acid exists (the twin wins every
+    * distance tie, so nothing — not even the anchor itself — assigns to
+    * the higher acid). The same tie-to-lowest rule means such an anchor
+    * can still be probed as p2 (never p1: a vector tying on two identical
+    * anchors picks the lower), so the probe joins are LEFT joins and the
+    * merge falls back to the other probe's argmin when a group is absent
+    * — every vector keeps exactly one output row. All ties break to the
+    * lowest anchor/cid, so the path stays deterministic end-to-end. */
   private[ops] def semdedupAssignHier(v: DataFrame, k: Int): DataFrame = {
     val g = math.ceil(math.sqrt(k.toDouble)).toInt // anchor count
     val anchors = broadcast(v.orderBy(col("vec_id")).limit(g)
@@ -396,13 +402,18 @@ object Similarity {
     v.crossJoin(anchors)
       .select(col("vec_id"), col("vec"), col("nrm"),
         pr.getField("aida").as("p1"), pr.getField("aidb").as("p2"))
-      .join(g1, col("p1") === col("g1"))
-      .join(g2, col("p2") === col("g2"))
+      .join(g1, col("p1") === col("g1"), "left")
+      .join(g2, col("p2") === col("g2"), "left")
       .select(col("vec_id"),
-        when(f1.getField("d2") < f2.getField("d2") ||
-          (f1.getField("d2") === f2.getField("d2") &&
-            f1.getField("cid") <= f2.getField("cid")),
-          f1.getField("cid")).otherwise(f2.getField("cid")).as("cluster"),
+        // groupless probe (duplicate-anchor case above) -> the other
+        // probe's argmin; p1's group is provably non-empty, but both sides
+        // are guarded so totality never rests on that proof
+        when(col("garr2").isNull, f1.getField("cid"))
+          .when(col("garr1").isNull, f2.getField("cid"))
+          .when(f1.getField("d2") < f2.getField("d2") ||
+            (f1.getField("d2") === f2.getField("d2") &&
+              f1.getField("cid") <= f2.getField("cid")),
+            f1.getField("cid")).otherwise(f2.getField("cid")).as("cluster"),
         col("vec"), col("nrm"))
   }
 

@@ -2101,14 +2101,18 @@ object JsonataCompiler {
           // divergence class entirely). A non-string (SQL NULL) body result
           // raises the engine's D3012. GATES (stay interpreted): patterns
           // that can match zero-width (the split stitch and the engine's
-          // find() loop disagree there — probed via matcher("").find()) and
-          // any "(?" construct (lookaround can zero-width on nonempty input
-          // invisibly to that probe; inline flags arrive as Pattern flags,
-          // not source, so real flagged literals still compile); a literal
-          // limit must be non-negative (engine raises D3011 on negatives —
-          // errors stay interpreter-shaped).
+          // find() loop disagree there — probed on empty + non-empty
+          // sentinels, with boundary escapes \b \B \G \A \z \Z rejected
+          // statically since their zero-width sites can dodge any finite
+          // probe; see canMatchZeroWidth) and any "(?" construct
+          // (lookaround can zero-width on inputs outside the sentinel set;
+          // inline flags arrive as Pattern flags, not source, so real
+          // flagged literals still compile); a literal limit must be
+          // non-negative (engine raises D3011 on negatives — errors stay
+          // interpreter-shaped).
           case (Some(t), Some(RegexLit(p)), Some(Lambda(Vector(pm), body, _)))
-              if args.length <= 4 && !p.matcher("").find() && !p.pattern.contains("(?") =>
+              if args.length <= 4 && !JsonataCompiler.canMatchZeroWidth(p) &&
+                 !p.pattern.contains("(?") =>
             val limOpt: Option[Int] =
               if (args.length == 3) Some(Int.MaxValue)
               else intLit(3).collect { case l if l >= 0 && l <= Int.MaxValue => l.toInt }
@@ -2543,5 +2547,43 @@ object JsonataCompiler {
       } else { lit(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** True when the regex can produce a ZERO-WIDTH match. The compiled
+    * split-stitch form of lambda-$replace and the engine's find() loop
+    * disagree on zero-width matches, so such patterns stay interpreted.
+    * `matcher("").find()` alone misses patterns that are zero-width only
+    * on NON-empty input (e.g. `\b`, `\b(x)?` — both match zero-width on
+    * "x y" yet not on ""), so this probes a spread of sentinel inputs and
+    * additionally rejects boundary escapes statically — their zero-width
+    * sites are input-dependent in ways a finite probe can miss. */
+  private[spark] def canMatchZeroWidth(p: java.util.regex.Pattern): Boolean = {
+    if (hasBoundaryEscape(p.pattern)) return true
+    val sentinels = Seq("", "x", "x y", "a1_b-2\tc\nd", "..!!,,", "  ", "0x9 Z_", "αβ γδ")
+    sentinels.exists { s =>
+      val m = p.matcher(s)
+      var zero = false
+      // Java's find() self-advances past zero-width matches, so this loop
+      // terminates even when every position matches empty.
+      while (!zero && m.find()) zero = m.start() == m.end()
+      zero
+    }
+  }
+
+  /** Unescaped boundary construct (`\b \B \G \A \z \Z`) anywhere in the
+    * pattern source. Conservative: `[\b]` (backspace inside a class) is
+    * also rejected — the cost is an interpreter fallback, never a wrong
+    * answer. A literal `\\b` (escaped backslash then 'b') is NOT flagged:
+    * the scan consumes both chars of every escape. */
+  private def hasBoundaryEscape(src: String): Boolean = {
+    var i = 0
+    while (i < src.length - 1) {
+      if (src.charAt(i) == '\\') {
+        val c = src.charAt(i + 1)
+        if (c == 'b' || c == 'B' || c == 'G' || c == 'A' || c == 'z' || c == 'Z') return true
+        i += 2
+      } else i += 1
+    }
+    false
   }
 }

@@ -297,9 +297,14 @@ case class SpanHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, "k must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull = false ONLY: the window chain reads getLong without
+    // per-element null checks, so a null-bearing array would silently hash
+    // a garbage slot where the xxhash64 compose SKIPS null arguments — the
+    // analyzer rejects such inputs rather than diverging at runtime (the
+    // intended feeder, [[WordHashes]], declares non-null elements)
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+      s"$prettyName requires array<bigint> with non-nullable elements, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -176,8 +176,15 @@ case class SquaredDistance(left: Expression, right: Expression)
   * the entry is SKIPPED — replicated here as `continue`. A null element of
   * `subs` skips every entry, yielding that fold's −1. Divergence (documented,
   * registry-unreachable): a NULL top-level input returns NULL, where the
-  * compose gives per-element nulls / all −1. */
-case class PqEncode(left: Expression, right: Expression)
+  * compose gives per-element nulls / all −1.
+  *
+  * FIXED-M CONTRACT: the compose always emits exactly `m` entries
+  * (`sequence(0, M−1)` is constructed from the same config constant), so
+  * this kernel iterates a constructor-supplied `m` and RAISES on a subs
+  * row whose length differs — a malformed row fails loudly instead of
+  * silently changing the output shape and shifting downstream pqAdc
+  * element_at lookups. */
+case class PqEncode(left: Expression, right: Expression, m: Int)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -200,7 +207,9 @@ case class PqEncode(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val subs = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
-    val m = subs.numElements()
+    if (subs.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_encode: subs row has ${subs.numElements()} subvectors, expected M=$m")
     val k = cb.numElements()
     val out = new Array[Any](m)
     var mi = 0
@@ -263,7 +272,12 @@ case class PqEncode(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-         |final int $m = $subs.numElements();
+         |if ($subs.numElements() != ${this.m}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: subs row has " + $subs.numElements() +
+         |    " subvectors, expected M=" + ${this.m});
+         |}
+         |final int $m = ${this.m};
          |final int $k = $cb.numElements();
          |final Object[] $out = new Object[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
@@ -312,8 +326,10 @@ case class PqEncode(left: Expression, right: Expression)
   * Null semantics replay the transform compose (it MAPS, it does not skip):
   * a null codebook entry / null-or-ragged subvector / null element makes
   * that table CELL null. Divergence (documented, registry-unreachable):
-  * NULL top-level inputs return NULL where the compose yields nested nulls. */
-case class PqQueryTable(left: Expression, right: Expression)
+  * NULL top-level inputs return NULL where the compose yields nested nulls.
+  * Same FIXED-M CONTRACT as [[PqEncode]]: iterates a constructor-supplied
+  * `m` and raises on a subs row of any other length. */
+case class PqQueryTable(left: Expression, right: Expression, m: Int)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -358,7 +374,9 @@ case class PqQueryTable(left: Expression, right: Expression)
   override def nullSafeEval(s: Any, c: Any): Any = {
     val subs = s.asInstanceOf[ArrayData]
     val cb = c.asInstanceOf[ArrayData]
-    val m = subs.numElements()
+    if (subs.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_query_table: subs row has ${subs.numElements()} subvectors, expected M=$m")
     val k = cb.numElements()
     val rows = new Array[Any](m)
     var mi = 0
@@ -390,7 +408,12 @@ case class PqQueryTable(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dd = ctx.freshName("dd")
       s"""
-         |final int $m = $subs.numElements();
+         |if ($subs.numElements() != ${this.m}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_query_table: subs row has " + $subs.numElements() +
+         |    " subvectors, expected M=" + ${this.m});
+         |}
+         |final int $m = ${this.m};
          |final int $k = $cb.numElements();
          |final Object[] $rows = new Object[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
@@ -439,7 +462,10 @@ case class PqQueryTable(left: Expression, right: Expression)
   * dot(vec,av)/(nrm·an) — ties keep the FIRST (lowest-aid) entry; a null
   * entry / null-or-ragged av makes the fold's cosine null, whose
   * `when(c > acc.c, …)` takes the otherwise branch — the entry is skipped;
-  * a NaN cosine (zero norms) compares false and is skipped the same way.
+  * a NaN cosine (NaN/Inf-bearing vectors) WINS the fold's `>` against any
+  * non-NaN accumulator and loses against a NaN one — Spark compares
+  * doubles with nanSafeCompareDoubles (NaN ordered greatest), and that
+  * ordering is replicated here, not Java's compares-false NaN.
   * Divergence (documented, registry-unreachable): NULL top-level inputs
   * return NULL where the compose yields −1. */
 case class CosineArgmax(first: Expression, second: Expression, third: Expression)
@@ -491,7 +517,12 @@ case class CosineArgmax(first: Expression, second: Expression, third: Expression
               // division) takes the otherwise branch = skip (under ANSI
               // the fold raises instead — documented, registry-unreachable)
               val c = dot / (nrm * e.getDouble(2))
-              if (c > best) {
+              // Spark's GreaterThan orders NaN greatest — a NaN cosine wins
+              // against any non-NaN best and loses to a NaN best
+              val wins =
+                if (java.lang.Double.isNaN(c)) !java.lang.Double.isNaN(best)
+                else c > best
+              if (wins) {
                 best = c
                 bestAid = if (e.isNullAt(0)) null else e.getLong(0)
               }
@@ -538,7 +569,8 @@ case class CosineArgmax(first: Expression, second: Expression, third: Expression
          |  }
          |  if ($dNull || $nrm * $e.getDouble(2) == 0.0) continue;
          |  final double $c = $dot / ($nrm * $e.getDouble(2));
-         |  if ($c > $best) {
+         |  // NaN-greatest, matching Spark's nanSafeCompareDoubles ordering
+         |  if (Double.isNaN($c) ? !Double.isNaN($best) : ($c > $best)) {
          |    $best = $c;
          |    $bestNull = $e.isNullAt(0);
          |    $bestAid = $bestNull ? -1L : $e.getLong(0);
@@ -670,11 +702,14 @@ case class SqdistArgmin(left: Expression, right: Expression)
   * — as ONE expression (L×B interpreted fold steps per corpus row before,
   * native dot inside each). Bit-identical replay: per table, bits fold
   * left-to-right as acc*2 + bit where bit=1 iff the plane·vec dot is
-  * non-null, non-NaN-negative, and >= 0 — a NULL dot (null element /
-  * length mismatch) or NaN takes the compose's otherwise-0 branch; a NULL
-  * vector yields the compose's ALL-ZERO code array (dot(plane, null) is
-  * null for every bit), so the expression is never nullable. Plane
-  * multiplication/sum order matches the DotProduct kernel exactly. */
+  * non-null and `>= 0` under Spark's NaN-greatest double ordering
+  * (nanSafeCompareDoubles) — so a NaN dot yields bit=1, exactly as the
+  * compose's GreaterThanOrEqual does, NOT Java's compares-false NaN; a
+  * NULL dot (null element / length mismatch) takes the compose's
+  * otherwise-0 branch; a NULL vector yields the compose's ALL-ZERO code
+  * array (dot(plane, null) is null for every bit), so the expression is
+  * never nullable. Plane multiplication/sum order matches the DotProduct
+  * kernel exactly. */
 case class LshCodes(child: Expression, planes: Seq[Seq[Seq[Double]]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -730,7 +765,8 @@ object LshCodes {
             else d += plane(i) * vec.getDouble(i)
             i += 1
           }
-          if (!isNull && d >= 0) bit = 1L
+          // d >= 0 under Spark's NaN-greatest ordering: NaN ⇒ bit=1
+          if (!isNull && (d >= 0 || java.lang.Double.isNaN(d))) bit = 1L
         }
         code = code * 2 + bit
         b += 1
@@ -751,13 +787,15 @@ object VectorExpressions {
   def sqdist(a: Column, b: Column): Column =
     Shims.column(SquaredDistance(Shims.expression(a), Shims.expression(b)))
 
-  /** Codegen'd PQ sub-code argmin over (subs, codebook) — see [[PqEncode]]. */
-  def pqEncode(subs: Column, cb: Column): Column =
-    Shims.column(PqEncode(Shims.expression(subs), Shims.expression(cb)))
+  /** Codegen'd PQ sub-code argmin over (subs, codebook); `m` is the fixed
+    * subspace count the subs rows must carry — see [[PqEncode]]. */
+  def pqEncode(subs: Column, cb: Column, m: Int): Column =
+    Shims.column(PqEncode(Shims.expression(subs), Shims.expression(cb), m))
 
-  /** Codegen'd ADC query-table build over (subs, codebook) — see [[PqQueryTable]]. */
-  def pqQueryTable(subs: Column, cb: Column): Column =
-    Shims.column(PqQueryTable(Shims.expression(subs), Shims.expression(cb)))
+  /** Codegen'd ADC query-table build over (subs, codebook); same fixed-M
+    * contract — see [[PqQueryTable]]. */
+  def pqQueryTable(subs: Column, cb: Column, m: Int): Column =
+    Shims.column(PqQueryTable(Shims.expression(subs), Shims.expression(cb), m))
 
   /** Codegen'd multi-table LSH bucket codes — see [[LshCodes]]. */
   def lshCodes(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
@@ -788,9 +826,12 @@ object VectorExpressions {
         s"vec_sqdist(array<double>, array<double>) takes 2 arguments, got ${args.length}")
     },
     "pq_encode" -> {
-      case Seq(a, b) => PqEncode(a, b)
+      // the M must be a literal int — the fixed-M contract is part of the
+      // expression, not data-dependent
+      case Seq(a, b, org.apache.spark.sql.catalyst.expressions.Literal(m: Int, org.apache.spark.sql.types.IntegerType)) =>
+        PqEncode(a, b, m)
       case args => throw new IllegalArgumentException(
-        s"pq_encode(subs, codebook) takes 2 arguments, got ${args.length}")
+        s"pq_encode(subs, codebook, m) takes 2 array arguments plus a literal int M, got ${args.length} argument(s)")
     })
 
   /** Session-wide registration of the vector surface (same caveats as

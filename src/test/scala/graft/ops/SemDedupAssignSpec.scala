@@ -87,6 +87,33 @@ class SemDedupAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hierarchical path stays total when byte-identical anchors empty a group") {
+    // anchors 0 and 1 are byte-identical: every distance tie (including
+    // anchor 1's own self-assignment) breaks to acid 0, so GROUP 1 IS
+    // EMPTY — yet vectors at that location still probe p1=0, p2=1. With
+    // inner probe joins those rows silently vanished; the left joins +
+    // other-probe fallback must keep the assignment total.
+    val sp = spark
+    import sp.implicits._
+    val k = 36
+    assert(k > Similarity.SemHierK)
+    val rnd = new scala.util.Random(5)
+    def rv(): Seq[Double] = Seq.fill(4)(rnd.nextDouble() * 2 - 1)
+    val dup = rv()
+    val rows = (0L until 200L).map(i => (i, if (i <= 1L) dup else rv()))
+    val dv = rows.toDF("vec_id", "vec")
+      .select(col("vec_id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
+    val out = Similarity.semdedupAssignHier(dv, k)
+      .select("vec_id", "cluster").collect()
+    assert(out.length == 200, s"assignment must stay total, got ${out.length} of 200")
+    assert(out.forall(!_.isNullAt(1)), "no vector may get a null cluster")
+    // the duplicated pair itself probes the empty group (p1=0, p2=1) and
+    // must land on centroid 0 via the fallback (distance 0, tie to lowest)
+    val byId = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byId(0L) == 0L && byId(1L) == 0L, s"dup anchors: ${byId(0L)}, ${byId(1L)}")
+  }
+
   test("agreement with the flat argmin stays above the documented floor") {
     val k = 36
     val flat = Similarity.semdedupAssignFlat(v, k)

@@ -52,6 +52,33 @@ class BloomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom prefilter changed results:\n  bloom: $bloomRows\n  exact: $exactRows")
   }
 
+  test("bf01 build launches no sizing count() job (footer-sized bloom)") {
+    // the bloom used to be sized with corpusFp.count() — a second full
+    // corpus-side aggregation job per build ("count at Dedup.scala" in the
+    // job callsites). Sizing now comes from the parquet footer (an upper
+    // bound is all a Bloom needs), so the construction-time jobs are only
+    // the sketch aggregate (+ its AQE sub-jobs) and the parquet schema read
+    // — no `count at` callsite anywhere.
+    val stageNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => stageNames.add(si.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.SparkEntry.queries("bf01_bloom_incremental")(spark, sfDir)
+      Thread.sleep(1000) // listener bus drains async
+      val names = stageNames.toArray(Array.empty[String])
+      val counts = names.filter(_.startsWith("count at"))
+      assert(counts.isEmpty,
+        s"bf01 construction still runs a sizing count() job: ${counts.mkString(", ")}")
+      // sanity: construction does run jobs (the sketch aggregate at least) —
+      // an empty capture would make the count-free assertion vacuous. AQE
+      // renames warm-session stages, so only presence is checked, not names.
+      assert(names.nonEmpty, "expected construction-time jobs in the capture")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bf01 plan: the bloom probe filters the increment BEFORE the confirm join") {
     val p = graft.SparkEntry.queries("bf01_bloom_incremental")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -329,6 +329,23 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lookahead zero-widths on nonempty input invisibly to the ""-probe
     assert(JsonataCompiler.transformCompiled(df,
       "{'r': $replace(value.text, /th(?=e)/, function($m){ 'y' })}").isEmpty)
+    // \b matches zero-width ONLY on non-empty input — the ""-probe alone
+    // missed it (round-10 ADVICE); the boundary-escape reject must gate it
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /\\b/, function($m){ '|' })}").isEmpty)
+    // \b guarding an optional group: non-zero-width on SOME inputs, still
+    // zero-width-capable — must stay interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /\\b(x)?/, function($m){ 'y' })}").isEmpty)
+    // optional-suffix pattern that is zero-width only on non-empty input
+    // away from its anchor char — caught by the sentinel probe
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /q?/, function($m){ 'y' })}").isEmpty)
+    // an ESCAPED backslash before 'b' is a literal, not a boundary — the
+    // pattern matches one-char-wide and must still compile
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'r': $replace(value.text, /\\\\b/, function($m){ 'y' })}").isDefined,
+      "literal backslash-b must not be mistaken for a boundary escape")
     // negative limit raises D3011 in the engine — errors stay interpreted
     assert(JsonataCompiler.transformCompiled(df,
       "{'r': $replace(value.text, /the/, function($m){ 'y' }, -1)}").isEmpty)

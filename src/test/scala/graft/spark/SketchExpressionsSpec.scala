@@ -135,6 +135,18 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option("ÅÄÖ Istá ß MiXeD"), None).toDF("text"))
   }
 
+  test("SpanHashes rejects null-bearing element arrays at analysis") {
+    // the kernel reads getLong without per-element null checks, so a
+    // containsNull=true input must fail analysis rather than silently
+    // hashing a garbage slot where the xxhash64 compose skips nulls
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(Seq[java.lang.Long](1L, null, 3L)).toDF("wh")
+    val e = intercept[Exception](
+      df.select(SketchExpressions.spanHashes(col("wh"), 2)).collect())
+    assert(e.getMessage.contains("non-nullable"), e.getMessage)
+  }
+
   test("interpreted eval agrees with codegen") {
     val sp = spark
     sp.conf.set("spark.sql.codegen.wholeStage", "false")

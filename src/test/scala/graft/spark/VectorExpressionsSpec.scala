@@ -204,7 +204,7 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = pqCases.toDF("subs", "cb")
     def check(): Unit = {
       val rows = df.select(
-        VectorExpressions.pqEncode(col("subs"), col("cb")).as("fast"),
+        VectorExpressions.pqEncode(col("subs"), col("cb"), 4).as("fast"),
         pqRef(col("subs"), col("cb"), 4).as("ref")).collect()
       rows.foreach { r =>
         assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"mismatch: $r")
@@ -233,7 +233,7 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = pqCases.toDF("subs", "cb")
     def check(): Unit = {
       val rows = df.select(
-        VectorExpressions.pqQueryTable(col("subs"), col("cb")).as("fast"),
+        VectorExpressions.pqQueryTable(col("subs"), col("cb"), 4).as("fast"),
         qtabRef(col("subs"), col("cb"), 4).as("ref")).collect()
       rows.foreach { r =>
         assert(r.getSeq[Seq[Any]](0) == r.getSeq[Seq[Any]](1), s"mismatch: $r")
@@ -304,7 +304,15 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Some(AnchorEntry(Some(5L), Some(vec(dim)), Some(1.5))))),
       // null element inside vec -> every entry skipped -> -1
       ArgCase(Some(Seq(Some(1.0), None, Some(2.0), Some(0.5))), Some(1.0),
-        (0 until 3).map(j => Some(AnchorEntry(Some(j.toLong), Some(vec(dim)), Some(1.0))))))
+        (0 until 3).map(j => Some(AnchorEntry(Some(j.toLong), Some(vec(dim)), Some(1.0))))),
+      // NaN cosine (Inf*0 in the dot) WINS the fold's `>` — Spark orders
+      // NaN greatest (nanSafeCompareDoubles) — and a later Inf cosine does
+      // NOT displace it (Inf > NaN is false in that ordering). The kernel
+      // replicates NaN-greatest, not Java's compares-false NaN.
+      ArgCase(Some(Seq(Some(Double.PositiveInfinity), Some(1.0), Some(1.0), Some(1.0))),
+        Some(1.0), Seq(
+          Some(AnchorEntry(Some(0L), Some(Seq(Some(0.0), Some(1.0), Some(1.0), Some(1.0))), Some(1.0))),
+          Some(AnchorEntry(Some(1L), Some(Seq(Some(1.0), Some(1.0), Some(1.0), Some(1.0))), Some(1.0))))))
     val df = (normal ++ edges).toDF("vec", "nrm", "anchors")
       .withColumn("cents", transform(col("anchors"), a =>
         struct(a.getField("aid").as("cid"), a.getField("av").as("cen"))))
@@ -365,12 +373,16 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("embedding").cast("array<double>").as("vec")))
     // adversarial: NULL vector (compose folds every bit to 0 -> all-zero
     // codes), ragged length (dot null -> 0 bits), null element, zero vector
-    // (dot 0.0 >= 0 -> all-ones codes on every table)
+    // (dot 0.0 >= 0 -> all-ones codes on every table), all-Inf vector
+    // (signed gaussian planes make the dot Inf-Inf = NaN, and the compose's
+    // GreaterThanOrEqual orders NaN greatest -> bit=1 — the kernel must
+    // replicate NaN-greatest, not Java's compares-false NaN)
     check(Seq(
       Option.empty[Seq[java.lang.Double]],
       Option(Seq.fill(3)(java.lang.Double.valueOf(1.0))),
       Option(Seq[java.lang.Double](1.0, null) ++ Seq.fill(62)(java.lang.Double.valueOf(0.5))),
       Option(Seq.fill(64)(java.lang.Double.valueOf(0.0))),
+      Option(Seq.fill(64)(java.lang.Double.valueOf(Double.PositiveInfinity))),
       Option(Seq.fill(64)(java.lang.Double.valueOf(-0.25))))
       .toDF("vec").select(col("vec").cast("array<double>").as("vec")))
   }
@@ -380,9 +392,40 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import sp.implicits._
     val df = Seq((Seq(1.0), Seq(2.0))).toDF("a", "b")
     val e = intercept[Exception](
-      df.select(VectorExpressions.pqEncode(col("a"), col("b"))).collect())
+      df.select(VectorExpressions.pqEncode(col("a"), col("b"), 4)).collect())
     assert(e.getMessage.contains("pq_encode"), e.getMessage)
   }
+
+  test("PqEncode/PqQueryTable fail loudly on a subs row whose length != M (both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    // a malformed 3-long subs row against M=4 must RAISE, not silently emit
+    // a 3-long code that shifts downstream pqAdc element_at lookups
+    val bad = Seq(PqCase(Some(Seq.fill(3)(Option(Seq(Option(1.0), Option(2.0))))),
+      Seq(Some(PqEntry(Some(0), Some(Seq.fill(4)(Option(Seq(Option(0.0), Option(0.0))))))))))
+      .toDF("subs", "cb")
+    def check(): Unit = {
+      val e1 = intercept[Exception](
+        bad.select(VectorExpressions.pqEncode(col("subs"), col("cb"), 4)).collect())
+      assert(exceptionChain(e1).exists(c =>
+        Option(c.getMessage).exists(_.contains("expected M=4"))), e1.toString)
+      val e2 = intercept[Exception](
+        bad.select(VectorExpressions.pqQueryTable(col("subs"), col("cb"), 4)).collect())
+      assert(exceptionChain(e2).exists(c =>
+        Option(c.getMessage).exists(_.contains("expected M=4"))), e2.toString)
+    }
+    check() // codegen path
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted path
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }
 
 private[spark] case class PqEntry(j: Option[Int], subs: Option[Seq[Option[Seq[Option[Double]]]]])
