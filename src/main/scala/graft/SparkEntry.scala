@@ -15,7 +15,7 @@ object SparkEntry {
   private def allQueries: Seq[Q] =
     Relational.entries ++ Dedup.entries ++ Similarity.entries ++
       TextOps.entries ++ Multimodal.entries ++ JsonataQueries.entries ++
-      Temporal.entries ++ Sampling.entries ++ Prep.entries
+      Temporal.entries ++ Sampling.entries ++ Prep.entries ++ Pipeline.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

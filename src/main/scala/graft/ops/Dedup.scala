@@ -156,6 +156,18 @@ object Dedup {
     val base = withShingles(Tables.spread(t(s, d, "documents")), "sh", col("doc_id"))
       .withColumn("n", size(col("sh")))
       .persist() // read three times: signatures + both sides of verification
+    verifiedPairsFrom(base)
+  }
+
+  /** The banded-LSH + exact-verify machinery over an arbitrary
+    * `(doc_id, sh, n)` relation — factored out of [[verifiedPairs]] so
+    * pp04's pipeline stage runs the IDENTICAL builder over its survivor
+    * subset (banding is per-doc deterministic, so any true pair found over
+    * the full corpus is also found over any subset containing both ends —
+    * the subset can only LOSE hot-bucket caps, never candidates). The
+    * caller persists `base`: it is read three times (signature pass + both
+    * sides of the verification join). */
+  private[ops] def verifiedPairsFrom(base: DataFrame): DataFrame = {
     // sig materialized in its own projection: HOF lambdas get no common-
     // subexpression elimination, so slicing minhashSig(...) inside the band
     // lambda would recompute the signature 16x per row

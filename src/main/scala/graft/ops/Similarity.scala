@@ -29,7 +29,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.spark.VectorExpressions.dot(a, b)
 
-  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[ops] def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
   /** embeddings with vec (double) + precomputed norm.
@@ -48,7 +48,7 @@ object Similarity {
     * (ss03 2.6 → 61 s). A fail-loud check belongs in data VALIDATION (one
     * `filter(nrm === 0).isEmpty`-style audit pass), never inlined into a
     * hot projection feeding joins. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[ops] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.spread(t(s, d, "embeddings")).select(col("vec_id"), col("label"), asD(col("embedding")).as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
 

@@ -34,7 +34,7 @@ object TextOps {
 
   /** tx01's language argmax (first-wins tie-break via a when() chain), shared
     * with the pp01 pipeline so both stages are provably the same predicate. */
-  private def predLangCol: Column = {
+  private[ops] def predLangCol: Column = {
     val p = padded(col("text"))
     val scores = langMarkers.map { case (lg, ms) => lg -> ms.map(occ(p, _)).reduce(_ + _) }
     scores.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
@@ -45,7 +45,7 @@ object TextOps {
     }
   }
 
-  private val predLangSql: String = {
+  private[ops] val predLangSql: String = {
     val sc = langMarkers.map { case (lg, ms) =>
       lg -> ms.map(m => occSql(paddedSql, m)).mkString("(", " + ", ")")
     }
