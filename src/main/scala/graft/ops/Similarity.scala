@@ -212,13 +212,22 @@ object Similarity {
         graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb"), PqM).as("code"))
   }
 
-  /** Broadcast probe list (q_id, aid): each query's NProbe nearest coarse
-    * anchors by cosine (ties to the smaller aid). */
-  private def ivfProbes(s: SparkSession, d: String): DataFrame = {
+  /** The registry's canonical query set: every 100th corpus vector, as a
+    * (q_id) relation — the id-only form the query-parameterized serve path
+    * joins against (the streaming probe twin feeds micro-batch id sets
+    * through the same joins). */
+  private def defaultQueryIds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"))
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"))
+
+  /** Broadcast probe list (q_id, aid) for a query-id relation: each query's
+    * NProbe nearest coarse anchors by cosine (ties to the smaller aid). */
+  private def ivfProbesFor(s: SparkSession, d: String, qIds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val anchorRows = ivfAnchorRows(s, d)
-    val q = vecs(s, d).filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
+    val q = vecs(s, d).join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))
     broadcast(q.crossJoin(broadcast(anchorRows))
       .select(col("q_id"), col("aid"),
@@ -227,22 +236,39 @@ object Similarity {
       .select(col("q_id"), col("aid")))
   }
 
+  /** Broadcast per-query ADC tables for a query-id relation — the
+    * [[pqQueryTables]] kernel path with the query set joined in rather
+    * than filtered (ss10 keeps the filter form; the serve path is
+    * query-parameterized for the streaming twin). */
+  private def pqQueryTablesFor(v: DataFrame, cbAgg: DataFrame, qIds: DataFrame): DataFrame =
+    broadcast(v.join(broadcast(qIds), col("vec_id") === col("q_id")).crossJoin(cbAgg)
+      .select(col("q_id"),
+        graft.spark.VectorExpressions.pqQueryTable(col("subs"), col("cb"), PqM).as("qtab")))
+
   /** The IVFADC serving pipeline over a code relation (vec_id, aid, code),
     * whether freshly computed (ss11) or read back from the stored index
     * (ss14): probe join → ADC top-R candidate ids → exact L2 rescore of
     * just those R per query. */
-  private def ivfAdcServe(s: SparkSession, d: String, asnCodes: DataFrame): DataFrame = {
+  private def ivfAdcServe(s: SparkSession, d: String, asnCodes: DataFrame): DataFrame =
+    ivfAdcServeFor(s, d, asnCodes, defaultQueryIds(s, d))
+
+  /** [[ivfAdcServe]] for an ARBITRARY query-id relation — the micro-batch
+    * entry point of the streaming probe twin (each batch's ids flow through
+    * the identical probe/ADC/rescore joins, so stream and batch answers are
+    * equal by construction). */
+  private[graft] def ivfAdcServeFor(s: SparkSession, d: String,
+                                    asnCodes: DataFrame, qIds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pv = pqVecs(s, d)
     val cbAgg = pqCodebook(pv, Tables.rowCount(s, d, "embeddings"))
-    val qt = pqQueryTables(pv, cbAgg)
+    val qt = pqQueryTablesFor(pv, cbAgg, qIds)
     // stage 1: ADC top-R candidates per query — ids only (the ss03/ss07
     // ids-first lesson); PQ quantization error on near-isotropic data
     // makes raw ADC ranking lossy (ProbeRecall: ~0.2-0.3 recall@5), so
     // ADC's production role is CANDIDATE GENERATION
     val R = 20
     val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val cands = ivfProbes(s, d).join(asnCodes, Seq("aid"))
+    val cands = ivfProbesFor(s, d, qIds).join(asnCodes, Seq("aid"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(qt, Seq("q_id"))
       .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
@@ -252,8 +278,8 @@ object Similarity {
     // stage 2: exact L2 rescore of just R candidates per query (full
     // vectors re-attach by id — the only stage that touches them)
     val full = pv.select(col("vec_id"), col("vec"))
-    val qFull = broadcast(pv.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec")))
+    val qFull = broadcast(pv.join(broadcast(qIds), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("vec").as("q_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
     cands.join(full, Seq("vec_id")).join(qFull, Seq("q_id"))
       .withColumn("d2", pqSqd(col("q_vec"), col("vec")))
@@ -292,6 +318,18 @@ object Similarity {
       ivfCodes(s, d).repartition(col("aid"))
         .write.mode("overwrite").partitionBy("aid").parquet(dir)
     dir
+  }
+
+  /** ss14's serving pipeline from the STORED index for an arbitrary (q_id)
+    * relation — what the streaming probe twin runs per micro-batch
+    * (graft.streaming.StreamingAnnProbe). Build-if-absent, then the same
+    * partition-pruned probe/ADC/rescore joins as the registry query. */
+  private[graft] def serveFromStoredIndex(s: SparkSession, d: String,
+                                          qIds: DataFrame): DataFrame = {
+    val dir = ensureIvfIndex(s, d)
+    val idx = s.read.parquet(dir)
+      .select(col("vec_id"), col("aid").cast("bigint").as("aid"), col("code"))
+    ivfAdcServeFor(s, d, idx, qIds)
   }
 
   /** dd11 assignment goes TWO-LEVEL above this K (flat argmin below it).
