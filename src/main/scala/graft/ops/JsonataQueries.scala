@@ -514,6 +514,27 @@ object JsonataQueries {
           regexp_replace(lang, '([aeiou])', '<\1>', 'g') AS tagged
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx29: `~>` function chains on the COMPILED tier — builtin       ----
+    // ---- chains, a bound-lambda stage (inlined then beta-applied), and   ----
+    // ---- single-`?` partial application (round-11 ApplyOp lambda/        ----
+    // ---- placeholder cases; DifferentialSpec pins the fallback shapes:   ----
+    // ---- multi-`?`, typed signatures, arity-2, context-reading bodies).  ----
+    q("jx29_apply_chain", "documents",
+      "($clip := function($s){$substring($s, 0, 12)}; " +
+        "{'doc_id': value.doc_id, " +
+        "'head': value.text ~> $clip ~> $uppercase, " +
+        "'padded': value.lang ~> $pad(?, 5, '.'), " +
+        "'toklen': value.text ~> $split(' ') ~> $count, " +
+        "'scaled': value.n_chars ~> function($v){$v * 2 + 1}})",
+      "doc_id BIGINT, head STRING, padded STRING, toklen BIGINT, scaled BIGINT",
+      Seq("doc_id"),
+      Some("""SELECT doc_id,
+          upper(substr(text, 1, 12)) AS head,
+          rpad(lang, 5, '.') AS padded,
+          len(string_split(text, ' ')) AS toklen,
+          n_chars * 2 + 1 AS scaled
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -1701,8 +1701,36 @@ object JsonataCompiler {
         } yield TCol(when(cc, tc.col).otherwise(ec.col), tc.dt)
       case Binary(op, l, r) => compileBinary(op, l, r)
       case Call(VarRef(fn), args) => compileCall(fn, args)
+      // `x ~> $f(?, a)` — partial application (B21/jsonata.org "chainable
+      // functions"). The engine builds a PartialFn whose ?-slot is filled by
+      // the piped operand at invocation (Evaluator.invoke PartialFn merge),
+      // so a SINGLE placeholder is exactly a direct call with `l` in that
+      // slot. Evaluation order matches too: engine evaluates lhs before the
+      // bound args (evalApply), same left-to-right order as the direct call.
+      // Multiple placeholders would need engine-`undefined` literals for the
+      // unfilled slots — interpreted (compile(Placeholder) is None, so the
+      // prepend case below safely rejects them as well).
+      case ApplyOp(l, Call(VarRef(fn), args))
+          if args.count(_.isInstanceOf[Placeholder]) == 1 =>
+        compileCall(fn, args.map { case Placeholder() => l; case a => a })
       case ApplyOp(l, Call(VarRef(fn), args)) => compileCall(fn, l +: args) // x ~> $f(a)
       case ApplyOp(l, VarRef(fn)) => compileCall(fn, Seq(l))               // x ~> $f
+      // `x ~> function($v){body}` — direct lambda application; also the
+      // post-inlineBinds shape of `($f := function($v){...}; x ~> $f)`.
+      // The engine invokes the lambda with the piped value as its single
+      // argument (evalApply non-Call branch → invoke(fn, Seq(lhs), ctx)).
+      // compileLambda's param-only scope is CONSERVATIVE here: the engine
+      // passes the current context through, so a body referencing `value.*`
+      // or `$` would resolve in the engine — those fall back (inLambda
+      // blocks them) rather than compile wrongly. An undefined operand binds
+      // the param to undefined in the engine; the compiled body sees SQL
+      // NULL — the tier's standing undefined encoding. Typed signatures
+      // (`function($v)<n>{...}`) coerce/raise per call in the engine
+      // (Signature.validate) — not modeled, interpreted.
+      case ApplyOp(l, Lambda(Vector(p), body, None)) =>
+        compile(l).flatMap { lc =>
+          compileLambda(p, lc.dt, body).map { case (f, rt) => TCol(f(lc.col), rt) }
+        }
       case _ => None
     }
 

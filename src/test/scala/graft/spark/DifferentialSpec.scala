@@ -1349,4 +1349,64 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df,
       "{'x': $each(value, function($v){ $v })}").isEmpty)
   }
+
+  test("~> partial application compiles and agrees (single ? in any slot)") {
+    diff("documents",
+      "{'doc_id': value.doc_id," +
+        " 'pre': value.text ~> $substring(?, 0, 3)," +
+        " 'pad': value.lang ~> $pad(?, 6, '*')," +
+        " 'mid': 3 ~> $substring(value.lang & '-' & value.source, ?)}",
+      "doc_id BIGINT, pre STRING, pad STRING, mid STRING", "doc_id")
+  }
+
+  test("~> lambda application compiles and agrees (inline + bound chains)") {
+    diff("documents",
+      "($shout := function($s){$uppercase($s) & '!'};" +
+        " {'doc_id': value.doc_id," +
+        "  'a': value.lang ~> function($v){$v & '-x'}," +
+        "  'b': value.n_chars ~> function($v){$v * 2 + 1}," +
+        "  'c': value.lang ~> $shout ~> $lowercase})",
+      "doc_id BIGINT, a STRING, b BIGINT, c STRING", "doc_id")
+  }
+
+  test("~> application of an undefined operand agrees (param binds undefined)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "abc", 5L), Row(2L, null, null), Row(3L, "", 0L)).asJava,
+      StructType.fromDDL("id BIGINT, s STRING, n BIGINT"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'lam': value.s ~> function($v){$uppercase($v)}," +
+        " 'par': value.s ~> $pad(?, 6, '.')," +
+        " 'num': value.n ~> function($v){$v * 2 + 1}," +
+        " 'chn': value.s ~> $trim ~> $length}",
+      "id BIGINT, lam STRING, par STRING, num BIGINT, chn BIGINT", "id")
+  }
+
+  test("~> shapes outside the subset fall back to the interpreter") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L, "s1")).asJava,
+      StructType.fromDDL("id BIGINT, b BIGINT, c STRING"))
+    // two placeholders: the engine leaves the second slot undefined when the
+    // partial is invoked with one arg — no undefined literal to compile
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': value.c ~> $substring(?, ?)}").isEmpty)
+    // typed signature on the lambda: Signature.validate coerces/raises per
+    // call — not modeled
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': value.c ~> function($v)<s>{$v}}").isEmpty)
+    // arity-2 lambda applied to one piped arg (second param binds undefined)
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': value.c ~> function($v, $w){$v}}").isEmpty)
+    // body reads the invocation context (`value.*` resolves in the engine's
+    // direct-application path): conservatively interpreted, never miscompiled
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': value.b ~> function($v){value.c}}").isEmpty)
+    // lhs is itself a function: `~>` builds a ComposedFn value, not a call
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'x': ($uppercase ~> $trim)(value.c)}").isEmpty)
+  }
 }
