@@ -462,4 +462,225 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assertRate(compiled, 75, s"staged-group-by compile rate dropped: $compiled/150")
   }
+
+  test("200 seeded lambda-$replace shapes (regex grammar x body grammar) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(30417L + seedOff)
+    // ASCII-only strings (so $m.index agrees: engine counts UTF-16 units) —
+    // nulls and empties included; the alphabet overlaps the regex atoms so
+    // matches actually occur
+    val alpha = "abxy01 .,-"
+    val rows = (1 to 48).map { i =>
+      val s: String =
+        if (i % 9 == 0) null
+        else if (i % 7 == 0) ""
+        else Seq.fill(3 + i % 11)(alpha.charAt(rnd.nextInt(alpha.length))).mkString
+      (i.toLong, s)
+    }
+    val df = rows.toDF("k", "s")
+
+    // regex grammar: every unit consumes >=1 char (no ? / * / zero-width —
+    // those are the compiler's documented interpreter gate) and every group
+    // participates in every match (no group-level alternation), so lambda
+    // bodies over $m.groups never return undefined -> no D3012 raises in
+    // the agreeing domain. A small slice of optional-quantifier patterns is
+    // still drawn to exercise the zero-width gate (they must fall back —
+    // counted, not compared).
+    def atom(): String = rnd.nextInt(6) match {
+      case 0 => "a"
+      case 1 => "b"
+      case 2 => "[xy]"
+      case 3 => "[ab0]"
+      case 4 => "[a-y]"
+      case _ => "."
+    }
+    def unit(g: Int): (String, Int) = rnd.nextInt(5) match {
+      case 0 => (atom(), 0)
+      case 1 => (s"${atom()}+", 0)
+      case 2 => (s"${atom()}{1,2}", 0)
+      case 3 => (s"(${atom()})", 1)
+      case _ => (s"(${atom()}${atom()}|${atom()})", 1) // alternation INSIDE one group
+    }
+    def regex(): (String, Int) = {
+      val n = rnd.nextInt(3) + 1
+      var g = 0
+      val srcs = (1 to n).map { _ => val (s, dg) = unit(g); g += dg; s }
+      (srcs.mkString, g)
+    }
+    // definitely zero-width-capable patterns: the compiler's documented gate
+    val zeroWidthPool = Vector("x*", "a?", "b{0,2}", "x?y?", "a*b*")
+    def body(g: Int): String = {
+      val base = rnd.nextInt(6) match {
+        case 0 => "$m.match"
+        case 1 => "('<' & $m.match & '>')"
+        case 2 => "$uppercase($m.match)"
+        case 3 => "$lowercase($m.match)"
+        case 4 if g >= 1 => "$m.groups[0]"
+        case 5 if g >= 2 => "($m.groups[1] & $m.groups[0])"
+        case _ => "$m.match"
+      }
+      if (rnd.nextInt(4) == 0) s"($base & '@' & $$string($$m.index))" else base
+    }
+    var compiled = 0
+    var zeroWidthDrawn = 0
+    (1 to 200).foreach { n =>
+      val (re1, g1) = regex()
+      // 1-in-8: deliberately zero-width-capable — must FALL BACK, not drift
+      val (re, g) =
+        if (n % 8 == 0) { zeroWidthDrawn += 1; (zeroWidthPool(rnd.nextInt(zeroWidthPool.size)), 0) }
+        else (re1, g1)
+      val flags = if (rnd.nextInt(5) == 0) "i" else ""
+      val lim = if (rnd.nextInt(4) == 0) s", ${rnd.nextInt(3) + 1}" else ""
+      val expr = s"{'k': value.k, 'r': $$replace(value.s, /$re/$flags, function($$m){ ${body(g)} }$lim)}"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+          assert(n % 8 == 0,
+            s"[rep-fuzz #$n] non-zero-width lambda $$replace failed to compile: $expr")
+        case Some(c) =>
+          assert(n % 8 != 0, s"[rep-fuzz #$n] zero-width pattern compiled: $expr")
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL("k BIGINT, r STRING"))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[rep-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assertRate(compiled, 150, s"lambda-replace compile rate dropped: $compiled/200 (zw=$zeroWidthDrawn)")
+  }
+
+  test("150 seeded $single shapes agree with the interpreter, raises included (code-compared)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(90233L + seedOff)
+    // value predicates can match zero/one/many per row -> D3139/D3138 raises
+    // are part of the agreeing domain here. ONE partition on both tiers so
+    // the FIRST raising row (hence the surfaced code) is deterministic and
+    // identical across tiers.
+    val rows = (1 to 36).map { i =>
+      val arr =
+        if (i % 11 == 0) null
+        else Seq.tabulate(i % 6)(j => ((i * 2 + 3 * j) % 9 - 4).toDouble)
+      (i.toLong, arr)
+    }
+    val df = rows.toDF("k", "arr").coalesce(1)
+
+    def pred(): String = rnd.nextInt(6) match {
+      case 0 => s"function($$x, $$i){ $$i = ${rnd.nextInt(5)} }"
+      case 1 => s"function($$x){ $$x > ${rnd.nextInt(7) - 3} }"
+      case 2 => s"function($$x){ $$x = ${rnd.nextInt(7) - 3} }"
+      case 3 => s"function($$x, $$i){ $$i = ${rnd.nextInt(3)} and $$x >= ${rnd.nextInt(5) - 2} }"
+      case 4 => s"function($$x, $$i, $$a){ $$x = $$a[0] and $$i = 0 }"
+      case _ => s"function($$x, $$i){ ($$i = ${rnd.nextInt(4)}) or ($$x < ${-2 - rnd.nextInt(3)}) }"
+    }
+    def code(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      "D3138|D3139".r.findFirstIn(sb.toString).getOrElse(s"<no-code: ${sb.toString.take(200)}>")
+    }
+    var compiled = 0
+    (1 to 150).foreach { n =>
+      val expr = s"{'k': value.k, 'r': $$single(value.arr, ${pred()})}"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+          fail(s"[single-fuzz #$n] expected to compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val ra = scala.util.Try(c.orderBy("k").collect().map(_.toSeq).toSeq)
+          val rb = scala.util.Try(JsonataDF.transformAs(df, expr,
+            StructType.fromDDL("k BIGINT, r DOUBLE")).orderBy("k").collect().map(_.toSeq).toSeq)
+          (ra, rb) match {
+            case (scala.util.Success(a), scala.util.Success(b)) =>
+              assert(a == b, s"[single-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+            case (scala.util.Failure(ea), scala.util.Failure(eb)) =>
+              assert(code(ea) == code(eb),
+                s"[single-fuzz #$n] raise codes differ for $expr: " +
+                  s"compiled=${code(ea)} interpreted=${code(eb)}")
+            case (a, b) =>
+              fail(s"[single-fuzz #$n] one tier raised, the other did not, for $expr:\n" +
+                s"  compiled:    $a\n  interpreted: $b")
+          }
+      }
+    }
+    assertRate(compiled, 150, s"$$single compile rate dropped: $compiled/150")
+  }
+
+  test("200 seeded ~> chain shapes (builtins, lambdas, partials, bound stages) agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(47719L + seedOff)
+    val df = FuzzGrammar.rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+
+    // typed chain grammar: track the operand's static type through each
+    // `~>` stage; every stage is drawn from the compiled subset (builtin
+    // prepend, single-`?` partial, inline arity-1 lambda)
+    sealed trait T; case object S extends T; case object N extends T
+    def strStage(): (String, T) = rnd.nextInt(7) match {
+      case 0 => ("$uppercase", S)
+      case 1 => ("$lowercase", S)
+      case 2 => (s"$$substring(${rnd.nextInt(2)}, ${rnd.nextInt(4) + 1})", S)
+      case 3 => (s"$$pad(?, ${rnd.nextInt(7) + 1}, '.')", S)
+      case 4 => (s"function($$v){ $$v & '${"abx".charAt(rnd.nextInt(3))}' }", S)
+      case 5 => ("$length", N)
+      case _ => (s"$$split(' ') ~> $$count", N) // nested chain stage
+    }
+    def numStage(): (String, T) = rnd.nextInt(5) match {
+      case 0 => ("$abs", N)
+      case 1 => ("$floor", N)
+      case 2 => (s"$$round(?, ${rnd.nextInt(3)})", N)
+      case 3 => (s"function($$v){ ($$v * ${rnd.nextInt(3) + 1}) + ${rnd.nextInt(5)} }", N)
+      case _ => (s"$$power(?, 2)", N)
+    }
+    def chain(): (String, T) = {
+      var t: T = if (rnd.nextBoolean()) S else N
+      val base = t match {
+        case S => if (rnd.nextBoolean()) "value.str_a" else "value.str_b"
+        case N => if (rnd.nextBoolean()) "value.num_a" else "value.num_b"
+      }
+      val n = rnd.nextInt(3) + 1
+      val sb = new StringBuilder(base)
+      (1 to n).foreach { _ =>
+        val (stage, nt) = t match { case S => strStage(); case N => numStage() }
+        sb.append(" ~> ").append(stage)
+        t = nt
+      }
+      (sb.toString, t)
+    }
+    var compiled = 0
+    (1 to 200).foreach { n =>
+      val (c0, t) = chain()
+      // 1-in-5: route the first stage through a BOUND lambda preamble (the
+      // inlineBinds -> ApplyOp(l, Lambda) path)
+      val (pre, c1) =
+        if (n % 5 == 0 && t == S)
+          ("($fx := function($s){ $uppercase($s) }; ", s"${c0} ~> $$fx")
+        else ("", c0)
+      val ddl = (if (t == S && pre.isEmpty) "k BIGINT, r STRING"
+                 else if (pre.nonEmpty) "k BIGINT, r STRING"
+                 else "k BIGINT, r DOUBLE")
+      val expr =
+        if (pre.isEmpty) s"{'k': value.k, 'r': $c1}"
+        else s"$pre{'k': value.k, 'r': $c1})"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+          fail(s"[chain-fuzz #$n] expected chain to compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[chain-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            val same = ra.zip(rb).forall {
+              case (x: Double, y: Double) =>
+                (x.isNaN && y.isNaN) || math.abs(x - y) <= math.abs(x).max(1.0) * 1e-12
+              case (x, y) => x == y
+            }
+            assert(same, s"[chain-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 200, s"chain compile rate dropped: $compiled/200")
+  }
 }
