@@ -56,6 +56,49 @@ object ThroughputBench extends App {
       JsonataDF.transformAs(events, expr, StructType.fromDDL(ddl))
     }
   }
+  // two-tier refresh (round 11): the same typed workload through
+  // JsonataDF.auto — which engages the COMPILED tier (analyzer-memoized
+  // Columns, whole-stage codegen) for these shapes — vs the forced
+  // interpreted path (transformAs: envelope encode -> evaluate -> decode).
+  // Both fully materialize through the noop sink. The three canonical
+  // round-4 expressions above keep their interpreted measurements (their
+  // `$`-rooted output shapes are documented interpreter surfaces); these
+  // are their compiled-expressible twins.
+  locally {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.StructType
+    import graft.spark.JsonataCompiler
+    val cases = Seq(
+      ("tombstone+project",
+        "value.event_type = 'error' ? null : {'event_id': value.event_id, " +
+          "'user_id': value.user_id, 'v': value.value, 'et': value.event_type}",
+        "event_id BIGINT, user_id BIGINT, v DOUBLE, et STRING"),
+      ("removeEmail-class sift",
+        "{'event_id': value.event_id, " +
+          "'nk': $count($keys($sift(value, function($v,$k){ $k != 'props' })))}",
+        "event_id BIGINT, nk BIGINT"),
+      ("project+fn",
+        "{'event_id': value.event_id, 'user_id': value.user_id, " +
+          "'v2': value.value * 2, 'et': $uppercase(value.event_type)}",
+        "event_id BIGINT, user_id BIGINT, v2 DOUBLE, et STRING"))
+    def run(label: String)(f: => DataFrame): Double = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[thr] $label: ${n / sec}%.0f rec/s (${sec}%.2f s)")
+      n / sec
+    }
+    cases.foreach { case (label, expr, ddl) =>
+      assert(JsonataCompiler.compileQuery(events, expr).isDefined,
+        s"two-tier case must ride the compiled tier: $label")
+      val schema = StructType.fromDDL(ddl)
+      val rc = run(s"two-tier $label [compiled/auto]")(JsonataDF.auto(events, expr, schema))
+      val ri = run(s"two-tier $label [interpreted]")(JsonataDF.transformAs(events, expr, schema))
+      println(f"[thr] two-tier $label RATIO compiled/interpreted: ${rc / ri}%.1fx")
+    }
+  }
+
   // variant tier: variant INPUT (binary walker, no input-side text) must beat
   // or match the JSON-string input on the same expression/output
   locally {
