@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus-ingest admission — the streaming composition of pp04's
+  * gate stages over the [[graft.ops.Ingest]] disk store: each micro-batch of
+  * (doc_id, source, text) rows runs quality → language → exact-dedup →
+  * near-dup admission against the committed corpus log and appends its
+  * admitted slice + index entries + attrition stats.
+  *
+  * foreachBatch, not chained stateful operators, for the same reasons as
+  * [[StreamingAnnProbe]]: the admission pipeline is multi-stage (two keyed
+  * dedup joins against STORED state plus intra-batch windows), the corpus
+  * index must outlive the stream (a 100 TB corpus does not belong in a
+  * state store), and exact/near dedup key by DIFFERENT columns (fingerprint
+  * vs band bucket), which a single pass of keyed state cannot express and
+  * multiple flatMapGroupsWithState stages are disallowed.
+  *
+  * Exactly-once across crash-replays comes from the store's commit-marker
+  * protocol (stats written last; readers list committed directories only;
+  * replays overwrite their own batch directories) — see [[graft.ops.Ingest]].
+  * This completes build/serve/stream for the PIPELINE the way
+  * ss13/ss14/[[StreamingAnnProbe]] did for ANN and
+  * dd07/dd12/[[StreamingNearDup]] did for lexical dedup.
+  */
+object StreamingIngest {
+
+  /** Start ingesting a streaming (doc_id, source, text) relation into the
+    * corpus store at `dir`. Stateless on the stream side: no watermark, no
+    * state store — the disk log is the only state. */
+  def ingestStream(docs: DataFrame, dir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ingest.ingestBatch(batch.sparkSession, dir, batch, batchId)
+      }
+      .start()
+}

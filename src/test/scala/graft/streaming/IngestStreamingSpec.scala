@@ -1,0 +1,238 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ingest
+
+/** Streaming corpus-ingest admission (StreamingIngest / ops.Ingest) — the
+  * streaming twin of pp04's gate stages over a disk store.
+  *
+  * Pins:
+  *  (1) a doc set split across three micro-batches produces EXACTLY the
+  *      admitted set + per-batch attrition rows of an independent
+  *      sequential Scala reference implementing the same admission rules
+  *      (gates → intra keep-first → stored-fp anti → banded signature-
+  *      agreement near-dup, cross then intra greedy);
+  *  (2) the stream side is STATELESS — the disk log is the only state;
+  *  (3) crash-replay: partial writes of an uncommitted batch are invisible
+  *      to readers and are overwritten when the batch replays; replaying a
+  *      COMMITTED batch is a no-op (the commit-marker protocol).
+  */
+class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- fixture texts: each gate exercised deterministically ----
+
+  /** Passes quality (stopword-rich, unpunctuated) and langid (en). */
+  private def enDoc(body: String): String =
+    "the quick fox and a dog of the farm to the river " + body
+
+  /** 40 shared body words: two enDocs sharing it are banded near-dups
+    * (trigram Jaccard ~0.9 ⇒ signature agreement well above 0.5). */
+  private def sharedBody(tag: String): String =
+    (0 until 40).map(i => s"b$tag$i").mkString(" ")
+
+  /** Unique body: distinct docs stay below the agreement threshold. */
+  private def ownBody(id: Long): String =
+    (0 until 40).map(i => s"u${id}x$i").mkString(" ")
+
+  /** Fails the quality gate: punctuation-heavy, stopword-free. */
+  private val badQuality = "x1,,,??!!;; x2!!! x3??? x4;;;;"
+
+  /** Passes quality (of/to are stopwords but NOT en markers) yet scores
+    * es on langid — isolates the language gate from the quality gate. */
+  private val esDoc =
+    "of to of to of to of to el la y el la y el la y gato perro casa rio"
+
+  // (doc_id, source, text) batches:
+  //   b0: 1 good, 2 bad-quality, 3 non-en, 4+5 exact dups (keep 4),
+  //       6 near-dup of 1 (drop 6)
+  //   b1: 7 exact dup of 4 (cross-batch drop), 8 near-dup of 1
+  //       (cross-batch drop), 9 good
+  //   b2: 10 near-dup of 9 (cross-batch drop), 11 good, 12 bad-quality
+  private val b0: Seq[(Long, String, String)] = Seq(
+    (1L, "web", enDoc(sharedBody("A") + " one")),
+    (2L, "web", badQuality),
+    (3L, "web", esDoc),
+    (4L, "web", enDoc(ownBody(4))),
+    (5L, "web", enDoc(ownBody(4))), // byte-identical to 4
+    (6L, "web", enDoc(sharedBody("A") + " six")))
+  private val b1: Seq[(Long, String, String)] = Seq(
+    (7L, "web", enDoc(ownBody(4))), // exact dup of committed 4
+    (8L, "news", enDoc(sharedBody("A") + " eight")),
+    (9L, "news", enDoc(sharedBody("B") + " nine")))
+  private val b2: Seq[(Long, String, String)] = Seq(
+    (10L, "web", enDoc(sharedBody("B") + " ten")),
+    (11L, "web", enDoc(ownBody(11))),
+    (12L, "web", badQuality))
+  private val batches = Seq(b0, b1, b2)
+
+  // ---- the independent sequential reference ----
+
+  private case class Doc(id: Long, source: String, tokens: Long, qOk: Boolean,
+                         langOk: Boolean, fp: String, sig: Seq[Long],
+                         bands: Seq[(Int, Long)])
+  private case class StatsRow(batchId: Long, nRaw: Long, nQuality: Long,
+                              nLang: Long, nExact: Long, nAdmitted: Long)
+
+  /** Per-doc features via the operator's own (oracle-pinned) builders; band
+    * keys via StreamingNearDup's public banding of the same signature. */
+  private def features(rows: Seq[(Long, String, String)]): Seq[Doc] = {
+    val sp = spark
+    import sp.implicits._
+    val df = rows.toDF("doc_id", "source", "text")
+    val flags = Ingest.flaggedBatch(df).collect().map { r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(7),
+        r.getBoolean(8), r.getString(5),
+        r.getSeq[Long](6).toSeq)
+    }.toMap
+    val sigDs = flags.toSeq.map { case (id, (_, _, _, _, _, sig)) =>
+      StreamingNearDup.DocSig(id, 0L, sig)
+    }.toDS()
+    val bandMap = StreamingNearDup.bandRows(sigDs).collect()
+      .groupBy(_.doc_id)
+      .map { case (id, bs) => id -> bs.map(b => (b.band, b.bkey)).toSeq }
+    rows.map { case (id, _, _) =>
+      val (src, tok, q, l, fp, sig) = flags(id)
+      Doc(id, src, tok, q, l, fp, sig, bandMap(id))
+    }
+  }
+
+  private def est(a: Seq[Long], b: Seq[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / graft.ops.Dedup.P
+
+  /** Sequential replay of the admission rules over the batch sequence. */
+  private def runRef(bs: Seq[Seq[(Long, String, String)]])
+      : (Set[(Long, String, Long)], Seq[StatsRow]) = {
+    var fps = Set.empty[String]
+    var bandIx = Map.empty[(Int, Long), Vector[Long]]
+    var sigs = Map.empty[Long, Seq[Long]]
+    val admitted = Set.newBuilder[(Long, String, Long)]
+    val stats = Seq.newBuilder[StatsRow]
+    bs.zipWithIndex.foreach { case (rows, bi) =>
+      val docs = features(rows)
+      val q = docs.filter(_.qOk)
+      val lang = docs.filter(_.langOk)
+      // intra-batch keep-first: lowest doc_id per fingerprint
+      val intra = lang.groupBy(_.fp).values.map(_.minBy(_.id)).toSeq.sortBy(_.id)
+      val exact = intra.filterNot(d => fps.contains(d.fp))
+      // cross near-dup: agreement >= 0.5 with any stored doc sharing a band
+      val crossDrop = exact.filter(d => d.bands.exists(bk =>
+        bandIx.getOrElse(bk, Vector.empty).exists(cid => est(d.sig, sigs(cid)) >= 0.5)))
+        .map(_.id).toSet
+      // intra near-dup: greedy — drop the LARGER id of every agreeing pair
+      val intraDrop = (for {
+        a <- exact; b <- exact
+        if a.id < b.id && a.bands.toSet.intersect(b.bands.toSet).nonEmpty &&
+          est(a.sig, b.sig) >= 0.5
+      } yield b.id).toSet
+      val admit = exact.filterNot(d => crossDrop(d.id) || intraDrop(d.id))
+      admit.foreach { d =>
+        fps += d.fp
+        d.bands.foreach(bk => bandIx = bandIx.updated(bk, bandIx.getOrElse(bk, Vector.empty) :+ d.id))
+        sigs += (d.id -> d.sig)
+        admitted += ((d.id, d.source, d.tokens))
+      }
+      stats += StatsRow(bi.toLong, docs.size.toLong, q.size.toLong,
+        lang.size.toLong, exact.size.toLong, admit.size.toLong)
+    }
+    (admitted.result(), stats.result())
+  }
+
+  private def storeAdmitted(dir: String): Set[(Long, String, Long)] =
+    Ingest.admitted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def storeStats(dir: String): Seq[StatsRow] =
+    Ingest.stats(spark, dir).collect().map(r =>
+      StatsRow(r.getAs[Long]("batch_id"), r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_quality"), r.getAs[Long]("n_lang"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_admitted")))
+      .sortBy(_.batchId)
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ingest_$tag").toString
+
+  test("three micro-batches equal the sequential reference; stream side is stateless") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = tmpDir("stream")
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir)
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+
+      val (refAdmitted, refStats) = runRef(batches)
+      // the fixture must exercise every stage or the equality is vacuous
+      assert(refStats.map(_.nRaw).sum > refStats.map(_.nQuality).sum, "quality gate inert")
+      assert(refStats.map(_.nQuality).sum > refStats.map(_.nLang).sum, "lang gate inert")
+      assert(refStats.map(_.nLang).sum > refStats.map(_.nExact).sum, "exact dedup inert")
+      assert(refStats.map(_.nExact).sum > refStats.map(_.nAdmitted).sum, "near-dup inert")
+      assert(refAdmitted.map(_._1) == Set(1L, 4L, 9L, 11L), refAdmitted.toString)
+
+      assert(storeAdmitted(dir) == refAdmitted,
+        s"admitted diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
+      assert(storeStats(dir) == refStats,
+        s"stats diverge:\n  store=${storeStats(dir)}\n  ref=$refStats")
+
+      // stateless: no state-store operators ran on the stream side
+      val progress = query.lastProgress
+      assert(progress != null && progress.stateOperators.isEmpty,
+        s"expected stateless stream, got ${progress.stateOperators.length} state operators")
+    } finally query.stop()
+  }
+
+  test("crash replay: uncommitted partial writes are invisible and overwritten; committed batches no-op") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("replay")
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text")
+
+    Ingest.ingestBatch(spark, dir, df(b0), 0L)
+    Ingest.ingestBatch(spark, dir, df(b1), 1L)
+
+    // simulate a crash mid-batch-2: partial garbage in fp/ and admitted/
+    // with NO stats commit marker
+    Seq(("zzzz-bogus-fp", 999L)).toDF("fp", "doc_id")
+      .write.parquet(s"$dir/fp/batch_id=2")
+    Seq((999L, "bogus", 1L)).toDF("doc_id", "source", "tokens")
+      .write.parquet(s"$dir/admitted/batch_id=2")
+
+    // uncommitted garbage is invisible to every reader
+    assert(Ingest.committedBatches(spark, dir) == Seq(0L, 1L))
+    assert(!storeAdmitted(dir).exists(_._1 == 999L), "uncommitted write leaked")
+
+    // the replayed batch overwrites its own partial writes and commits
+    Ingest.ingestBatch(spark, dir, df(b2), 2L)
+    val (refAdmitted, refStats) = runRef(batches)
+    assert(storeAdmitted(dir) == refAdmitted, "post-replay state diverges from clean run")
+    assert(storeStats(dir) == refStats)
+    assert(!spark.read.parquet(s"$dir/fp/batch_id=2").collect()
+      .exists(_.getString(0) == "zzzz-bogus-fp"), "partial write survived the replay")
+
+    // replaying a COMMITTED batch is a no-op
+    Ingest.ingestBatch(spark, dir, df(b2), 2L)
+    assert(storeAdmitted(dir) == refAdmitted)
+    assert(storeStats(dir) == refStats)
+  }
+}
