@@ -304,18 +304,28 @@ object Similarity {
     * bucket-partitioned layout a deployment stores, and what lets the
     * probe path prune to probed buckets only. Idempotent per fingerprint.
     *
-    * The repartition(aid) before the write is load-bearing twice: without
-    * it every input split writes its own fragment into EVERY bucket dir
+    * The repartition before the write is load-bearing twice: without it
+    * every input split writes its own fragment into EVERY bucket dir
     * (splits × ≤MaxAnchors tiny files — the sf1 smoke read the fragmented
     * index in ~6 s and the unshuffled write straggled at 13 s), and with
-    * it each bucket is ONE file written by its own task. The shuffle moves
-    * only the narrow (vec_id, aid, code) relation — M bytes/vector, the
-    * thing PQ made 32× smaller — which is the standard clustered-index
-    * build cost, not a corpus shuffle. */
+    * it each bucket is a handful of files written by dedicated tasks. The
+    * shuffle moves only the narrow (vec_id, aid, code) relation — M
+    * bytes/vector, the thing PQ made 32× smaller — which is the standard
+    * clustered-index build cost, not a corpus shuffle.
+    *
+    * The second repartition key sub-splits each bucket WriteSubSplit ways:
+    * keyed on aid alone, the write's parallelism is min(#anchors, shuffle
+    * partitions) and skews with cluster sizes — the round-11 sf1 smoke
+    * measured a 10.6 s single write task (19 anchors, one hash partition
+    * absorbing half the corpus). Sub-splitting bounds a write task at
+    * ~bucket/8 rows for ≤8 small files per bucket dir — read-side pruning
+    * (directory-level on aid) is unchanged. */
+  private val WriteSubSplit = 8
+
   private[ops] def ensureIvfIndex(s: SparkSession, d: String): String = {
     val dir = ivfIndexDir(s, d)
     if (!new java.io.File(dir, "_SUCCESS").exists())
-      ivfCodes(s, d).repartition(col("aid"))
+      ivfCodes(s, d).repartition(col("aid"), pmod(col("vec_id"), lit(WriteSubSplit)))
         .write.mode("overwrite").partitionBy("aid").parquet(dir)
     dir
   }

@@ -132,17 +132,24 @@ def main(out_dir):
     n_orders = 100_000
     import datetime
     epoch = datetime.datetime(2024, 1, 1)
-    o_key, o_cust, o_date, o_price = [], [], [], []
+    # o_orderstatus/o_orderpriority power the q22 pivot in the smoke
+    statuses = ["F", "O", "P"]
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o_key, o_cust, o_date, o_price, o_stat, o_prio = [], [], [], [], [], []
     for i in range(n_orders):
         o_key.append(i)
         o_cust.append(bisect.bisect_left(cum, rnd.random()))
         o_date.append(epoch + datetime.timedelta(milliseconds=rnd.randrange(span_ms)))
         o_price.append(round(rnd.uniform(10, 5000), 2))
+        o_stat.append(statuses[rnd.randrange(len(statuses))])
+        o_prio.append(priorities[rnd.randrange(len(priorities))])
     orders = pa.table({
         "o_orderkey": pa.array(o_key, pa.int64()),
         "o_custkey": pa.array(o_cust, pa.int64()),
         "o_orderdate": pa.array(o_date, pa.timestamp("us")),
         "o_totalprice": pa.array(o_price, pa.float64()),
+        "o_orderstatus": pa.array(o_stat, pa.string()),
+        "o_orderpriority": pa.array(o_prio, pa.string()),
     })
     pq.write_table(orders, os.path.join(out_dir, "orders.parquet"), row_group_size=8192)
     print(f"wrote {docs.num_rows} documents, {vecs.num_rows} embeddings, "
