@@ -149,6 +149,20 @@ object Dedup {
   private def minhashSig(sh: Column): Column =
     graft.spark.SketchExpressions.minhashSig(sh, permA.toIndexedSeq, permB.toIndexedSeq, Mask)
 
+  /** dd04's banding: 16 bands × 4 rows over the 64-component signature.
+    * ONE definition shared by the batch LSH ([[verifiedPairsFrom]], dd12),
+    * the streaming bucket processor
+    * ([[graft.streaming.StreamingNearDup]]), and the ingest twin's stored
+    * band log ([[Ingest]]) — the band KEY is the contract between all
+    * three surfaces, so they must not be free to drift. */
+  private[graft] val Bands = 16
+  private[graft] val BandWidth = 4
+
+  /** The band keys of a signature as an array<long> column (index = band). */
+  private[graft] def bandKeysCol(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      bnd => xxhash64(slice(sig, bnd * BandWidth + 1, lit(BandWidth))))
+
   /** dd04's pipeline: banded-LSH candidates verified against exact
     * shingle-set Jaccard (no false positives; recall evidence in
     * DedupRecallSpec). Shared by dd04 and the dd06 clustering pass. */
@@ -177,10 +191,8 @@ object Dedup {
     // relation is narrow (doc_id, band, bkey) — 16 rows/doc of 3 longs.
     val bands = base
       .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), lit(15)), bnd =>
-          xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
-      ).as(Seq("band", "bkey")))
+      .select(col("doc_id"), posexplode(bandKeysCol(col("sig")))
+        .as(Seq("band", "bkey")))
       .persist()
     // frequency-cap the band buckets (the dd03 DfCap / dd05 BlockCap pattern):
     // k near-identical docs share all 16 band keys, so an uncapped bucket is
@@ -943,10 +955,8 @@ object Dedup {
           .persist() // bands + both sides of verification share the shingle scan
         val bands = base
           .select(col("doc_id"), col("bk"), minhashSig(col("sh")).as("sig"))
-          .select(col("doc_id"), col("bk"), posexplode(
-            transform(sequence(lit(0), lit(15)), bnd =>
-              xxhash64(slice(col("sig"), bnd * 4 + 1, lit(4))))
-          ).as(Seq("band", "bkey")))
+          .select(col("doc_id"), col("bk"), posexplode(bandKeysCol(col("sig")))
+            .as(Seq("band", "bkey")))
           .persist()
         val corpusBands = bands.filter(col("bk") < 80)
           .select(col("doc_id").as("doc_c"), col("band"), col("bkey"))

@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
 
 /** Incremental corpus-ingest admission — the streaming twin of pp04's gate
   * stages, with DISK as the only state (the ss13/ss14 stored-index stance):
@@ -25,39 +26,57 @@ import org.apache.spark.sql.types.StructType
   *   bands/batch_id=N/     (band, bkey, doc_id)    sorted by bkey
   *   sigs/batch_id=N/      (doc_id, sig)           sorted by doc_id
   *   admitted/batch_id=N/  (doc_id, source, tokens)
-  *   stats/batch_id=N/     one attrition row — written LAST: the COMMIT
+  *   stats/batch_id=N/     one attrition row — written LAST; its job-commit
+  *                         `_SUCCESS` file IS the batch's commit marker
+  *                         (directory existence alone is NOT commitment:
+  *                         the output committer creates the directory at
+  *                         job setup, before any data is durable)
   *
   * Exactly-once across restarts WITHOUT deletes: every reader lists only
-  * COMMITTED batch directories (those with a stats row), so a crashed
-  * attempt's partial writes are invisible, and the foreachBatch replay
-  * OVERWRITES the same `batch_id=N` directories before committing. A
-  * replay of an already-committed batch is a no-op (the guard in
-  * [[ingestBatch]]). Long-running streams compact by merging committed
+  * COMMITTED batch directories (those whose stats `_SUCCESS` exists), so a
+  * crashed attempt's partial writes — including a partial stats write — are
+  * invisible, and the foreachBatch replay OVERWRITES the same `batch_id=N`
+  * directories before committing. A replay of an already-committed batch is
+  * a no-op (the guard in [[ingestBatch]]). All store I/O goes through the
+  * Hadoop filesystem of `dir`'s scheme, so the log can live on HDFS/S3A as
+  * well as local disk. Long-running streams compact by merging committed
   * directories and rewriting their stats rows — readers never look at
-  * anything else.
+  * anything else. NOTE: batchId↔offset pinning is the CALLER's durable
+  * streaming checkpoint ([[graft.streaming.StreamingIngest]] takes the
+  * checkpoint location for exactly this reason).
   *
   * 100 TB execution shape (what each micro-batch costs):
   *  - ONE pass over the batch computes every gate input (tokens, quality,
-  *    language, fingerprint, shingle hashes, MinHash signature — the fused
-  *    kernels dd01-dd14 run on), pp04's single-scan discipline;
-  *  - the stored-side reads are pruned TWICE: directory-level to committed
-  *    batch partitions, then by the batch's own key sets pushed as parquet
-  *    row-group filters (`fp IN`, `bkey IN`, `doc_id IN` over files sorted
-  *    by exactly those keys at write time) — the StreamingAnnProbe
-  *    collect-the-probe-list pattern; a batch never scans the corpus log;
+  *    language, fingerprint, shingle hashes, MinHash signature — the SAME
+  *    shared builders pp04 composes: [[TextOps.tokensCol]]/[[TextOps.exactFpCol]]
+  *    /[[Dedup.bandKeysCol]]), pp04's single-scan discipline;
+  *  - the stored-side reads are pruned at directory level to committed
+  *    batch partitions, and — when the batch's key set is small enough to
+  *    hold on the driver ([[MaxPushdownKeys]]) — additionally by the
+  *    batch's own `fp IN` / `bkey IN` / `doc_id IN` sets pushed as parquet
+  *    row-group filters over files sorted by exactly those keys at write
+  *    time (the StreamingAnnProbe collect-the-probe-list pattern). Larger
+  *    batches skip the collect: the joins below carry correctness either
+  *    way, so an oversized batch costs a log scan, never a driver OOM or a
+  *    codegen blowup from a million-literal In();
   *  - candidate work is banded and bucket-capped (dd04's argument): an
-  *    over-hot stored bucket is dropped from candidate generation rather
-  *    than allowed to emit batch×bucket pairs;
+  *    over-hot STORED bucket stops producing cross-batch candidates rather
+  *    than emitting batch×bucket pairs. The cap is one-sided — intra-batch
+  *    pairs are uncapped — so batch-partition equality (the union of
+  *    admissions over any split of a doc set equals the sequential replay)
+  *    holds EXACTLY only while no stored bucket exceeds `bucketCap`; past
+  *    the cap the engine admits MORE than the uncapped replay (suppressed
+  *    candidates), the same bounded-state trade [[graft.streaming.StreamingNearDup]]
+  *    documents for its bucketCap. Mass-duplicate streams should gate on
+  *    exact dedup first, exactly like batch;
   *  - near-dup verification is the signature-agreement estimate over 64
-  *    components — [[graft.streaming.StreamingNearDup]]'s documented
-  *    streaming trade-off (exact shingle verification would re-read stored
-  *    shingle sets; batch dd12 does exactly that in backfills).
+  *    components — StreamingNearDup's documented streaming trade-off
+  *    (exact shingle verification would re-read stored shingle sets; batch
+  *    dd12 does exactly that in backfills).
   *
-  * Batch-vs-stream equality: admission is a pure function of (committed
-  * prefix, batch rows), so the admitted set over any batch partition of a
-  * doc set equals the sequential replay with the same rules — pinned by
-  * IngestStreamingSpec against an independent Scala reference, along with
-  * crash-replay idempotence.
+  * IngestStreamingSpec pins the sequential-replay equality (including the
+  * capped-bucket suppression rule at a tiny cap), stream statelessness,
+  * and crash-replay idempotence against an independent Scala reference.
   */
 object Ingest {
   import graft.spark.SketchExpressions
@@ -66,30 +85,35 @@ object Ingest {
   private val QualityMin = 0.5
   private val LangKeep = "en"
 
-  /** dd04 banding over the 64-component signature (shared constants). */
-  private val Bands = 16
-  private val BandWidth = 4
-
   /** Signature-agreement threshold (fraction of 64 components equal) — the
     * StreamingNearDup estimate with its default. */
   private val MinEst = 0.5
 
-  /** Max stored docs per (band, bkey) bucket consulted for candidates —
-    * dd04's BlockCap role: a degenerate hot bucket stops producing
-    * candidate pairs instead of producing batch×bucket of them. */
+  /** Default for `bucketCap`: max stored docs per (band, bkey) bucket
+    * consulted for candidates — dd04's BlockCap role. */
   private val BucketCap = 1024L
 
-  private def p(dir: String, store: String) = s"$dir/$store"
+  /** Above this many distinct keys, a batch skips the driver-side collect
+    * and the stored-log reads lose only their row-group IN-filters — the
+    * semi/anti joins below are the correctness path either way. */
+  private val MaxPushdownKeys = 100000
+
+  private def fsOf(s: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def bdir(dir: String, store: String, batchId: Long) =
     s"$dir/$store/batch_id=$batchId"
 
-  /** Batches whose stats commit marker exists (ascending). */
+  /** Batches whose stats commit marker (`stats/batch_id=N/_SUCCESS`)
+    * exists, ascending. Hadoop-FS based: works on any scheme `dir` uses. */
   def committedBatches(s: SparkSession, dir: String): Seq[Long] = {
-    val root = new java.io.File(p(dir, "stats"))
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getName.stripPrefix("batch_id=").toLong).sorted
+    val fs = fsOf(s, dir)
+    val root = new Path(s"$dir/stats")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(b => fs.exists(new Path(s"${bdir(dir, "stats", b)}/_SUCCESS")))
+      .sorted
   }
 
   /** Read a store's committed slices (schema-stable empty when none). */
@@ -119,28 +143,40 @@ object Ingest {
   }
 
   /** The ONE batch pass: every gate input of [[ingestBatch]] as columns —
-    * the shared-builder discipline (TextOps.qualityCol / predLangCol, the
-    * dd01 fingerprint, the dd04 signature kernel), exposed so the spec's
-    * independent reference consumes the SAME per-doc features the operator
-    * does while re-implementing the admission logic itself. */
-  private[graft] def flaggedBatch(batch: DataFrame): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+    * the shared-builder discipline ([[TextOps.qualityCol]] /
+    * [[TextOps.predLangCol]] / [[TextOps.tokensCol]] / [[TextOps.exactFpCol]],
+    * the dd04 signature kernel), exposed so the spec's independent
+    * reference consumes the SAME per-doc features the operator does while
+    * re-implementing the admission logic itself. */
+  private[graft] def flaggedBatch(batch: DataFrame): DataFrame =
     batch
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        tokens.as("tokens"),
+        TextOps.tokensCol.as("tokens"),
         TextOps.qualityCol.as("quality"), TextOps.predLangCol.as("pred_lang"),
-        md5(lower(trim(col("text")))).as("fp"),
+        TextOps.exactFpCol.as("fp"),
         SketchExpressions.minhashSig(Dedup.shingleHashes(col("text")),
           Dedup.permA.toIndexedSeq, Dedup.permB.toIndexedSeq, Dedup.Mask).as("sig"))
       .withColumn("q_ok", col("quality") >= QualityMin)
       .withColumn("lang_ok", col("q_ok") && col("pred_lang") === LangKeep)
+
+  /** The batch's distinct key set when it is small enough to push down
+    * (collected via limit(max+1), so an oversized batch costs one bounded
+    * collect, not a full materialization). */
+  private def keySetUpTo(df: DataFrame, max: Int): Option[Array[Any]] = {
+    val rows = df.distinct().limit(max + 1).collect()
+    if (rows.length > max) None else Some(rows.map(_.get(0)))
   }
+  private def keyFiltered(stored: DataFrame, keyCol: String,
+                          keys: Option[Array[Any]]): DataFrame =
+    keys.fold(stored)(ks =>
+      stored.filter(col(keyCol).isin(ks.toIndexedSeq: _*)))
 
   /** Process one micro-batch of (doc_id, source, text) rows against the
     * store at `dir`. Idempotent per batchId: replaying a committed batch is
     * a no-op; replaying an uncommitted (crashed) batch overwrites its own
     * partial writes and then commits. */
-  def ingestBatch(s: SparkSession, dir: String, batch: DataFrame, batchId: Long): Unit = {
+  def ingestBatch(s: SparkSession, dir: String, batch: DataFrame, batchId: Long,
+                  bucketCap: Long = BucketCap): Unit = {
     val committed = committedBatches(s, dir)
     if (committed.contains(batchId)) return // replayed committed batch
 
@@ -149,45 +185,40 @@ object Ingest {
       .persist() // read by: gate counts, fp probe list, band rows, admit set
 
     // ---- exact dedup: intra-batch keep-first (lowest doc_id per fp among
-    // lang survivors), then anti-join the stored fingerprint log, read
-    // pruned to the batch's own fp set ----
+    // lang survivors), then anti-join the stored fingerprint log — read
+    // pruned to the batch's own fp set when it fits the pushdown bound ----
     val langOk = flagged.filter(col("lang_ok"))
     val intra = langOk
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1).drop("rn")
-    val batchFps = intra.select(col("fp")).collect().map(_.getString(0))
-    val storedFps = readCommitted(s, dir, "fp", committed, "fp STRING, doc_id BIGINT")
-      .filter(col("fp").isin(batchFps.toIndexedSeq: _*))
+    val storedFps = keyFiltered(
+      readCommitted(s, dir, "fp", committed, "fp STRING, doc_id BIGINT"),
+      "fp", keySetUpTo(intra.select(col("fp")), MaxPushdownKeys))
     val exact = intra.join(storedFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .persist() // band rows + near-dup survivors + counts
 
     // ---- near-dup screen over the exact survivors ----
-    val bandRows = exact.select(col("doc_id"), col("sig"), posexplode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          bnd => xxhash64(slice(col("sig"), bnd * BandWidth + 1, lit(BandWidth))))
-      ).as(Seq("band", "bkey")))
+    val bandRows = exact.select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandKeysCol(col("sig"))).as(Seq("band", "bkey")))
       .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
       .persist() // stored-side probe keys + intra-batch self-join
-    val batchBkeys = bandRows.select(col("bkey")).distinct()
-      .collect().map(_.getLong(0))
-    val storedBands = readCommitted(s, dir, "bands", committed,
-        "band INT, bkey BIGINT, doc_id BIGINT")
-      .filter(col("bkey").isin(batchBkeys.toIndexedSeq: _*))
+    val storedBands = keyFiltered(
+      readCommitted(s, dir, "bands", committed, "band INT, bkey BIGINT, doc_id BIGINT"),
+      "bkey", keySetUpTo(bandRows.select(col("bkey")), MaxPushdownKeys))
       .withColumnRenamed("doc_id", "doc_c")
     // bucket census cap (dd04's BlockCap role) on the STORED side
     val hot = storedBands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
       .select(col("band"), col("bkey"))
     val candIds = bandRows.join(storedBands.join(hot, Seq("band", "bkey"), "left_anti"),
         Seq("band", "bkey"))
       .select(col("doc_id"), col("doc_c")).distinct()
       .persist()
-    val storedIds = candIds.select(col("doc_c")).distinct().collect().map(_.getLong(0))
-    val storedSigs = readCommitted(s, dir, "sigs", committed,
-        "doc_id BIGINT, sig ARRAY<BIGINT>")
-      .filter(col("doc_id").isin(storedIds.toIndexedSeq: _*))
+    val storedSigs = keyFiltered(
+      readCommitted(s, dir, "sigs", committed, "doc_id BIGINT, sig ARRAY<BIGINT>"),
+      "doc_id", keySetUpTo(candIds.select(col("doc_c")), MaxPushdownKeys))
     // agreement estimate = fraction of equal components (StreamingNearDup)
-    def est(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    def est(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / Dedup.P
     val crossDrop = candIds
@@ -232,7 +263,7 @@ object Ingest {
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .crossJoin(admit.agg(count(lit(1)).as("n_admitted")))
     statsRow.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(bdir(dir, "stats", batchId)) // COMMIT
+      .parquet(bdir(dir, "stats", batchId)) // job-commit _SUCCESS = COMMIT
 
     Seq(flagged, exact, bandRows, candIds, admit).foreach(_.unpersist(false))
   }

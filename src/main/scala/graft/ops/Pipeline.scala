@@ -78,7 +78,7 @@ object Pipeline {
       (s, d) => {
         val nDocs = Tables.rowCount(s, d, "documents")
         val blockSize = Sampling.blockSizeFor(nDocs, s.sparkContext.defaultParallelism)
-        val tokens = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val tokens = TextOps.tokensCol
 
         // ---- the ONE corpus pass: every per-doc gate input + row-local
         // stage flags; the fingerprint window is the only shuffle (pp02's
@@ -87,7 +87,7 @@ object Pipeline {
         val flagged = Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), col("source"), tokens.as("tokens"),
             TextOps.qualityCol.as("quality"), TextOps.predLangCol.as("pred_lang"),
-            md5(lower(trim(col("text")))).as("fp"),
+            TextOps.exactFpCol.as("fp"),
             Sampling.hashBucket(col("doc_id")).as("bk"),
             graft.spark.SketchExpressions.shingleHashes(col("text")).as("sh"))
           .withColumn("train", col("bk") < 95)

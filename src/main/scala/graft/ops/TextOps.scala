@@ -61,6 +61,13 @@ object TextOps {
     regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))
   private val vocabTokensSql = "regexp_extract_all(lower(text), '[a-z]{2,}')"
 
+  /** The whitespace token count and dd01's exact fingerprint — pp04's
+    * pipeline and its streaming ingest twin ([[Ingest]]) must agree
+    * byte-for-byte on both, so there is ONE definition. */
+  private[ops] def tokensCol: Column =
+    size(split(trim(col("text")), "\\s+")).cast("bigint")
+  private[ops] def exactFpCol: Column = md5(lower(trim(col("text"))))
+
   /** tx02's quality score, shared with pp01 (same raw-double arithmetic on
     * both engines, so a threshold on it filters identically). */
   private[ops] def qualityCol: Column = {

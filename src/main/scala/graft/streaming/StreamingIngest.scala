@@ -28,12 +28,23 @@ object StreamingIngest {
 
   /** Start ingesting a streaming (doc_id, source, text) relation into the
     * corpus store at `dir`. Stateless on the stream side: no watermark, no
-    * state store — the disk log is the only state. */
-  def ingestStream(docs: DataFrame, dir: String): StreamingQuery =
-    docs.writeStream
+    * state store — the disk log is the only state.
+    *
+    * `checkpointLocation` MUST be a durable path in production: the store's
+    * exactly-once protocol keys on `batchId`, and only a durable streaming
+    * checkpoint pins the batchId↔offsets mapping across restarts. Without
+    * one, Spark falls back to a temporary checkpoint that dies with the
+    * query, a restarted stream renumbers from batch 0, and
+    * [[graft.ops.Ingest.ingestBatch]]'s committed-batch guard would then
+    * discard the NEW data as replays. The default (None, temp checkpoint)
+    * is for single-run/test use only. */
+  def ingestStream(docs: DataFrame, dir: String,
+                   checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Ingest.ingestBatch(batch.sparkSession, dir, batch, batchId)
       }
-      .start()
+    checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)).start()
+  }
 }

@@ -46,9 +46,11 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   */
 object StreamingNearDup {
 
-  /** 16 bands × 4 rows over the 64-component signature (dd04's banding). */
-  private[graft] val Bands = 16
-  private[graft] val BandWidth = 4
+  /** 16 bands × 4 rows over the 64-component signature — aliases of
+    * [[graft.ops.Dedup]]'s shared banding contract (one definition for the
+    * batch LSH, this bucket processor, and the ingest twin's band log). */
+  private[graft] val Bands = graft.ops.Dedup.Bands
+  private[graft] val BandWidth = graft.ops.Dedup.BandWidth
 
   /** A document's MinHash signature at its event time. */
   final case class DocSig(doc_id: Long, ts: Long, sig: Seq[Long])
@@ -81,10 +83,8 @@ object StreamingNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.toDF()
-      .select(col("doc_id"), col("ts"), col("sig"), posexplode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          bnd => xxhash64(slice(col("sig"), bnd * BandWidth + 1, lit(BandWidth))))
-      ).as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(graft.ops.Dedup.bandKeysCol(col("sig"))).as(Seq("band", "bkey")))
       .select(col("band"), col("bkey"), col("doc_id"), col("ts"), col("sig"))
       .as[BandRow]
   }

@@ -90,13 +90,17 @@ class AnnProbeStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
     val input = MemoryStream[Long]
     val queries = input.toDF().toDF("q_id")
-    var batches = 0
-    val query = StreamingAnnProbe.probeStream(queries, sfDir, (_, _) => batches += 1)
+    // AtomicInteger: the callback runs on the stream-execution thread and
+    // the assertion reads on the test thread — a plain var has no
+    // happens-before edge across processAllAvailable()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val query = StreamingAnnProbe.probeStream(queries, sfDir,
+      (_, _) => { batches.incrementAndGet(): Unit })
     try {
       query.processAllAvailable() // zero-row start
       input.addData(300L)
       query.processAllAvailable()
-      assert(batches == 1, s"only the non-empty batch may serve, got $batches")
+      assert(batches.get() == 1, s"only the non-empty batch may serve, got ${batches.get()}")
     } finally query.stop()
   }
 }

@@ -118,8 +118,12 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def est(a: Seq[Long], b: Seq[Long]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / graft.ops.Dedup.P
 
-  /** Sequential replay of the admission rules over the batch sequence. */
-  private def runRef(bs: Seq[Seq[(Long, String, String)]])
+  /** Sequential replay of the admission rules over the batch sequence.
+    * `bucketCap` mirrors the engine's one-sided census cap: a STORED
+    * bucket holding more than cap docs produces no cross-batch candidates
+    * at all (the whole bucket is suppressed, not truncated), while
+    * intra-batch pairs are uncapped. */
+  private def runRef(bs: Seq[Seq[(Long, String, String)]], bucketCap: Long = 1024L)
       : (Set[(Long, String, Long)], Seq[StatsRow]) = {
     var fps = Set.empty[String]
     var bandIx = Map.empty[(Int, Long), Vector[Long]]
@@ -133,10 +137,15 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // intra-batch keep-first: lowest doc_id per fingerprint
       val intra = lang.groupBy(_.fp).values.map(_.minBy(_.id)).toSeq.sortBy(_.id)
       val exact = intra.filterNot(d => fps.contains(d.fp))
-      // cross near-dup: agreement >= 0.5 with any stored doc sharing a band
-      val crossDrop = exact.filter(d => d.bands.exists(bk =>
-        bandIx.getOrElse(bk, Vector.empty).exists(cid => est(d.sig, sigs(cid)) >= 0.5)))
-        .map(_.id).toSet
+      // cross near-dup: agreement >= 0.5 with any stored doc sharing a
+      // NON-HOT band bucket (bucket size > cap -> suppressed entirely)
+      val crossDrop = exact.filter { d =>
+        d.bands.exists { bk =>
+          val bucket = bandIx.getOrElse(bk, Vector.empty)
+          bucket.size <= bucketCap &&
+            bucket.exists(cid => est(d.sig, sigs(cid)) >= 0.5)
+        }
+      }.map(_.id).toSet
       // intra near-dup: greedy — drop the LARGER id of every agreeing pair
       val intraDrop = (for {
         a <- exact; b <- exact
@@ -211,16 +220,22 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Ingest.ingestBatch(spark, dir, df(b0), 0L)
     Ingest.ingestBatch(spark, dir, df(b1), 1L)
 
-    // simulate a crash mid-batch-2: partial garbage in fp/ and admitted/
-    // with NO stats commit marker
+    // simulate a crash mid-batch-2: partial garbage in fp/ and admitted/,
+    // plus a stats DIRECTORY with data but no _SUCCESS job-commit marker —
+    // the committer creates the directory before anything is durable, so
+    // directory existence must NOT count as commitment
     Seq(("zzzz-bogus-fp", 999L)).toDF("fp", "doc_id")
       .write.parquet(s"$dir/fp/batch_id=2")
     Seq((999L, "bogus", 1L)).toDF("doc_id", "source", "tokens")
       .write.parquet(s"$dir/admitted/batch_id=2")
+    Seq((1L, 1L, 1L, 1L, 1L)).toDF("n_raw", "n_quality", "n_lang", "n_exact", "n_admitted")
+      .write.parquet(s"$dir/stats/batch_id=2")
+    new java.io.File(s"$dir/stats/batch_id=2/_SUCCESS").delete()
 
     // uncommitted garbage is invisible to every reader
     assert(Ingest.committedBatches(spark, dir) == Seq(0L, 1L))
     assert(!storeAdmitted(dir).exists(_._1 == 999L), "uncommitted write leaked")
+    assert(storeStats(dir).map(_.batchId) == Seq(0L, 1L), "markerless stats dir leaked")
 
     // the replayed batch overwrites its own partial writes and commits
     Ingest.ingestBatch(spark, dir, df(b2), 2L)
@@ -233,6 +248,30 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replaying a COMMITTED batch is a no-op
     Ingest.ingestBatch(spark, dir, df(b2), 2L)
     assert(storeAdmitted(dir) == refAdmitted)
+    assert(storeStats(dir) == refStats)
+  }
+
+  test("hot stored buckets suppress cross-batch candidates (one-sided cap), reference agrees") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("cap")
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text")
+
+    // bucketCap = 0: EVERY non-empty stored bucket is hot, so the
+    // cross-batch near-dup screen is fully suppressed — doc 8 (near-dup of
+    // committed doc 1) is ADMITTED — while the intra-batch greedy rule is
+    // uncapped and still drops doc 6 in batch 0, and exact dedup (a
+    // different key) still drops 5/7
+    Ingest.ingestBatch(spark, dir, df(b0), 0L, bucketCap = 0L)
+    Ingest.ingestBatch(spark, dir, df(b1), 1L, bucketCap = 0L)
+    Ingest.ingestBatch(spark, dir, df(b2), 2L, bucketCap = 0L)
+
+    val (refAdmitted, refStats) = runRef(batches, bucketCap = 0L)
+    assert(refAdmitted.map(_._1) == Set(1L, 4L, 8L, 9L, 10L, 11L),
+      s"cap=0 reference should admit the cross-batch near-dups: $refAdmitted")
+    assert(storeAdmitted(dir) == refAdmitted,
+      s"capped admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
     assert(storeStats(dir) == refStats)
   }
 }
