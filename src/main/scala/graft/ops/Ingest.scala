@@ -40,10 +40,13 @@ import org.apache.hadoop.fs.Path
   * a no-op (the guard in [[ingestBatch]]). All store I/O goes through the
   * Hadoop filesystem of `dir`'s scheme, so the log can live on HDFS/S3A as
   * well as local disk. Long-running streams compact by merging committed
-  * directories and rewriting their stats rows — readers never look at
-  * anything else. NOTE: batchId↔offset pinning is the CALLER's durable
-  * streaming checkpoint ([[graft.streaming.StreamingIngest]] takes the
-  * checkpoint location for exactly this reason).
+  * directories during a maintenance window with the stream STOPPED (write
+  * the merged dir + stats first, remove the old dirs after; a reader
+  * between the two steps would double-count, which is why compaction is
+  * offline — an online compactor would need a manifest indirection this
+  * log deliberately avoids). NOTE: batchId↔offset pinning is the CALLER's
+  * durable streaming checkpoint ([[graft.streaming.StreamingIngest]] takes
+  * the checkpoint location for exactly this reason).
   *
   * 100 TB execution shape (what each micro-batch costs):
   *  - ONE pass over the batch computes every gate input (tokens, quality,
