@@ -1685,6 +1685,24 @@ object JsonataCompiler {
             }
           case _ => None
         }
+      // field navigation over a NON-PATH struct-typed base —
+      // `(x ~> /re/).match`, `(cond ? a : b).field`: plain name steps over
+      // any compiled struct expression. Mirrors the engine's object
+      // navigation: a null (undefined) base propagates null through
+      // getField; a statically-absent field or non-struct base falls back
+      // (engine-undefined with no static type). Stages/focus/index and
+      // array-of-struct mapping stay interpreted.
+      case Path(steps, false, None)
+          if steps.length >= 2 && !steps.head.expr.isInstanceOf[NameStep] &&
+            steps.forall(st => st.stages.isEmpty && st.focus.isEmpty &&
+              st.index.isEmpty && !st.keepArray) &&
+            steps.tail.forall(_.expr.isInstanceOf[NameStep]) =>
+        steps.tail.foldLeft(compile(steps.head.expr)) {
+          case (Some(TCol(c, st: StructType)), step) =>
+            val name = step.expr.asInstanceOf[NameStep].name
+            st.find(_.name == name).map(f => TCol(c.getField(name), f.dataType))
+          case _ => None
+        }
       case p: Path =>
         valuePath(p).flatMap { names =>
           if (names.isEmpty) None
@@ -1730,6 +1748,19 @@ object JsonataCompiler {
       case ApplyOp(l, Lambda(Vector(p), body, None)) =>
         compile(l).flatMap { lc =>
           compileLambda(p, lc.dt, body).map { case (f, rt) => TCol(f(lc.col), rt) }
+        }
+      // `x ~> /re/` — a regex literal is applicable as a function: the
+      // FIRST match object or undefined (evalApply Pattern branch →
+      // Functions.firstMatch). The $match kernel with limit 1 replays the
+      // same find() loop, so zero-width patterns need no gate here (no
+      // split-stitch is involved); `get` (not element_at) keeps the
+      // no-match case NULL under ANSI. A non-string operand raises T0410
+      // in the engine — only a statically-string lhs compiles.
+      case ApplyOp(l, RegexLit(p)) =>
+        compile(l).collect {
+          case t if t.dt == StringType =>
+            TCol(get(RegexMatchAll.column(t.col, p.pattern, p.flags, 1), lit(0)),
+              RegexMatchAll.resultType.asInstanceOf[ArrayType].elementType)
         }
       case _ => None
     }

@@ -1384,6 +1384,24 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id BIGINT, lam STRING, par STRING, num BIGINT, chn BIGINT", "id")
   }
 
+  test("~> regex-literal application compiles and agrees (first-match struct)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "alpha beta-42 gamma"), Row(2L, "no digits here"),
+        Row(3L, null), Row(4L, ""), Row(5L, "x1 y2 z3")).asJava,
+      StructType.fromDDL("id BIGINT, s STRING"))
+    // whole match object, a field of it, and a zero-width-CAPABLE pattern
+    // (no gate needed here — find() semantics, not split-stitch)
+    diffDf(df,
+      "{'id': value.id," +
+        " 'm': value.s ~> /([a-z])-?([0-9]+)/," +
+        " 'first_num': (value.s ~> /[0-9]+/).match," +
+        " 'zw': (value.s ~> /q*/).index}",
+      "id BIGINT, m STRUCT<match: STRING, index: BIGINT, groups: ARRAY<STRING>>, " +
+        "first_num STRING, zw BIGINT", "id")
+  }
+
   test("~> shapes outside the subset fall back to the interpreter") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
