@@ -651,14 +651,18 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to 200).foreach { n =>
       val (c0, t) = chain()
       // 1-in-5: route the first stage through a BOUND lambda preamble (the
-      // inlineBinds -> ApplyOp(l, Lambda) path)
-      val (pre, c1) =
+      // inlineBinds -> ApplyOp(l, Lambda) path); 1-in-7 (string chains):
+      // terminate with a regex application + struct navigation (the
+      // round-11 ApplyOp(l, RegexLit) + non-path getField cases)
+      val (pre, c1, t1) =
         if (n % 5 == 0 && t == S)
-          ("($fx := function($s){ $uppercase($s) }; ", s"${c0} ~> $$fx")
-        else ("", c0)
-      val ddl = (if (t == S && pre.isEmpty) "k BIGINT, r STRING"
-                 else if (pre.nonEmpty) "k BIGINT, r STRING"
-                 else "k BIGINT, r DOUBLE")
+          ("($fx := function($s){ $uppercase($s) }; ", s"${c0} ~> $$fx", S)
+        else if (n % 7 == 0 && t == S) {
+          val re = Seq("[ab0-9]+", "x+y?", "([a-w])([a-w])")(rnd.nextInt(3))
+          if (rnd.nextBoolean()) ("", s"($c0 ~> /$re/).match", S)
+          else ("", s"($c0 ~> /$re/).index", N)
+        } else ("", c0, t)
+      val ddl = (if (t1 == S) "k BIGINT, r STRING" else "k BIGINT, r DOUBLE")
       val expr =
         if (pre.isEmpty) s"{'k': value.k, 'r': $c1}"
         else s"$pre{'k': value.k, 'r': $c1})"
