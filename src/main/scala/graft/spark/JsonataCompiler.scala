@@ -1659,6 +1659,27 @@ object JsonataCompiler {
             .map(fl => TCol(lambdaEnv("").col.getField(f), fl.dataType))
           case _ => None
         }
+      // field navigation over a NON-PATH struct-typed base —
+      // `(x ~> /re/).match`, `(cond ? a : b).field`: plain name steps over
+      // any compiled struct expression. Mirrors the engine's object
+      // navigation: a null (undefined) base propagates null through
+      // getField; a statically-absent field or non-struct base falls back
+      // (engine-undefined with no static type). Stages/focus/index and
+      // array-of-struct mapping stay interpreted. BEFORE the lambda-path
+      // gate on purpose: the base compiles in whatever scope is current
+      // (param-rooted inside lambdas), never against `value.*` by itself,
+      // so the navigation is scope-safe inside HOF bodies too.
+      case Path(steps, false, None)
+          if steps.length >= 2 && !steps.head.expr.isInstanceOf[NameStep] &&
+            steps.forall(st => st.stages.isEmpty && st.focus.isEmpty &&
+              st.index.isEmpty && !st.keepArray) &&
+            steps.tail.forall(_.expr.isInstanceOf[NameStep]) =>
+        steps.tail.foldLeft(compile(steps.head.expr)) {
+          case (Some(TCol(c, st: StructType)), step) =>
+            val name = step.expr.asInstanceOf[NameStep].name
+            st.find(_.name == name).map(f => TCol(c.getField(name), f.dataType))
+          case _ => None
+        }
       // inside a lambda body only param-rooted paths resolve (the engine's
       // invocation context is null, so `value.*` there is undefined)
       case p: Path if inLambda => lambdaPath(p)
@@ -1683,24 +1704,6 @@ object JsonataCompiler {
               case Left(sc) => sc
               case Right(arr) => TCol(emptyAsNull(arr), at)
             }
-          case _ => None
-        }
-      // field navigation over a NON-PATH struct-typed base —
-      // `(x ~> /re/).match`, `(cond ? a : b).field`: plain name steps over
-      // any compiled struct expression. Mirrors the engine's object
-      // navigation: a null (undefined) base propagates null through
-      // getField; a statically-absent field or non-struct base falls back
-      // (engine-undefined with no static type). Stages/focus/index and
-      // array-of-struct mapping stay interpreted.
-      case Path(steps, false, None)
-          if steps.length >= 2 && !steps.head.expr.isInstanceOf[NameStep] &&
-            steps.forall(st => st.stages.isEmpty && st.focus.isEmpty &&
-              st.index.isEmpty && !st.keepArray) &&
-            steps.tail.forall(_.expr.isInstanceOf[NameStep]) =>
-        steps.tail.foldLeft(compile(steps.head.expr)) {
-          case (Some(TCol(c, st: StructType)), step) =>
-            val name = step.expr.asInstanceOf[NameStep].name
-            st.find(_.name == name).map(f => TCol(c.getField(name), f.dataType))
           case _ => None
         }
       case p: Path =>
@@ -2258,8 +2261,11 @@ object JsonataCompiler {
         // $join over arrays with provably no null elements — array_join
         // silently drops nulls where the engine raises T0412, so arbitrary
         // array columns stay interpreted. Provable sources: a compiled $split
-        // (never emits nulls), $keys (literal names), and $each (null body
-        // results are filtered, mirroring fEach). Literal separator only.
+        // (never emits nulls), $keys (literal names), $each (null body
+        // results are filtered, mirroring fEach), and $map (same null
+        // filter). Literal separator only, and STRING elements only — the
+        // engine raises T0412 on non-string items, so numeric-element
+        // sources stay on the interpreter's error shape.
         case "join" =>
           val sep = args.lift(1) match {
             case None => Some("")
@@ -2267,9 +2273,10 @@ object JsonataCompiler {
             case _ => None
           }
           (args.headOption, sep) match {
-            case (Some(sp @ Call(VarRef("split" | "keys" | "each"), _)), Some(s2)) =>
+            case (Some(sp @ Call(VarRef("split" | "keys" | "each" | "map"), _)), Some(s2)) =>
               compile(sp).collect {
-                case t if t.dt.isInstanceOf[ArrayType] =>
+                case t if t.dt == ArrayType(StringType) ||
+                    t.dt == ArrayType(StringType, containsNull = true) =>
                   TCol(array_join(t.col, s2), StringType)
               }
             case _ => None

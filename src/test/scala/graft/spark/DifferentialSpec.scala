@@ -1402,6 +1402,22 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         "first_num STRING, zw BIGINT", "id")
   }
 
+  test("~> chains and regex navigation inside HOF lambda bodies compile and agree") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq("alpha", "b-7", "")), Row(2L, Seq.empty[String]),
+        Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, arr ARRAY<STRING>"))
+    diffDf(df,
+      "{'id': value.id," +
+        " 'up': $join($map(value.arr, function($v){ $v ~> $uppercase }), ',')," +
+        " 'chain': $join($map(value.arr, function($v){ $v ~> $pad(?, 3, '.') ~> $trim }), ',')," +
+        " 'nums': $count($filter($map(value.arr, function($v){ ($v ~> /[0-9]+/).match }), " +
+        "function($m){ $exists($m) }))}",
+      "id BIGINT, up STRING, chain STRING, nums BIGINT", "id")
+  }
+
   test("~> shapes outside the subset fall back to the interpreter") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
