@@ -631,6 +631,73 @@ object Sampling {
           CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(any_value(n) AS DOUBLE) AS mask_ratio
-        FROM runs GROUP BY doc_id ORDER BY doc_id"""))
+        FROM runs GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- sp14: DSIR-style importance resampling (hashed n-gram LLR) ----
+    // Data Selection via Importance Resampling (Xie et al. 2023): score every
+    // raw document by the log-likelihood ratio of a TARGET distribution vs
+    // the RAW distribution over hashed token features, then keep the
+    // top-ranked docs per source. Target here = the lang='en' slice (the
+    // paper's target is any trusted high-quality corpus; the fixture's
+    // English docs play that role). Features are tx05's vocabulary tokens
+    // hashed into 256 buckets by md5-hex prefix — a STRING bucket key both
+    // engines derive identically (dd02's md5 precedent), sidestepping any
+    // cross-engine integer-hash mismatch. Laplace-smoothed bucket unigram
+    // models: w[b] = ln((t_cnt+1)/(T+256)) - ln((r_cnt+1)/(R+256)); doc
+    // score = sum of w over token OCCURRENCES. The score is a SUM of libm
+    // logs, so unlike the tx01 raw-double cases it is NOT bit-identical
+    // across engines (ulp-level log differences + engine-specific addition
+    // order inside a group) — q01's pattern applies instead: round AFTER
+    // the aggregation at a precision (6dp) far coarser than the ~1e-13
+    // noise, and rank on the ROUNDED score so exact-duplicate docs tie
+    // exactly and break on doc_id in both engines. Scale shape (100 TB):
+    // the bucket model is ONE
+    // partial-agg shuffle collapsing to 256 rows; totals are an agg over
+    // those 256 rows re-attached as a one-row broadcast; scoring re-scans
+    // the corpus map-only against the broadcast 256-row weight table; the
+    // only other shuffles are the per-doc sum and the per-source top-k
+    // window. Nothing is ever all-pairs and no model state exceeds 256 rows.
+    Q("sp14_dsir_resample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(TextOps.vocabTokens).as("token"))
+          .withColumn("bkt", substring(md5(col("token")), 1, 2))
+        val buckets = toks.groupBy(col("bkt")).agg(
+          count(lit(1)).as("r_cnt"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+        val tot = buckets.agg(sum(col("r_cnt")).as("r_tot"), sum(col("t_cnt")).as("t_tot"))
+        val lw = buckets.crossJoin(broadcast(tot))
+          .select(col("bkt"),
+            (log((col("t_cnt") + 1).cast("double") / (col("t_tot") + 256).cast("double"))
+              - log((col("r_cnt") + 1).cast("double") / (col("r_tot") + 256).cast("double"))).as("w"))
+        val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+        toks.join(broadcast(lw), "bkt")
+          .groupBy(col("doc_id"), col("source")).agg(round(sum(col("w")), 6).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("doc_id"), col("source"), col("score"), col("rank"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, lang, unnest(${TextOps.vocabTokensSql}) AS token
+              FROM documents),
+          tb AS (SELECT doc_id, source, lang, substr(md5(token), 1, 2) AS bkt FROM toks),
+          b AS (SELECT bkt, count(*) AS r_cnt,
+                  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+                FROM tb GROUP BY bkt),
+          tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM b),
+          lw AS (SELECT bkt,
+                   ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + 256 AS DOUBLE))
+                     - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + 256 AS DOUBLE)) AS w
+                 FROM b, tot),
+          scores AS (SELECT doc_id, source, round(sum(w), 6) AS score
+                     FROM tb JOIN lw USING (bkt) GROUP BY doc_id, source),
+          ranked AS (SELECT doc_id, source, score,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY score DESC, doc_id) AS rank
+                     FROM scores)
+        SELECT doc_id, source, score, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 20 ORDER BY source, rank"""))
   )
 }

@@ -1464,6 +1464,58 @@ object Similarity {
                     ORDER BY dist DESC, vec_id) AS rn,
                   count(*) OVER (PARTITION BY label) AS n FROM dist)
         SELECT vec_id, label, dist, rn <= ceil(0.05 * n) AS is_outlier
-        FROM r ORDER BY vec_id"""))
+        FROM r ORDER BY vec_id""")),
+
+    // ---- ss15: semi-hard negative mining for contrastive training ----
+    // The pair-mining step an embedding-training pipeline runs between dedup
+    // and batch assembly: for each anchor, the top-k highest-cosine vectors
+    // of a DIFFERENT label that are still FARTHER than the anchor's hardest
+    // (= most similar) same-label positive — FaceNet's semi-hard criterion
+    // (cos(a,n) < cos(a,p_hardest)), the band where triplet gradients are
+    // informative without collapsing training. Shapes (100 TB): anchors are
+    // a broadcast-bounded sample batch (the production loop mines per
+    // training batch, never all-pairs); BOTH corpus passes are map-only
+    // broadcast joins — pass 1 reduces same-label pairs to one hardest-
+    // positive row per anchor (tiny, broadcast back), pass 2 ranks the
+    // different-label band per anchor (the only shuffle: anchors × top-k
+    // window, same shape as ss01). Anchors with no same-label peer have no
+    // triplet and drop via the inner join; raw cos doubles per the ss01 note
+    // (rank ordering is the cross-engine proof, vec_id breaks ties).
+    Q("ss15_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = vecs(s, d)
+        val a = broadcast(all.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+            col("vec").as("av"), col("nrm").as("an")))
+        def pairs = a.join(all, col("vec_id") =!= col("a_id"))
+          .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+            cosine(col("av"), col("vec"), col("an"), col("nrm")).as("cos"))
+        val pos = pairs.filter(col("label") === col("a_label"))
+          .groupBy(col("a_id")).agg(max(col("cos")).as("pos_cos"))
+        val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
+        pairs.filter(col("label") =!= col("a_label"))
+          .join(broadcast(pos), "a_id")
+          .filter(col("cos") < col("pos_cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("a_id"), col("vec_id").as("neg_id"), col("cos"),
+            col("pos_cos"), col("rank"))
+          .orderBy(col("a_id"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS a_id, label AS a_label, vec AS av FROM v WHERE vec_id % 50 = 0),
+          pairs AS (SELECT a_id, a_label, vec_id, label,
+                      list_cosine_similarity(av, vec) AS cos
+                    FROM a JOIN v ON vec_id <> a_id),
+          pos AS (SELECT a_id, max(cos) AS pos_cos FROM pairs
+                  WHERE label = a_label GROUP BY a_id),
+          neg AS (SELECT p.a_id, p.vec_id, p.cos, pos.pos_cos,
+                    row_number() OVER (PARTITION BY p.a_id
+                      ORDER BY p.cos DESC, p.vec_id) AS rank
+                  FROM pairs p JOIN pos ON p.a_id = pos.a_id
+                  WHERE p.label <> p.a_label AND p.cos < pos.pos_cos)
+        SELECT a_id, vec_id AS neg_id, cos, pos_cos, CAST(rank AS INT) AS rank
+        FROM neg WHERE rank <= 5 ORDER BY a_id, rank"""))
   )
 }

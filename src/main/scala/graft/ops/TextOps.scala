@@ -55,11 +55,11 @@ object TextOps {
     }.mkString("CASE ", " ", s" ELSE '${sc.last._1}' END")
   }
 
-  /** The vocabulary tokenizer (tx05/tx06 share it so both queries agree on
-    * what a token is — lowercase alphabetic runs of length >= 2). */
-  private def vocabTokens: Column =
+  /** The vocabulary tokenizer (tx05/tx06/sp14 share it so every consumer
+    * agrees on what a token is — lowercase alphabetic runs of length >= 2). */
+  private[ops] def vocabTokens: Column =
     regexp_extract_all(lower(col("text")), lit("[a-z]{2,}"), lit(0))
-  private val vocabTokensSql = "regexp_extract_all(lower(text), '[a-z]{2,}')"
+  private[ops] val vocabTokensSql = "regexp_extract_all(lower(text), '[a-z]{2,}')"
 
   /** The whitespace token count and dd01's exact fingerprint — pp04's
     * pipeline and its streaming ingest twin ([[Ingest]]) must agree

@@ -486,4 +486,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("ss15 hard negatives: broadcast-only joins, no sort-merge, no cartesian") {
+    val p = plan("ss15_hard_negatives")
+    // anchor x corpus is a broadcast nested-loop (non-equi, like ss01);
+    // the hardest-positive attach is a broadcast hash join on a_id
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("sp14 DSIR: broadcast weight-table attach, partial aggregation, no sort-merge") {
+    val p = plan("sp14_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_"), "bucket/doc aggregations must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
 }

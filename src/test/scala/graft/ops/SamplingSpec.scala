@@ -211,4 +211,58 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ts.size == tierSizes.size, s"round $r missing a live tier")
     }
   }
+
+  test("sp14 DSIR scores match an independent scala replay; target slice scores higher") {
+    val got = graft.SparkEntry.queries("sp14_dsir_resample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+
+    // independent replay of the whole model with plain collections
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bkt(tok: String): String =
+      md.digest(tok.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+    val tokRe = "[a-z]{2,}".r
+    def toks(text: String): Seq[String] = tokRe.findAllIn(text.toLowerCase).toSeq
+    val allToks = docs.toSeq.flatMap { case (id, src, lang, text) =>
+      toks(text).map(t => (id, src, lang, bkt(t)))
+    }
+    val rCnt = allToks.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val tCnt = allToks.filter(_._3 == "en").groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val rTot = allToks.size.toLong
+    val tTot = allToks.count(_._3 == "en").toLong
+    def w(b: String): Double =
+      math.log((tCnt.getOrElse(b, 0L) + 1).toDouble / (tTot + 256).toDouble) -
+        math.log((rCnt.getOrElse(b, 0L) + 1).toDouble / (rTot + 256).toDouble)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-doc sum in token order — the same order both engines accumulate in
+    val scores = allToks.groupBy(t => (t._1, t._2)).view
+      .mapValues(ts => round6(ts.map(t => w(t._4)).sum)).toSeq
+      .map { case ((id, src), sc) => (id, src, sc) }
+    val expected = scores.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (-d._3, d._1)).take(20).zipWithIndex
+        .map { case ((id, src, sc), i) => (id, src, sc, i + 1) }
+    }.sortBy(t => (t._2, t._4))
+
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4, s"selection mismatch: $g vs $e")
+      // engine sums floats in the same token order; 6dp rounding on both
+      // sides makes equality exact unless a sum sits within ~1e-13 of a
+      // rounding boundary — allow one ulp of the 6th decimal
+      assert(math.abs(g._3 - e._3) <= 1e-6 + 1e-12, s"score mismatch: $g vs $e")
+    }
+    // model sanity: the target (lang='en') slice must average a higher LLR
+    // than the rest — the direction DSIR selection exists to exploit
+    val byLang = allToks.groupBy(t => (t._1, t._3)).view
+      .mapValues(ts => ts.map(t => w(t._4)).sum).toSeq
+    val (en, rest) = byLang.partition(_._1._2 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enAvg = en.map(_._2).sum / en.size
+    val restAvg = rest.map(_._2).sum / rest.size
+    assert(enAvg > restAvg,
+      s"target-slice mean LLR $enAvg must exceed non-target $restAvg")
+  }
 }

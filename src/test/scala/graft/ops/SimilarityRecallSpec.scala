@@ -171,4 +171,48 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"ss11 IVFADC recall@5 = $recall — below the pinned 0.5 floor (measured 0.56)")
     exact.unpersist()
   }
+
+  test("ss15 semi-hard negatives match an independent scala replay exactly") {
+    val rows = SparkEntry.queries("ss15_hard_negatives")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+
+    // independent replay: same FaceNet criterion computed with plain loops
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), r.getInt(2), v)
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val expected = vs.filter(_._1 % 50 == 0).toSeq.flatMap { case (aid, alab, av) =>
+      val others = vs.filter(_._1 != aid)
+      val sameLab = others.filter(_._2 == alab)
+      if (sameLab.isEmpty) Seq.empty
+      else {
+        val pos = sameLab.map(o => cos(av, o._3)).max
+        others.filter(_._2 != alab)
+          .map(o => (o._1, cos(av, o._3)))
+          .filter(_._2 < pos)
+          .sortBy { case (id, c) => (-c, id) }
+          .take(5).zipWithIndex
+          .map { case ((nid, c), i) => (aid, nid, c, pos, i + 1) }
+      }
+    }.sortBy(t => (t._1, t._5))
+
+    assert(rows.length == expected.length)
+    assert(rows.length > 0, "fixture must produce semi-hard negatives")
+    rows.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 == exp._1 && got._2 == exp._2 && got._5 == exp._5,
+        s"rank/id mismatch: $got vs $exp")
+      assert(math.abs(got._3 - exp._3) < 1e-12 && math.abs(got._4 - exp._4) < 1e-12,
+        s"cosine mismatch: $got vs $exp")
+    }
+    // the criterion itself, restated on the output: strictly semi-hard
+    rows.foreach { case (a, _, c, p, _) =>
+      assert(c < p, s"anchor $a emitted a negative at cos $c >= pos_cos $p")
+    }
+  }
 }
