@@ -535,6 +535,25 @@ object JsonataQueries {
           n_chars * 2 + 1 AS scaled
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx30: transform `|...|...|` object patching on the COMPILED tier ----
+    // ---- (B22, round-11 ApplyOp/TransformExpr case): in-place patch, a   ----
+    // ---- new appended key, and a delete, all in one expression. The      ----
+    // ---- update evaluates ONCE against the PRE-mutation match (quality   ----
+    // ---- reads the ORIGINAL n_chars while n_chars patches to +1); the    ----
+    // ---- deleted key decodes as the declared column's NULL. Fallback     ----
+    // ---- boundary (raising/fan-out/dynamic shapes) pinned in             ----
+    // ---- DifferentialSpec; grammar coverage in FuzzDifferentialSpec.     ----
+    q("jx30_record_patch", "documents",
+      "value ~> |$|{'lang': $uppercase(lang), " +
+        "'quality': n_chars > 500 ? 'long' : 'short', " +
+        "'n_chars': n_chars + 1}, 'text'|",
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, quality STRING",
+      Seq("doc_id"),
+      Some("""SELECT doc_id, CAST(NULL AS VARCHAR) AS text, upper(lang) AS lang,
+          source, n_chars + 1 AS n_chars,
+          CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS quality
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

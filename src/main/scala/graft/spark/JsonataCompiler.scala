@@ -120,6 +120,11 @@ object JsonataCompiler {
           cond <- ctx.compileBool(c)
           outs <- compileOutputs(ctx, e)
         } yield CompiledQuery(Some(!coalesce(cond, lit(false))), outs)
+      // `base ~> |...|...|` as the whole query: an undefined (null nested
+      // struct) base is an undefined result = a tombstone — carried as the
+      // compiled filter, exactly the engine's drop
+      case ApplyOp(l, t: TransformExpr) =>
+        ctx.transformQuery(l, t).map { case (outs, filt) => CompiledQuery(filt, outs) }
       case other =>
         compileOutputs(ctx, other).map(outs => CompiledQuery(None, outs))
     }
@@ -134,6 +139,10 @@ object JsonataCompiler {
     * or discards — identical to decoding the engine's key-absent JSON. */
   private def compileOutputs(ctx: Ctx, a: Ast): Option[Seq[(String, Column)]] = a match {
     case o: ObjCtor => compileObject(ctx, o)
+    // `value ~> |...|...|` as the whole query: the patched record IS the
+    // output object — spread its fields (keep=false -> NULL, the typed
+    // boundary's key-absent encoding, same as JsonataDF.auto null-fill)
+    case ApplyOp(l, t: TransformExpr) => ctx.transformOutputs(l, t)
     case Call(VarRef("merge"), Vector(ArrCtor(items))) if items.nonEmpty =>
       val parts = items.map { it =>
         ctx.structObjOutputs(it).orElse(it match {
@@ -882,6 +891,8 @@ object JsonataCompiler {
       case Call(VarRef("sift"), as) if as.length == 2 => compileStructSift(as)
       case ApplyOp(l, Call(VarRef("sift"), as)) if as.length == 1 =>
         compileStructSift(l +: as)
+      // a compiled object-patch is itself a struct object (jx30 $merge parts)
+      case ApplyOp(l, t: TransformExpr) => transformFields(l, t).map(_._1)
       case _ => None
     }
 
@@ -889,6 +900,272 @@ object JsonataCompiler {
     private def fieldBindings(params: Vector[String], f: VField): Seq[(String, TCol)] =
       Seq(params.head -> TCol(f.col, f.dt)) ++
         params.lift(1).map(_ -> TCol(lit(f.name), StringType))
+
+    /** `base ~> | pattern | {updates} [, deletes] |` — compiled object
+      * patching (B22's configured shape: patch this record / this nested
+      * object), gated to the statically-decidable form:
+      *  - base: a value-rooted struct spread ([[compileStructObj]] paths —
+      *    `value` or `value.a.b`; sift/computed bases stay interpreted).
+      *    An UNDEFINED base (null nested struct) makes the engine return
+      *    undefined from the whole apply (TransformFn's null-arg early
+      *    return) — every output keep flag is AND-ed with `defined` and
+      *    the TCol materialization nulls the struct itself.
+      *  - pattern: `$` (the patched clone itself) or a plain name-step path
+      *    resolving THROUGH StructTypes to a StructType. A step absent from
+      *    the schema can never match a typed input — the transform compiles
+      *    to the unpatched base (the engine's no-match behavior); a
+      *    MID-path scalar likewise matches nothing (name steps over
+      *    non-objects are empty). A FINAL non-struct makes the engine raise
+      *    T2013 on non-null values, and an array on the path fans the match
+      *    out per element — both fall back.
+      *  - update: an object constructor with DISTINCT literal keys (dup
+      *    keys raise D1009 in the engine) whose values compile
+      *    context-rooted against the matched object (the engine evaluates
+      *    the update with ctx = match; bare names resolve against it via
+      *    the "" binding) and are statically json-null-free
+      *    ([[cannotBeJsonNull]]): the tier encodes undefined as SQL NULL,
+      *    and an UNDEFINED update value drops its pair from the patch
+      *    object (evalGroup's `if (value != null)`) so the original field
+      *    SURVIVES — while an explicit JSON null would overwrite it. Typed
+      *    struct navigation can only surface undefined (RowJson omits null
+      *    object fields), so refusing the forms that can produce an
+      *    explicit null (array-element access via stages; HOF folds over
+      *    arrays, whose elements keep explicit nulls; `null` literals never
+      *    compile at all) makes coalesce(new, original) exact.
+      *  - deletes: a string literal or array of string literals, removed
+      *    AFTER the update exactly like TransformFn (so deleting a
+      *    just-patched key wins); absent keys no-op.
+      * Existing keys update IN PLACE (ObjectNode.set replaces at position)
+      * and new keys append in update order — mirrored by the ordered VField
+      * list. A null matched object patches nothing: nested rebuilds guard
+      * on the match's isNotNull. */
+    private def transformFields(l: Ast, t: TransformExpr): Option[(Seq[VField], Column)] = {
+      val upd: Option[Vector[(String, Ast)]] = t.update match {
+        case ObjCtor(pairs) =>
+          val ks = pairs.map { case (StrLit(k), v) => Some(k -> v); case _ => None }
+          val got = ks.flatten
+          if (ks.forall(_.isDefined) && got.map(_._1).distinct.length == got.length)
+            Some(got)
+          else None
+        case _ => None
+      }
+      val dels: Option[Vector[String]] = t.deletes match {
+        case None => Some(Vector.empty)
+        case Some(StrLit(s)) => Some(Vector(s))
+        case Some(ArrCtor(items)) if items.nonEmpty && items.forall(_.isInstanceOf[StrLit]) =>
+          Some(items.collect { case StrLit(s) => s })
+        case _ => None
+      }
+      def patSteps(a: Ast): Option[List[String]] = a match {
+        case VarRef("") => Some(Nil)
+        case NameStep(n) => Some(List(n))
+        case Path(steps, false, None)
+            if steps.forall(s => s.stages.isEmpty && !s.keepArray &&
+              s.focus.isEmpty && s.index.isEmpty) =>
+          val es = steps.map(_.expr)
+          if (es.length == 1 && es.head == VarRef("")) Some(Nil)
+          else if (es.forall(_.isInstanceOf[NameStep]))
+            Some(es.collect { case NameStep(n) => n }.toList)
+          else None
+        case _ => None
+      }
+      val base: Option[(Seq[VField], Column)] = l match {
+        case NameStep("value") => compileStructObj(l).map(_ -> lit(true))
+        case p: Path => compileStructObj(p).map { vfs =>
+          val names = valuePath(p).getOrElse(Seq.empty)
+          vfs -> (if (names.isEmpty) lit(true) else col(names.mkString(".")).isNotNull)
+        }
+        case _ => None
+      }
+      for {
+        bd <- base
+        path <- patSteps(t.pattern)
+        pairs <- upd
+        delKeys <- dels
+        if pairs.forall { case (_, v) => cannotBeJsonNull(v) }
+        out <- patchVirtual(bd._1, path, pairs, delKeys)
+      } yield (out.map(f => VField(f.name, f.col, f.dt, bd._2 && f.keep)), bd._2)
+    }
+
+    /** Top-level spread of a compiled transform, ROOT bases only: an
+      * undefined base makes the engine return undefined from the whole
+      * apply — at top level that is a TOMBSTONE (record dropped), which a
+      * bare output list cannot express. Root (`value`) bases are always
+      * defined, so only they are valid where no filter can be attached
+      * (tombstone branches, $merge parts); [[transformQuery]] carries the
+      * defined-filter for the direct top-level shape. */
+    def transformOutputs(l: Ast, t: TransformExpr): Option[Seq[(String, Column)]] = {
+      val rootBase = l match {
+        case NameStep("value") => true
+        case p: Path => valuePath(p).exists(_.isEmpty)
+        case _ => false
+      }
+      if (!rootBase) None
+      else transformFields(l, t).map(_._1.map(f => f.name -> when(f.keep, f.col)))
+    }
+
+    /** The whole-query transform shape: outputs + the undefined-base drop
+      * filter (None for root bases, which are always defined). */
+    def transformQuery(l: Ast, t: TransformExpr): Option[(Seq[(String, Column)], Option[Column])] =
+      transformFields(l, t).map { case (vfs, defined) =>
+        val filt = l match {
+          case NameStep("value") => None
+          case p: Path if valuePath(p).exists(_.isEmpty) => None
+          case _ => Some(defined)
+        }
+        (vfs.map(f => f.name -> when(f.keep, f.col)), filt)
+      }
+
+    /** Patch at `path` inside the virtual (spread) object `fields`. */
+    private def patchVirtual(fields: Seq[VField], path: List[String],
+        pairs: Vector[(String, Ast)], delKeys: Vector[String]): Option[Seq[VField]] =
+      path match {
+        case Nil =>
+          val (ctxCol, ctxSt) = vfStruct(fields)
+          applyPatch(fields, ctxCol, ctxSt, pairs, delKeys)
+        case n :: rest =>
+          fields.indexWhere(_.name == n) match {
+            case -1 => Some(fields) // key can never exist in typed input: no match
+            case i => fields(i).dt match {
+              case st: StructType =>
+                patchReal(fields(i).col, st, rest, pairs, delKeys).map { case (c2, st2) =>
+                  val guarded = when(fields(i).col.isNotNull, c2)
+                  fields.updated(i, VField(n, guarded, st2, guarded.isNotNull))
+                }
+              case _: ArrayType => None // per-element fan-out: interpreted
+              case _ =>
+                // scalar mid-path: name steps over non-objects match nothing
+                if (rest.nonEmpty) Some(fields)
+                else None // final non-struct match raises T2013: interpreted
+            }
+          }
+      }
+
+    /** Patch at `path` inside a REAL struct column. Returns the rebuilt
+      * column + its (possibly widened) type. */
+    private def patchReal(c: Column, st: StructType, path: List[String],
+        pairs: Vector[(String, Ast)], delKeys: Vector[String]): Option[(Column, StructType)] =
+      path match {
+        case Nil =>
+          val fields = st.fields.toSeq.map { f =>
+            val fc = c.getField(f.name)
+            VField(f.name, fc, f.dataType, fc.isNotNull)
+          }
+          applyPatch(fields, c, st, pairs, delKeys).map(vfStruct)
+        case n :: rest =>
+          st.fields.find(_.name == n) match {
+            case None => Some((c, st)) // absent key: no match
+            case Some(f) => f.dataType match {
+              case ist: StructType =>
+                patchReal(c.getField(n), ist, rest, pairs, delKeys).map { case (c2, st2) =>
+                  val vfs = st.fields.toSeq.map { g =>
+                    if (g.name != n) {
+                      val gc = c.getField(g.name)
+                      VField(g.name, gc, g.dataType, gc.isNotNull)
+                    } else {
+                      val guarded = when(c.getField(n).isNotNull, c2)
+                      VField(n, guarded, st2, guarded.isNotNull)
+                    }
+                  }
+                  vfStruct(vfs)
+                }
+              case _: ArrayType => None
+              case _ => if (rest.nonEmpty) Some((c, st)) else None
+            }
+          }
+      }
+
+    /** Apply the update pairs then the deletes to an ordered field list,
+      * compiling each update value with ctx = the matched object. */
+    private def applyPatch(fields: Seq[VField], ctxCol: Column, ctxSt: StructType,
+        pairs: Vector[(String, Ast)], delKeys: Vector[String]): Option[Seq[VField]] = {
+      val compiled = pairs.map { case (k, vAst) =>
+        bound(Seq("" -> TCol(ctxCol, ctxSt)))(compile(vAst)).map(k -> _)
+      }
+      if (!compiled.forall(_.isDefined)) return None
+      var out = fields.toVector
+      compiled.flatten.foreach { case (k, vc) =>
+        out.indexWhere(_.name == k) match {
+          case -1 => out = out :+ VField(k, vc.col, vc.dt, vc.col.isNotNull)
+          case i => unifyMerge(out(i), vc) match {
+            case Some(nf) => out = out.updated(i, nf)
+            case None => return None
+          }
+        }
+      }
+      // deletes keep their column slot with keep=false (a NULL column IS the
+      // key-absent encoding at the typed boundary — same convention as the
+      // struct-$sift drops), so declared output schemas and nested
+      // navigation both see the engine's removed-key behavior
+      Some(out.map(f =>
+        if (delKeys.contains(f.name)) VField(f.name, f.col, f.dt, lit(false)) else f))
+    }
+
+    /** Merge an update value over an existing field: engine keeps the
+      * original when the patch value is undefined (the pair was dropped
+      * from the update object), else overwrites. Types must agree up to
+      * the numeric tower (both integral -> long; any float side -> double
+      * — exact widenings only); anything else stays interpreted. */
+    private def unifyMerge(f: VField, vc: TCol): Option[VField] = {
+      def flt(dt: DataType) = dt == DoubleType || dt == FloatType
+      val uni: Option[(Column, Column, DataType)] = (f.dt, vc.dt) match {
+        case (a, b) if a == b => Some((when(f.keep, f.col), vc.col, a))
+        case (a, b) if isIntegral(a) && isIntegral(b) =>
+          Some((when(f.keep, f.col).cast(LongType), vc.col.cast(LongType), LongType))
+        case (a, b) if (isIntegral(a) || flt(a)) && (isIntegral(b) || flt(b)) =>
+          Some((when(f.keep, f.col).cast(DoubleType), vc.col.cast(DoubleType), DoubleType))
+        case _ => None
+      }
+      uni.map { case (oc, nc, dt) =>
+        val merged = coalesce(nc, oc)
+        VField(f.name, merged, dt, merged.isNotNull)
+      }
+    }
+
+    /** Materialize a virtual object as a struct column + type (absent
+      * fields — keep=false — become SQL NULLs, the tier's key-absent
+      * encoding at the typed boundary). */
+    private def vfStruct(vfs: Seq[VField]): (Column, StructType) =
+      (struct(vfs.map(f => when(f.keep, f.col).as(f.name)): _*),
+        StructType(vfs.map(f => StructField(f.name, f.dt, nullable = true)).toArray))
+
+    /** Builtins whose engine result is a value or undefined, NEVER an
+      * explicit JSON null — safe as transform update values under the
+      * tier's NULL==undefined encoding. HOFs are excluded: a fold/map over
+      * an array can surface an element, and array elements keep explicit
+      * nulls through the codec. */
+    private val nullFreeFns: Set[String] = Set(
+      "string", "uppercase", "lowercase", "trim", "substring",
+      "substringBefore", "substringAfter", "pad", "contains", "split",
+      "join", "replace", "length", "number", "abs", "floor", "ceil",
+      "round", "sqrt", "power", "formatNumber", "formatBase",
+      "formatInteger", "parseInteger", "sum", "max", "min", "average",
+      "count", "boolean", "not", "exists")
+
+    /** Statically json-null-free shapes (see [[transformFields]]): struct
+      * navigation yields undefined (never NullNode) on typed inputs, and
+      * the whitelisted scalar builtins return values or undefined. Stage/
+      * focus/index-bearing paths are refused — an array ELEMENT can be an
+      * explicit null. */
+    private def cannotBeJsonNull(a: Ast): Boolean = a match {
+      case _: StrLit | _: NumLit | _: BoolLit => true
+      case _: VarRef | _: NameStep => true
+      case _: ArrCtor => true // the array value itself is never a JSON null
+      case Ast.UnaryMinus(e) => cannotBeJsonNull(e)
+      case Binary(_, lx, rx) => cannotBeJsonNull(lx) && cannotBeJsonNull(rx)
+      case Cond(c, tb, eb) =>
+        cannotBeJsonNull(c) && cannotBeJsonNull(tb) && eb.forall(cannotBeJsonNull)
+      case Block(Seq(e)) if !containsBind(e) => cannotBeJsonNull(e)
+      case Call(VarRef(fn), args) => nullFreeFns(fn) && args.forall(cannotBeJsonNull)
+      case p: Path =>
+        p.steps.forall(s => s.stages.isEmpty && s.focus.isEmpty &&
+          s.index.isEmpty && !s.keepArray) &&
+          p.steps.forall(_.expr match {
+            case _: NameStep | _: VarRef => true
+            case _ => false
+          })
+      case _ => false
+    }
 
     /** Constant-fold comparisons of the key parameter against string literals
       * for ONE field (the key is statically known per field), then fold
@@ -1764,6 +2041,14 @@ object JsonataCompiler {
           case t if t.dt == StringType =>
             TCol(get(RegexMatchAll.column(t.col, p.pattern, p.flags, 1), lit(0)),
               RegexMatchAll.resultType.asInstanceOf[ArrayType].elementType)
+        }
+      // `base ~> |pattern|{...}|dels|` — compiled object patching (B22);
+      // the struct itself is NULL when the base is undefined (TransformFn's
+      // null-arg early return), so downstream navigation/exists agree.
+      case ApplyOp(l, t: TransformExpr) =>
+        transformFields(l, t).map { case (vfs, defined) =>
+          val (c, st) = vfStruct(vfs)
+          TCol(when(defined, c), st)
         }
       case _ => None
     }

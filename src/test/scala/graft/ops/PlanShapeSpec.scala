@@ -487,6 +487,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("jx30 transform patch runs compiled: struct rebuild projection, no interpreter") {
+    val p = plan("jx30_record_patch")
+    assert(!p.contains("jsonata"), "jx30 must run on the compiled tier, not the interpreter")
+  }
+
   test("ss15 hard negatives: broadcast-only joins, no sort-merge, no cartesian") {
     val p = plan("ss15_hard_negatives")
     // anchor x corpus is a broadcast nested-loop (non-equi, like ss01);

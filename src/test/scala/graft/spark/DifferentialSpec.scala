@@ -1443,4 +1443,80 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df,
       "{'x': ($uppercase ~> $trim)(value.c)}").isEmpty)
   }
+
+  test("compiled transform |...|...|: patch in place, new keys, deletes, ctx-rooted values") {
+    val full = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    // in-place patch: ctx-rooted bare names + $ paths resolve against the match
+    diff("documents", "value ~> |$|{'lang': $uppercase(lang), 'n_chars': $.n_chars + 1}|",
+      full, "doc_id")
+    // new keys append; existing order untouched
+    diff("documents", "value ~> |$|{'short': n_chars < 200, 'tag': lang & '-' & source}|",
+      full + ", short BOOLEAN, tag STRING", "doc_id")
+    // deletes run AFTER the update (patched n_chars survives, text/source drop
+    // to the key-absent encoding)
+    diff("documents", "value ~> |$|{'n_chars': n_chars + 1}, ['text','source']|",
+      full, "doc_id")
+    // an UNDEFINED update value drops its pair: the original field survives
+    // (engine evalGroup omits null-valued pairs; compiled coalesce keeps orig)
+    diff("documents", "value ~> |$|{'lang': source = 'nosuch' ? 'xx'}|", full, "doc_id")
+    // pattern naming a schema-absent key matches nothing: identity
+    diff("documents", "value ~> |missing|{'a': 1}|", full, "doc_id")
+    // mid-path scalar matches nothing too (name steps over non-objects)
+    diff("documents", "value ~> |text.deeper|{'a': 1}|", full, "doc_id")
+  }
+
+  test("compiled transform: nested patterns, undefined bases, numeric widening") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val nested = spark.createDataFrame(
+      Seq(Row(1L, Row(10L, "a"), "k1"), Row(2L, null, "k2"),
+        Row(3L, Row(30L, null), "k3")).asJava,
+      StructType.fromDDL("id BIGINT, meta STRUCT<a: BIGINT, b: STRING>, k STRING"))
+    val nddl = "id BIGINT, meta STRUCT<a: BIGINT, b: STRING>, k STRING"
+    // nested pattern: null match (row 2) patches nothing; null nested field
+    // (row 3's b) stays the key-absent null
+    diffDf(nested, "value ~> |meta|{'a': a * 2}|", nddl, "id")
+    // new nested key widens the struct type
+    diffDf(nested, "value ~> |meta|{'c': $string(a)}|",
+      "id BIGINT, meta STRUCT<a: BIGINT, b: STRING, c: STRING>, k STRING", "id")
+    // nested delete after patch
+    diffDf(nested, "value ~> |meta|{'a': a + 1}, 'b'|", nddl, "id")
+    // UNDEFINED BASE = tombstone: value.meta is null on row 2 — the engine
+    // returns undefined from the whole apply and the record drops; the
+    // compiled filter carries exactly that
+    diffDf(nested, "value.meta ~> |$|{'b': 'patched'}|", "a BIGINT, b STRING", "a")
+    // long field patched with a double widens to double (engine number space)
+    diffDf(nested, "value ~> |meta|{'a': a / 2}|",
+      "id BIGINT, meta STRUCT<a: DOUBLE, b: STRING>, k STRING", "id")
+  }
+
+  test("transform fallback boundary: raising/fan-out/dynamic shapes stay interpreted") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // final non-struct pattern: the engine raises T2013 on the matched scalar
+    assert(JsonataCompiler.transformCompiled(docs, "value ~> |text|{'a': 1}|").isEmpty)
+    // dynamic delete keys / non-literal update keys
+    assert(JsonataCompiler.transformCompiled(docs,
+      "value ~> |$|{'a': 1}, lang|").isEmpty)
+    assert(JsonataCompiler.transformCompiled(docs,
+      "value ~> |$|{lang: 1}|").isEmpty)
+    // duplicate literal update keys raise D1009 in the engine
+    assert(JsonataCompiler.transformCompiled(docs,
+      "value ~> |$|{'a': 1, 'a': 2}|").isEmpty)
+    // update values that can surface an explicit JSON null (array element
+    // access / HOF folds) are refused — undefined-vs-null is not decidable
+    // from the compiled NULL encoding
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val arr = spark.createDataFrame(
+      Seq(Row(1L, Seq[java.lang.Long](5L, null, 7L))).asJava,
+      StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>"))
+    assert(JsonataCompiler.transformCompiled(arr, "value ~> |$|{'a': xs[0]}|").isEmpty)
+    assert(JsonataCompiler.transformCompiled(arr,
+      "value ~> |$|{'a': $reduce(xs, function($u, $v){$v})}|").isEmpty)
+    // array on the pattern path fans the match out per element: interpreted
+    val arrSt = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row(2L)))).asJava,
+      StructType.fromDDL("id BIGINT, ms ARRAY<STRUCT<a: BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(arrSt, "value ~> |ms|{'a': 9}|").isEmpty)
+  }
 }

@@ -687,4 +687,113 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assertRate(compiled, 200, s"chain compile rate dropped: $compiled/200")
   }
+
+  test("150 seeded transform |...|...| patch shapes agree with the interpreter") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(61807L + seedOff)
+    val df = FuzzGrammar.rows.toDF("k", "num_a", "num_b", "str_a", "str_b", "arr")
+
+    // context-rooted value grammar: the update evaluates with ctx = the
+    // matched object, so field references are BARE names (or $.name), never
+    // value.* — the whole reason this family can't reuse FuzzGrammar.Gen
+    def numv(d: Int): String =
+      if (d <= 0) rnd.nextInt(6) match {
+        case 0 => "num_a"
+        case 1 => "num_b"
+        case 2 => "$.num_a"
+        case 3 => rnd.nextInt(50).toString
+        case 4 => s"${rnd.nextInt(20)}.${rnd.nextInt(9) + 1}"
+        case _ => if (rnd.nextBoolean()) "$sum(arr)" else "$count(arr)"
+      }
+      else rnd.nextInt(6) match {
+        case 0 => s"(${numv(d - 1)} + ${numv(d - 1)})"
+        case 1 => s"(${numv(d - 1)} * ${numv(d - 1)})"
+        case 2 => s"$$abs(${numv(d - 1)})"
+        case 3 => s"$$round(${numv(d - 1)}, ${rnd.nextInt(3)})"
+        case 4 => s"(${boolv()} ? ${numv(d - 1)} : ${numv(d - 1)})"
+        case _ => numv(0)
+      }
+    def strv(d: Int): String =
+      if (d <= 0) rnd.nextInt(3) match {
+        case 0 => "str_a"
+        case 1 => "$.str_b"
+        case _ => s"'${"abcxyz".charAt(rnd.nextInt(6))}'"
+      }
+      else rnd.nextInt(5) match {
+        case 0 => s"$$uppercase(${strv(d - 1)})"
+        case 1 => s"$$trim(${strv(d - 1)})"
+        case 2 => s"(${strv(d - 1)} & ${strv(d - 1)})"
+        case 3 => s"$$substring(${strv(d - 1)}, ${rnd.nextInt(2)}, ${rnd.nextInt(4) + 1})"
+        case _ => strv(0)
+      }
+    def boolv(): String = {
+      val op = Seq(">", "<", ">=", "=", "!=")(rnd.nextInt(5))
+      if (rnd.nextBoolean()) s"(${numv(0)} $op ${numv(0)})"
+      else s"(${strv(0)} ${Seq("=", "!=")(rnd.nextInt(2))} ${strv(0)})"
+    }
+    // one update pair: typed against its key (existing keys keep/widen their
+    // numeric space; new keys take any type); 1-in-6 draws the
+    // undefined-keeps-original form (conditional with an absent else)
+    def pair(): (String, String) = {
+      val (k, v) = rnd.nextInt(6) match {
+        case 0 => ("num_a", numv(2))
+        case 1 => ("num_b", numv(1))
+        case 2 => ("str_a", strv(2))
+        case 3 => ("str_b", strv(1))
+        case 4 => ("p1", if (rnd.nextBoolean()) numv(1) else boolv())
+        case _ => ("p2", strv(1))
+      }
+      val vv = if (rnd.nextInt(6) == 0) s"(${boolv()} ? $v)" else v
+      (k, vv)
+    }
+    var compiled = 0
+    (1 to 150).foreach { n =>
+      val pairs = {
+        var ps = Vector.empty[(String, String)]
+        (1 to rnd.nextInt(3) + 1).foreach { _ =>
+          val p = pair()
+          if (!ps.exists(_._1 == p._1)) ps :+= p // dup keys raise D1009
+        }
+        ps
+      }
+      val upd = pairs.map { case (k, v) => s"'$k': $v" }.mkString("{", ", ", "}")
+      val dels = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => ", 'str_b'"
+        case 2 => ", ['num_b', 'nosuchkey']"
+        case _ => ", 'p1'" // may delete a just-added key — deletes run last
+      }
+      val pat = rnd.nextInt(10) match {
+        case 0 => "nosuch"       // schema-absent: no match, identity
+        case 1 => "str_a.deeper" // mid-path scalar: no match, identity
+        case _ => "$"
+      }
+      val expr = s"value ~> |$pat|$upd$dels|"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        // legitimate out-of-subset draws exist (a ternary whose branches land
+        // on different numeric widths — the Cond type-agreement gate): skip,
+        // with the rate floor below keeping the grammar honest
+        case None => ()
+        case Some(c) =>
+          compiled += 1
+          // declared schema = the compiled output schema: the interpreter
+          // decodes to it, so numeric widening tracks automatically
+          val ddl = c.schema.toDDL
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[transform-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            val same = ra.zip(rb).forall {
+              case (x: Double, y: Double) =>
+                (x.isNaN && y.isNaN) || math.abs(x - y) <= math.abs(x).max(1.0) * 1e-12
+              case (x, y) => x == y
+            }
+            assert(same, s"[transform-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 130, s"transform compile rate dropped: $compiled/150")
+  }
 }
