@@ -660,18 +660,12 @@ object Sampling {
     Q("sp14_dsir_resample",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def toks = t(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("lang"),
-            explode(TextOps.vocabTokens).as("token"))
-          .withColumn("bkt", substring(md5(col("token")), 1, 2))
-        val buckets = toks.groupBy(col("bkt")).agg(
-          count(lit(1)).as("r_cnt"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
-        val tot = buckets.agg(sum(col("r_cnt")).as("r_tot"), sum(col("t_cnt")).as("t_tot"))
-        val lw = buckets.crossJoin(broadcast(tot))
-          .select(col("bkt"),
-            (log((col("t_cnt") + 1).cast("double") / (col("t_tot") + 256).cast("double"))
-              - log((col("r_cnt") + 1).cast("double") / (col("r_tot") + 256).cast("double"))).as("w"))
+        val docs = t(s, d, "documents")
+        // model + scorer pieces shared with the streaming twin (Dsir)
+        val lw = Dsir.weights(Dsir.bucketCounts(docs))
+        def toks = docs
+          .select(col("doc_id"), col("source"), explode(TextOps.vocabTokens).as("token"))
+          .select(col("doc_id"), col("source"), Dsir.bucketCol(col("token")).as("bkt"))
         val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
         toks.join(broadcast(lw), "bkt")
           .groupBy(col("doc_id"), col("source")).agg(round(sum(col("w")), 6).as("score"))
