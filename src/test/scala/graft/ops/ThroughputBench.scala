@@ -80,7 +80,13 @@ object ThroughputBench extends App {
       ("project+fn",
         "{'event_id': value.event_id, 'user_id': value.user_id, " +
           "'v2': value.value * 2, 'et': $uppercase(value.event_type)}",
-        "event_id BIGINT, user_id BIGINT, v2 DOUBLE, et STRING"))
+        "event_id BIGINT, user_id BIGINT, v2 DOUBLE, et STRING"),
+      // round-11 compiled transform: patch-in-place + append + delete — the
+      // record-patching idiom the B22 compile exists for
+      ("transform patch",
+        "value ~> |$|{'et': $uppercase(event_type), 'v2': value * 2}, 'props'|",
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING, et STRING, v2 DOUBLE"))
     def run(label: String)(f: => DataFrame): Double = {
       f.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
