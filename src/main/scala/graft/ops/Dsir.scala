@@ -49,19 +49,25 @@ object Dsir {
           - log((col("r_cnt") + 1).cast("double") / (col("r_tot") + 256).cast("double"))).as("w"))
   }
 
+  /** Sentinel "bucket" carrying the UNSEEN-bucket weight through [[weights]]
+    * itself — never collides with a real 2-hex-char key. */
+  private val UnseenKey = "__unseen__"
+
   /** Driver-side model artifact for the streaming scorer: the weight map
-    * plus the weight of a bucket UNSEEN in the reference corpus (t_cnt =
-    * r_cnt = 0 -> ln((R+256)/(T+256)) — novel tokens arrive on a stream;
-    * the batch self-model never needs it). Bounded: <= 256 rows. */
+    * plus the weight of a bucket UNSEEN in the reference corpus (novel
+    * tokens arrive on a stream; the batch self-model never needs it).
+    * Both come out of the SAME [[weights]] formula — the default is the
+    * zero-count row, appended as a sentinel that leaves the totals
+    * untouched — so the formula has exactly one definition (a second
+    * driver-side copy could drift and silently re-rank the stream scorer
+    * against the batch selector). Bounded: <= 257 rows collected once per
+    * stream start. */
   def loadModel(counts: DataFrame): (Map[String, Double], Double) = {
-    val rows = counts.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val rTot = rows.map(_._2).sum
-    val tTot = rows.map(_._3).sum
-    val wmap = rows.map { case (b, rc, tc) =>
-      b -> (math.log((tc + 1).toDouble / (tTot + 256).toDouble)
-        - math.log((rc + 1).toDouble / (rTot + 256).toDouble))
-    }.toMap
-    (wmap, math.log((rTot + 256).toDouble / (tTot + 256).toDouble))
+    val zero = counts.sparkSession.range(1).selectExpr(
+      s"'$UnseenKey' AS bkt", "CAST(0 AS BIGINT) AS r_cnt", "CAST(0 AS BIGINT) AS t_cnt")
+    val all = weights(counts.unionByName(zero)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (all - UnseenKey, all(UnseenKey))
   }
 
   /** Per-row LLR score of `text` against a loaded model: a codegen'd fold
@@ -70,9 +76,13 @@ object Dsir {
     * bit-for-bit before the shared 6dp rounding. */
   def scoreCol(wmap: Map[String, Double], default: Double): Column = {
     val m = typedLit(wmap)
+    // NULL text scores 0.0 like empty text (the tokenless-doc contract the
+    // streaming monitoring shape depends on), never a NULL that would NPE
+    // readers or silently vanish under a score threshold
+    val toks = coalesce(TextOps.vocabTokens, array().cast("array<string>"))
     round(
       aggregate(
-        transform(TextOps.vocabTokens,
+        transform(toks,
           tok => coalesce(element_at(m, bucketCol(tok)), lit(default))),
         lit(0.0), (acc, x) => acc + x),
       6)

@@ -145,18 +145,42 @@ object JsonataCompiler {
     case ApplyOp(l, t: TransformExpr) => ctx.transformOutputs(l, t)
     case Call(VarRef("merge"), Vector(ArrCtor(items))) if items.nonEmpty =>
       val parts = items.map { it =>
-        ctx.structObjOutputs(it).orElse(it match {
-          case o: ObjCtor => compileObject(ctx, o)
+        ctx.structObjOutputsTyped(it).orElse(it match {
+          case o: ObjCtor => compileObjectTyped(ctx, o)
           case _ => None
         })
       }
       if (!parts.forall(_.isDefined)) None
       else {
-        val out = scala.collection.mutable.LinkedHashMap.empty[String, Column]
-        parts.flatten.flatten.foreach { case (k, c) => out.update(k, c) }
-        Some(out.toVector)
+        // Right-bias is on PRESENT keys: fMerge only sets keys the later
+        // object actually CARRIES, and under the boundary encoding presence
+        // is non-null — so a duplicate key merges as coalesce(later,
+        // earlier), never a static overwrite (a static update would let a
+        // later part's per-row ABSENT key — sifted away, deleted by a
+        // transform, or an undefined ctor value — clobber an earlier part's
+        // value with NULL; found by the round-11 review, verified live).
+        // Duplicate keys must agree on the normalized type or the whole
+        // query falls back — coalesce over mismatched types would throw at
+        // analysis where the tier's contract is fall-back-not-crash.
+        val out = scala.collection.mutable.LinkedHashMap.empty[String, (Column, DataType)]
+        var ok = true
+        parts.flatten.flatten.foreach { case (k, c, dt) =>
+          out.get(k) match {
+            case None => out.update(k, (c, dt))
+            case Some((prev, pdt)) =>
+              if (normDt(pdt) == normDt(dt)) out.update(k, (coalesce(c, prev), dt))
+              else ok = false
+          }
+        }
+        if (ok) Some(out.toVector.map { case (k, (c, _)) => k -> c }) else None
       }
     case _ => None
+  }
+
+  /** JSONata has one integer space — integral widths compare equal. */
+  private def normDt(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case other => other
   }
 
   /** Inline a top-level let-binding preamble — `($f := function(...){...};
@@ -487,10 +511,13 @@ object JsonataCompiler {
     case _ => false
   }
 
-  private def compileObject(ctx: Ctx, a: Ast): Option[Seq[(String, Column)]] = a match {
+  private def compileObject(ctx: Ctx, a: Ast): Option[Seq[(String, Column)]] =
+    compileObjectTyped(ctx, a).map(_.map { case (k, c, _) => k -> c })
+
+  private def compileObjectTyped(ctx: Ctx, a: Ast): Option[Seq[(String, Column, DataType)]] = a match {
     case ObjCtor(pairs) =>
       val outs = pairs.map {
-        case (StrLit(k), v) => ctx.compile(v).map(cv => k -> cv.col)
+        case (StrLit(k), v) => ctx.compile(v).map(cv => (k, cv.col, cv.dt))
         case _ => None
       }
       if (outs.forall(_.isDefined)) Some(outs.map(_.get)) else None
@@ -1033,6 +1060,9 @@ object JsonataCompiler {
                   fields.updated(i, VField(n, guarded, st2, guarded.isNotNull))
                 }
               case _: ArrayType => None // per-element fan-out: interpreted
+              // a MAP encodes as a JSON object the engine navigates INTO —
+              // not a scalar no-match (round-11 review, verified live)
+              case _: MapType => None
               case _ =>
                 // scalar mid-path: name steps over non-objects match nothing
                 if (rest.nonEmpty) Some(fields)
@@ -1070,6 +1100,7 @@ object JsonataCompiler {
                   vfStruct(vfs)
                 }
               case _: ArrayType => None
+              case _: MapType => None // JSON object to the engine (see above)
               case _ => if (rest.nonEmpty) Some((c, st)) else None
             }
           }
@@ -1893,6 +1924,9 @@ object JsonataCompiler {
       * field is a NULL column (= decoding the engine's key-absent JSON). */
     def structObjOutputs(a: Ast): Option[Seq[(String, Column)]] =
       compileStructObj(a).map(_.map(f => f.name -> when(f.keep, f.col)))
+
+    def structObjOutputsTyped(a: Ast): Option[Seq[(String, Column, DataType)]] =
+      compileStructObj(a).map(_.map(f => (f.name, when(f.keep, f.col), f.dt)))
 
     /** Column compilation with a constant-folding fallback: if the node is a
       * PURE subtree ([[StaticEval]]) evaluating to a scalar, it becomes a

@@ -1518,5 +1518,40 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Row(1L, Seq(Row(2L)))).asJava,
       StructType.fromDDL("id BIGINT, ms ARRAY<STRUCT<a: BIGINT>>"))
     assert(JsonataCompiler.transformCompiled(arrSt, "value ~> |ms|{'a': 9}|").isEmpty)
+    // a MAP field on the pattern path is a JSON object the engine navigates
+    // INTO — it must fall back, not compile to a scalar-style no-match
+    // (round-11 review finding, was a verified silent divergence)
+    val mapSt = spark.createDataFrame(
+      Seq(Row(1L, Map("x" -> Row(5L)))).asJava,
+      StructType.fromDDL("id BIGINT, m MAP<STRING, STRUCT<a: BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(mapSt, "value ~> |m.x|{'a': 99}|").isEmpty)
+  }
+
+  test("$merge right-bias is on PRESENT keys: per-row absent keys never clobber earlier parts") {
+    // round-11 review finding (verified divergence before the fix): the
+    // merge combine statically overwrote duplicate keys, so a later part's
+    // per-row ABSENT key — transform-deleted, sifted away, or an undefined
+    // ctor value — replaced an earlier part's value with NULL where fMerge
+    // keeps it (it only sets keys the later object CARRIES).
+    // key order is fMerge's FIRST-OCCURRENCE position — part1's keys lead
+    // transform part deletes 'text': the literal part's value must survive
+    diff("documents", "$merge([{'text': 'XX', 'doc_id': value.doc_id}, value ~> |$|{}, 'text'|])",
+      "text STRING, doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT", "doc_id")
+    // sift part drops 'lang' per row on a live predicate: earlier part wins
+    // exactly on the dropped rows, the sifted value on the kept rows
+    diff("documents",
+      "$merge([{'lang': 'zz', 'doc_id': value.doc_id}, " +
+        "$sift(value, function($v, $k){ $k != 'lang' or $string($v) = 'en' })])",
+      "lang STRING, doc_id BIGINT, text STRING, source STRING, n_chars BIGINT", "doc_id")
+    // undefined ctor value in the later part: earlier part's key survives
+    diff("documents",
+      "$merge([{'doc_id': value.doc_id, 'tag': 'kept'}, " +
+        "{'tag': value.n_chars > 1000000 ? 'never'}])",
+      "doc_id BIGINT, tag STRING", "doc_id")
+    // duplicate keys of MISMATCHED types cannot coalesce: whole query falls
+    // back rather than throwing at analysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(JsonataCompiler.transformCompiled(docs,
+      "$merge([{'x': value.n_chars}, {'x': value.lang}])").isEmpty)
   }
 }

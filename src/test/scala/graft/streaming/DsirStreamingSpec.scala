@@ -86,10 +86,12 @@ class DsirStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val counts = graft.ops.Dsir.bucketCounts(docs)
     val (wmap, default) = graft.ops.Dsir.loadModel(counts)
 
-    // hand-replay the default: ln((R+256)/(T+256))
+    // hand-replay the default as the zero-count instantiation of the ONE
+    // weight formula: ln((0+1)/(T+256)) - ln((0+1)/(R+256))
     val tots = counts.agg(sum("r_cnt"), sum("t_cnt")).collect()(0)
     val (r, t) = (tots.getLong(0), tots.getLong(1))
-    assert(math.abs(default - math.log((r + 256).toDouble / (t + 256).toDouble)) < 1e-15)
+    val hand = math.log(1.0 / (t + 256).toDouble) - math.log(1.0 / (r + 256).toDouble)
+    assert(math.abs(default - hand) < 1e-15)
 
     // a document of tokens hashed to (possibly) unseen buckets still scores:
     // every token contributes either its bucket weight or the default
@@ -105,5 +107,16 @@ class DsirStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(tok => wmap.getOrElse(bkt(tok), default)).sum)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(s == expect, s"probe score $s != hand-replayed $expect")
+
+    // NULL text scores 0.0 like empty text — the tokenless-doc monitoring
+    // contract (a NULL score would NPE readers or silently vanish under a
+    // score threshold; round-11 review finding)
+    val nulls = sp.createDataFrame(
+      Seq(Row(2L, "src", "zz", null), Row(3L, "src", "zz", "")).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, lang STRING, text STRING"))
+    val scored = StreamingDsir.scoreStream(nulls, wmap, default)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored == Map(2L -> 0.0, 3L -> 0.0), s"tokenless docs must score 0.0: $scored")
   }
 }
