@@ -1198,6 +1198,130 @@ object JsonataCompiler {
       case _ => false
     }
 
+    /** `value.a.**.f` — compiled descendant search (B5). The engine's `**`
+      * emits, depth-first pre-order: objects (the object ITSELF, then its
+      * field values in order), array elements (arrays flatten, never emit
+      * themselves), and scalars; a following name step then maps over the
+      * OBJECT elements. Over a static schema that object set is fully
+      * enumerable at compile time, so `base.**.f` compiles to a concat of
+      * per-position segments in exactly the engine's pre-order — struct
+      * positions contribute `array(path.f)`, array positions contribute
+      * `flatten(transform(arr, e -> <per-element pre-order segments>))` —
+      * followed by a null filter (struct-absent keys are NULL; engine
+      * objects simply lack them) and emptyAsNull (empty sequence =
+      * undefined). Gates: exactly one `**`, followed by exactly ONE name
+      * step (a bare `**` is a heterogeneous value mix with no static type);
+      * every `f` occurrence under the base must agree on the normalized
+      * type (integrals widen to long, integral+float widens to double —
+      * exact widenings only); MapTypes anywhere in the traversed tree fall
+      * back (a map is a JSON object the engine descends into, but its keys
+      * are not statically enumerable). An array-typed BASE matches the
+      * engine too: path steps map `**` over the array's elements, which is
+      * the same flatten. Null segments (absent nested arrays) coalesce to
+      * empty rather than poisoning the concat. Shares the pinned singleton
+      * divergence class of every compiled array op (collapse at engine
+      * expression boundaries — immune under the compiled aggregates). */
+    private def compileDescendantPath(steps: Vector[Step]): Option[TCol] = {
+      val es = steps.map(_.expr)
+      val di = es.indexWhere(_ == Descendant())
+      // one **, second-to-last, value-rooted plain names before, ONE name after
+      if (di != es.length - 2 || es.count(_ == Descendant()) != 1) return None
+      if (inLambda) return None
+      val target = es.last match { case NameStep(n) => n; case _ => return None }
+      val baseNames = es.take(di) match {
+        case v if v.headOption.contains(NameStep("value")) &&
+          v.forall(_.isInstanceOf[NameStep]) => v.tail.collect { case NameStep(n) => n }
+        case _ => return None
+      }
+      val baseDt = fieldType(baseNames).getOrElse(return None)
+      val baseCol =
+        if (baseNames.isEmpty) null // whole row: segments build from field roots
+        else col(baseNames.mkString("."))
+
+      // pass 1: collect every occurrence type (None = unsupported shape)
+      def occTypes(dt: DataType): Option[Seq[DataType]] = dt match {
+        case st: StructType =>
+          val own = st.fields.find(_.name == target).map(_.dataType).toSeq
+          st.fields.foldLeft(Option(own)) {
+            case (None, _) => None
+            case (Some(acc), f) => f.dataType match {
+              case s: StructType => occTypes(s).map(acc ++ _)
+              case a: ArrayType => occTypes(a).map(acc ++ _)
+              case _: MapType => None
+              case _ => Some(acc)
+            }
+          }
+        case ArrayType(et, _) => et match {
+          case _: StructType | _: ArrayType => occTypes(et)
+          case _: MapType => None
+          case _ => Some(Seq.empty)
+        }
+        case _: MapType => None
+        case _ => Some(Seq.empty)
+      }
+      val occs = occTypes(baseDt).getOrElse(return None)
+      if (occs.isEmpty) return None // no static occurrence: undefined with no type
+      def flt(dt: DataType) = dt == DoubleType || dt == FloatType
+      val tt: DataType =
+        if (occs.forall(_ == occs.head)) occs.head match {
+          case dt if isIntegral(dt) => LongType
+          case dt => dt
+        }
+        else if (occs.forall(isIntegral)) LongType
+        else if (occs.forall(d => isIntegral(d) || flt(d))) DoubleType
+        else return None
+      // an ARRAY-typed target splices its ELEMENTS into the result sequence
+      // (name-step results flatten) — not modeled: interpreted
+      if (tt.isInstanceOf[ArrayType]) return None
+
+      // pass 2: build segments in pre-order
+      def segs(c: Column, dt: DataType): Seq[Column] = dt match {
+        case st: StructType =>
+          val own: Seq[Column] =
+            if (st.fields.exists(_.name == target))
+              Seq(array(c.getField(target).cast(tt)))
+            else Seq.empty
+          own ++ st.fields.toSeq.flatMap { f =>
+            f.dataType match {
+              case s: StructType => segs(c.getField(f.name), s)
+              case a: ArrayType => segs(c.getField(f.name), a)
+              case _ => Seq.empty
+            }
+          }
+        case at @ ArrayType(et, _) => et match {
+          case _: StructType | _: ArrayType =>
+            if (occTypes(at).exists(_.nonEmpty))
+              Seq(coalesce(
+                flatten(transform(c, e => concat(segs(e, et): _*))),
+                array().cast(ArrayType(tt))))
+            else Seq.empty
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      val parts =
+        if (baseNames.nonEmpty || baseDt.isInstanceOf[ArrayType]) segs(baseCol, baseDt)
+        else baseDt match {
+          // whole-row base: the root "object" is the row itself — its own
+          // `target` field leads, then each field's subtree in order
+          case st: StructType =>
+            val own: Seq[Column] =
+              if (st.fields.exists(_.name == target)) Seq(array(col(target).cast(tt)))
+              else Seq.empty
+            own ++ st.fields.toSeq.flatMap { f =>
+              f.dataType match {
+                case s: StructType => segs(col(f.name), s)
+                case a: ArrayType => segs(col(f.name), a)
+                case _ => Seq.empty
+              }
+            }
+          case _ => return None
+        }
+      if (parts.isEmpty) return None
+      val all = if (parts.length == 1) parts.head else concat(parts: _*)
+      Some(TCol(emptyAsNull(filter(all, x => x.isNotNull)), ArrayType(tt)))
+    }
+
     /** Constant-fold comparisons of the key parameter against string literals
       * for ONE field (the key is statically known per field), then fold
       * conditionals whose condition became a literal. This is what lets a
@@ -2004,6 +2128,14 @@ object JsonataCompiler {
         compileStagedPath(steps)
       // `value.arr{key: agg}` — group-by over an array column (B18)
       case Path(steps, _, Some(ctor)) => compileGroupPath(steps, ctor)
+      // `value.a.**.f` — descendant search (B5's overwhelmingly common
+      // authored shape, `**` followed by one name): static pre-order
+      // expansion over the schema (see compileDescendantPath)
+      case Path(steps, false, None)
+          if steps.exists(_.expr == Descendant()) &&
+            steps.forall(s => s.stages.isEmpty && !s.keepArray &&
+              s.focus.isEmpty && s.index.isEmpty) =>
+        compileDescendantPath(steps)
       // stages on a NON-PATH base — `$split(x, ' ')[pred]`, `$f()[0]` —
       // the same stage machinery over any compiled array-typed expression
       // (scalar bases re-wrap as singletons in the engine: not modeled,
@@ -2594,6 +2726,14 @@ object JsonataCompiler {
           (args.headOption, sep) match {
             case (Some(sp @ Call(VarRef("split" | "keys" | "each" | "map"), _)), Some(s2)) =>
               compile(sp).collect {
+                case t if t.dt == ArrayType(StringType) ||
+                    t.dt == ArrayType(StringType, containsNull = true) =>
+                  TCol(array_join(t.col, s2), StringType)
+              }
+            // descendant search results are null-FILTERED by construction
+            // (compileDescendantPath), so they join like the HOF sources
+            case (Some(dp: Path), Some(s2)) if dp.steps.exists(_.expr == Descendant()) =>
+              compile(dp).collect {
                 case t if t.dt == ArrayType(StringType) ||
                     t.dt == ArrayType(StringType, containsNull = true) =>
                   TCol(array_join(t.col, s2), StringType)

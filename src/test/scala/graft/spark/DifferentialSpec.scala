@@ -1527,6 +1527,50 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(mapSt, "value ~> |m.x|{'a': 99}|").isEmpty)
   }
 
+  test("compiled ** descendant search agrees and gates its fallback boundary") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val ddlIn = "id BIGINT, price BIGINT, " +
+      "meta STRUCT<price: BIGINT, deep: STRUCT<price: BIGINT, tag: STRING>>, " +
+      "items ARRAY<STRUCT<price: BIGINT, sub: STRUCT<price: BIGINT>>>, " +
+      "tags ARRAY<STRING>"
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, 10L, Row(20L, Row(30L, "a")),
+          Seq(Row(40L, Row(50L)), Row(60L, null)), Seq("x", "y")),
+        Row(2L, null, Row(21L, null), Seq.empty[Row], null),
+        Row(3L, 12L, null, null, Seq("z"))).asJava,
+      StructType.fromDDL(ddlIn))
+    // whole-row, struct-rooted, and array-rooted bases; nested arrays; null
+    // bases/elements; absent keys filtered like the engine's key-absent objects
+    diffDf(df, "{'id': value.id, 'n': $count(value.**.price), 's': $sum(value.**.price)}",
+      "id BIGINT, n BIGINT, s BIGINT", "id")
+    diffDf(df, "{'id': value.id, 's': $sum(value.meta.**.price)}", "id BIGINT, s BIGINT", "id")
+    diffDf(df, "{'id': value.id, 's': $sum(value.items.**.price)}", "id BIGINT, s BIGINT", "id")
+    diffDf(df, "{'id': value.id, 'j': $join(value.**.tag, '|')}", "id BIGINT, j STRING", "id")
+    // mixed integral/double occurrences widen exactly
+    val mixed = spark.createDataFrame(
+      Seq(Row(1L, Row(5, Row(2.5)))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<v: INT, d: STRUCT<v: DOUBLE>>"))
+    diffDf(mixed, "{'id': value.id, 's': $sum(value.**.v)}", "id BIGINT, s DOUBLE", "id")
+    // fallback boundary: cross-type target occurrences, array-typed targets
+    // (engine splices their ELEMENTS), maps in the traversed tree, bare **
+    val clash = spark.createDataFrame(
+      Seq(Row(1L, Row(5L, Row("x")))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<v: BIGINT, d: STRUCT<v: STRING>>"))
+    assert(JsonataCompiler.transformCompiled(clash, "{'s': $count(value.**.v)}").isEmpty)
+    val arrT = spark.createDataFrame(
+      Seq(Row(1L, Row(Seq(5L)))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<v: ARRAY<BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(arrT, "{'s': $count(value.**.v)}").isEmpty)
+    val mapT = spark.createDataFrame(
+      Seq(Row(1L, Map("k" -> Row(5L)))).asJava,
+      StructType.fromDDL("id BIGINT, m MAP<STRING, STRUCT<v: BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(mapT, "{'s': $count(value.**.v)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df, "{'s': $count(value.**)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(df, "{'s': $count(value.**.meta.price)}").isEmpty)
+  }
+
   test("$merge right-bias is on PRESENT keys: per-row absent keys never clobber earlier parts") {
     // round-11 review finding (verified divergence before the fix): the
     // merge combine statically overwrote duplicate keys, so a later part's

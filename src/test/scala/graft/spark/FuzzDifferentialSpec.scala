@@ -796,4 +796,74 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assertRate(compiled, 130, s"transform compile rate dropped: $compiled/150")
   }
+
+  test("120 seeded ** descendant shapes agree with the interpreter on nested NULL-bearing rows") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(73561L + seedOff)
+    val ddlIn = "id BIGINT, price BIGINT, " +
+      "meta STRUCT<price: BIGINT, tag: STRING, " +
+      "  deep: STRUCT<price: BIGINT, tag: STRING, qty: BIGINT>>, " +
+      "items ARRAY<STRUCT<price: BIGINT, tag: STRING, sub: STRUCT<price: BIGINT>>>, " +
+      "bags ARRAY<ARRAY<STRUCT<qty: BIGINT>>>"
+    def mbL(p: Int): java.lang.Long =
+      if (rnd.nextInt(p) == 0) null else java.lang.Long.valueOf(rnd.nextInt(90).toLong)
+    def mbS(p: Int): String = if (rnd.nextInt(p) == 0) null else s"t${rnd.nextInt(5)}"
+    val rows = (1 to 50).map { i =>
+      val deep = if (rnd.nextInt(5) == 0) null else Row(mbL(6), mbS(6), mbL(6))
+      val meta = if (rnd.nextInt(6) == 0) null else Row(mbL(6), mbS(6), deep)
+      val items =
+        if (rnd.nextInt(7) == 0) null
+        else Seq.fill(rnd.nextInt(3))(
+          Row(mbL(5), mbS(5), if (rnd.nextInt(4) == 0) null else Row(mbL(5))))
+      val bags =
+        if (rnd.nextInt(8) == 0) null
+        else Seq.fill(rnd.nextInt(2))(Seq.fill(rnd.nextInt(3))(Row(mbL(4))))
+      Row(i.toLong, mbL(8), meta, items, bags)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(ddlIn))
+
+    // (base, target) pairs with >= 1 static occurrence, per the schema above
+    val numeric = Seq(
+      ("value", "price"), ("value", "qty"),
+      ("value.meta", "price"), ("value.meta", "qty"),
+      ("value.meta.deep", "price"), ("value.meta.deep", "qty"),
+      ("value.items", "price"), ("value.bags", "qty"))
+    val stringy = Seq(("value", "tag"), ("value.meta", "tag"), ("value.items", "tag"))
+    var compiled = 0
+    (1 to 120).foreach { n =>
+      val (expr, ddl) =
+        if (rnd.nextInt(4) == 0) {
+          val (b, t) = stringy(rnd.nextInt(stringy.length))
+          if (rnd.nextBoolean())
+            (s"{'id': value.id, 'r': $$join($b.**.$t, '|')}", "id BIGINT, r STRING")
+          else (s"{'id': value.id, 'r': $$count($b.**.$t)}", "id BIGINT, r BIGINT")
+        } else {
+          val (b, t) = numeric(rnd.nextInt(numeric.length))
+          rnd.nextInt(5) match {
+            case 0 => (s"{'id': value.id, 'r': $$count($b.**.$t)}", "id BIGINT, r BIGINT")
+            case 1 => (s"{'id': value.id, 'r': $$sum($b.**.$t)}", "id BIGINT, r BIGINT")
+            case 2 => (s"{'id': value.id, 'r': $$max($b.**.$t)}", "id BIGINT, r BIGINT")
+            case 3 => (s"{'id': value.id, 'r': $$min($b.**.$t)}", "id BIGINT, r BIGINT")
+            case _ =>
+              val (b2, t2) = numeric(rnd.nextInt(numeric.length))
+              (s"{'id': value.id, 'r': ($$count($b.**.$t) + $$count($b2.**.$t2))}",
+                "id BIGINT, r BIGINT")
+          }
+        }
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => fail(s"[desc-fuzz #$n] expected descendant shape to compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("id").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("id").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[desc-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            assert(ra == rb, s"[desc-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 120, s"descendant compile rate dropped: $compiled/120")
+  }
 }
