@@ -1666,10 +1666,21 @@ object JsonataCompiler {
         return None
       // Shape A: the staged step's input is ONE array (scalar navigation up
       // to it) — stages apply to the whole array, the engine's single
-      // context item
+      // context item. The parent (`%`) of the staged elements is the object
+      // the staged step mapped over: the value root for `value.items[..]`,
+      // the navigated struct for `value.a.items[..]` — a single known
+      // column, so Shape-A predicates may compile `%` references.
       arrayValuePath(steps.take(si) :+ staged.copy(stages = Vector.empty)) match {
         case Some((arr0, at)) =>
-          runFilterStages(arr0, at, staged.stages) match {
+          val parentNames = steps.take(si).map(_.expr)
+            .collect { case NameStep(n) => n }.drop(1) // strip the `value` root
+          val parent: Option[TCol] =
+            if (parentNames.isEmpty)
+              Some(TCol(struct(schema.fieldNames.toIndexedSeq.map(col): _*), schema))
+            else fieldType(parentNames).collect {
+              case st: StructType => TCol(col(parentNames.mkString(".")), st)
+            }
+          runFilterStages(arr0, at, staged.stages, parent) match {
             case None => None
             case Some(Left(sc)) => trailingOnScalar(sc, trailing)
             case Some(Right(arr)) => trailingOnArray(arr, at.elementType, trailing, at)
@@ -1800,7 +1811,8 @@ object JsonataCompiler {
       * Right(surviving array) otherwise; the CALLER applies emptyAsNull
       * (and any trailing navigation) to the array form. */
     private def runFilterStages(arr0: Column, at: ArrayType,
-                                stages: Vector[Stage]): Option[Either[TCol, Column]] = {
+                                stages: Vector[Stage],
+                                parent: Option[TCol] = None): Option[Either[TCol, Column]] = {
       val et = at.elementType
       var cur = arr0
       var scalar: Option[TCol] = None
@@ -1818,7 +1830,7 @@ object JsonataCompiler {
           val gidx = if (idx >= 0) lit(idx.toInt) else (size(cur) + lit(idx.toInt))
           scalar = Some(TCol(get(cur, gidx), et))
         case FilterStage(pred) =>
-          compilePredicate(pred, et) match {
+          compilePredicate(pred, et, parent) match {
             case Some(pf) => cur = filter(cur, e => coalesce(pf(e), lit(false)))
             case None => return None
           }
@@ -1837,10 +1849,22 @@ object JsonataCompiler {
       * engine's number-valued predicates select by index per item and
       * array/object truthiness differs structurally — those stay
       * interpreted. */
-    private def compilePredicate(pred: Ast, et: DataType): Option[Column => Column] = {
+    private def compilePredicate(pred: Ast, et: DataType,
+        parent: Option[TCol] = None): Option[Column => Column] = {
       def inCtx[A](v: TCol)(f: => A): A = {
         val (se, si) = (lambdaEnv, inLambda)
         lambdaEnv += ("" -> v); inLambda = true
+        // `%` resolves ONLY when this stage's caller supplied the parent
+        // (compileStagedPath Shape A — plain struct navigation, one level
+        // up is a single known column). Every other site leaves it unbound
+        // so a % inside nested/per-element/computed-base stages — where
+        // the parent is a DIFFERENT object per element — falls back to the
+        // interpreter (engine ancestry) instead of capturing a stale outer
+        // binding.
+        parent match {
+          case Some(p) => lambdaEnv += ("%" -> p)
+          case None => lambdaEnv -= "%"
+        }
         try f finally { lambdaEnv = se; inLambda = si }
       }
       inCtx(TCol(lit(null).cast(et), et))(compile(pred)) match {
@@ -2085,6 +2109,10 @@ object JsonataCompiler {
       case BoolLit(b) => Some(TCol(lit(b), BooleanType))
       // lambda parameter reference (`$x` inside a compiled HOF body)
       case VarRef(n) if lambdaEnv.contains(n) => Some(lambdaEnv(n))
+      // `%` inside a Shape-A bracket predicate: the one-level-up object is
+      // a single known column, bound by compilePredicate (B6's compiled
+      // subset — everywhere else % stays on the interpreter's ancestry)
+      case ParentRef() if lambdaEnv.contains("%") => Some(lambdaEnv("%"))
       // a BARE field name inside a bracket-predicate stage (the parser
       // leaves single names as naked NameSteps there): resolves against the
       // per-item context element — the "" binding set by compilePredicate

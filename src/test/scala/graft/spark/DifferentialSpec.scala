@@ -1571,6 +1571,35 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "{'s': $count(value.**.meta.price)}").isEmpty)
   }
 
+  test("compiled % parent in Shape-A predicates agrees; per-element parents fall back") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val ddlIn = "id BIGINT, limit BIGINT, " +
+      "cfg STRUCT<thr: BIGINT, items: ARRAY<STRUCT<p: BIGINT, tag: STRING>>>, " +
+      "items ARRAY<STRUCT<p: BIGINT, tags: ARRAY<STRING>>>"
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, 25L, Row(30L, Seq(Row(10L, "a"), Row(40L, "b"))),
+          Seq(Row(10L, Seq("x")), Row(30L, Seq("y", "z")))),
+        Row(2L, null, Row(5L, Seq(Row(10L, "c"))), Seq(Row(50L, null))),
+        Row(3L, 100L, null, null)).asJava,
+      StructType.fromDDL(ddlIn))
+    // % = the value root for a root-level array; an undefined %.field makes
+    // the comparison undefined and the predicate drops the item (row 2)
+    diffDf(df, "{'id': value.id, 'n': $count(value.items[p > %.limit])}",
+      "id BIGINT, n BIGINT", "id")
+    // % = the navigated struct one level up for a nested array
+    diffDf(df, "{'id': value.id, 'n': $count(value.cfg.items[p > %.thr])}",
+      "id BIGINT, n BIGINT", "id")
+    // % composes with trailing navigation
+    diffDf(df, "{'id': value.id, 's': $sum(value.items[p >= %.limit].p)}",
+      "id BIGINT, s BIGINT", "id")
+    // a % inside a NESTED predicate refers to the per-element parent — a
+    // different object per item, not a single column: interpreted
+    assert(JsonataCompiler.transformCompiled(df,
+      "{'n': $count(value.items[$count(tags[% .p > 0]) > 0])}").isEmpty)
+  }
+
   test("$merge right-bias is on PRESENT keys: per-row absent keys never clobber earlier parts") {
     // round-11 review finding (verified divergence before the fix): the
     // merge combine statically overwrote duplicate keys, so a later part's

@@ -189,10 +189,12 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val df = rows.toDF("k", "items")
 
-    def stage(): String = rnd.nextInt(4) match {
+    def stage(): String = rnd.nextInt(5) match {
       case 0 => s"[p ${Seq(">", "<", ">=", "=", "!=")(rnd.nextInt(5))} ${rnd.nextInt(6)}]"
       case 1 => s"[q ${Seq("=", "!=")(rnd.nextInt(2))} 'q${rnd.nextInt(3)}']"
       case 2 => s"[q]" // string truthiness
+      case 3 => s"[p ${Seq(">", "<", ">=")(rnd.nextInt(3))} %.k - ${rnd.nextInt(40)}]"
+      // `%` = the row object in a Shape-A predicate (round-11 B6 subset)
       case _ => s"[${rnd.nextInt(7) - 3}]" // index incl. negative wrap
     }
     def staged(): String = {
