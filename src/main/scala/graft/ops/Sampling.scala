@@ -692,6 +692,52 @@ object Sampling {
                          ORDER BY score DESC, doc_id) AS rank
                      FROM scores)
         SELECT doc_id, source, score, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 20 ORDER BY source, rank"""))
+        FROM ranked WHERE rank <= 20 ORDER BY source, rank""")),
+
+    // ---- sp15: CCNet-style perplexity-band selection ----
+    // The LM-quality bucketing step of CCNet (Wenzek et al. 2020): score
+    // every document with a reference LM and keep the MIDDLE band per
+    // source — low perplexity is boilerplate/duplication, high perplexity
+    // is noise; the middle is trainable prose. The LM is tx08's bigram
+    // model, factored into ONE shared definition (TextOps.nllScores /
+    // nllSqlCtes) so selector and audit cannot drift. The score is a mean
+    // of libm logs — cross-engine non-bit-identical — so q01/sp14's
+    // round-after-aggregate applies (6dp) BEFORE the thresholds; the band
+    // bounds are percentile interpolations OVER those identical rounded
+    // inputs, which are cross-engine exact at every knife edge (integral
+    // positions return `lo` exactly — lo + (hi-lo)*0; fractional positions
+    // are strictly inside (lo, hi) where no score can sit; tied neighbors
+    // make the interpolation collapse to lo exactly), so the inclusive
+    // band compare cannot flip. Scale shape: the model is tx08's (bounded
+    // count joins); the selection adds one doc_id equi-join to attach
+    // source, ONE exact percentile per source (per-group O(n) buffer —
+    // at 100 TB swap for approx_percentile/t-digest, a one-line change
+    // that keeps the band shape), and a broadcast threshold attach.
+    Q("sp15_perplexity_band",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val scored = TextOps.nllScores(s, d)
+          .select(col("doc_id"), round(col("nll"), 6).as("score"))
+          .join(docs, "doc_id")
+        val qs = scored.groupBy(col("source"))
+          .agg(expr("percentile(score, array(0.25D, 0.75D))").as("ps"))
+          .select(col("source"),
+            get(col("ps"), lit(0)).as("p25"), get(col("ps"), lit(1)).as("p75"))
+        scored.join(broadcast(qs), "source")
+          .select(col("doc_id"), col("source"), col("score"),
+            (col("score") >= col("p25") && col("score") <= col("p75")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${TextOps.nllSqlCtes},
+          sc AS (SELECT d.doc_id, round(coalesce(s.nll, 0.0), 6) AS score
+                 FROM d LEFT JOIN s USING (doc_id)),
+          scs AS (SELECT sc.doc_id, doc.source, sc.score
+                  FROM sc JOIN documents doc USING (doc_id)),
+          qs AS (SELECT source, quantile_cont(score, 0.25) AS p25,
+                   quantile_cont(score, 0.75) AS p75
+                 FROM scs GROUP BY source)
+        SELECT doc_id, scs.source, score,
+          (score >= p25 AND score <= p75) AS keep
+        FROM scs JOIN qs ON scs.source = qs.source ORDER BY doc_id"""))
   )
 }

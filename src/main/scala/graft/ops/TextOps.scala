@@ -68,6 +68,72 @@ object TextOps {
     size(split(trim(col("text")), "\\s+")).cast("bigint")
   private[ops] def exactFpCol: Column = md5(lower(trim(col("text"))))
 
+  /** tx08's bigram-LM per-document scores (doc_id, n_bigrams, n_unseen,
+    * nll), shared with sp15's perplexity-band selection — ONE model
+    * definition (tokenization, train split, smoothing), the sp14/ingest
+    * single-definition rule. Tokens/histories/bigrams are 64-bit HASHES
+    * (the fused WordHashes/SpanHashes kernels): every count is
+    * hash-invariant modulo collisions (the dd03/tx07 set argument — the
+    * oracle computes the same counts from strings), and the count/score
+    * joins key on longs instead of bigram strings. */
+  private[ops] def nllScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // (history, bigram) pairs; empty for docs under 2 words (slice guard,
+    // not when() — see Dedup.shingleHashes on conditional-branch CSE)
+    val pairIdx = slice(sequence(lit(0), greatest(size(col("wh")) - 2, lit(0))),
+      lit(1), greatest(size(col("wh")) - 1, lit(0)))
+    val pairs = transform(pairIdx, i => struct(
+      get(col("wh"), i).as("w1"),
+      get(col("bgh"), i).as("bg")))
+    val base = Tables.spread(t(s, d, "documents"))
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"),
+        graft.spark.SketchExpressions.wordHashes(col("text")).as("wh"))
+      .persist() // read three times: train counts, vocab scalar, eval side
+    val ex = base
+      .withColumn("bgh", graft.spark.SketchExpressions.spanHashes(col("wh"), 2))
+      .select(col("doc_id"), col("bk"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("bk"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val train = ex.filter(col("bk") < 80)
+    val c12 = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = base.filter(col("bk") < 80)
+      .select(explode(col("wh")).as("word")).distinct().count()
+    val scored = ex
+      .join(c12, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        avg(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab))).as("nll"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
+  /** The tx08 model as DuckDB CTEs (d, pairs, tr, c12, c1, v, s) — shared
+    * by the tx08 and sp15 oracles so both replay the SAME model. */
+  private[ops] def nllSqlCtes: String =
+    s"""d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+              ${Sampling.hashBucketSql("doc_id")} AS bk FROM documents),
+          -- aligned unnests zip in DuckDB; comprehensions allow len(w) bounds
+          pairs AS (SELECT doc_id, bk,
+                      unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+                      unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bg
+                    FROM d),
+          tr AS (SELECT * FROM pairs WHERE bk < 80),
+          c12 AS (SELECT bg, count(*) AS c12 FROM tr GROUP BY bg),
+          c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
+          v AS (SELECT count(DISTINCT u.word) AS v
+                FROM (SELECT unnest(w) AS word FROM d WHERE bk < 80) u),
+          s AS (SELECT p.doc_id, count(*) AS n_bigrams,
+                  CAST(sum(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+                  avg(-ln((coalesce(c12.c12, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + v.v))) AS nll
+                FROM pairs p LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v
+                GROUP BY p.doc_id)"""
+
   /** tx02's quality score, shared with pp01 (same raw-double arithmetic on
     * both engines, so a threshold on it filters identically). */
   private[ops] def qualityCol: Column = {
@@ -317,65 +383,8 @@ object TextOps {
     // both engines and the per-doc sum-order noise (~1e-14 relative) is
     // absorbed by the driver's 6dp normalization — the rj01 precedent.
     Q("tx08_perplexity",
-      (s, d) => {
-        // tokens, histories, and bigrams are all 64-bit HASHES (the fused
-        // WordHashes/SpanHashes kernels): every count the model needs is
-        // hash-invariant modulo collisions (the dd03/tx07 set argument —
-        // the oracle computes the same counts from strings), the per-pair
-        // concat_ws string allocation disappears, and the count/score joins
-        // key on longs instead of bigram strings
-        // (history, bigram) pairs; empty for docs under 2 words (slice guard,
-        // not when() — see Dedup.shingleHashes on conditional-branch CSE)
-        val pairIdx = slice(sequence(lit(0), greatest(size(col("wh")) - 2, lit(0))),
-          lit(1), greatest(size(col("wh")) - 1, lit(0)))
-        val pairs = transform(pairIdx, i => struct(
-          get(col("wh"), i).as("w1"),
-          get(col("bgh"), i).as("bg")))
-        val base = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"),
-            graft.spark.SketchExpressions.wordHashes(col("text")).as("wh"))
-          .persist() // read three times: train counts, vocab scalar, eval side
-        val ex = base
-          .withColumn("bgh", graft.spark.SketchExpressions.spanHashes(col("wh"), 2))
-          .select(col("doc_id"), col("bk"), explode(pairs).as("p"))
-          .select(col("doc_id"), col("bk"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-        val train = ex.filter(col("bk") < 80)
-        val c12 = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-        val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        val vocab = base.filter(col("bk") < 80)
-          .select(explode(col("wh")).as("word")).distinct().count()
-        val scored = ex
-          .join(c12, Seq("bg"), "left")
-          .join(c1, Seq("w1"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
-            avg(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-              (coalesce(col("c1"), lit(0L)) + vocab))).as("nll"))
-        base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
-            coalesce(col("nll"), lit(0.0)).as("nll"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
-              ${Sampling.hashBucketSql("doc_id")} AS bk FROM documents),
-          -- aligned unnests zip in DuckDB; comprehensions allow len(w) bounds
-          pairs AS (SELECT doc_id, bk,
-                      unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
-                      unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bg
-                    FROM d),
-          tr AS (SELECT * FROM pairs WHERE bk < 80),
-          c12 AS (SELECT bg, count(*) AS c12 FROM tr GROUP BY bg),
-          c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
-          v AS (SELECT count(DISTINCT u.word) AS v
-                FROM (SELECT unnest(w) AS word FROM d WHERE bk < 80) u),
-          s AS (SELECT p.doc_id, count(*) AS n_bigrams,
-                  CAST(sum(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
-                  avg(-ln((coalesce(c12.c12, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + v.v))) AS nll
-                FROM pairs p LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v
-                GROUP BY p.doc_id)
+      (s, d) => nllScores(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH $nllSqlCtes
         SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
           coalesce(s.n_unseen, 0) AS n_unseen, coalesce(s.nll, 0.0) AS nll
         FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""")),

@@ -501,6 +501,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("sp15 perplexity band: broadcast threshold attach, no cartesian") {
+    val p = plan("sp15_perplexity_band")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("sp14 DSIR: broadcast weight-table attach, partial aggregation, no sort-merge") {
     val p = plan("sp14_dsir_resample")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

@@ -265,4 +265,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enAvg > restAvg,
       s"target-slice mean LLR $enAvg must exceed non-target $restAvg")
   }
+
+  test("sp15 band flags replay the interpolated per-source quantiles exactly") {
+    val rows = graft.SparkEntry.queries("sp15_perplexity_band")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      // the engines' shared interpolation: lo + (hi - lo) * frac
+      val sc = ds.map(_._3).sorted
+      def q(p: Double): Double = {
+        val pos = (sc.length - 1) * p
+        val i = math.floor(pos).toInt
+        if (i + 1 < sc.length) sc(i) + (sc(i + 1) - sc(i)) * (pos - i) else sc(i)
+      }
+      val (p25, p75) = (q(0.25), q(0.75))
+      ds.foreach { case (id, _, s0, keep) =>
+        assert(keep == (s0 >= p25 && s0 <= p75),
+          s"source $src doc $id: score $s0 vs band [$p25, $p75], keep=$keep")
+      }
+      // a quartile band keeps roughly the middle half (ties can widen it)
+      val kept = ds.count(_._4)
+      assert(kept >= ds.length / 3 && kept <= ds.length * 9 / 10,
+        s"source $src kept $kept of ${ds.length} — not a middle band")
+    }
+  }
 }
