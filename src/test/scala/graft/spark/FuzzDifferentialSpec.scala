@@ -799,6 +799,76 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRate(compiled, 130, s"transform compile rate dropped: $compiled/150")
   }
 
+  test("100 seeded NESTED-pattern transform patches agree with the interpreter") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(58111L + seedOff)
+    val ddlIn = "k BIGINT, top BIGINT, " +
+      "meta STRUCT<a: BIGINT, b: STRING, deep: STRUCT<x: BIGINT, y: STRING>>"
+    val rows = (1 to 40).map { i =>
+      val deep = if (rnd.nextInt(5) == 0) null
+        else Row(
+          if (rnd.nextInt(6) == 0) null else java.lang.Long.valueOf((i % 9).toLong),
+          if (rnd.nextInt(6) == 0) null else s"y${i % 3}")
+      val meta = if (rnd.nextInt(6) == 0) null
+        else Row(
+          if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf((i % 7).toLong),
+          if (rnd.nextInt(5) == 0) null else s"b${i % 4}", deep)
+      Row(i.toLong, if (rnd.nextInt(7) == 0) null else java.lang.Long.valueOf(i.toLong), meta)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(ddlIn))
+
+    // per-level typed pairs; values are context-rooted against the MATCH
+    def numv(fields: Seq[String]): String = rnd.nextInt(4) match {
+      case 0 => fields(rnd.nextInt(fields.length))
+      case 1 => s"$$.${fields(rnd.nextInt(fields.length))}"
+      case 2 => rnd.nextInt(40).toString
+      case _ => s"(${fields(rnd.nextInt(fields.length))} + ${rnd.nextInt(9)})"
+    }
+    def strv(sf2: Seq[String]): String = rnd.nextInt(3) match {
+      case 0 => s"$$uppercase(${sf2(rnd.nextInt(sf2.length))})"
+      case 1 => s"'c${rnd.nextInt(4)}'"
+      case _ => s"(${sf2(rnd.nextInt(sf2.length))} & 'z')"
+    }
+    var compiled = 0
+    (1 to 100).foreach { n =>
+      val (pat, upd, dels) = rnd.nextInt(3) match {
+        case 0 => // patch meta: nums {a}, strs {b}
+          val ps = Seq(
+            Some(s"'a': ${numv(Seq("a"))}"),
+            if (rnd.nextBoolean()) Some(s"'b': ${strv(Seq("b"))}") else None,
+            if (rnd.nextInt(3) == 0) Some(s"'n1': ${numv(Seq("a"))}") else None).flatten
+          ("meta", ps.mkString("{", ", ", "}"),
+            Seq("", ", 'b'", ", ['n1', 'ghost']")(rnd.nextInt(3)))
+        case 1 => // patch meta.deep: nums {x}, strs {y}
+          val ps = Seq(
+            Some(s"'x': ${numv(Seq("x"))}"),
+            if (rnd.nextBoolean()) Some(s"'y': ${strv(Seq("y"))}") else None).flatten
+          ("meta.deep", ps.mkString("{", ", ", "}"),
+            Seq("", ", 'y'")(rnd.nextInt(2)))
+        case _ => // root patch referencing nested reads
+          val ps = Seq(s"'top': ${numv(Seq("top"))}",
+            s"'flag': (${numv(Seq("top"))} > ${rnd.nextInt(20)})")
+          ("$", ps.mkString("{", ", ", "}"), "")
+      }
+      val expr = s"value ~> |$pat|$upd$dels|"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => fail(s"[nest-transform-fuzz #$n] expected compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val ddl = c.schema.toDDL
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[nest-transform-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            assert(ra == rb, s"[nest-transform-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 100, s"nested transform compile rate dropped: $compiled/100")
+  }
+
   test("120 seeded ** descendant shapes agree with the interpreter on nested NULL-bearing rows") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
