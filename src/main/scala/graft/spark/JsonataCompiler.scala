@@ -1238,26 +1238,34 @@ object JsonataCompiler {
         if (baseNames.isEmpty) null // whole row: segments build from field roots
         else col(baseNames.mkString("."))
 
-      // pass 1: collect every occurrence type (None = unsupported shape)
-      def occTypes(dt: DataType): Option[Seq[DataType]] = dt match {
-        case st: StructType =>
-          val own = st.fields.find(_.name == target).map(_.dataType).toSeq
-          st.fields.foldLeft(Option(own)) {
-            case (None, _) => None
-            case (Some(acc), f) => f.dataType match {
-              case s: StructType => occTypes(s).map(acc ++ _)
-              case a: ArrayType => occTypes(a).map(acc ++ _)
-              case _: MapType => None
-              case _ => Some(acc)
+      // pass 1: collect every occurrence type (None = unsupported shape);
+      // hasOcc memoizes per-subtree occurrence presence so pass 2's array
+      // guards are lookups, not re-walks (occurrence sets depend only on
+      // the TYPE, so structural DataType equality is the right key)
+      val hasOcc = scala.collection.mutable.Map.empty[DataType, Boolean]
+      def occTypes(dt: DataType): Option[Seq[DataType]] = {
+        val res: Option[Seq[DataType]] = dt match {
+          case st: StructType =>
+            val own = st.fields.find(_.name == target).map(_.dataType).toSeq
+            st.fields.foldLeft(Option(own)) {
+              case (None, _) => None
+              case (Some(acc), f) => f.dataType match {
+                case s: StructType => occTypes(s).map(acc ++ _)
+                case a: ArrayType => occTypes(a).map(acc ++ _)
+                case _: MapType => None
+                case _ => Some(acc)
+              }
             }
+          case ArrayType(et, _) => et match {
+            case _: StructType | _: ArrayType => occTypes(et)
+            case _: MapType => None
+            case _ => Some(Seq.empty)
           }
-        case ArrayType(et, _) => et match {
-          case _: StructType | _: ArrayType => occTypes(et)
           case _: MapType => None
           case _ => Some(Seq.empty)
         }
-        case _: MapType => None
-        case _ => Some(Seq.empty)
+        hasOcc(dt) = res.exists(_.nonEmpty)
+        res
       }
       val occs = occTypes(baseDt).getOrElse(return None)
       if (occs.isEmpty) return None // no static occurrence: undefined with no type
@@ -1290,7 +1298,7 @@ object JsonataCompiler {
           }
         case at @ ArrayType(et, _) => et match {
           case _: StructType | _: ArrayType =>
-            if (occTypes(at).exists(_.nonEmpty))
+            if (hasOcc.getOrElse(at, false))
               Seq(coalesce(
                 flatten(transform(c, e => concat(segs(e, et): _*))),
                 array().cast(ArrayType(tt))))
@@ -1299,24 +1307,14 @@ object JsonataCompiler {
         }
         case _ => Seq.empty
       }
+      // whole-row base: the root "object" is the row itself — materialize
+      // it as a struct of the row's columns so segs encodes the pre-order
+      // rules exactly ONCE (Catalyst's SimplifyExtractValueOps collapses
+      // CreateStruct(...).getField back to the plain columns)
       val parts =
-        if (baseNames.nonEmpty || baseDt.isInstanceOf[ArrayType]) segs(baseCol, baseDt)
-        else baseDt match {
-          // whole-row base: the root "object" is the row itself — its own
-          // `target` field leads, then each field's subtree in order
-          case st: StructType =>
-            val own: Seq[Column] =
-              if (st.fields.exists(_.name == target)) Seq(array(col(target).cast(tt)))
-              else Seq.empty
-            own ++ st.fields.toSeq.flatMap { f =>
-              f.dataType match {
-                case s: StructType => segs(col(f.name), s)
-                case a: ArrayType => segs(col(f.name), a)
-                case _ => Seq.empty
-              }
-            }
-          case _ => return None
-        }
+        if (baseNames.isEmpty)
+          segs(struct(schema.fieldNames.toIndexedSeq.map(col): _*), baseDt)
+        else segs(baseCol, baseDt)
       if (parts.isEmpty) return None
       val all = if (parts.length == 1) parts.head else concat(parts: _*)
       Some(TCol(emptyAsNull(filter(all, x => x.isNotNull)), ArrayType(tt)))
