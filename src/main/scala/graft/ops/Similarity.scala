@@ -111,6 +111,8 @@ object Similarity {
   private val MaxAnchors = 4096L
   private val AnchorStride = 61L
   private val AnchorOffset = 7
+  /** sp16: representatives kept per coverage region. */
+  private val CoverageM = 8
   private val NProbe = 4
 
   /** ss03 hot-bucket cap: (table, code) buckets beyond this occupancy are
@@ -564,12 +566,13 @@ object Similarity {
           .filter(col("vec_id") % stride === AnchorOffset)
           .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
         // assignment: argmax_a cosine(v, a), ties to the smaller anchor id.
-        // max_by over (cos, -aid) keeps the aggregation HASH-based
-        // (ObjectHashAggregate): the previous max(struct) + first(vec)
-        // encoding planned as a SortAggregate that sorted the N×K
-        // intermediate WITH both 512-byte vectors aboard — 150 s/task of
-        // sort spill at sf1. The argmax runs over id-width rows (the ss03
-        // ids-first lesson); vectors re-attach by vec_id afterward.
+        // The previous max(struct) + first(vec) encoding planned as a
+        // SortAggregate that sorted the N×K intermediate WITH both 512-byte
+        // vectors aboard — 150 s/task of sort spill at sf1. max_by still
+        // plans as a SortAggregate on this Spark version (struct-ordered
+        // buffer), but it partial-aggregates ID-WIDTH rows before the one
+        // shuffle (the ss03 ids-first lesson) — the property that matters;
+        // vectors re-attach by vec_id afterward.
         val asn = v.crossJoin(anchors)
           .select(col("vec_id"), col("aid"),
             cosine(col("vec"), col("av"), col("nrm"), col("an")).as("ac"))
@@ -1516,6 +1519,59 @@ object Similarity {
                   FROM pairs p JOIN pos ON p.a_id = pos.a_id
                   WHERE p.label <> p.a_label AND p.cos < pos.pos_cos)
         SELECT a_id, vec_id AS neg_id, cos, pos_cos, CAST(rank AS INT) AS rank
-        FROM neg WHERE rank <= 5 ORDER BY a_id, rank"""))
+        FROM neg WHERE rank <= 5 ORDER BY a_id, rank""")),
+
+    // ---- sp16: cluster-balanced coverage selection ----
+    // The DIVERSITY axis of training-data curation (the one dedup/quality/
+    // DSIR/perplexity selection don't supply): partition the embedding
+    // space into k deterministic regions (ss04's sampled-anchor assignment
+    // — exact vectors, no averaged centroids, so every cosine is a
+    // single-expression bitwise-identical double in both engines) and keep
+    // the M most REPRESENTATIVE documents per region (highest cosine to
+    // the anchor, vec_id tiebreak) — equal-per-region coverage instead of
+    // frequency-proportional sampling, the cluster-balanced selection
+    // family of modern curation pipelines. Shapes (100 TB): the anchor
+    // relation is broadcast-bounded (MaxAnchors cap via the footer-count
+    // stride — zero driver jobs); assignment is the ss04 map-only
+    // max_by argmax over id-width rows; the only shuffle is the per-region
+    // top-M window. Raw cos doubles per the ss01 note.
+    Q("sp16_cluster_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = vecs(s, d)
+        val stride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
+        val anchors = broadcast(v.filter(col("vec_id") % stride === AnchorOffset)
+          .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
+        val w = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("vec_id"))
+        v.crossJoin(anchors)
+          .select(col("vec_id"), col("aid"),
+            cosine(col("vec"), col("av"), col("nrm"), col("an")).as("ac"))
+          .groupBy(col("vec_id"))
+          // ties in ac break to the smaller aid (ss04's encoding); the
+          // second max_by returns the CHOSEN assignment's cosine under the
+          // same ordering. What matters at scale (the ss04 lesson) is that
+          // the argmax partial-aggregates id-width rows before the one
+          // shuffle — vectors never ride through the aggregate
+          .agg(max_by(col("aid"), struct(col("ac"), (-col("aid")).as("naid"))).as("aid"),
+            max_by(col("ac"), struct(col("ac"), (-col("aid")).as("naid"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= CoverageM)
+          .select(col("aid"), col("vec_id"), col("cos"), col("rank"))
+          .orderBy(col("aid"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS aid, vec AS av FROM v
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
+          asn AS (SELECT vec_id, aid, cos FROM (
+              SELECT v.vec_id, a.aid, list_cosine_similarity(v.vec, a.av) AS cos,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          ranked AS (SELECT aid, vec_id, cos,
+                       row_number() OVER (PARTITION BY aid
+                         ORDER BY cos DESC, vec_id) AS rank
+                     FROM asn)
+        SELECT aid, vec_id, cos, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= $CoverageM ORDER BY aid, rank"""))
   )
 }

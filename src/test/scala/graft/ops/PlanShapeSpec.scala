@@ -501,6 +501,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("sp16 coverage: broadcast anchor assignment over id-width rows, no sort-merge") {
+    val p = plan("sp16_cluster_coverage")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the argmax partial-aggregates BEFORE the shuffle and carries only
+    // id-width rows (vec_id/aid/ac) — the ss04 property that matters; the
+    // struct-ordered max_by buffer itself plans as SortAggregate on this
+    // Spark version for ss04 too
+    assert(p.contains("partial_max_by"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("sp15 perplexity band: broadcast threshold attach, no cartesian") {
     val p = plan("sp15_perplexity_band")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

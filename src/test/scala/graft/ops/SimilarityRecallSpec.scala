@@ -215,4 +215,43 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c < p, s"anchor $a emitted a negative at cos $c >= pos_cos $p")
     }
   }
+
+  test("sp16 coverage selection matches an independent scala replay exactly") {
+    val rows = SparkEntry.queries("sp16_cluster_coverage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val vs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val stride = math.max(61L, vs.length.toLong / 4096L)
+    val anchors = vs.filter(_._1 % stride == 7)
+    assert(anchors.length >= 2, "fixture must yield multiple coverage regions")
+    val assigned = vs.map { case (id, v) =>
+      // argmax cosine, ties to the smaller anchor id
+      val (aid, c) = anchors.map(a => (a._1, cos(v, a._2)))
+        .reduceLeft((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+      (aid, id, c)
+    }
+    val expected = assigned.groupBy(_._1).toSeq.flatMap { case (aid, ds) =>
+      ds.sortBy(t => (-t._3, t._2)).take(8).zipWithIndex
+        .map { case ((_, id, c), i) => (aid, id, c, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 == exp._1 && got._2 == exp._2 && got._4 == exp._4,
+        s"selection mismatch: $got vs $exp")
+      assert(math.abs(got._3 - exp._3) < 1e-12, s"cosine mismatch: $got vs $exp")
+    }
+    // balance: no region exceeds M; each region with >= 8 members keeps exactly 8
+    rows.groupBy(_._1).foreach { case (aid, ks) =>
+      assert(ks.length <= 8, s"region $aid kept ${ks.length} > 8")
+      val members = assigned.count(_._1 == aid)
+      if (members >= 8) assert(ks.length == 8, s"region $aid kept ${ks.length} of $members")
+    }
+  }
 }
