@@ -554,6 +554,50 @@ object JsonataQueries {
           CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS quality
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx31: the round-11 compiled forms through the DRIVER gate on a ----
+    // ---- NESTED input (the flat driver tables reshaped into structs/    ----
+    // ---- arrays in-plan): a nested-pattern transform patch + delete, a  ----
+    // ---- `**` descendant count over a variable-length array, and a `%`  ----
+    // ---- parent reference filtering an array by a sibling row field.    ----
+    // ---- PlanShapeSpec pins the whole expression on the compiled tier.  ----
+    Q("jx31_nested_forms",
+      (s, d) => {
+        val base = Tables.spread(t(s, d, "events")).select(
+          col("event_id"),
+          struct(col("event_type").as("et"), col("value").as("v")).as("meta"),
+          when(col("event_type") === "click",
+            array(struct(col("value").as("p")),
+              struct((col("value") * 2).as("p")),
+              struct(lit(100.0).as("p"))))
+            .otherwise(array(struct(col("value").as("p")),
+              struct((col("value") * 2).as("p")))).as("items"),
+          col("value").as("thr"))
+        val out = JsonataDF.auto(base,
+          "{'event_id': value.event_id, " +
+            "'vx': (value ~> |meta|{'vx': v * 2}|).meta.vx, " +
+            "'tag': (value ~> |meta|{'tag': $uppercase(et)}, 'v'|).meta.tag, " +
+            "'nv': $count(value.**.p), " +
+            "'hi': $sum(value.items[p > %.thr].p)}",
+          StructType.fromDDL("event_id BIGINT, vx DOUBLE, tag STRING, nv BIGINT, hi DOUBLE"),
+          topic = "events")
+        out.orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+          value * 2 AS vx,
+          upper(event_type) AS tag,
+          CAST(CASE WHEN event_type = 'click' THEN 3 ELSE 2 END AS BIGINT) AS nv,
+          -- survivors of p > thr among the constructed items (p1 = value
+          -- never survives: value > value is false; p2 = 2*value survives
+          -- iff value > 0; the click-only p3 = 100.0 survives iff 100 > value);
+          -- an empty survivor set is JSONata's undefined sum -> NULL
+          CASE WHEN (CASE WHEN value * 2 > value THEN 1 ELSE 0 END)
+                 + (CASE WHEN event_type = 'click' AND 100.0 > value THEN 1 ELSE 0 END) = 0
+               THEN NULL
+               ELSE (CASE WHEN value * 2 > value THEN value * 2 ELSE 0 END)
+                  + (CASE WHEN event_type = 'click' AND 100.0 > value THEN 100.0 ELSE 0 END)
+          END AS hi
+        FROM events ORDER BY event_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -487,6 +487,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("jx31 nested forms run compiled: transform + ** + % in one native projection") {
+    val p = plan("jx31_nested_forms")
+    assert(!p.contains("jsonata"), "jx31 must run on the compiled tier, not the interpreter")
+    assert(!p.contains("Generate"), "descendant count must be a per-row fold, not an explode")
+  }
+
   test("jx30 transform patch runs compiled: struct rebuild projection, no interpreter") {
     val p = plan("jx30_record_patch")
     assert(!p.contains("jsonata"), "jx30 must run on the compiled tier, not the interpreter")
