@@ -562,41 +562,47 @@ object JsonataQueries {
     // ---- PlanShapeSpec pins the whole expression on the compiled tier.  ----
     Q("jx31_nested_forms",
       (s, d) => {
+        // NaN-clean the measure at the SOURCE (sf0.1 carries a few NaN
+        // values): NaN != NaN in the driver's float compare — the q21/dd12
+        // sentinel lesson — and the oracle applies the same cleaning
+        val v0 = nanvl(col("value"), lit(0.0))
         val base = Tables.spread(t(s, d, "events")).select(
           col("event_id"),
-          struct(col("event_type").as("et"), col("value").as("v")).as("meta"),
+          struct(col("event_type").as("et"), v0.as("v")).as("meta"),
           when(col("event_type") === "click",
-            array(struct(col("value").as("p")),
-              struct((col("value") * 2).as("p")),
+            array(struct(v0.as("p")),
+              struct((v0 * 2).as("p")),
               struct(lit(100.0).as("p"))))
-            .otherwise(array(struct(col("value").as("p")),
-              struct((col("value") * 2).as("p")))).as("items"),
-          col("value").as("thr"))
+            .otherwise(array(struct(v0.as("p")),
+              struct((v0 * 2).as("p")))).as("items"),
+          v0.as("thr"))
         val out = JsonataDF.auto(base,
           "{'event_id': value.event_id, " +
             "'vx': (value ~> |meta|{'vx': v * 2}|).meta.vx, " +
             "'tag': (value ~> |meta|{'tag': $uppercase(et)}, 'v'|).meta.tag, " +
             "'nv': $count(value.**.p), " +
-            "'hi': $sum(value.items[p > %.thr].p)}",
+            // `>=` keeps p1 (= thr) in every row's survivor set, so the max
+            // is never the undefined empty-sum — a nullable double output
+            // would NaN-poison the driver's float compare (the dd12/q21
+            // sentinel lesson, re-learned here on 5 sf0.1 rows)
+            "'hi': $max(value.items[p >= %.thr].p)}",
           StructType.fromDDL("event_id BIGINT, vx DOUBLE, tag STRING, nv BIGINT, hi DOUBLE"),
           topic = "events")
         out.orderBy(col("event_id"))
       },
-      Some("""SELECT event_id,
-          value * 2 AS vx,
+      Some("""WITH e AS (SELECT event_id, event_type,
+              CASE WHEN isnan(value) THEN 0.0 ELSE value END AS v0 FROM events)
+        SELECT event_id,
+          v0 * 2 AS vx,
           upper(event_type) AS tag,
           CAST(CASE WHEN event_type = 'click' THEN 3 ELSE 2 END AS BIGINT) AS nv,
-          -- survivors of p > thr among the constructed items (p1 = value
-          -- never survives: value > value is false; p2 = 2*value survives
-          -- iff value > 0; the click-only p3 = 100.0 survives iff 100 > value);
-          -- an empty survivor set is JSONata's undefined sum -> NULL
-          CASE WHEN (CASE WHEN value * 2 > value THEN 1 ELSE 0 END)
-                 + (CASE WHEN event_type = 'click' AND 100.0 > value THEN 1 ELSE 0 END) = 0
-               THEN NULL
-               ELSE (CASE WHEN value * 2 > value THEN value * 2 ELSE 0 END)
-                  + (CASE WHEN event_type = 'click' AND 100.0 > value THEN 100.0 ELSE 0 END)
-          END AS hi
-        FROM events ORDER BY event_id""")),
+          -- max survivor of p >= thr among the constructed items: p1 = v0
+          -- ALWAYS survives (v0 >= v0), p2 = 2*v0 iff v0 >= 0, the
+          -- click-only p3 = 100.0 iff 100 >= v0 — never empty, never NULL
+          greatest(v0,
+            CASE WHEN v0 * 2 >= v0 THEN v0 * 2 ELSE v0 END,
+            CASE WHEN event_type = 'click' AND 100.0 >= v0 THEN 100.0 ELSE v0 END) AS hi
+        FROM e ORDER BY event_id""")),
 
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
