@@ -111,8 +111,19 @@ object Similarity {
   private val MaxAnchors = 4096L
   private val AnchorStride = 61L
   private val AnchorOffset = 7
-  /** sp16: representatives kept per coverage region. */
-  private val CoverageM = 8
+  /** sp16: representatives kept per coverage region (shared with the
+    * streaming twin — single-definition rule). */
+  private[graft] val CoverageM = 8
+
+  /** sp16's deterministic anchor relation (aid, av, an) — ONE definition
+    * shared with [[graft.streaming.StreamingCoverage]]'s per-batch
+    * assignment, so the stream can never drift onto different regions. */
+  private[graft] def coverageAnchors(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val stride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
+    v.filter(col("vec_id") % stride === AnchorOffset)
+      .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an"))
+  }
   private val NProbe = 4
 
   /** ss03 hot-bucket cap: (table, code) buckets beyond this occupancy are
@@ -1539,9 +1550,7 @@ object Similarity {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val v = vecs(s, d)
-        val stride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
-        val anchors = broadcast(v.filter(col("vec_id") % stride === AnchorOffset)
-          .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an")))
+        val anchors = broadcast(coverageAnchors(s, d))
         val w = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("vec_id"))
         v.crossJoin(anchors)
           .select(col("vec_id"), col("aid"),
