@@ -86,7 +86,13 @@ object ThroughputBench extends App {
       ("transform patch",
         "value ~> |$|{'et': $uppercase(event_type), 'v2': value * 2}, 'props'|",
         "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, " +
-          "value DOUBLE, props STRING, et STRING, v2 DOUBLE"))
+          "value DOUBLE, props STRING, et STRING, v2 DOUBLE"),
+      // round-11 compiled ** descendant: flat schemas degenerate to a field
+      // count, so the interpreted side pays the full recursive emission
+      // while the compiled side is a constant-width fold
+      ("descendant count",
+        "{'event_id': value.event_id, 'n': $count(value.**.value)}",
+        "event_id BIGINT, n BIGINT"))
     def run(label: String)(f: => DataFrame): Double = {
       f.write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
