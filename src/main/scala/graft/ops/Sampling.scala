@@ -34,6 +34,28 @@ object Sampling {
   private[ops] def hashBucketSql(key: String): String =
     s"('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % 100"
 
+  /** sp15's rounded per-doc LM scores with source attached, PERSISTED (the
+    * narrow relation feeds both the threshold aggregate and the band
+    * compare; recomputing it re-ran the LM count joins twice — measured
+    * 4.3 -> ~2.8 s at sf0.1). Shared with the stored-model build
+    * ([[graft.streaming.PerplexityStore]]) — one scoring definition. */
+  private[graft] def perplexityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+    TextOps.nllScores(s, d)
+      .select(col("doc_id"), round(col("nll"), 6).as("score"))
+      .join(docs, "doc_id")
+      .persist()
+  }
+
+  /** sp15's per-source quartile thresholds (shared with the stored model —
+    * the CCNet deployment freezes these offline). */
+  private[graft] def perplexityThresholds(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"))
+      .agg(expr("percentile(score, array(0.25D, 0.75D))").as("ps"))
+      .select(col("source"),
+        get(col("ps"), lit(0)).as("p25"), get(col("ps"), lit(1)).as("p75"))
+
   private def splitOf(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   private val splitOfSql =
@@ -715,19 +737,8 @@ object Sampling {
     // that keeps the band shape), and a broadcast threshold attach.
     Q("sp15_perplexity_band",
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
-        // persist the NARROW scored relation (doc_id, score, source): it
-        // feeds both the per-source thresholds and the final band compare,
-        // and recomputing it would re-run the LM count joins twice
-        // (measured 4.3 -> ~2.8 s at sf0.1)
-        val scored = TextOps.nllScores(s, d)
-          .select(col("doc_id"), round(col("nll"), 6).as("score"))
-          .join(docs, "doc_id")
-          .persist()
-        val qs = scored.groupBy(col("source"))
-          .agg(expr("percentile(score, array(0.25D, 0.75D))").as("ps"))
-          .select(col("source"),
-            get(col("ps"), lit(0)).as("p25"), get(col("ps"), lit(1)).as("p75"))
+        val scored = perplexityScored(s, d)
+        val qs = perplexityThresholds(scored)
         scored.join(broadcast(qs), "source")
           .select(col("doc_id"), col("source"), col("score"),
             (col("score") >= col("p25") && col("score") <= col("p75")).as("keep"))

@@ -76,37 +76,63 @@ object TextOps {
     * hash-invariant modulo collisions (the dd03/tx07 set argument — the
     * oracle computes the same counts from strings), and the count/score
     * joins key on longs instead of bigram strings. */
-  private[ops] def nllScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    // (history, bigram) pairs; empty for docs under 2 words (slice guard,
-    // not when() — see Dedup.shingleHashes on conditional-branch CSE)
+  /** (carried columns..., w1, bg) hashed-bigram relation for a frame that
+    * already carries `wh` (wordHashes) — nllScores' pair extraction,
+    * factored so the stored-model stream scorer tokenizes IDENTICALLY.
+    * Pairs are empty for docs under 2 words (slice guard, not when() —
+    * see Dedup.shingleHashes on conditional-branch CSE). */
+  private[graft] def bigramPairsFromWh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pairIdx = slice(sequence(lit(0), greatest(size(col("wh")) - 2, lit(0))),
       lit(1), greatest(size(col("wh")) - 1, lit(0)))
     val pairs = transform(pairIdx, i => struct(
       get(col("wh"), i).as("w1"),
       get(col("bgh"), i).as("bg")))
+    val carried = df.columns.filter(c => c != "wh").map(col).toIndexedSeq
+    df.withColumn("bgh", graft.spark.SketchExpressions.spanHashes(col("wh"), 2))
+      .select(carried :+ explode(pairs).as("p"): _*)
+      .select(carried :+ col("p.w1").as("w1") :+ col("p.bg").as("bg"): _*)
+  }
+
+  /** The tx08 model's relations, built ONCE (c1/c12/vocab train on the
+    * bk<80 slice; base/ex cover the whole corpus for the eval side) —
+    * shared between nllScores and the stored-model build
+    * ([[graft.streaming.PerplexityStore]]). */
+  private[graft] final case class LmRelations(
+      base: org.apache.spark.sql.DataFrame, ex: org.apache.spark.sql.DataFrame,
+      c1: org.apache.spark.sql.DataFrame, c12: org.apache.spark.sql.DataFrame,
+      vocab: Long)
+
+  private[graft] def lmRelations(s: org.apache.spark.sql.SparkSession,
+      d: String): LmRelations = {
     val base = Tables.spread(t(s, d, "documents"))
       .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bk"),
         graft.spark.SketchExpressions.wordHashes(col("text")).as("wh"))
       .persist() // read three times: train counts, vocab scalar, eval side
-    val ex = base
-      .withColumn("bgh", graft.spark.SketchExpressions.spanHashes(col("wh"), 2))
-      .select(col("doc_id"), col("bk"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("bk"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val ex = bigramPairsFromWh(base)
     val train = ex.filter(col("bk") < 80)
     val c12 = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = base.filter(col("bk") < 80)
       .select(explode(col("wh")).as("word")).distinct().count()
-    val scored = ex
-      .join(c12, Seq("bg"), "left")
-      .join(c1, Seq("w1"), "left")
+    LmRelations(base, ex, c1, c12, vocab)
+  }
+
+  /** Per-pair smoothed negative log-likelihood under (c1, c12, vocab). */
+  private[graft] def nllCol(vocab: Long): Column =
+    -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + vocab))
+
+  private[ops] def nllScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val m = lmRelations(s, d)
+    val scored = m.ex
+      .join(m.c12, Seq("bg"), "left")
+      .join(m.c1, Seq("w1"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
-        avg(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + vocab))).as("nll"))
-    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        avg(nllCol(m.vocab)).as("nll"))
+    m.base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
