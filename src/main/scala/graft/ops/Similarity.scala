@@ -1490,14 +1490,18 @@ object Similarity {
     // a broadcast-bounded sample batch (the production loop mines per
     // training batch, never all-pairs); BOTH corpus passes are map-only
     // broadcast joins — pass 1 reduces same-label pairs to one hardest-
-    // positive row per anchor (tiny, broadcast back), pass 2 ranks the
-    // different-label band per anchor (the only shuffle: anchors × top-k
-    // window, same shape as ss01). Anchors with no same-label peer have no
-    // triplet and drop via the inner join; raw cos doubles per the ss01 note
-    // (rank ordering is the cross-engine proof, vec_id breaks ties).
+    // positive row per anchor (a partial-agg max: tiny, broadcast back),
+    // pass 2 reduces the different-label band per anchor through the
+    // bounded TopKByDouble heap (ss08's move, 3.3→1.0 s there): each map
+    // slice carries at most 5 heap entries per anchor into the shuffle
+    // instead of sorting the whole anchors×corpus pair relation inside a
+    // per-a_id window task. Heap admission/eval order is (cos desc, vec_id
+    // asc) — byte-identical to the windowed form (TopKAggregateSpec pins
+    // the tie semantics). Anchors with no same-label peer have no triplet
+    // and drop via the inner join; raw cos doubles per the ss01 note (rank
+    // ordering is the cross-engine proof, vec_id breaks ties).
     Q("ss15_hard_negatives",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val all = vecs(s, d)
         val a = broadcast(all.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("a_id"), col("label").as("a_label"),
@@ -1507,14 +1511,17 @@ object Similarity {
             cosine(col("av"), col("vec"), col("an"), col("nrm")).as("cos"))
         val pos = pairs.filter(col("label") === col("a_label"))
           .groupBy(col("a_id")).agg(max(col("cos")).as("pos_cos"))
-        val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
         pairs.filter(col("label") =!= col("a_label"))
           .join(broadcast(pos), "a_id")
           .filter(col("cos") < col("pos_cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("a_id"), col("vec_id").as("neg_id"), col("cos"),
-            col("pos_cos"), col("rank"))
+          .groupBy(col("a_id"))
+          // pos_cos is constant per a_id (just joined on it) — max() carries
+          // it through the same partial aggregate instead of a second join
+          .agg(max(col("pos_cos")).as("pos_cos"),
+            graft.spark.TopKAggregate.topkByDouble(col("cos"), col("vec_id"), 5).as("top"))
+          .select(col("a_id"), col("pos_cos"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("a_id"), col("e.id").as("neg_id"), col("e.score").as("cos"),
+            col("pos_cos"), (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("a_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

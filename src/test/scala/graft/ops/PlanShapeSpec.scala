@@ -505,6 +505,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // the top-5 negative rank runs through the bounded TopKByDouble heap
+    // with a map-side partial stage — NOT a row_number window sorting the
+    // anchors×corpus pair relation (the round-11 weak mark)
+    assert(p.contains("partial_topk_by"), "no map-side heap partial:\n" + p.take(3000))
+    assert(!p.contains("row_number"), "pair relation still ranks via a window sort:\n" + p.take(3000))
   }
 
   test("sp16 coverage: broadcast anchor assignment over id-width rows, no sort-merge") {
