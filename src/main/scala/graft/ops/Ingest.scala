@@ -39,14 +39,30 @@ import org.apache.hadoop.fs.Path
   * directories before committing. A replay of an already-committed batch is
   * a no-op (the guard in [[ingestBatch]]). All store I/O goes through the
   * Hadoop filesystem of `dir`'s scheme, so the log can live on HDFS/S3A as
-  * well as local disk. Long-running streams compact by merging committed
-  * directories during a maintenance window with the stream STOPPED (write
-  * the merged dir + stats first, remove the old dirs after; a reader
-  * between the two steps would double-count, which is why compaction is
-  * offline — an online compactor would need a manifest indirection this
-  * log deliberately avoids). NOTE: batchId↔offset pinning is the CALLER's
+  * well as local disk. NOTE: batchId↔offset pinning is the CALLER's
   * durable streaming checkpoint ([[graft.streaming.StreamingIngest]] takes
   * the checkpoint location for exactly this reason).
+  *
+  * ONLINE COMPACTION ([[compact]] / [[vacuum]]): a 24/7 stream at 1-minute
+  * triggers accumulates ~1,440 batch directories per day, and every reader
+  * lists + unions them. [[compact]] folds the contiguous committed batch
+  * prefix (plus the previous generation, if any) into
+  *
+  *   compact/gen=G/{fp,bands,sigs,admitted,stats,manifest}
+  *
+  * re-clustered by each store's probe key, with the 1-row manifest
+  * (`up_to` = highest folded batch id) written LAST — its job-commit
+  * `_SUCCESS` is the GENERATION's commit marker, the same protocol as
+  * batches. Readers resolve one [[StoreView]]: newest committed generation
+  * + committed batch dirs with id > its `up_to` — the manifest indirection
+  * that makes compaction safe UNDER LOAD: a crash mid-compaction leaves an
+  * uncommitted gen dir no reader sees (the rerun overwrites it), ingest
+  * keeps appending tail batches meanwhile, and a batch id the generation
+  * covers stays committed forever (the replay guard consults the view, not
+  * the directory listing). [[vacuum]] removes superseded batch dirs and
+  * older generations AFTER a generation commits; run it with a grace
+  * period so no reader that resolved its view before the commit still
+  * holds the old paths.
   *
   * 100 TB execution shape (what each micro-batch costs):
   *  - ONE pass over the batch computes every gate input (tokens, quality,
@@ -62,16 +78,24 @@ import org.apache.hadoop.fs.Path
   *    batches skip the collect: the joins below carry correctness either
   *    way, so an oversized batch costs a log scan, never a driver OOM or a
   *    codegen blowup from a million-literal In();
-  *  - candidate work is banded and bucket-capped (dd04's argument): an
-  *    over-hot STORED bucket stops producing cross-batch candidates rather
-  *    than emitting batch×bucket pairs. The cap is one-sided — intra-batch
-  *    pairs are uncapped — so batch-partition equality (the union of
-  *    admissions over any split of a doc set equals the sequential replay)
-  *    holds EXACTLY only while no stored bucket exceeds `bucketCap`; past
-  *    the cap the engine admits MORE than the uncapped replay (suppressed
-  *    candidates), the same bounded-state trade [[graft.streaming.StreamingNearDup]]
-  *    documents for its bucketCap. Mass-duplicate streams should gate on
-  *    exact dedup first, exactly like batch;
+  *  - candidate work is banded and bucket-capped (dd04's argument) on BOTH
+  *    sides with the same census rule: an over-hot STORED bucket stops
+  *    producing cross-batch candidates, and an over-hot BATCH bucket (a
+  *    template-heavy micro-batch) stops producing intra-batch pairs —
+  *    neither side can go |bucket|². Past the cap the engine admits MORE
+  *    than the uncapped replay (suppressed candidates), the same
+  *    bounded-state trade [[graft.streaming.StreamingNearDup]] documents
+  *    for its bucketCap. Mass-duplicate streams should gate on exact dedup
+  *    first, exactly like batch. Equality caveats: per-batch admission
+  *    matches the per-doc sequential replay exactly only while (a) no
+  *    bucket exceeds `bucketCap` AND (b) no near-dup agreement CHAIN
+  *    crosses a dropped doc — intra-batch pairs drop against peers that
+  *    are themselves dropped (pp04's greedy rule), while the per-doc
+  *    replay only ever checks ADMITTED stored docs, so with A0~A, A~B,
+  *    A0!~B one batch admits {A0} where the replay admits {A0, B}.
+  *    Admission is therefore a function of micro-batch boundaries in the
+  *    presence of dup chains; IngestStreamingSpec's reference replays the
+  *    same batch boundaries;
   *  - near-dup verification is the signature-agreement estimate over 64
   *    components — StreamingNearDup's documented streaming trade-off
   *    (exact shingle verification would re-read stored shingle sets; batch
@@ -101,48 +125,103 @@ object Ingest {
     * semi/anti joins below are the correctness path either way. */
   private val MaxPushdownKeys = 100000
 
+  /** The data stores a batch (or generation) directory holds. */
+  private val Stores = Seq("fp", "bands", "sigs", "admitted", "stats")
+
+  private val StatsDdl = "n_raw BIGINT, n_quality BIGINT, n_lang BIGINT, " +
+    "n_exact BIGINT, n_admitted BIGINT, batch_id BIGINT"
+
   private def fsOf(s: SparkSession, dir: String) =
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def bdir(dir: String, store: String, batchId: Long) =
     s"$dir/$store/batch_id=$batchId"
+  private def gdir(dir: String, gen: Long, store: String) =
+    s"$dir/compact/gen=$gen/$store"
+
+  /** Child dirs of `root` named `prefix=N` with a PARSEABLE long suffix —
+    * a stray non-numeric directory is skipped, never a crash. */
+  private def listIds(s: SparkSession, dir: String, sub: String,
+                      prefix: String): Seq[Long] = {
+    val fs = fsOf(s, dir)
+    val root = new Path(s"$dir/$sub")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(prefix).toLong).toOption)
+      .sorted
+  }
 
   /** Batches whose stats commit marker (`stats/batch_id=N/_SUCCESS`)
     * exists, ascending. Hadoop-FS based: works on any scheme `dir` uses. */
   def committedBatches(s: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(s, dir)
-    val root = new Path(s"$dir/stats")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    listIds(s, dir, "stats", "batch_id=")
       .filter(b => fs.exists(new Path(s"${bdir(dir, "stats", b)}/_SUCCESS")))
-      .sorted
   }
 
-  /** Read a store's committed slices (schema-stable empty when none). */
+  /** The newest committed generation, as (gen, up_to): committed =
+    * `compact/gen=G/manifest/_SUCCESS` exists (the manifest is written
+    * after every data store, so its job commit IS the generation commit). */
+  def committedGeneration(s: SparkSession, dir: String): Option[(Long, Long)] = {
+    val fs = fsOf(s, dir)
+    listIds(s, dir, "compact", "gen=")
+      .filter(g => fs.exists(new Path(s"${gdir(dir, g, "manifest")}/_SUCCESS")))
+      .lastOption
+      .map { g =>
+        (g, s.read.parquet(gdir(dir, g, "manifest")).head().getAs[Long]("up_to"))
+      }
+  }
+
+  /** One consistent resolution of the store: the newest committed
+    * generation (covering every batch id <= `upTo`) plus the committed
+    * batch-dir tail beyond it. `upTo` is -1 when no generation exists. */
+  case class StoreView(gen: Option[Long], upTo: Long, tail: Seq[Long]) {
+    def isCommitted(batchId: Long): Boolean =
+      batchId <= upTo || tail.contains(batchId)
+    def isEmpty: Boolean = gen.isEmpty && tail.isEmpty
+  }
+
+  def storeView(s: SparkSession, dir: String): StoreView = {
+    val g = committedGeneration(s, dir)
+    val upTo = g.map(_._2).getOrElse(-1L)
+    StoreView(g.map(_._1), upTo, committedBatches(s, dir).filter(_ > upTo))
+  }
+
+  /** Read a store through a view — ONE multi-path parquet read over the
+    * generation slice + tail batch dirs (schema-stable empty when none). */
   private def readCommitted(s: SparkSession, dir: String, store: String,
-                            committed: Seq[Long], ddl: String): DataFrame =
-    if (committed.isEmpty)
+                            view: StoreView, ddl: String): DataFrame = {
+    val paths = view.gen.map(g => gdir(dir, g, store)).toSeq ++
+      view.tail.map(b => bdir(dir, store, b))
+    if (paths.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(ddl))
-    else s.read.parquet(committed.map(b => bdir(dir, store, b)): _*)
+    else s.read.parquet(paths: _*)
+  }
 
   /** The union of all committed admitted slices. */
   def admitted(s: SparkSession, dir: String): DataFrame =
-    readCommitted(s, dir, "admitted", committedBatches(s, dir),
+    readCommitted(s, dir, "admitted", storeView(s, dir),
       "doc_id BIGINT, source STRING, tokens BIGINT")
 
-  /** The per-batch attrition log (one row per committed batch). */
-  def stats(s: SparkSession, dir: String): DataFrame = {
-    val committed = committedBatches(s, dir)
-    committed.map { b =>
-      s.read.parquet(bdir(dir, "stats", b)).withColumn("batch_id", lit(b))
-    } match {
-      case Nil => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL("n_raw BIGINT, n_quality BIGINT, n_lang BIGINT, " +
-          "n_exact BIGINT, n_admitted BIGINT, batch_id BIGINT"))
-      case xs => xs.reduce(_ unionByName _)
-    }
+  /** The per-batch attrition log (one row per committed batch). The
+    * generation slice stores `batch_id` as a written column; the tail is
+    * ONE basePath-rooted read whose `batch_id=N` partition directories
+    * supply the column — never an N-way union. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    statsOf(s, dir, storeView(s, dir))
+
+  private def statsOf(s: SparkSession, dir: String, view: StoreView): DataFrame = {
+    val slices =
+      view.gen.map(g => s.read.parquet(gdir(dir, g, "stats"))).toSeq ++
+        (if (view.tail.isEmpty) Seq.empty[DataFrame]
+         else Seq(s.read.option("basePath", s"$dir/stats")
+           .parquet(view.tail.map(b => bdir(dir, "stats", b)): _*)
+           .withColumn("batch_id", col("batch_id").cast("long"))))
+    slices.reduceOption(_ unionByName _).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(StatsDdl)))
   }
 
   /** The ONE batch pass: every gate input of [[ingestBatch]] as columns —
@@ -180,8 +259,8 @@ object Ingest {
     * partial writes and then commits. */
   def ingestBatch(s: SparkSession, dir: String, batch: DataFrame, batchId: Long,
                   bucketCap: Long = BucketCap): Unit = {
-    val committed = committedBatches(s, dir)
-    if (committed.contains(batchId)) return // replayed committed batch
+    val view = storeView(s, dir)
+    if (view.isCommitted(batchId)) return // replayed committed (or compacted) batch
 
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val flagged = flaggedBatch(batch)
@@ -195,7 +274,7 @@ object Ingest {
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1).drop("rn")
     val storedFps = keyFiltered(
-      readCommitted(s, dir, "fp", committed, "fp STRING, doc_id BIGINT"),
+      readCommitted(s, dir, "fp", view, "fp STRING, doc_id BIGINT"),
       "fp", keySetUpTo(intra.select(col("fp")), MaxPushdownKeys))
     val exact = intra.join(storedFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .persist() // band rows + near-dup survivors + counts
@@ -206,7 +285,7 @@ object Ingest {
       .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
       .persist() // stored-side probe keys + intra-batch self-join
     val storedBands = keyFiltered(
-      readCommitted(s, dir, "bands", committed, "band INT, bkey BIGINT, doc_id BIGINT"),
+      readCommitted(s, dir, "bands", view, "band INT, bkey BIGINT, doc_id BIGINT"),
       "bkey", keySetUpTo(bandRows.select(col("bkey")), MaxPushdownKeys))
       .withColumnRenamed("doc_id", "doc_c")
     // bucket census cap (dd04's BlockCap role) on the STORED side
@@ -218,7 +297,7 @@ object Ingest {
       .select(col("doc_id"), col("doc_c")).distinct()
       .persist()
     val storedSigs = keyFiltered(
-      readCommitted(s, dir, "sigs", committed, "doc_id BIGINT, sig ARRAY<BIGINT>"),
+      readCommitted(s, dir, "sigs", view, "doc_id BIGINT, sig ARRAY<BIGINT>"),
       "doc_id", keySetUpTo(candIds.select(col("doc_c")), MaxPushdownKeys))
     // agreement estimate = fraction of equal components (StreamingNearDup)
     def est(a: Column, b: Column) =
@@ -231,9 +310,17 @@ object Ingest {
       .filter(est(col("sig"), col("sig_c")) >= MinEst)
       .select(col("doc_id")).distinct()
     // intra-batch near-dup: pp04's greedy rule — drop the larger id of
-    // EVERY agreeing banded pair (independent of other drops)
-    val intraDrop = bandRows.as("x")
-      .join(bandRows.as("y"),
+    // EVERY agreeing banded pair (independent of other drops). The SAME
+    // census cap as the stored side guards the self-join: a template-heavy
+    // batch bucket (> bucketCap of its own docs) is suppressed entirely
+    // rather than going |bucket|² — pairs sharing any COLD bucket still
+    // verify, so only the pathological buckets lose recall
+    val hotIntra = bandRows.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+      .select(col("band"), col("bkey"))
+    val coldBandRows = bandRows.join(hotIntra, Seq("band", "bkey"), "left_anti")
+    val intraDrop = coldBandRows.as("x")
+      .join(coldBandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ia"), col("y.doc_id").as("doc_id"),
@@ -270,4 +357,71 @@ object Ingest {
 
     Seq(flagged, exact, bandRows, candIds, admit).foreach(_.unpersist(false))
   }
+
+  /** Fold the contiguous committed batch prefix — and the previous
+    * committed generation, if any — into a new generation `compact/gen=G`,
+    * re-clustered by each store's probe key (`repartitionByRange` +
+    * `sortWithinPartitions`, so the merged files keep the row-group
+    * IN-filter property the per-batch writes had). ONLINE-safe: ingest may
+    * keep committing tail batches while this runs; readers switch to the
+    * generation atomically when its manifest `_SUCCESS` lands, and a crash
+    * before that point leaves the store exactly as it was (the rerun
+    * overwrites the partial gen dirs). Only the CONTIGUOUS prefix folds:
+    * `StoreView.isCommitted` treats every id <= `up_to` as committed, so a
+    * gap in the committed ids must stay in the tail. Returns the new
+    * generation id, or None when there is nothing new to fold. */
+  def compact(s: SparkSession, dir: String): Option[Long] =
+    writeGenerationData(s, dir).map { case (gen, upTo) =>
+      import s.implicits._
+      Seq(upTo).toDF("up_to").coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(gdir(dir, gen, "manifest")) // job-commit _SUCCESS = COMMIT
+      gen
+    }
+
+  /** The data half of [[compact]]: writes every store of the target
+    * generation but NOT the manifest — `private[graft]` so the
+    * crash-mid-compaction spec can stop exactly at the crash point. */
+  private[graft] def writeGenerationData(s: SparkSession, dir: String): Option[(Long, Long)] = {
+    val view = storeView(s, dir)
+    val prefix = view.tail.foldLeft(Vector.empty[Long]) { (acc, b) =>
+      if (b == acc.lastOption.getOrElse(view.upTo) + 1) acc :+ b else acc
+    }
+    if (prefix.isEmpty) None
+    else {
+      val folded = view.copy(tail = prefix)
+      val gen = view.gen.getOrElse(-1L) + 1
+      def rewrite(store: String, ddl: String, key: String): Unit =
+        readCommitted(s, dir, store, folded, ddl)
+          .repartitionByRange(col(key)).sortWithinPartitions(col(key))
+          .write.mode(SaveMode.Overwrite).parquet(gdir(dir, gen, store))
+      rewrite("fp", "fp STRING, doc_id BIGINT", "fp")
+      rewrite("bands", "band INT, bkey BIGINT, doc_id BIGINT", "bkey")
+      rewrite("sigs", "doc_id BIGINT, sig ARRAY<BIGINT>", "doc_id")
+      readCommitted(s, dir, "admitted", folded,
+        "doc_id BIGINT, source STRING, tokens BIGINT")
+        .write.mode(SaveMode.Overwrite).parquet(gdir(dir, gen, "admitted"))
+      statsOf(s, dir, folded).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(gdir(dir, gen, "stats"))
+      Some((gen, prefix.last))
+    }
+  }
+
+  /** Remove batch directories the newest committed generation supersedes
+    * (id <= its `up_to`) and generations older than it. Run this with a
+    * grace period after [[compact]]: a reader that resolved its
+    * [[StoreView]] BEFORE the generation committed may still hold the old
+    * paths (the standard vacuum caveat of manifest-indirected logs). */
+  def vacuum(s: SparkSession, dir: String): Unit =
+    committedGeneration(s, dir).foreach { case (gen, upTo) =>
+      val fs = fsOf(s, dir)
+      Stores.foreach { store =>
+        listIds(s, dir, store, "batch_id=").filter(_ <= upTo).foreach { b =>
+          fs.delete(new Path(bdir(dir, store, b)), true)
+        }
+      }
+      listIds(s, dir, "compact", "gen=").filter(_ < gen).foreach { g =>
+        fs.delete(new Path(s"$dir/compact/gen=$g"), true)
+      }
+    }
 }

@@ -40,21 +40,45 @@ object Sampling {
     * 4.3 -> ~2.8 s at sf0.1). Shared with the stored-model build
     * ([[graft.streaming.PerplexityStore]]) — one scoring definition. */
   private[graft] def perplexityScored(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame =
+    perplexityScoredOf(s, d, TextOps.lmRelations(s, d))
+
+  /** [[perplexityScored]] over an already-built LM — the stored-model build
+    * ([[graft.streaming.PerplexityStore]]) passes the SAME relations it
+    * writes to disk, so the LM trains exactly once. */
+  private[graft] def perplexityScoredOf(s: org.apache.spark.sql.SparkSession,
+      d: String, m: TextOps.LmRelations): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
-    TextOps.nllScores(s, d)
+    TextOps.nllScoresOf(m)
       .select(col("doc_id"), round(col("nll"), 6).as("score"))
       .join(docs, "doc_id")
       .persist()
   }
 
   /** sp15's per-source quartile thresholds (shared with the stored model —
-    * the CCNet deployment freezes these offline). */
-  private[graft] def perplexityThresholds(scored: DataFrame): DataFrame =
+    * the CCNet deployment freezes these offline). `approx = true` selects
+    * `approx_percentile` (a bounded-memory t-digest-style sketch with
+    * map-side partials) over the exact `percentile` (a per-group O(n)
+    * buffer): the 100 TB path. Accuracy contract pinned by
+    * PerplexityBandSpec in bf03's `within_bound` convention:
+    * `ApproxAccuracy` bounds the RANK error to n/accuracy rows, so each
+    * approx threshold sits within a quantile band of ±1/accuracy around
+    * the exact one. The exact path stays the oracle (sp15). */
+  private[graft] def perplexityThresholds(scored: DataFrame,
+                                          approx: Boolean = false): DataFrame = {
+    val ps =
+      if (approx) expr(s"approx_percentile(score, array(0.25D, 0.75D), $ApproxAccuracy)")
+      else expr("percentile(score, array(0.25D, 0.75D))")
     scored.groupBy(col("source"))
-      .agg(expr("percentile(score, array(0.25D, 0.75D))").as("ps"))
+      .agg(ps.as("ps"))
       .select(col("source"),
         get(col("ps"), lit(0)).as("p25"), get(col("ps"), lit(1)).as("p75"))
+  }
+
+  /** Rank-error budget of the approx threshold path: at accuracy A the
+    * sketch's guaranteed rank error is n/A, i.e. the returned value lies
+    * between the exact (q - 1/A) and (q + 1/A) quantiles. */
+  private[graft] val ApproxAccuracy: Int = 10000
 
   private def splitOf(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -733,8 +757,9 @@ object Sampling {
     // band compare cannot flip. Scale shape: the model is tx08's (bounded
     // count joins); the selection adds one doc_id equi-join to attach
     // source, ONE exact percentile per source (per-group O(n) buffer —
-    // at 100 TB swap for approx_percentile/t-digest, a one-line change
-    // that keeps the band shape), and a broadcast threshold attach.
+    // at 100 TB pass `approx = true` to [[perplexityThresholds]] for the
+    // bounded-memory approx_percentile sketch; PerplexityBandSpec pins its
+    // |approx − exact| rank band), and a broadcast threshold attach.
     Q("sp15_perplexity_band",
       (s, d) => {
         val scored = perplexityScored(s, d)

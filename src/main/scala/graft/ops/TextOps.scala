@@ -123,8 +123,12 @@ object TextOps {
       (coalesce(col("c1"), lit(0L)) + vocab))
 
   private[ops] def nllScores(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val m = lmRelations(s, d)
+      d: String): org.apache.spark.sql.DataFrame = nllScoresOf(lmRelations(s, d))
+
+  /** [[nllScores]] over an ALREADY-BUILT model — so a caller that needs
+    * both the count relations and the scores (the stored-model build)
+    * trains the LM once and owns the persist lifecycle of `m.base`. */
+  private[graft] def nllScoresOf(m: LmRelations): org.apache.spark.sql.DataFrame = {
     val scored = m.ex
       .join(m.c12, Seq("bg"), "left")
       .join(m.c1, Seq("w1"), "left")

@@ -30,14 +30,20 @@ object PerplexityStore {
   final case class Model(c1: DataFrame, c12: DataFrame, vocab: Long,
                          thresholds: DataFrame)
 
-  /** Train on the reference corpus at `sfDir` and freeze to `dir`. */
+  /** Train on the reference corpus at `sfDir` and freeze to `dir`. The LM
+    * trains ONCE: the count relations and the threshold scores both derive
+    * from the same [[graft.ops.TextOps.lmRelations]] build, and both
+    * persisted relations (the LM base and the scored relation) are
+    * released before returning. */
   def build(s: SparkSession, sfDir: String, dir: String): Unit = {
     val m = graft.ops.TextOps.lmRelations(s, sfDir)
     m.c1.write.mode("overwrite").parquet(s"$dir/c1")
     m.c12.write.mode("overwrite").parquet(s"$dir/c12")
-    graft.ops.Sampling.perplexityThresholds(graft.ops.Sampling.perplexityScored(s, sfDir))
+    val scored = graft.ops.Sampling.perplexityScoredOf(s, sfDir, m)
+    graft.ops.Sampling.perplexityThresholds(scored)
       .write.mode("overwrite").parquet(s"$dir/thr")
     s.range(1).select(lit(m.vocab).as("vocab")).write.mode("overwrite").parquet(s"$dir/meta")
+    scored.unpersist()
     m.base.unpersist()
     ()
   }

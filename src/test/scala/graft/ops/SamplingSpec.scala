@@ -289,4 +289,38 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"source $src kept $kept of ${ds.length} — not a middle band")
     }
   }
+
+  test("sp15 approx thresholds sit within the pinned rank band of the exact path") {
+    // the 100 TB flag: approx_percentile's contract at accuracy A is a rank
+    // error of at most n/A — each returned threshold is an ACTUAL score
+    // whose rank lies in [q - 1/A, q + 1/A] (bf03's within_bound stance:
+    // pin the sketch to its published bound, exact stays the oracle)
+    val scored = Sampling.perplexityScored(spark, sfDir)
+    def thr(approx: Boolean): Map[String, (Double, Double)] =
+      Sampling.perplexityThresholds(scored, approx).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = thr(approx = false)
+    val approx = thr(approx = true)
+    assert(approx.keySet == exact.keySet)
+    val bySource = scored.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("score")))
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).sorted }
+    val eps = 1.0 / Sampling.ApproxAccuracy
+    approx.foreach { case (src, (a25, a75)) =>
+      val sc = bySource(src)
+      val n = sc.length
+      Seq((0.25, a25), (0.75, a75)).foreach { case (q, v) =>
+        val lo = math.max(0, math.floor((q - eps) * n).toInt - 1)
+        val hi = math.min(n - 1, math.ceil((q + eps) * n).toInt)
+        assert((lo to hi).exists(i => sc(i) == v),
+          s"source $src q=$q: approx $v outside ranks [$lo,$hi] of n=$n scores")
+      }
+    }
+    // both paths produce ordered bands
+    exact.foreach { case (src, (e25, e75)) =>
+      val (a25, a75) = approx(src)
+      assert(a25 <= a75 && e25 <= e75, s"$src band inverted")
+    }
+    scored.unpersist()
+  }
 }

@@ -119,10 +119,12 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.zip(b).count { case (x, y) => x == y }.toDouble / graft.ops.Dedup.P
 
   /** Sequential replay of the admission rules over the batch sequence.
-    * `bucketCap` mirrors the engine's one-sided census cap: a STORED
+    * `bucketCap` mirrors the engine's two-sided census cap: a STORED
     * bucket holding more than cap docs produces no cross-batch candidates
-    * at all (the whole bucket is suppressed, not truncated), while
-    * intra-batch pairs are uncapped. */
+    * at all (the whole bucket is suppressed, not truncated), and a BATCH
+    * bucket holding more than cap of the batch's own exact-survivors
+    * produces no intra-batch pairs — pairs sharing any cold bucket still
+    * verify. */
   private def runRef(bs: Seq[Seq[(Long, String, String)]], bucketCap: Long = 1024L)
       : (Set[(Long, String, Long)], Seq[StatsRow]) = {
     var fps = Set.empty[String]
@@ -146,10 +148,15 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
             bucket.exists(cid => est(d.sig, sigs(cid)) >= 0.5)
         }
       }.map(_.id).toSet
-      // intra near-dup: greedy — drop the LARGER id of every agreeing pair
+      // intra near-dup: greedy — drop the LARGER id of every pair agreeing
+      // through at least one NON-HOT batch bucket
+      val intraCnt = exact.flatMap(_.bands).groupBy(identity)
+        .map { case (bk, xs) => bk -> xs.size.toLong }
       val intraDrop = (for {
         a <- exact; b <- exact
-        if a.id < b.id && a.bands.toSet.intersect(b.bands.toSet).nonEmpty &&
+        if a.id < b.id &&
+          a.bands.toSet.intersect(b.bands.toSet)
+            .exists(bk => intraCnt(bk) <= bucketCap) &&
           est(a.sig, b.sig) >= 0.5
       } yield b.id).toSet
       val admit = exact.filterNot(d => crossDrop(d.id) || intraDrop(d.id))
@@ -251,27 +258,121 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeStats(dir) == refStats)
   }
 
-  test("hot stored buckets suppress cross-batch candidates (one-sided cap), reference agrees") {
+  test("hot buckets suppress candidates on BOTH sides (census cap), reference agrees") {
     val sp = spark
     import sp.implicits._
     val dir = tmpDir("cap")
     def df(rows: Seq[(Long, String, String)]): DataFrame =
       rows.toDF("doc_id", "source", "text")
 
-    // bucketCap = 0: EVERY non-empty stored bucket is hot, so the
-    // cross-batch near-dup screen is fully suppressed — doc 8 (near-dup of
-    // committed doc 1) is ADMITTED — while the intra-batch greedy rule is
-    // uncapped and still drops doc 6 in batch 0, and exact dedup (a
-    // different key) still drops 5/7
+    // bucketCap = 0: EVERY non-empty bucket is hot on both sides, so the
+    // near-dup screen is fully suppressed — doc 8 (near-dup of committed
+    // doc 1) AND doc 6 (intra-batch near-dup of doc 1) are ADMITTED —
+    // while exact dedup (a different key, uncapped) still drops 5/7 and
+    // the quality/language gates are unaffected
     Ingest.ingestBatch(spark, dir, df(b0), 0L, bucketCap = 0L)
     Ingest.ingestBatch(spark, dir, df(b1), 1L, bucketCap = 0L)
     Ingest.ingestBatch(spark, dir, df(b2), 2L, bucketCap = 0L)
 
     val (refAdmitted, refStats) = runRef(batches, bucketCap = 0L)
-    assert(refAdmitted.map(_._1) == Set(1L, 4L, 8L, 9L, 10L, 11L),
-      s"cap=0 reference should admit the cross-batch near-dups: $refAdmitted")
+    assert(refAdmitted.map(_._1) == Set(1L, 4L, 6L, 8L, 9L, 10L, 11L),
+      s"cap=0 reference should admit every near-dup: $refAdmitted")
     assert(storeAdmitted(dir) == refAdmitted,
       s"capped admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
     assert(storeStats(dir) == refStats)
+  }
+
+  test("template-heavy batch: hot intra-batch buckets are suppressed, cold pairs still drop") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("template")
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text")
+
+    // one micro-batch where four template docs share their band buckets
+    // (bucket size 4 > cap 2 ⇒ suppressed: no |bucket|² pair work) while
+    // an unrelated near-dup PAIR (bucket size 2 <= cap) still verifies and
+    // drops its larger id; a follow-up batch then probes the STORED side
+    // of the same hot template buckets
+    val t0: Seq[(Long, String, String)] =
+      (20L to 23L).map(i => (i, "web", enDoc(sharedBody("T") + s" t$i"))) ++
+        Seq(
+          (30L, "web", enDoc(sharedBody("P") + " p30")),
+          (31L, "web", enDoc(sharedBody("P") + " p31")))
+    val t1: Seq[(Long, String, String)] = Seq(
+      (40L, "web", enDoc(sharedBody("T") + " t40")),
+      (41L, "web", enDoc(ownBody(41L))))
+    val tb = Seq(t0, t1)
+
+    Ingest.ingestBatch(spark, dir, df(t0), 0L, bucketCap = 2L)
+    Ingest.ingestBatch(spark, dir, df(t1), 1L, bucketCap = 2L)
+
+    val (refCapped, refStatsCapped) = runRef(tb, bucketCap = 2L)
+    val (refUncapped, _) = runRef(tb)
+    // non-vacuity: the cap must actually change the outcome — the template
+    // family survives where the uncapped replay collapses it to doc 20
+    assert(refUncapped.map(_._1) == Set(20L, 30L, 41L), refUncapped.toString)
+    assert(refCapped.map(_._1).intersect(Set(21L, 22L, 23L)).nonEmpty,
+      s"cap never suppressed an intra bucket: $refCapped")
+    assert(!refCapped.map(_._1).contains(31L),
+      s"cold pair (30,31) must still drop 31: $refCapped")
+    assert(storeAdmitted(dir) == refCapped,
+      s"template admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refCapped")
+    assert(storeStats(dir) == refStatsCapped)
+  }
+
+  test("compaction folds batches into a committed generation: answers preserved under load, across a crash mid-compaction, and after vacuum") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("compact")
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text")
+
+    Ingest.ingestBatch(spark, dir, df(b0), 0L)
+    Ingest.ingestBatch(spark, dir, df(b1), 1L)
+    val (refAdmitted01, refStats01) = runRef(Seq(b0, b1))
+
+    // crash mid-compaction: every data store written, manifest NOT
+    // committed — readers must see the store exactly as before
+    assert(Ingest.writeGenerationData(spark, dir).contains((0L, 1L)))
+    assert(Ingest.committedGeneration(spark, dir).isEmpty,
+      "generation without a manifest marker must be invisible")
+    assert(storeAdmitted(dir) == refAdmitted01)
+    assert(storeStats(dir) == refStats01)
+
+    // the rerun overwrites the partial generation and commits it
+    assert(Ingest.compact(spark, dir).contains(0L))
+    assert(Ingest.committedGeneration(spark, dir).contains((0L, 1L)))
+    assert(storeAdmitted(dir) == refAdmitted01)
+    assert(storeStats(dir) == refStats01)
+
+    // under load: new batches land on TOP of the generation and the
+    // cross-batch dedup consults the compacted slices
+    Ingest.ingestBatch(spark, dir, df(b2), 2L)
+    val (refAdmitted, refStats) = runRef(batches)
+    assert(storeAdmitted(dir) == refAdmitted,
+      s"post-compaction ingest diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
+    assert(storeStats(dir) == refStats)
+
+    // vacuum removes the superseded batch dirs; answers unchanged; a
+    // replay of a batch the GENERATION covers is still a no-op (the
+    // exactly-once guard now comes from the manifest, not the batch dir)
+    Ingest.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/admitted/batch_id=0").exists(), "vacuum left batch 0")
+    assert(!new java.io.File(s"$dir/fp/batch_id=1").exists(), "vacuum left batch 1")
+    assert(storeAdmitted(dir) == refAdmitted)
+    assert(storeStats(dir) == refStats)
+    Ingest.ingestBatch(spark, dir, df(b0), 0L) // replay of a folded batch
+    assert(storeAdmitted(dir) == refAdmitted, "replay of a compacted batch must no-op")
+    assert(storeStats(dir) == refStats)
+
+    // a second compaction folds the tail into gen 1; vacuum drops gen 0;
+    // with nothing new to fold, compact is a no-op
+    assert(Ingest.compact(spark, dir).contains(1L))
+    Ingest.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/compact/gen=0").exists(), "vacuum left gen 0")
+    assert(storeAdmitted(dir) == refAdmitted)
+    assert(storeStats(dir) == refStats)
+    assert(Ingest.compact(spark, dir).isEmpty)
   }
 }

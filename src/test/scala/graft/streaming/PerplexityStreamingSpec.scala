@@ -33,6 +33,15 @@ class PerplexityStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("build trains the LM once and releases every persisted relation") {
+    // beforeAll ran build() and nothing else — a leaked persist (the LM
+    // base or the scored relation) would still be registered here. Runs
+    // FIRST: later tests invoke the sp15 registry query, whose persists
+    // live for the query's lifetime by design.
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"PerplexityStore.build leaked ${spark.sparkContext.getPersistentRDDs.size} persisted RDDs")
+  }
+
   test("streamed scores and band gates equal sp15 across split micro-batches; stateless") {
     val sp = spark
     import sp.implicits._
