@@ -604,6 +604,38 @@ object JsonataQueries {
             CASE WHEN event_type = 'click' AND 100.0 >= v0 THEN 100.0 ELSE v0 END) AS hi
         FROM e ORDER BY event_id""")),
 
+    // ---- jx32: the `*` wildcard on the COMPILED tier (B4, round-12) over ----
+    // ---- a NESTED reshape of a driver table: numeric struct with an      ----
+    // ---- array splice, string struct through $join, and an array-of-     ----
+    // ---- struct base mapping the field enumeration per element.          ----
+    // ---- PlanShapeSpec pins the interpreter-free plan; the fallback      ----
+    // ---- boundary + null classes live in DifferentialSpec/Fuzz.          ----
+    Q("jx32_wildcard",
+      (s, d) => {
+        val base = Tables.spread(t(s, d, "documents")).select(
+          col("doc_id"),
+          struct(col("n_chars").as("a"),
+            array(col("n_chars") * 2, lit(7L)).as("xs")).as("m"),
+          struct(col("lang").as("t"), col("source").as("u")).as("st"),
+          array(struct(col("n_chars").as("p"), lit(1L).as("q")),
+            struct((col("n_chars") + 5).as("p"), lit(2L).as("q"))).as("items"))
+        val out = JsonataDF.auto(base,
+          "{'doc_id': value.doc_id, " +
+            "'nv': $count(value.m.*), " +
+            "'tot': $sum(value.m.*), " +
+            "'tags': $join(value.st.*, '-'), " +
+            "'itot': $sum(value.items.*)}",
+          StructType.fromDDL("doc_id BIGINT, nv BIGINT, tot BIGINT, tags STRING, itot BIGINT"),
+          topic = "documents")
+        out.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CAST(3 AS BIGINT) AS nv,
+          n_chars + n_chars * 2 + 7 AS tot,
+          lang || '-' || source AS tags,
+          n_chars + 1 + n_chars + 5 + 2 AS itot
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {

@@ -1320,6 +1320,112 @@ object JsonataCompiler {
       Some(TCol(emptyAsNull(filter(all, x => x.isNotNull)), ArrayType(tt)))
     }
 
+    /** `value.a.*` — compiled terminal wildcard (B4). The engine's `*` over
+      * an object emits, in field order, each field VALUE with arrays (and
+      * nested arrays) spliced flat; over an array it maps that rule across
+      * the element objects; structs emit as single items; scalars yield
+      * undefined. Over a static schema the field set is enumerable at
+      * compile time — the single-level case of the `**` machinery — so the
+      * wildcard compiles to a concat of per-field segments, then
+      * emptyAsNull. Null handling is rowToJson's codec contract, NOT the
+      * `**` tier's blanket filter, because a terminal `*` has no trailing
+      * name step to drop non-objects: a NULL scalar/struct/array FIELD is
+      * an ABSENT key (rowToJson omits it — emit nothing), while a null
+      * ARRAY ELEMENT is an explicit JSON null the engine emits as an item
+      * (kept, including a null inner array in a nested splice, which the
+      * engine also emits as one null item). Gates (fall back, never
+      * compile wrongly): exactly one `*`, LAST step, value-rooted plain
+      * names before it; every emitted leaf must agree on the normalized
+      * type (integrals widen to long, integral+float widens to double —
+      * the `**` rules; identical struct types allowed, mixed ones not); a
+      * MapType field value or map-leafed array falls back (a JSON object
+      * whose keys are not statically enumerable); an array base needs
+      * struct elements (all-scalar elements emit nothing in the engine)
+      * and `*` with trailing steps stays interpreted. */
+    private def compileWildcardPath(steps: Vector[Step]): Option[TCol] = {
+      val es = steps.map(_.expr)
+      if (inLambda) return None
+      if (es.count(_ == Wildcard()) != 1 || es.last != Wildcard()) return None
+      val baseNames = es.init match {
+        case v if v.headOption.contains(NameStep("value")) &&
+          v.forall(_.isInstanceOf[NameStep]) => v.tail.collect { case NameStep(n) => n }
+        case _ => return None
+      }
+      val baseDt = fieldType(baseNames).getOrElse(return None)
+
+      // the type an array field's splice emits (None = a map leaf: fall back)
+      def leafType(dt: DataType): Option[DataType] = dt match {
+        case ArrayType(et, _) => leafType(et)
+        case _: MapType => None
+        case other => Some(other)
+      }
+      def fieldTypes(st: StructType): Option[Seq[DataType]] =
+        st.fields.toSeq.foldLeft(Option(Seq.empty[DataType])) {
+          case (None, _) => None
+          case (Some(acc), f) => f.dataType match {
+            case _: MapType => None
+            case at: ArrayType => leafType(at).map(acc :+ _)
+            case dt => Some(acc :+ dt)
+          }
+        }
+      def flt(dt: DataType) = dt == DoubleType || dt == FloatType
+      def unify(occs: Seq[DataType]): Option[DataType] =
+        if (occs.forall(_ == occs.head))
+          Some(occs.head match { case dt if isIntegral(dt) => LongType; case dt => dt })
+        else if (occs.forall(isIntegral)) Some(LongType)
+        else if (occs.forall(d => isIntegral(d) || flt(d))) Some(DoubleType)
+        else None
+      // arrays splice FLAT, however deep the nesting (evalWildcard's flat);
+      // a null INNER array is an explicit null element of its parent — the
+      // engine emits it as one null item, so it becomes array(null) here
+      // (flatten itself would return null on a null element and poison the
+      // whole field's splice)
+      def flattened(c: Column, at: ArrayType, tt: DataType): Column =
+        at.elementType match {
+          case inner: ArrayType =>
+            flatten(transform(c, e => coalesce(
+              flattened(e, inner, tt),
+              array(lit(null).cast(tt)))))
+          case _ => c.cast(ArrayType(tt))
+        }
+      def structSegs(c: Column, st: StructType, tt: DataType): Seq[Column] =
+        st.fields.toSeq.map { f =>
+          f.dataType match {
+            case at: ArrayType => coalesce(
+              flattened(c.getField(f.name), at, tt),
+              array().cast(ArrayType(tt)))
+            case _ => filter(array(c.getField(f.name).cast(tt)), x => x.isNotNull)
+          }
+        }
+      def emit(all: Column, tt: DataType): TCol =
+        TCol(emptyAsNull(all), ArrayType(tt))
+
+      baseDt match {
+        case st: StructType if st.fields.nonEmpty =>
+          for {
+            occs <- fieldTypes(st)
+            tt <- unify(occs)
+          } yield {
+            val base =
+              if (baseNames.isEmpty) struct(schema.fieldNames.toIndexedSeq.map(col): _*)
+              else col(baseNames.mkString("."))
+            emit(concat(structSegs(base, st, tt): _*), tt)
+          }
+        case ArrayType(et: StructType, _) if et.fields.nonEmpty =>
+          for {
+            occs <- fieldTypes(et)
+            tt <- unify(occs)
+          } yield {
+            val all = coalesce(
+              flatten(transform(col(baseNames.mkString(".")),
+                e => concat(structSegs(e, et, tt): _*))),
+              array().cast(ArrayType(tt)))
+            emit(all, tt)
+          }
+        case _ => None
+      }
+    }
+
     /** Constant-fold comparisons of the key parameter against string literals
       * for ONE field (the key is statically known per field), then fold
       * conditionals whose condition became a literal. This is what lets a
@@ -2162,6 +2268,14 @@ object JsonataCompiler {
             steps.forall(s => s.stages.isEmpty && !s.keepArray &&
               s.focus.isEmpty && s.index.isEmpty) =>
         compileDescendantPath(steps)
+      // `value.a.*` — terminal wildcard (B4's overwhelmingly common
+      // authored shape): static field-value enumeration over the schema —
+      // the single-level case of the `**` machinery (compileWildcardPath)
+      case Path(steps, false, None)
+          if steps.exists(_.expr == Wildcard()) &&
+            steps.forall(s => s.stages.isEmpty && !s.keepArray &&
+              s.focus.isEmpty && s.index.isEmpty) =>
+        compileWildcardPath(steps)
       // stages on a NON-PATH base — `$split(x, ' ')[pred]`, `$f()[0]` —
       // the same stage machinery over any compiled array-typed expression
       // (scalar bases re-wrap as singletons in the engine: not modeled,
@@ -2760,6 +2874,27 @@ object JsonataCompiler {
             // (compileDescendantPath), so they join like the HOF sources
             case (Some(dp: Path), Some(s2)) if dp.steps.exists(_.expr == Descendant()) =>
               compile(dp).collect {
+                case t if t.dt == ArrayType(StringType) ||
+                    t.dt == ArrayType(StringType, containsNull = true) =>
+                  TCol(array_join(t.col, s2), StringType)
+              }
+            // a terminal wildcard over an ALL-SCALAR struct is null-free by
+            // construction (absent keys filter; only array-element splices
+            // can carry explicit nulls, and those bases fall back here so
+            // the engine's error on a null item is preserved)
+            case (Some(wp @ Path(wsteps, false, None)), Some(s2))
+                if wsteps.lastOption.exists(_.expr == Wildcard()) &&
+                  wsteps.init.map(_.expr).headOption.contains(NameStep("value")) &&
+                  wsteps.init.map(_.expr).forall(_.isInstanceOf[NameStep]) &&
+                  fieldType(wsteps.init.map(_.expr).tail.collect {
+                    case NameStep(n) => n
+                  }).exists {
+                    case st: StructType => st.fields.forall(f =>
+                      !f.dataType.isInstanceOf[ArrayType] &&
+                        !f.dataType.isInstanceOf[MapType])
+                    case _ => false
+                  } =>
+              compile(wp).collect {
                 case t if t.dt == ArrayType(StringType) ||
                     t.dt == ArrayType(StringType, containsNull = true) =>
                   TCol(array_join(t.col, s2), StringType)

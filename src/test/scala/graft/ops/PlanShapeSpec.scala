@@ -498,6 +498,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("jsonata"), "jx30 must run on the compiled tier, not the interpreter")
   }
 
+  test("jx32 wildcard runs compiled: static field enumeration, no interpreter") {
+    val p = plan("jx32_wildcard")
+    assert(!p.contains("jsonata"), "jx32 must run on the compiled tier, not the interpreter")
+  }
+
   test("ss15 hard negatives: broadcast-only joins, no sort-merge, no cartesian") {
     val p = plan("ss15_hard_negatives")
     // anchor x corpus is a broadcast nested-loop (non-equi, like ss01);

@@ -1571,6 +1571,73 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonataCompiler.transformCompiled(df, "{'s': $count(value.**.meta.price)}").isEmpty)
   }
 
+  test("compiled * wildcard agrees and gates its fallback boundary") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // homogeneous-number struct, nested arrays (splice flat), array-of-
+    // struct base, absent keys, null/absent arrays
+    val ddlIn = "id BIGINT, m STRUCT<a: BIGINT, b: INT, xs: ARRAY<BIGINT>, " +
+      "yss: ARRAY<ARRAY<BIGINT>>>, " +
+      "items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>, " +
+      "s STRUCT<t: STRING, u: STRING>"
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, Row(10L, 2, Seq(3L, 4L), Seq(Seq(5L), Seq(6L, 7L))),
+          Seq(Row(1L, 2L), Row(3L, 4L)), Row("x", "y")),
+        Row(2L, Row(null, 8, null, Seq(Seq(9L))), Seq.empty[Row], Row("z", null)),
+        Row(3L, null, null, null)).asJava,
+      StructType.fromDDL(ddlIn))
+    diffDf(df, "{'id': value.id, 'n': $count(value.m.*), 's': $sum(value.m.*)}",
+      "id BIGINT, n BIGINT, s BIGINT", "id")
+    diffDf(df, "{'id': value.id, 's': $sum(value.items.*)}", "id BIGINT, s BIGINT", "id")
+    diffDf(df, "{'id': value.id, 'j': $join(value.s.*, '|')}", "id BIGINT, j STRING", "id")
+    // a null ARRAY ELEMENT is an explicit JSON null through the codec: the
+    // engine emits it as an item (unlike an absent struct key), including a
+    // null INNER array in a nested splice
+    val nullElems = spark.createDataFrame(
+      Seq(Row(1L, Row(8L, Seq(Seq(9L), null), Seq(2L, null, 3L))),
+        Row(2L, Row(null, null, Seq(null, null)))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<b: BIGINT, " +
+        "yss: ARRAY<ARRAY<BIGINT>>, xs: ARRAY<BIGINT>>"))
+    diffDf(nullElems, "{'id': value.id, 'n': $count(value.m.*)}",
+      "id BIGINT, n BIGINT", "id")
+    // integral/float occurrences widen exactly
+    val mixed = spark.createDataFrame(
+      Seq(Row(1L, Row(5, 2.5))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<v: INT, d: DOUBLE>"))
+    diffDf(mixed, "{'id': value.id, 's': $sum(value.m.*)}", "id BIGINT, s DOUBLE", "id")
+    // identical struct-typed field values emit as single items
+    val structs = spark.createDataFrame(
+      Seq(Row(1L, Row(Row(1L, "a"), Row(2L, "b"))), Row(2L, Row(Row(3L, "c"), null))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<n: BIGINT, t: STRING>, " +
+        "y: STRUCT<n: BIGINT, t: STRING>>"))
+    diffDf(structs, "{'id': value.id, 'n': $count(value.m.*)}",
+      "id BIGINT, n BIGINT", "id")
+    // whole-row base enumerates the row's own columns
+    val flat = spark.createDataFrame(
+      Seq(Row(3L, 4L), Row(5L, null)).asJava,
+      StructType.fromDDL("a BIGINT, b BIGINT"))
+    diffDf(flat, "{'a': value.a, 's': $sum(value.*)}", "a BIGINT, s BIGINT", "a")
+    // fallback boundary: mixed emitted types, map field values, map-leafed
+    // arrays, scalar-element array bases, non-terminal wildcards
+    val clash = spark.createDataFrame(
+      Seq(Row(1L, Row(5L, "x"))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<v: BIGINT, t: STRING>"))
+    assert(JsonataCompiler.transformCompiled(clash, "{'s': $count(value.m.*)}").isEmpty)
+    val mapT = spark.createDataFrame(
+      Seq(Row(1L, Row(Map("k" -> 5L)))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<kv: MAP<STRING, BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(mapT, "{'s': $count(value.m.*)}").isEmpty)
+    val mapArr = spark.createDataFrame(
+      Seq(Row(1L, Row(Seq(Map("k" -> 5L))))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<kv: ARRAY<MAP<STRING, BIGINT>>>"))
+    assert(JsonataCompiler.transformCompiled(mapArr, "{'s': $count(value.m.*)}").isEmpty)
+    val scalArr = spark.createDataFrame(
+      Seq(Row(1L, Seq(2L, 3L))).asJava,
+      StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>"))
+    assert(JsonataCompiler.transformCompiled(scalArr, "{'s': $count(value.xs.*)}").isEmpty)
+  }
+
   test("compiled % parent in Shape-A predicates agrees; per-element parents fall back") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._

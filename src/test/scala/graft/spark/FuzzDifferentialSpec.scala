@@ -938,4 +938,72 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assertRate(compiled, 120, s"descendant compile rate dropped: $compiled/120")
   }
+
+  test("120 seeded * wildcard shapes agree with the interpreter on NULL-bearing rows") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(90412L + seedOff)
+    // arrays may be ABSENT (null field) but never carry null ELEMENTS here:
+    // an explicit null item makes the engine's $sum/$max raise T0412 where
+    // the fuzz grammar wants value agreement — DifferentialSpec pins the
+    // null-element emission class separately with $count
+    val ddlIn = "id BIGINT, " +
+      "num STRUCT<a: BIGINT, b: BIGINT, xs: ARRAY<BIGINT>, yss: ARRAY<ARRAY<BIGINT>>>, " +
+      "mix STRUCT<i: INT, d: DOUBLE>, " +
+      "strs STRUCT<t: STRING, u: STRING>, " +
+      "items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>"
+    def mbL(p: Int): java.lang.Long =
+      if (rnd.nextInt(p) == 0) null else java.lang.Long.valueOf(rnd.nextInt(90).toLong)
+    def mbS(p: Int): String = if (rnd.nextInt(p) == 0) null else s"t${rnd.nextInt(5)}"
+    def arr(): Seq[Long] = Seq.fill(rnd.nextInt(3))(rnd.nextInt(50).toLong)
+    val rows = (1 to 50).map { i =>
+      val num = if (rnd.nextInt(6) == 0) null
+        else Row(mbL(5), mbL(5),
+          if (rnd.nextInt(4) == 0) null else arr(),
+          if (rnd.nextInt(4) == 0) null else Seq.fill(rnd.nextInt(2))(arr()))
+      val mix = if (rnd.nextInt(6) == 0) null
+        else Row(if (rnd.nextInt(5) == 0) null else java.lang.Integer.valueOf(rnd.nextInt(40)),
+          if (rnd.nextInt(5) == 0) null else java.lang.Double.valueOf(rnd.nextInt(80) / 4.0))
+      val strs = if (rnd.nextInt(7) == 0) null else Row(mbS(4), mbS(4))
+      val items = if (rnd.nextInt(7) == 0) null
+        else Seq.fill(rnd.nextInt(3))(Row(mbL(5), mbL(5)))
+      Row(i.toLong, num, mix, strs, items)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(ddlIn))
+
+    var compiled = 0
+    (1 to 120).foreach { n =>
+      val (expr, ddl) = rnd.nextInt(8) match {
+        case 0 => ("{'id': value.id, 'r': $count(value.num.*)}", "id BIGINT, r BIGINT")
+        case 1 =>
+          val f = Seq("sum", "max", "min")(rnd.nextInt(3))
+          (s"{'id': value.id, 'r': $$$f(value.num.*)}", "id BIGINT, r BIGINT")
+        case 2 => ("{'id': value.id, 'r': $sum(value.mix.*)}", "id BIGINT, r DOUBLE")
+        case 3 => ("{'id': value.id, 'r': $count(value.strs.*)}", "id BIGINT, r BIGINT")
+        case 4 => ("{'id': value.id, 'r': $join(value.strs.*, '|')}", "id BIGINT, r STRING")
+        case 5 =>
+          val f = Seq("sum", "count", "max")(rnd.nextInt(3))
+          (s"{'id': value.id, 'r': $$$f(value.items.*)}", "id BIGINT, r BIGINT")
+        case 6 =>
+          ("{'id': value.id, 'r': ($count(value.num.*) + $count(value.items.*))}",
+            "id BIGINT, r BIGINT")
+        case _ =>
+          ("{'id': value.id, 'r': $count(value.num.*) > $count(value.mix.*)}",
+            "id BIGINT, r BOOLEAN")
+      }
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => fail(s"[wc-fuzz #$n] expected wildcard shape to compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("id").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("id").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[wc-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            assert(ra == rb, s"[wc-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 120, s"wildcard compile rate dropped: $compiled/120")
+  }
 }
