@@ -253,12 +253,26 @@ object Ingest {
     keys.fold(stored)(ks =>
       stored.filter(col(keyCol).isin(ks.toIndexedSeq: _*)))
 
+  /** A model-based admission gate composed between the language gate and
+    * exact dedup — pp04's selector-stage slot in the online pipeline. The
+    * gate receives the CURRENT survivor set as `(doc_id, source, text)`
+    * and returns the doc_ids it keeps; each gate must be a pure per-doc
+    * decision against FROZEN artifacts (a stored LM, a DSIR weight map) so
+    * admission stays replay-deterministic. Constructors live with the
+    * artifacts: [[graft.streaming.StreamingIngest.dsirGate]] /
+    * [[graft.streaming.StreamingIngest.perplexityGate]]. */
+  type ModelGate = DataFrame => DataFrame
+
   /** Process one micro-batch of (doc_id, source, text) rows against the
     * store at `dir`. Idempotent per batchId: replaying a committed batch is
     * a no-op; replaying an uncommitted (crashed) batch overwrites its own
-    * partial writes and then commits. */
+    * partial writes and then commits. `modelGates` apply IN ORDER between
+    * the language gate and exact dedup (the pp04 stage order: cheap
+    * rule gates → model selectors → dedup); their attrition lands in the
+    * n_lang → n_exact stats drop. */
   def ingestBatch(s: SparkSession, dir: String, batch: DataFrame, batchId: Long,
-                  bucketCap: Long = BucketCap): Unit = {
+                  bucketCap: Long = BucketCap,
+                  modelGates: Seq[ModelGate] = Seq.empty): Unit = {
     val view = storeView(s, dir)
     if (view.isCommitted(batchId)) return // replayed committed (or compacted) batch
 
@@ -266,10 +280,19 @@ object Ingest {
     val flagged = flaggedBatch(batch)
       .persist() // read by: gate counts, fp probe list, band rows, admit set
 
+    // ---- model gates over the language survivors: each is a map-only (or
+    // broadcast-join) scorer against frozen artifacts; the left-semi keeps
+    // the flagged relation's columns flowing without re-deriving them ----
+    val docsCols = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("source"), col("text"))
+    val langOk = modelGates.foldLeft(flagged.filter(col("lang_ok"))) { (cur, gate) =>
+      cur.join(gate(docsCols.join(cur.select(col("doc_id")), Seq("doc_id")))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+
     // ---- exact dedup: intra-batch keep-first (lowest doc_id per fp among
-    // lang survivors), then anti-join the stored fingerprint log — read
+    // gate survivors), then anti-join the stored fingerprint log — read
     // pruned to the batch's own fp set when it fits the pushdown bound ----
-    val langOk = flagged.filter(col("lang_ok"))
     val intra = langOk
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1).drop("rn")

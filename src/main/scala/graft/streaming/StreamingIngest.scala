@@ -5,9 +5,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming corpus-ingest admission — the streaming composition of pp04's
   * gate stages over the [[graft.ops.Ingest]] disk store: each micro-batch of
-  * (doc_id, source, text) rows runs quality → language → exact-dedup →
-  * near-dup admission against the committed corpus log and appends its
-  * admitted slice + index entries + attrition stats.
+  * (doc_id, source, text) rows runs quality → language → [optional model
+  * gates: DSIR threshold + perplexity band, pp04's selector slot] →
+  * exact-dedup → near-dup admission against the committed corpus log and
+  * appends its admitted slice + index entries + attrition stats.
   *
   * foreachBatch, not chained stateful operators, for the same reasons as
   * [[StreamingAnnProbe]]: the admission pipeline is multi-stage (two keyed
@@ -39,12 +40,31 @@ object StreamingIngest {
     * discard the NEW data as replays. The default (None, temp checkpoint)
     * is for single-run/test use only. */
   def ingestStream(docs: DataFrame, dir: String,
-                   checkpointLocation: Option[String] = None): StreamingQuery = {
+                   checkpointLocation: Option[String] = None,
+                   modelGates: Seq[graft.ops.Ingest.ModelGate] = Seq.empty): StreamingQuery = {
     val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Ingest.ingestBatch(batch.sparkSession, dir, batch, batchId)
+        graft.ops.Ingest.ingestBatch(batch.sparkSession, dir, batch, batchId,
+          modelGates = modelGates)
       }
     checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)).start()
   }
+
+  /** DSIR threshold gate (the sp14/[[StreamingDsir]] scorer as an admission
+    * stage): keep docs whose frozen-model LLR score clears `minScore` — the
+    * paper's importance-resampling acceptance by weight, map-only (a
+    * codegen'd fold against the <= 256-entry weight map, no join). */
+  def dsirGate(wmap: Map[String, Double], default: Double,
+               minScore: Double): graft.ops.Ingest.ModelGate =
+    docs => docs.filter(graft.ops.Dsir.scoreCol(wmap, default) >= minScore)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+
+  /** CCNet perplexity band gate (the sp15/[[StreamingPerplexity]] scorer as
+    * an admission stage): keep docs inside the stored model's per-source
+    * middle band; unseen sources gate CLOSED (PerplexityStore.score). */
+  def perplexityGate(m: PerplexityStore.Model): graft.ops.Ingest.ModelGate =
+    docs => PerplexityStore.score(docs, m)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select(org.apache.spark.sql.functions.col("doc_id"))
 }

@@ -540,4 +540,53 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), "bucket/doc aggregations must map-side combine")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("registry-wide: no CartesianProduct anywhere; BroadcastNestedLoopJoin only on the broadcast-bounded allow-list") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+    // BroadcastNestedLoopJoin allow-list: every entry's broadcast side is
+    // BOUNDED — a capped anchor/query/seed sample, a one-row aggregate
+    // attach, or a ≤256-row model relation — each individually verified in
+    // its family spec. A new query that BNLJs must either bound its
+    // broadcast side the same way and join this list, or restructure; the
+    // companion window sweep above guards the other corpus-shuffle shape.
+    val allowBnlj = Set(
+      "ss01_cosine_topk",         // query sample (vec_id % 100) broadcast vs corpus
+      "ss04_ann_ivf",             // footer-stride coarse anchors + query sample
+      "ss07_quantized_rescore",   // query sample + codebook attach
+      "ss08_mmr_topk",            // query sample; candidates heap-capped at C
+      "ss09_kmeans_step",         // k seed centroids broadcast vs corpus
+      "ss10_pq_adc",              // PQ codebook (256×M) + query sample
+      "ss11_ivfadc",              // coarse anchors + codebook + query sample
+      "ss14_ivf_probe",           // probe queries vs pruned stored buckets
+      "ss15_hard_negatives",      // anchor sample (vec_id % 50) broadcast
+      "sp14_dsir_resample",       // one-row totals attach in Dsir.weights
+      "sp16_cluster_coverage",    // footer-stride coverage anchors broadcast
+      "dd15_semdedup_sweep",      // bounded anchor set per semdedup region
+      "pp04_pretraining_pipeline" // composes the sp14/sp16 attaches above
+    )
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val direct = p.collect { case n => n }
+      // subqueries is statically Seq[SparkPlan] but sparkPlan (pre-AQE) can
+      // still carry un-planned LOGICAL subquery expressions — view as Any
+      // so the erased element cast doesn't throw before the type test
+      direct ++ direct.flatMap(_.subqueries.asInstanceOf[Seq[Any]].flatMap {
+        case sp: SparkPlan => nodes(sp)
+        case _ => Nil
+      })
+    }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val ns = nodes(graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan)
+      if (ns.exists(_.isInstanceOf[CartesianProductExec]))
+        failures += s"$name: CartesianProduct"
+      if (!allowBnlj(name) && ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        failures += s"$name: BroadcastNestedLoopJoin (not allow-listed)"
+    }
+    assert(failures.isEmpty,
+      s"${failures.length} plan-shape regressions:\n  " + failures.mkString("\n  "))
+  }
 }

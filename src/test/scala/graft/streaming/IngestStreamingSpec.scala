@@ -125,7 +125,8 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     * bucket holding more than cap of the batch's own exact-survivors
     * produces no intra-batch pairs — pairs sharing any cold bucket still
     * verify. */
-  private def runRef(bs: Seq[Seq[(Long, String, String)]], bucketCap: Long = 1024L)
+  private def runRef(bs: Seq[Seq[(Long, String, String)]], bucketCap: Long = 1024L,
+                     modelKeep: Long => Boolean = _ => true)
       : (Set[(Long, String, Long)], Seq[StatsRow]) = {
     var fps = Set.empty[String]
     var bandIx = Map.empty[(Int, Long), Vector[Long]]
@@ -136,8 +137,11 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val docs = features(rows)
       val q = docs.filter(_.qOk)
       val lang = docs.filter(_.langOk)
+      // model gates (DSIR threshold / perplexity band) sit between the
+      // language gate and exact dedup — pure per-doc frozen-artifact calls
+      val gated = lang.filter(d => modelKeep(d.id))
       // intra-batch keep-first: lowest doc_id per fingerprint
-      val intra = lang.groupBy(_.fp).values.map(_.minBy(_.id)).toSeq.sortBy(_.id)
+      val intra = gated.groupBy(_.fp).values.map(_.minBy(_.id)).toSeq.sortBy(_.id)
       val exact = intra.filterNot(d => fps.contains(d.fp))
       // cross near-dup: agreement >= 0.5 with any stored doc sharing a
       // NON-HOT band bucket (bucket size > cap -> suppressed entirely)
@@ -319,6 +323,70 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeAdmitted(dir) == refCapped,
       s"template admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refCapped")
     assert(storeStats(dir) == refStatsCapped)
+  }
+
+  test("model-gated stream (DSIR threshold + perplexity band between langid and dedup) equals the sequential reference") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = tmpDir("gates")
+
+    // ---- freeze the two model artifacts (offline training, like prod);
+    // lang comes from the operator's own predictor via flaggedBatch ----
+    val predLang = Ingest.flaggedBatch(batches.flatten.toDF("doc_id", "source", "text"))
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = batches.flatten
+      .map { case (id, src, txt) => (id, src, txt, predLang(id)) }
+      .toDF("doc_id", "source", "text", "lang")
+    val (wmap, dflt) = graft.ops.Dsir.loadModel(
+      graft.ops.Dsir.bucketCounts(corpus.select(col("lang"), col("text"))))
+    val dsirScores = corpus
+      .select(col("doc_id"), graft.ops.Dsir.scoreCol(wmap, dflt).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sortedScores = dsirScores.values.toSeq.sorted
+    val minScore = sortedScores(sortedScores.length / 2) // median: both sides populated
+
+    val corpusDir = tmpDir("gates_corpus")
+    corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    PerplexityStore.build(spark, corpusDir, s"$corpusDir/lm")
+    val m = PerplexityStore.load(spark, s"$corpusDir/lm")
+    val ppxKeep = PerplexityStore
+      .score(corpus.select(col("doc_id"), col("source"), col("text")), m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+    val dsirKeep: Long => Boolean = id => dsirScores(id) >= minScore
+    val modelKeep: Long => Boolean = id => dsirKeep(id) && ppxKeep(id)
+
+    // ---- the composed stream: gates slot between langid and dedup ----
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
+      StreamingIngest.dsirGate(wmap, dflt, minScore),
+      StreamingIngest.perplexityGate(m)))
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+
+      val (refAdmitted, refStats) = runRef(batches, modelKeep = modelKeep)
+      val (ungated, _) = runRef(batches)
+      // non-vacuity: both gates fire on language survivors, the perplexity
+      // band drops docs the DSIR threshold kept (so the composition is more
+      // than one gate), and something is still admitted
+      val langSurvivors = ungated.map(_._1) ++ Set(5L, 6L, 7L, 8L, 10L) // incl. dedup-dropped
+      assert(langSurvivors.exists(id => !dsirKeep(id)),
+        s"DSIR gate inert: scores=$dsirScores thr=$minScore")
+      assert(langSurvivors.exists(id => dsirKeep(id) && !ppxKeep(id)),
+        s"perplexity gate adds nothing beyond DSIR: keep=$ppxKeep")
+      assert(refAdmitted.nonEmpty, "gated fixture admitted nothing — equality is vacuous")
+      assert(refAdmitted != ungated, "model gates changed nothing")
+
+      assert(storeAdmitted(dir) == refAdmitted,
+        s"gated admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
+      assert(storeStats(dir) == refStats,
+        s"gated stats diverge:\n  store=${storeStats(dir)}\n  ref=$refStats")
+    } finally query.stop()
   }
 
   test("compaction folds batches into a committed generation: answers preserved under load, across a crash mid-compaction, and after vacuum") {
