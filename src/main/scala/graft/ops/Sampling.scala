@@ -701,23 +701,28 @@ object Sampling {
     // partial-agg shuffle collapsing to 256 rows; totals are an agg over
     // those 256 rows re-attached as a one-row broadcast; scoring re-scans
     // the corpus map-only against the broadcast 256-row weight table; the
-    // only other shuffles are the per-doc sum and the per-source top-k
-    // window. Nothing is ever all-pairs and no model state exceeds 256 rows.
+    // only other shuffles are the per-doc sum and the per-source top-20,
+    // which runs through the bounded TopKByDouble heap (ss08/ss15's move:
+    // a per-source row_number window would sort N/sources corpus rows per
+    // task to keep 20; the heap carries <= 20 entries per source per map
+    // slice — same (score desc, doc_id asc) cutoff, ties on the ROUNDED
+    // score break on doc_id in both engines). Nothing is ever all-pairs
+    // and no model state exceeds 256 rows.
     Q("sp14_dsir_resample",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, d, "documents")
         // model + scorer pieces shared with the streaming twin (Dsir)
         val lw = Dsir.weights(Dsir.bucketCounts(docs))
         def toks = docs
           .select(col("doc_id"), col("source"), explode(TextOps.vocabTokens).as("token"))
           .select(col("doc_id"), col("source"), Dsir.bucketCol(col("token")).as("bkt"))
-        val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
         toks.join(broadcast(lw), "bkt")
           .groupBy(col("doc_id"), col("source")).agg(round(sum(col("w")), 6).as("score"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 20)
-          .select(col("doc_id"), col("source"), col("score"), col("rank"))
+          .groupBy(col("source"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("score"), col("doc_id"), 20).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("e.id").as("doc_id"), col("source"), col("e.score").as("score"),
+            (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("source"), col("rank"))
       },
       Some(s"""WITH toks AS (SELECT doc_id, source, lang, unnest(${TextOps.vocabTokensSql}) AS token

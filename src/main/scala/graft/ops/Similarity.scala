@@ -1555,10 +1555,8 @@ object Similarity {
     // top-M window. Raw cos doubles per the ss01 note.
     Q("sp16_cluster_coverage",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val v = vecs(s, d)
         val anchors = broadcast(coverageAnchors(s, d))
-        val w = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("vec_id"))
         v.crossJoin(anchors)
           .select(col("vec_id"), col("aid"),
             cosine(col("vec"), col("av"), col("nrm"), col("an")).as("ac"))
@@ -1570,9 +1568,16 @@ object Similarity {
           // shuffle — vectors never ride through the aggregate
           .agg(max_by(col("aid"), struct(col("ac"), (-col("aid")).as("naid"))).as("aid"),
             max_by(col("ac"), struct(col("ac"), (-col("aid")).as("naid"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= CoverageM)
-          .select(col("aid"), col("vec_id"), col("cos"), col("rank"))
+          // per-region top-M via the bounded heap (ss08/ss15's move): a
+          // per-aid row_number window would sort the whole N-row assignment
+          // relation inside bounded-count-but-corpus-wide partitions; the
+          // heap carries <= M entries per region per map slice — same
+          // (cos desc, vec_id asc) cutoff, bitwise-identical cosines
+          .groupBy(col("aid"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("cos"), col("vec_id"), CoverageM).as("top"))
+          .select(col("aid"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("aid"), col("e.id").as("vec_id"), col("e.score").as("cos"),
+            (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("aid"), col("rank"))
       },
       Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

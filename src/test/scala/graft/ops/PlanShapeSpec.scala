@@ -526,6 +526,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Spark version for ss04 too
     assert(p.contains("partial_max_by"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // per-region top-M through the bounded heap, not a window sort over the
+    // corpus-wide assignment relation (the ss15 lesson applied here)
+    assert(p.contains("partial_topk_by"), "no map-side heap partial:\n" + p.take(3000))
+    assert(!p.contains("row_number"), "assignment relation still ranks via a window sort:\n" + p.take(3000))
   }
 
   test("sp15 perplexity band: broadcast threshold attach, no cartesian") {
@@ -539,6 +543,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("partial_"), "bucket/doc aggregations must map-side combine")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // per-source top-20 through the bounded heap, not a window sort over
+    // the corpus-wide score relation (the ss15 lesson applied here)
+    assert(p.contains("partial_topk_by"), "no map-side heap partial:\n" + p.take(3000))
+    assert(!p.contains("row_number"), "score relation still ranks via a window sort:\n" + p.take(3000))
   }
 
   test("registry-wide: no CartesianProduct anywhere; BroadcastNestedLoopJoin only on the broadcast-bounded allow-list") {
