@@ -280,14 +280,18 @@ object Similarity {
     // makes raw ADC ranking lossy (ProbeRecall: ~0.2-0.3 recall@5), so
     // ADC's production role is CANDIDATE GENERATION
     val R = 20
-    val wc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    // top-R by ASCENDING adc through the bounded heap on the NEGATED
+    // distance (IEEE negation round-trips exactly; equal adc ties break on
+    // vec_id asc in both formulations) — probed candidates are a corpus
+    // fraction per query that a per-q_id window would sort whole
     val cands = ivfProbesFor(s, d, qIds).join(asnCodes, Seq("aid"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(qt, Seq("q_id"))
       .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= R)
-      .select(col("q_id"), col("vec_id"), col("adc"))
+      .groupBy(col("q_id"))
+      .agg(graft.spark.TopKAggregate.topkByDouble(-col("adc"), col("vec_id"), R).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.id").as("vec_id"), (-col("e.score")).as("adc"))
     // stage 2: exact L2 rescore of just R candidates per query (full
     // vectors re-attach by id — the only stage that touches them)
     val full = pv.select(col("vec_id"), col("vec"))
@@ -493,23 +497,26 @@ object Similarity {
     // (thousands, not corpus-proportional), which is what the broadcast
     // assumes. Brute force is the exact BASELINE; corpus-scale query sets go
     // through ss03 (LSH) or ss04 (IVF), whose per-query work is bucket-local.
+    // The top-5 reduces through the bounded TopKByDouble heap (map slices
+    // carry <=5 entries per query into the shuffle), not a per-q_id
+    // row_number window sorting the whole q×corpus pair relation — the
+    // ss08 move, now uniform across the family.
     Q("ss01_cosine_topk",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val all = vecs(s, d)
         val q = broadcast(all.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn")))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
         q.join(all, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("cos"), col("vec_id"), 5).as("top"))
           // raw cos (the rank ordering already proves both engines compute
           // bit-identical cosines; engine-side round() is the only thing that
           // can diverge — see the tx01 note in TextOps)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("q_id"), col("e.id").as("neighbor_id"), col("e.score").as("cos"),
+            (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -599,15 +606,19 @@ object Similarity {
           .withColumn("rn", row_number().over(wp)).filter(col("rn") <= NProbe)
           .select(col("q_id"), col("qv"), col("qn"), col("aid")))
         // each vector lives in exactly one bucket and probes are distinct
-        // anchors, so (q_id, vec_id) pairs are already unique — no dedup
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+        // anchors, so (q_id, vec_id) pairs are already unique — no dedup;
+        // the top-3 reduces through the bounded heap (probed candidates are
+        // a corpus FRACTION — N·NProbe/k rows per query — still a relation
+        // a per-q_id window would sort whole)
         probes.join(asn, Seq("aid"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("cos"), col("vec_id"), 3).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("q_id"), col("e.id").as("neighbor_id"), col("e.score").as("cos"),
+            (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -676,15 +687,17 @@ object Similarity {
           .select(col("q_id"), col("vec_id")).distinct()
         val qv = broadcast(v.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("qv"), col("nrm").as("qn")))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
+        // top-3 via the bounded heap — colliding-bucket candidates are
+        // census-capped but still bucket-sized per query; no window sort
         cand.join(qv, Seq("q_id"))
           .join(v.select(col("vec_id"), col("vec"), col("nrm")), Seq("vec_id"))
           .select(col("q_id"), col("vec_id"),
             cosine(col("qv"), col("vec"), col("qn"), col("nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rank"))
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(col("cos"), col("vec_id"), 3).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("q_id"), col("e.id").as("neighbor_id"), col("e.score").as("cos"),
+            (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -795,13 +808,16 @@ object Similarity {
           .select(col("vec_id"), col("qv"))
         val qSide = broadcast(qz.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv")))
-        val wC = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
+        // top-R candidates via the LONG-score bounded heap (idot is integer-
+        // exact): map slices carry <=R entries per query instead of a
+        // per-q_id window sorting the whole q×corpus int-dot relation
         val cands = qSide.join(qz, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
             dot(col("q_qv"), col("qv")).cast("bigint").as("idot"))
-          .withColumn("crank", row_number().over(wC))
-          .filter(col("crank") <= R)
-          .select(col("q_id"), col("vec_id"), col("idot"))
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkBy(col("idot"), col("vec_id"), R).as("top"))
+          .select(col("q_id"), explode(col("top")).as("e"))
+          .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("idot"))
         val full = all.select(col("vec_id"), col("vec"), col("nrm"))
         val qFull = broadcast(all.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm")))
@@ -1032,12 +1048,17 @@ object Similarity {
         // stored-index shape explicit (bucketed parquet build + probe).
         val enc = pqEncode(v, cbAgg).persist()
         val qt = pqQueryTables(v, cbAgg)
-        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+        // top-k by ASCENDING adc through the bounded heap on the negated
+        // distance (exact IEEE round-trip; equal-adc ties break on vec_id
+        // asc in both formulations) — no per-q_id window sort of the whole
+        // q×corpus ADC relation
         qt.join(enc, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= PqTopK)
-          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc"), col("rank"))
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(-col("adc"), col("vec_id"), PqTopK).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("p", "e")))
+          .select(col("q_id"), col("e.id").as("neighbor_id"),
+            (-col("e.score")).as("adc"), (col("p") + 1).cast("int").as("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -123,10 +123,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ss07 quantized rescore: candidate top-R prunes map-side before its only shuffle") {
     val p = plan("ss07_quantized_rescore")
-    // WindowGroupLimit in Partial mode = each task keeps its own top-20 per
-    // query BEFORE the exchange, so the shuffle carries id-width candidate
-    // rows, never the corpus (and never any vector payload)
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+    // the LONG-score bounded heap's partial stage = each task keeps its own
+    // top-20 per query BEFORE the exchange, so the shuffle carries id-width
+    // candidate rows, never the corpus (and never any vector payload) — and
+    // unlike the WindowGroupLimit form it replaced, no per-task sort either
+    assert(p.contains("partial_topk_by"),
       "candidate selection must partial-prune before the exchange\n" + p.take(3000))
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(3000))
     assert(!p.contains("CartesianProduct"))
