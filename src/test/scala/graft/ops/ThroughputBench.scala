@@ -109,6 +109,36 @@ object ThroughputBench extends App {
       val ri = run(s"two-tier $label [interpreted]")(JsonataDF.transformAs(events, expr, schema))
       println(f"[thr] two-tier $label RATIO compiled/interpreted: ${rc / ri}%.1fx")
     }
+
+    // round-12 compiled * wildcard — events carries no homogeneous struct
+    // (the compile gate requires type-agreeing field values), so the
+    // two-tier twin reshapes in-plan like jx32: the compiled side is a
+    // constant-width concat + fold, the interpreted side pays the envelope
+    // round-trip plus per-record object iteration
+    locally {
+      import org.apache.spark.sql.functions._
+      val nested = events.select(col("event_id"),
+        struct(col("value").as("a"), (col("value") * 2).as("b"),
+          (col("value") + 1).as("c")).as("m")).cache()
+      nested.count()
+      // count = the pure-enumeration win (size() over the concat, all
+      // codegen); sum = the honest HOF-fold cost (compiled $sum over an
+      // array is ArrayAggregate, a lambda CodegenFallback — near parity
+      // with the interpreted engine on a tiny flat struct)
+      for ((tag, expr, ddl) <- Seq(
+        ("wildcard count", "{'event_id': value.event_id, 'nw': $count(value.m.*)}",
+          "event_id BIGINT, nw BIGINT"),
+        ("wildcard sum", "{'event_id': value.event_id, 'sw': $sum(value.m.*)}",
+          "event_id BIGINT, sw DOUBLE"))) {
+        val schema = StructType.fromDDL(ddl)
+        assert(JsonataCompiler.compileQuery(nested, expr).isDefined,
+          s"$tag two-tier case must ride the compiled tier")
+        val rc = run(s"two-tier $tag [compiled/auto]")(JsonataDF.auto(nested, expr, schema))
+        val ri = run(s"two-tier $tag [interpreted]")(JsonataDF.transformAs(nested, expr, schema))
+        println(f"[thr] two-tier $tag RATIO compiled/interpreted: ${rc / ri}%.1fx")
+      }
+      nested.unpersist()
+    }
   }
 
   // variant tier: variant INPUT (binary walker, no input-side text) must beat
