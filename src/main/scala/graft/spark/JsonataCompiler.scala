@@ -2151,27 +2151,33 @@ object JsonataCompiler {
           }
           fl.map { case (extract, fdt) =>
               val integral = isIntegral(fdt)
-              def vals(g: Column) = filter(transform(g, e => extract(e)), x => x.isNotNull)
+              // the field extraction stays a transform; the null-skip, cast
+              // and fold collapse into the ONE codegen'd NumArrayFold pass
+              // (identity extractors skip the transform wrapper entirely)
+              def vals(g: Column): Column = fieldAst match {
+                case VarRef("") => g
+                case _ => transform(g, e => extract(e))
+              }
               fn match {
                 case "sum" =>
                   val dt = if (integral) LongType else DoubleType
+                  // group sums keep the empty→undefined wrap (unlike the
+                  // seed-0 simple-array form): cnt gates the fold
                   (((g: Column) => {
-                    val vs = transform(vals(g), x => x.cast(dt))
-                    when(size(vs) > 0, aggregate(vs,
-                      if (integral) lit(0L) else lit(0.0),
-                      (acc, x) => legacyArith("+", acc, x)))
+                    val v = vals(g)
+                    when(NumArrayFold.cnt(v) > 0, NumArrayFold.sum(v, integral))
                   }), dt)
                 case "min" | "max" =>
                   val dt = if (integral) LongType else fdt
                   (((g: Column) => {
-                    val vs = transform(vals(g), x => x.cast(dt))
-                    if (fn == "min") array_min(vs) else array_max(vs)
+                    val v = vals(g)
+                    if (fn == "min") NumArrayFold.min(v, dt) else NumArrayFold.max(v, dt)
                   }), dt)
                 case "average" =>
                   (((g: Column) => {
-                    val vs = transform(vals(g), x => x.cast(DoubleType))
-                    when(size(vs) > 0,
-                      aggregate(vs, lit(0.0), (acc, x) => legacyArith("+", acc, x)) / size(vs))
+                    val v = vals(g)
+                    when(NumArrayFold.cnt(v) > 0,
+                      NumArrayFold.sum(v, long = false) / NumArrayFold.cnt(v))
                   }), DoubleType)
               }
           }
@@ -3008,22 +3014,25 @@ object JsonataCompiler {
           arg(0).flatMap { t =>
             t.dt match {
               case ArrayType(et, _) if simpleAtomic(et) && isNum(et) =>
-                val vals = filter(t.col, x => x.isNotNull)
+                // ONE codegen'd pass (NumArrayFold) instead of the
+                // filter→transform→aggregate lambda chain it replaces —
+                // same null-element skip, seed-0 sum, array_min/max
+                // NaN-greatest and empty→NULL semantics (ArrayFoldSpec)
+                import graft.spark.NumArrayFold
                 fn match {
                   case "sum" =>
-                    val dt = if (isIntegral(et)) LongType else DoubleType
-                    val vs = transform(vals, x => x.cast(dt))
-                    Some(TCol(when(t.col.isNotNull, aggregate(vs,
-                      if (isIntegral(et)) lit(0L) else lit(0.0),
-                      (acc, x) => legacyArith("+", acc, x))), dt))
+                    val long = isIntegral(et)
+                    Some(TCol(NumArrayFold.sum(t.col, long),
+                      if (long) LongType else DoubleType))
                   case "min" | "max" =>
                     val dt = if (isIntegral(et)) LongType else et
-                    val vs = transform(vals, x => x.cast(dt))
-                    Some(TCol(if (fn == "min") array_min(vs) else array_max(vs), dt))
+                    Some(TCol(
+                      if (fn == "min") NumArrayFold.min(t.col, dt)
+                      else NumArrayFold.max(t.col, dt), dt))
                   case "average" =>
-                    val vs = transform(vals, x => x.cast(DoubleType))
-                    Some(TCol(when(size(vs) > 0, aggregate(vs, lit(0.0),
-                      (acc, x) => legacyArith("+", acc, x)) / size(vs)), DoubleType))
+                    val cnt = NumArrayFold.cnt(t.col)
+                    Some(TCol(when(cnt > 0,
+                      NumArrayFold.sum(t.col, long = false) / cnt), DoubleType))
                 }
               case dt if isNum(dt) && simpleAtomic(dt) =>
                 // singleton sequence: the aggregate is the value itself —

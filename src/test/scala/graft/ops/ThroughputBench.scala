@@ -121,10 +121,11 @@ object ThroughputBench extends App {
         struct(col("value").as("a"), (col("value") * 2).as("b"),
           (col("value") + 1).as("c")).as("m")).cache()
       nested.count()
-      // count = the pure-enumeration win (size() over the concat, all
-      // codegen); sum = the honest HOF-fold cost (compiled $sum over an
-      // array is ArrayAggregate, a lambda CodegenFallback — near parity
-      // with the interpreted engine on a tiny flat struct)
+      // count = the pure-enumeration shape; sum = the array-fold consumer.
+      // The sum row was PARITY with the interpreted engine (1.0x) while the
+      // compiled $sum was an ArrayAggregate lambda fold outside codegen —
+      // the NumArrayFold kernel (round 12) took it to ~3x (4.0M -> 13.5M
+      // rec/s), which is why these two rows exist separately
       for ((tag, expr, ddl) <- Seq(
         ("wildcard count", "{'event_id': value.event_id, 'nw': $count(value.m.*)}",
           "event_id BIGINT, nw BIGINT"),
