@@ -1345,8 +1345,19 @@ object JsonataCompiler {
     private def compileWildcardPath(steps: Vector[Step]): Option[TCol] = {
       val es = steps.map(_.expr)
       if (inLambda) return None
-      if (es.count(_ == Wildcard()) != 1 || es.last != Wildcard()) return None
-      val baseNames = es.init match {
+      if (es.count(_ == Wildcard()) != 1) return None
+      // terminal `base.*`, or `base.*.f` with exactly ONE trailing name —
+      // the name step maps over the emitted items, dropping non-objects and
+      // absent keys (so a global null filter is exact there, the `**`
+      // argument); ARRAY-typed targets splice per the name step's one-level
+      // flatten — not modeled, interpreted (compileDescendantPath's gate)
+      val target: Option[String] = es.last match {
+        case Wildcard() => None
+        case NameStep(n) if es(es.length - 2) == Wildcard() => Some(n)
+        case _ => return None
+      }
+      val wi = if (target.isEmpty) es.length - 1 else es.length - 2
+      val baseNames = es.take(wi) match {
         case v if v.headOption.contains(NameStep("value")) &&
           v.forall(_.isInstanceOf[NameStep]) => v.tail.collect { case NameStep(n) => n }
         case _ => return None
@@ -1406,8 +1417,70 @@ object JsonataCompiler {
       def emit(all: Column, tt: DataType): TCol =
         TCol(emptyAsNull(all), ArrayType(tt))
 
-      baseDt match {
-        case st: StructType if st.fields.nonEmpty =>
+      // ---- `base.*.f` machinery: the name step maps over the emitted
+      // items, so only struct-typed emissions with key f contribute; every
+      // null in the projected relation is an absent key / dropped
+      // non-object, so ONE global null filter is exact (the `**` argument)
+      def structLeafOf(at: ArrayType): DataType = at.elementType match {
+        case inner: ArrayType => structLeafOf(inner)
+        case other => other
+      }
+      def nameOccs(st: StructType, f: String): Option[Seq[DataType]] =
+        st.fields.toSeq.foldLeft(Option(Seq.empty[DataType])) {
+          case (None, _) => None
+          case (Some(acc), fd) => fd.dataType match {
+            case _: MapType => None // emitted object with dynamic keys
+            case s2: StructType => s2.fields.find(_.name == f) match {
+              case None => Some(acc) // key absent: emits nothing
+              case Some(tf) => tf.dataType match {
+                case _: ArrayType | _: MapType => None // splice/dynamic: interpreted
+                case dt => Some(acc :+ dt)
+              }
+            }
+            case at: ArrayType => structLeafOf(at) match {
+              case _: MapType => None
+              case s2: StructType => s2.fields.find(_.name == f) match {
+                case None => Some(acc)
+                case Some(tf) => tf.dataType match {
+                  case _: ArrayType | _: MapType => None
+                  case dt => Some(acc :+ dt)
+                }
+              }
+              case _ => Some(acc) // scalar items: the name step skips them
+            }
+            case _ => Some(acc) // scalar field: skipped
+          }
+        }
+      // f from a (possibly nested) array's struct items — the wildcard
+      // splice is deep, then the name step extracts per item; null inner
+      // arrays would contribute null ITEMS whose .f is undefined (dropped),
+      // so coalescing them to empty is exact here
+      def extractF(c: Column, at: ArrayType, f: String, tt: DataType): Column =
+        at.elementType match {
+          case inner: ArrayType =>
+            flatten(transform(c, e =>
+              coalesce(extractF(e, inner, f, tt), array().cast(ArrayType(tt)))))
+          case _ => transform(c, e => e.getField(f).cast(tt))
+        }
+      def nameSegs(c: Column, st: StructType, f: String, tt: DataType): Seq[Column] =
+        st.fields.toSeq.flatMap { fd =>
+          fd.dataType match {
+            case s2: StructType if s2.fields.exists(_.name == f) =>
+              Some(array(c.getField(fd.name).getField(f).cast(tt)))
+            case at: ArrayType if (structLeafOf(at) match {
+                case s2: StructType => s2.fields.exists(_.name == f)
+                case _ => false
+              }) =>
+              Some(coalesce(extractF(c.getField(fd.name), at, f, tt),
+                array().cast(ArrayType(tt))))
+            case _ => None
+          }
+        }
+      def emitFiltered(all: Column, tt: DataType): TCol =
+        TCol(emptyAsNull(filter(all, x => x.isNotNull)), ArrayType(tt))
+
+      (baseDt, target) match {
+        case (st: StructType, None) if st.fields.nonEmpty =>
           for {
             occs <- fieldTypes(st)
             tt <- unify(occs)
@@ -1417,7 +1490,7 @@ object JsonataCompiler {
               else col(baseNames.mkString("."))
             emit(concat(structSegs(base, st, tt): _*), tt)
           }
-        case ArrayType(et: StructType, _) if et.fields.nonEmpty =>
+        case (ArrayType(et: StructType, _), None) if et.fields.nonEmpty =>
           for {
             occs <- fieldTypes(et)
             tt <- unify(occs)
@@ -1427,6 +1500,31 @@ object JsonataCompiler {
                 e => concat(structSegs(e, et, tt): _*))),
               array().cast(ArrayType(tt)))
             emit(all, tt)
+          }
+        case (st: StructType, Some(f)) =>
+          for {
+            occs <- nameOccs(st, f)
+            if occs.nonEmpty
+            tt <- unify(occs)
+          } yield {
+            val base =
+              if (baseNames.isEmpty) struct(schema.fieldNames.toIndexedSeq.map(col): _*)
+              else col(baseNames.mkString("."))
+            emitFiltered(concat(nameSegs(base, st, f, tt): _*), tt)
+          }
+        case (ArrayType(et: StructType, _), Some(f)) =>
+          // the wildcard emits each element-struct's field VALUES; the name
+          // step then applies to those values per element
+          for {
+            occs <- nameOccs(et, f)
+            if occs.nonEmpty
+            tt <- unify(occs)
+          } yield {
+            val all = coalesce(
+              flatten(transform(col(baseNames.mkString(".")),
+                e => concat(nameSegs(e, et, f, tt): _*))),
+              array().cast(ArrayType(tt)))
+            emitFiltered(all, tt)
           }
         case _ => None
       }
@@ -2893,9 +2991,12 @@ object JsonataCompiler {
             // a terminal wildcard over an ALL-SCALAR struct is null-free by
             // construction (absent keys filter; only array-element splices
             // can carry explicit nulls, and those bases fall back here so
-            // the engine's error on a null item is preserved)
+            // the engine's error on a null item is preserved); a wildcard
+            // with a TRAILING NAME step is null-FILTERED by construction
+            // for any base (the name step drops non-objects/absent keys —
+            // the descendant-gate argument)
             case (Some(wp @ Path(wsteps, false, None)), Some(s2))
-                if wsteps.lastOption.exists(_.expr == Wildcard()) &&
+                if (wsteps.lastOption.exists(_.expr == Wildcard()) &&
                   wsteps.init.map(_.expr).headOption.contains(NameStep("value")) &&
                   wsteps.init.map(_.expr).forall(_.isInstanceOf[NameStep]) &&
                   fieldType(wsteps.init.map(_.expr).tail.collect {
@@ -2905,7 +3006,10 @@ object JsonataCompiler {
                       !f.dataType.isInstanceOf[ArrayType] &&
                         !f.dataType.isInstanceOf[MapType])
                     case _ => false
-                  } =>
+                  }) ||
+                  (wsteps.length >= 2 &&
+                    wsteps.last.expr.isInstanceOf[NameStep] &&
+                    wsteps(wsteps.length - 2).expr == Wildcard()) =>
               compile(wp).collect {
                 case t if t.dt == ArrayType(StringType) ||
                     t.dt == ArrayType(StringType, containsNull = true) =>

@@ -1606,13 +1606,44 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Row(1L, Row(5, 2.5))).asJava,
       StructType.fromDDL("id BIGINT, m STRUCT<v: INT, d: DOUBLE>"))
     diffDf(mixed, "{'id': value.id, 's': $sum(value.m.*)}", "id BIGINT, s DOUBLE", "id")
-    // identical struct-typed field values emit as single items
+    // identical struct-typed field values emit as single items (terminal
+    // count needs the homogeneous 2-field struct — a mixed struct+scalar
+    // emission correctly falls back, asserted below)
     val structs = spark.createDataFrame(
       Seq(Row(1L, Row(Row(1L, "a"), Row(2L, "b"))), Row(2L, Row(Row(3L, "c"), null))).asJava,
       StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<n: BIGINT, t: STRING>, " +
         "y: STRUCT<n: BIGINT, t: STRING>>"))
     diffDf(structs, "{'id': value.id, 'n': $count(value.m.*)}",
       "id BIGINT, n BIGINT", "id")
+    // ONE trailing name step maps over the emitted items (`value.m.*.n`),
+    // skipping non-struct emissions (z) and absent keys — so the MIXED
+    // struct works here even though its terminal form is interpreted
+    val structsZ = spark.createDataFrame(
+      Seq(Row(1L, Row(Row(1L, "a"), Row(2L, "b"), 9L)),
+        Row(2L, Row(Row(3L, "c"), null, null))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<n: BIGINT, t: STRING>, " +
+        "y: STRUCT<n: BIGINT, t: STRING>, z: BIGINT>"))
+    assert(JsonataCompiler.transformCompiled(structsZ, "{'n': $count(value.m.*)}").isEmpty)
+    diffDf(structsZ, "{'id': value.id, 's': $sum(value.m.*.n), 'j': $join(value.m.*.t, '|')}",
+      "id BIGINT, s BIGINT, j STRING", "id")
+    // trailing name through array splices: struct items inside (nested)
+    // array fields contribute their f per element
+    val wcName = spark.createDataFrame(
+      Seq(
+        Row(1L, Row(Row(5L), Seq(Row(6L), Row(7L)), Seq(Seq(Row(8L)), null), 3L)),
+        Row(2L, Row(null, null, Seq(Seq(Row(9L))), null)),
+        Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<s: STRUCT<p: BIGINT>, " +
+        "xs: ARRAY<STRUCT<p: BIGINT>>, yss: ARRAY<ARRAY<STRUCT<p: BIGINT>>>, sc: BIGINT>"))
+    diffDf(wcName, "{'id': value.id, 's': $sum(value.m.*.p), 'c': $count(value.m.*.p)}",
+      "id BIGINT, s BIGINT, c BIGINT", "id")
+    // array-of-struct BASE: the wildcard emits each element's field values,
+    // the name step applies to those
+    val wcArrBase = spark.createDataFrame(
+      Seq(Row(1L, Seq(Row(Row(1L), 4L), Row(Row(2L), 5L))), Row(2L, Seq.empty[Row])).asJava,
+      StructType.fromDDL("id BIGINT, items ARRAY<STRUCT<inner: STRUCT<q: BIGINT>, w: BIGINT>>"))
+    diffDf(wcArrBase, "{'id': value.id, 's': $sum(value.items.*.q)}",
+      "id BIGINT, s BIGINT", "id")
     // whole-row base enumerates the row's own columns
     val flat = spark.createDataFrame(
       Seq(Row(3L, 4L), Row(5L, null)).asJava,
@@ -1636,6 +1667,17 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Row(1L, Seq(2L, 3L))).asJava,
       StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>"))
     assert(JsonataCompiler.transformCompiled(scalArr, "{'s': $count(value.xs.*)}").isEmpty)
+    // name-variant fallbacks: array-typed targets (name-step one-level
+    // splice: interpreted), two trailing names, zero static occurrences
+    val arrTgt = spark.createDataFrame(
+      Seq(Row(1L, Row(Row(Seq(1L, 2L))))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<p: ARRAY<BIGINT>>>"))
+    assert(JsonataCompiler.transformCompiled(arrTgt, "{'s': $count(value.m.*.p)}").isEmpty)
+    val deepName = spark.createDataFrame(
+      Seq(Row(1L, Row(Row(Row(5L))))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<y: STRUCT<p: BIGINT>>>"))
+    assert(JsonataCompiler.transformCompiled(deepName, "{'s': $count(value.m.*.y.p)}").isEmpty)
+    assert(JsonataCompiler.transformCompiled(deepName, "{'s': $count(value.m.*.q)}").isEmpty)
   }
 
   test("compiled % parent in Shape-A predicates agrees; per-element parents fall back") {

@@ -939,7 +939,7 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRate(compiled, 120, s"descendant compile rate dropped: $compiled/120")
   }
 
-  test("120 seeded * wildcard shapes agree with the interpreter on NULL-bearing rows") {
+  test("150 seeded * wildcard shapes agree with the interpreter on NULL-bearing rows") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
     val rnd = new scala.util.Random(90412L + seedOff)
@@ -951,7 +951,9 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       "num STRUCT<a: BIGINT, b: BIGINT, xs: ARRAY<BIGINT>, yss: ARRAY<ARRAY<BIGINT>>>, " +
       "mix STRUCT<i: INT, d: DOUBLE>, " +
       "strs STRUCT<t: STRING, u: STRING>, " +
-      "items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>"
+      "items ARRAY<STRUCT<p: BIGINT, q: BIGINT>>, " +
+      "deep STRUCT<x: STRUCT<p: BIGINT, t: STRING>, y: STRUCT<p: BIGINT, t: STRING>, " +
+      "  junk: STRING, zs: ARRAY<STRUCT<p: BIGINT, t: STRING>>>"
     def mbL(p: Int): java.lang.Long =
       if (rnd.nextInt(p) == 0) null else java.lang.Long.valueOf(rnd.nextInt(90).toLong)
     def mbS(p: Int): String = if (rnd.nextInt(p) == 0) null else s"t${rnd.nextInt(5)}"
@@ -967,13 +969,17 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       val strs = if (rnd.nextInt(7) == 0) null else Row(mbS(4), mbS(4))
       val items = if (rnd.nextInt(7) == 0) null
         else Seq.fill(rnd.nextInt(3))(Row(mbL(5), mbL(5)))
-      Row(i.toLong, num, mix, strs, items)
+      def ds(): Row = if (rnd.nextInt(5) == 0) null else Row(mbL(5), mbS(5))
+      val deep = if (rnd.nextInt(7) == 0) null
+        else Row(ds(), ds(), mbS(4),
+          if (rnd.nextInt(4) == 0) null else Seq.fill(rnd.nextInt(3))(Row(mbL(5), mbS(5))))
+      Row(i.toLong, num, mix, strs, items, deep)
     }
     val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(ddlIn))
 
     var compiled = 0
-    (1 to 120).foreach { n =>
-      val (expr, ddl) = rnd.nextInt(8) match {
+    (1 to 150).foreach { n =>
+      val (expr, ddl) = rnd.nextInt(10) match {
         case 0 => ("{'id': value.id, 'r': $count(value.num.*)}", "id BIGINT, r BIGINT")
         case 1 =>
           val f = Seq("sum", "max", "min")(rnd.nextInt(3))
@@ -987,9 +993,18 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
         case 6 =>
           ("{'id': value.id, 'r': ($count(value.num.*) + $count(value.items.*))}",
             "id BIGINT, r BIGINT")
-        case _ =>
+        case 7 =>
           ("{'id': value.id, 'r': $count(value.num.*) > $count(value.mix.*)}",
             "id BIGINT, r BOOLEAN")
+        // name variant: the step maps over struct emissions (incl. array
+        // splices), skips the scalar `junk`, drops absent keys
+        case 8 =>
+          val f = Seq("sum", "count", "max", "min")(rnd.nextInt(4))
+          (s"{'id': value.id, 'r': $$$f(value.deep.*.p)}", "id BIGINT, r BIGINT")
+        case _ =>
+          if (rnd.nextBoolean())
+            ("{'id': value.id, 'r': $join(value.deep.*.t, '|')}", "id BIGINT, r STRING")
+          else ("{'id': value.id, 'r': $count(value.deep.*.t)}", "id BIGINT, r BIGINT")
       }
       JsonataCompiler.transformCompiled(df, expr) match {
         case None => fail(s"[wc-fuzz #$n] expected wildcard shape to compile: $expr")
@@ -1004,6 +1019,6 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
           }
       }
     }
-    assertRate(compiled, 120, s"wildcard compile rate dropped: $compiled/120")
+    assertRate(compiled, 150, s"wildcard compile rate dropped: $compiled/150")
   }
 }
