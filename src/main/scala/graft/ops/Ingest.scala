@@ -128,6 +128,16 @@ object Ingest {
   /** The data stores a batch (or generation) directory holds. */
   private val Stores = Seq("fp", "bands", "sigs", "admitted", "stats")
 
+  /** Default reader grace for [[vacuum]]: a generation younger than this is
+    * not allowed to trigger deletes, so the naive `compact(); vacuum()`
+    * composition is safe by default — any reader that resolved its
+    * [[StoreView]] before the generation committed has this long to finish
+    * with the superseded paths. Callers that KNOW no concurrent readers
+    * exist (tests, single-process backfills) pass `graceMs = 0`. */
+  val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val StatsDdl = "n_raw BIGINT, n_quality BIGINT, n_lang BIGINT, " +
     "n_exact BIGINT, n_admitted BIGINT, batch_id BIGINT"
 
@@ -396,7 +406,11 @@ object Ingest {
   def compact(s: SparkSession, dir: String): Option[Long] =
     writeGenerationData(s, dir).map { case (gen, upTo) =>
       import s.implicits._
-      Seq(upTo).toDF("up_to").coalesce(1)
+      // the commit watermark [[vacuum]] measures its grace period against —
+      // stamped at manifest-write time, so it is (within one job-commit) the
+      // moment readers could first have switched to this generation
+      Seq((upTo, System.currentTimeMillis()))
+        .toDF("up_to", "committed_at_ms").coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(gdir(dir, gen, "manifest")) // job-commit _SUCCESS = COMMIT
       gen
@@ -407,8 +421,25 @@ object Ingest {
     * crash-mid-compaction spec can stop exactly at the crash point. */
   private[graft] def writeGenerationData(s: SparkSession, dir: String): Option[(Long, Long)] = {
     val view = storeView(s, dir)
+    // The FIRST fold anchors at the smallest committed id, not id 0: a
+    // store whose caller numbers batches from an arbitrary epoch (a resumed
+    // checkpoint, an id namespace per source) must still compact. Safe
+    // because `StoreView.isCommitted` treating every id <= up_to as
+    // committed only swallows ids BELOW the smallest id ever committed —
+    // ids the caller's monotone batch-id source can never replay. Once a
+    // generation exists the anchor is its up_to: folding across a LATER gap
+    // would mark the gap id committed and silently drop its late replay.
+    val anchor = view.gen.fold(view.tail.headOption.getOrElse(0L) - 1L)(_ => view.upTo)
     val prefix = view.tail.foldLeft(Vector.empty[Long]) { (acc, b) =>
-      if (b == acc.lastOption.getOrElse(view.upTo) + 1) acc :+ b else acc
+      if (b == acc.lastOption.getOrElse(anchor) + 1) acc :+ b else acc
+    }
+    if (prefix.length < view.tail.length) {
+      val gapAt = prefix.lastOption.getOrElse(anchor) + 1
+      log.warn(s"compact($dir): committed-id gap at batch_id=$gapAt leaves " +
+        s"${view.tail.length - prefix.length} committed tail batch(es) " +
+        "unfoldable; if that id was abandoned (never to be committed), the " +
+        "tail directory count will grow until it is backfilled or the " +
+        "store is rebuilt")
     }
     if (prefix.isEmpty) None
     else {
@@ -431,20 +462,41 @@ object Ingest {
   }
 
   /** Remove batch directories the newest committed generation supersedes
-    * (id <= its `up_to`) and generations older than it. Run this with a
-    * grace period after [[compact]]: a reader that resolved its
-    * [[StoreView]] BEFORE the generation committed may still hold the old
-    * paths (the standard vacuum caveat of manifest-indirected logs). */
-  def vacuum(s: SparkSession, dir: String): Unit =
-    committedGeneration(s, dir).foreach { case (gen, upTo) =>
+    * (id <= its `up_to`) and generations older than it — MECHANICALLY
+    * grace-guarded: deletion only happens when the newest generation
+    * committed at least `graceMs` ago (its manifest `committed_at_ms`
+    * watermark; pre-watermark generations fall back to the manifest
+    * `_SUCCESS` modification time). Inside the grace window the call is a
+    * no-op that returns false, so the naive `compact(); vacuum()` pattern
+    * cannot strand a reader that resolved its [[StoreView]] just before
+    * the generation commit (the standard vacuum caveat of
+    * manifest-indirected logs, now a refusal instead of a doc comment).
+    * Returns true iff the superseded paths were deleted. */
+  def vacuum(s: SparkSession, dir: String,
+             graceMs: Long = DefaultVacuumGraceMs): Boolean =
+    committedGeneration(s, dir).exists { case (gen, upTo) =>
       val fs = fsOf(s, dir)
-      Stores.foreach { store =>
-        listIds(s, dir, store, "batch_id=").filter(_ <= upTo).foreach { b =>
-          fs.delete(new Path(bdir(dir, store, b)), true)
+      val manifest = s.read.parquet(gdir(dir, gen, "manifest"))
+      val committedAt =
+        if (manifest.columns.contains("committed_at_ms"))
+          manifest.head().getAs[Long]("committed_at_ms")
+        else fs.getFileStatus(
+          new Path(s"${gdir(dir, gen, "manifest")}/_SUCCESS")).getModificationTime
+      val age = System.currentTimeMillis() - committedAt
+      if (age < graceMs) {
+        log.info(s"vacuum($dir): gen=$gen committed ${age}ms ago " +
+          s"(< grace ${graceMs}ms); refusing to delete superseded paths")
+        false
+      } else {
+        Stores.foreach { store =>
+          listIds(s, dir, store, "batch_id=").filter(_ <= upTo).foreach { b =>
+            fs.delete(new Path(bdir(dir, store, b)), true)
+          }
         }
-      }
-      listIds(s, dir, "compact", "gen=").filter(_ < gen).foreach { g =>
-        fs.delete(new Path(s"$dir/compact/gen=$g"), true)
+        listIds(s, dir, "compact", "gen=").filter(_ < gen).foreach { g =>
+          fs.delete(new Path(s"$dir/compact/gen=$g"), true)
+        }
+        true
       }
     }
 }

@@ -124,46 +124,55 @@ case class NumArrayFold(child: Expression, op: Int, resType: DataType)
       val et = elemType
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // Locals MUST be fresh: when child.nullable is false, nullSafeExec
+      // inlines this body without its own braces, so two NumArrayFold
+      // instances in one generated function (the $average cnt+sum pair over
+      // a non-nullable array) would otherwise declare duplicate `acc`/
+      // `best`/`found` and fail Janino, silently losing codegen.
+      val acc = ctx.freshName("acc")
       val get = CodeGenerator.getValue(arr, et, i)
       val body = op match {
         case Cnt =>
-          s"""long acc = 0L;
+          s"""long $acc = 0L;
              |for (int $i = 0; $i < $n; $i++) {
-             |  if (!$arr.isNullAt($i)) acc += 1L;
+             |  if (!$arr.isNullAt($i)) $acc += 1L;
              |}
-             |${ev.value} = acc;""".stripMargin
+             |${ev.value} = $acc;""".stripMargin
         case Sum if resType == LongType =>
-          s"""long acc = 0L;
+          s"""long $acc = 0L;
              |for (int $i = 0; $i < $n; $i++) {
-             |  if (!$arr.isNullAt($i)) acc += (long) $get;
+             |  if (!$arr.isNullAt($i)) $acc += (long) $get;
              |}
-             |${ev.value} = acc;""".stripMargin
+             |${ev.value} = $acc;""".stripMargin
         case Sum =>
-          s"""double acc = 0.0;
+          s"""double $acc = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
-             |  if (!$arr.isNullAt($i)) acc += (double) $get;
+             |  if (!$arr.isNullAt($i)) $acc += (double) $get;
              |}
-             |${ev.value} = acc;""".stripMargin
+             |${ev.value} = $acc;""".stripMargin
         case _ =>
           val (jt, nan, cast) = resType match {
             case LongType => ("long", null, "(long)")
             case FloatType => ("float", "java.lang.Float.isNaN", "(float)")
             case _ => ("double", "java.lang.Double.isNaN", "(double)")
           }
+          val found = ctx.freshName("found")
+          val best = ctx.freshName("best")
+          val x = ctx.freshName("x")
           val cmp =
-            if (nan == null) { if (op == Min) "x < best" else "x > best" }
-            else if (op == Min) s"!$nan(x) && ($nan(best) || x < best)"
-            else s"$nan(x) ? !$nan(best) : (!$nan(best) && x > best)"
-          s"""boolean found = false;
-             |$jt best = ($jt) 0;
+            if (nan == null) { if (op == Min) s"$x < $best" else s"$x > $best" }
+            else if (op == Min) s"!$nan($x) && ($nan($best) || $x < $best)"
+            else s"$nan($x) ? !$nan($best) : (!$nan($best) && $x > $best)"
+          s"""boolean $found = false;
+             |$jt $best = ($jt) 0;
              |for (int $i = 0; $i < $n; $i++) {
              |  if (!$arr.isNullAt($i)) {
-             |    $jt x = $cast $get;
-             |    if (!found) { best = x; found = true; }
-             |    else if ($cmp) { best = x; }
+             |    $jt $x = $cast $get;
+             |    if (!$found) { $best = $x; $found = true; }
+             |    else if ($cmp) { $best = $x; }
              |  }
              |}
-             |if (found) { ${ev.value} = best; } else { ${ev.isNull} = true; }""".stripMargin
+             |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }""".stripMargin
       }
       s"""final int $n = $arr.numElements();
          |$body""".stripMargin

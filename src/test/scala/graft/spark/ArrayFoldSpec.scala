@@ -146,6 +146,37 @@ class ArrayFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("several folds over a NON-NULLABLE array compile in one codegen function") {
+    // When the child is non-nullable, nullSafeExec inlines each fold's body
+    // WITHOUT its own braces — so two folds in one generated function
+    // (exactly the $average cnt+sum pair) would collide on fixed local
+    // names and fail Janino, silently dropping to interpreted eval. Fresh
+    // names per instance are the fix; fallback is disabled here so a
+    // collision fails the test instead of hiding.
+    val sp = spark
+    import sp.implicits._
+    sp.conf.set("spark.sql.codegen.fallback", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+        .select(array(col("x"), col("y")).as("a"))
+      assert(!df.schema("a").nullable, "fixture must be non-nullable to pin the inline path")
+      val r = df.select(
+        NumArrayFold.sum(col("a"), long = false).as("s"),
+        NumArrayFold.cnt(col("a")).as("c"),
+        NumArrayFold.min(col("a"), DoubleType).as("mn"),
+        NumArrayFold.max(col("a"), DoubleType).as("mx"))
+        .orderBy(col("s")).collect()
+      assert(r.map(_.getDouble(0)).toSeq == Seq(3.0, 7.0))
+      assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+      assert(r.map(_.getDouble(2)).toSeq == Seq(1.0, 3.0))
+      assert(r.map(_.getDouble(3)).toSeq == Seq(2.0, 4.0))
+    } finally {
+      sp.conf.set("spark.sql.codegen.fallback", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("long sum wraps like the legacy (non-ANSI) add it replaced") {
     val sp = spark
     import sp.implicits._

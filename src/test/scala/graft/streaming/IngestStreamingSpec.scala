@@ -422,10 +422,25 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-compaction ingest diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
     assert(storeStats(dir) == refStats)
 
-    // vacuum removes the superseded batch dirs; answers unchanged; a
-    // replay of a batch the GENERATION covers is still a no-op (the
+    // the grace guard: within DefaultVacuumGraceMs of the generation
+    // commit, vacuum REFUSES — a reader that resolved its StoreView before
+    // the commit still holds the superseded batch paths, and they must
+    // remain readable across the refused vacuum
+    val preCompactionView = Ingest.StoreView(None, -1L, Seq(0L, 1L, 2L))
+    assert(!Ingest.vacuum(spark, dir), "vacuum inside the grace window must refuse")
+    assert(new java.io.File(s"$dir/admitted/batch_id=0").exists(),
+      "grace-refused vacuum deleted a superseded batch dir")
+    assert(spark.read.parquet(
+        s"$dir/admitted/batch_id=0", s"$dir/admitted/batch_id=1",
+        s"$dir/admitted/batch_id=2").count() > 0,
+      "a pre-compaction StoreView's paths must survive a grace-refused vacuum")
+    assert(preCompactionView.isCommitted(1L)) // the stale view is self-consistent
+
+    // vacuum removes the superseded batch dirs once the caller waives the
+    // grace (graceMs = 0 — no concurrent readers here); answers unchanged;
+    // a replay of a batch the GENERATION covers is still a no-op (the
     // exactly-once guard now comes from the manifest, not the batch dir)
-    Ingest.vacuum(spark, dir)
+    assert(Ingest.vacuum(spark, dir, graceMs = 0L))
     assert(!new java.io.File(s"$dir/admitted/batch_id=0").exists(), "vacuum left batch 0")
     assert(!new java.io.File(s"$dir/fp/batch_id=1").exists(), "vacuum left batch 1")
     assert(storeAdmitted(dir) == refAdmitted)
@@ -437,10 +452,47 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second compaction folds the tail into gen 1; vacuum drops gen 0;
     // with nothing new to fold, compact is a no-op
     assert(Ingest.compact(spark, dir).contains(1L))
-    Ingest.vacuum(spark, dir)
+    assert(Ingest.vacuum(spark, dir, graceMs = 0L))
     assert(!new java.io.File(s"$dir/compact/gen=0").exists(), "vacuum left gen 0")
     assert(storeAdmitted(dir) == refAdmitted)
     assert(storeStats(dir) == refStats)
     assert(Ingest.compact(spark, dir).isEmpty)
+  }
+
+  test("compaction anchors its first fold at the smallest committed id, not id 0") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("compact-epoch")
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text")
+
+    // a caller numbering batches from a non-zero epoch (a resumed
+    // checkpoint) — the round-12 liveness hole was compact() returning
+    // None forever because the fold anchored at id 0
+    val epoch = 1000L
+    def atEpoch(rows: Seq[StatsRow]): Seq[StatsRow] =
+      rows.map(r => r.copy(batchId = r.batchId + epoch))
+    Ingest.ingestBatch(spark, dir, df(b0), epoch)
+    Ingest.ingestBatch(spark, dir, df(b1), epoch + 1)
+    val (refAdmitted01, refStats01) = runRef(Seq(b0, b1))
+    assert(Ingest.compact(spark, dir).contains(0L),
+      "first fold must anchor at the smallest committed id")
+    assert(Ingest.committedGeneration(spark, dir).contains((0L, epoch + 1)))
+    assert(storeAdmitted(dir) == refAdmitted01)
+    assert(storeStats(dir) == atEpoch(refStats01))
+
+    // a LATER gap still blocks the fold (folding across it would mark the
+    // gap id committed and swallow its late replay): batch 1003 committed,
+    // 1002 missing → nothing new to fold
+    Ingest.ingestBatch(spark, dir, df(b2), epoch + 3)
+    assert(Ingest.compact(spark, dir).isEmpty,
+      "a post-generation gap must not be folded across")
+    // the gap backfills → the fold resumes and answers match the replay
+    val emptyBatch = Seq.empty[(Long, String, String)]
+    Ingest.ingestBatch(spark, dir, df(emptyBatch), epoch + 2)
+    assert(Ingest.compact(spark, dir).contains(1L))
+    val (refAdmitted, refStats) = runRef(Seq(b0, b1, emptyBatch, b2))
+    assert(storeAdmitted(dir) == refAdmitted)
+    assert(storeStats(dir) == atEpoch(refStats))
   }
 }
