@@ -636,6 +636,49 @@ object JsonataQueries {
           n_chars + 1 + n_chars + 5 + 2 AS itot
         FROM documents ORDER BY doc_id""")),
 
+    // ---- jx33: tuple-stream binds (B25) through the DRIVER gate — the   ----
+    // ---- positional bind `#$i` (pre-filter index stamping: survivors    ----
+    // ---- keep their ORIGINAL positions) and the context bind `@$v`      ----
+    // ---- (the spec's join idiom: the focus stays at the step's input,   ----
+    // ---- so `value.dims@$d.items[...]` cross-joins dims against items   ----
+    // ---- from the common parent). Interpreted tier by design — these    ----
+    // ---- forms are tuple-stream-only (JsonataCompiler rejects them);    ----
+    // ---- the point is the exact DuckDB oracle, the one §2.B operator    ----
+    // ---- that previously rested on ConformanceSpec alone.               ----
+    Q("jx33_tuple_binds",
+      (s, d) => {
+        val base = Tables.spread(t(s, d, "documents")).select(
+          col("doc_id"),
+          // item order is load-bearing: position weights 0/1/2 make the
+          // PRE-filter index observable through pos_sum, and position 0
+          // (v = 5) always survives [v >= 5], so the sum is never the
+          // undefined empty sequence (the jx31 nullable-double lesson)
+          array(struct(lit("a").as("k"), lit(5L).as("v")),
+            struct(lit("b").as("k"), col("n_chars").as("v")),
+            struct(lit("a").as("k"), (col("n_chars") * 2).as("v"))).as("items"),
+          array(struct(lit("a").as("ref"), col("lang").as("tag")),
+            struct(lit("b").as("ref"), col("source").as("tag"))).as("dims"))
+        val out = JsonataDF.auto(base,
+          "{'doc_id': value.doc_id, " +
+            "'pos_sum': $sum(value.items#$i[v >= 5].($i)), " +
+            "'iseq': $join(value.items#$i.($string($i) & k), ''), " +
+            "'tags': $join(value.dims@$d.items[k = $d.ref].($d.tag & ':' & $string(v)), ',')}",
+          StructType.fromDDL("doc_id BIGINT, pos_sum BIGINT, iseq STRING, tags STRING"),
+          topic = "documents")
+        out.orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          -- pre-filter positions surviving [v >= 5]: pos 0 (v=5) always,
+          -- pos 1 iff n_chars >= 5, pos 2 iff n_chars*2 >= 5
+          CAST((CASE WHEN n_chars >= 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars * 2 >= 5 THEN 2 ELSE 0 END) AS BIGINT) AS pos_sum,
+          '0a1b2a' AS iseq,
+          -- dims-major, items-minor cross-join order: (a,lang) matches
+          -- items 0 and 2, (b,source) matches item 1
+          lang || ':5,' || lang || ':' || CAST(n_chars * 2 AS VARCHAR)
+            || ',' || source || ':' || CAST(n_chars AS VARCHAR) AS tags
+        FROM documents ORDER BY doc_id""")),
+
     // ---- jx06: same operator through the SQL registration (spark.sql path) ----
     Q("jx06_sql_udf",
       (s, d) => {
