@@ -128,87 +128,44 @@ object Ingest {
   /** The data stores a batch (or generation) directory holds. */
   private val Stores = Seq("fp", "bands", "sigs", "admitted", "stats")
 
-  /** Default reader grace for [[vacuum]]: a generation younger than this is
-    * not allowed to trigger deletes, so the naive `compact(); vacuum()`
-    * composition is safe by default — any reader that resolved its
-    * [[StoreView]] before the generation committed has this long to finish
-    * with the superseded paths. Callers that KNOW no concurrent readers
-    * exist (tests, single-process backfills) pass `graceMs = 0`. */
-  val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
-
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  /** See [[BatchLog.DefaultVacuumGraceMs]] — the protocol (and its reader
+    * grace rationale) is shared with every committed-batch-log store. */
+  val DefaultVacuumGraceMs: Long = BatchLog.DefaultVacuumGraceMs
 
   private val StatsDdl = "n_raw BIGINT, n_quality BIGINT, n_lang BIGINT, " +
     "n_exact BIGINT, n_admitted BIGINT, batch_id BIGINT"
 
-  private def fsOf(s: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
   private def bdir(dir: String, store: String, batchId: Long) =
-    s"$dir/$store/batch_id=$batchId"
+    BatchLog.bdir(dir, store, batchId)
   private def gdir(dir: String, gen: Long, store: String) =
-    s"$dir/compact/gen=$gen/$store"
-
-  /** Child dirs of `root` named `prefix=N` with a PARSEABLE long suffix —
-    * a stray non-numeric directory is skipped, never a crash. */
-  private def listIds(s: SparkSession, dir: String, sub: String,
-                      prefix: String): Seq[Long] = {
-    val fs = fsOf(s, dir)
-    val root = new Path(s"$dir/$sub")
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .flatMap(st => scala.util.Try(
-        st.getPath.getName.stripPrefix(prefix).toLong).toOption)
-      .sorted
-  }
+    BatchLog.gdir(dir, gen, store)
 
   /** Batches whose stats commit marker (`stats/batch_id=N/_SUCCESS`)
     * exists, ascending. Hadoop-FS based: works on any scheme `dir` uses. */
-  def committedBatches(s: SparkSession, dir: String): Seq[Long] = {
-    val fs = fsOf(s, dir)
-    listIds(s, dir, "stats", "batch_id=")
-      .filter(b => fs.exists(new Path(s"${bdir(dir, "stats", b)}/_SUCCESS")))
-  }
+  def committedBatches(s: SparkSession, dir: String): Seq[Long] =
+    BatchLog.committedBatches(s, dir, "stats")
 
   /** The newest committed generation, as (gen, up_to): committed =
     * `compact/gen=G/manifest/_SUCCESS` exists (the manifest is written
     * after every data store, so its job commit IS the generation commit). */
-  def committedGeneration(s: SparkSession, dir: String): Option[(Long, Long)] = {
-    val fs = fsOf(s, dir)
-    listIds(s, dir, "compact", "gen=")
-      .filter(g => fs.exists(new Path(s"${gdir(dir, g, "manifest")}/_SUCCESS")))
-      .lastOption
-      .map { g =>
-        (g, s.read.parquet(gdir(dir, g, "manifest")).head().getAs[Long]("up_to"))
-      }
-  }
+  def committedGeneration(s: SparkSession, dir: String): Option[(Long, Long)] =
+    BatchLog.committedGeneration(s, dir)
 
-  /** One consistent resolution of the store: the newest committed
-    * generation (covering every batch id <= `upTo`) plus the committed
-    * batch-dir tail beyond it. `upTo` is -1 when no generation exists. */
-  case class StoreView(gen: Option[Long], upTo: Long, tail: Seq[Long]) {
-    def isCommitted(batchId: Long): Boolean =
-      batchId <= upTo || tail.contains(batchId)
-    def isEmpty: Boolean = gen.isEmpty && tail.isEmpty
-  }
+  /** One consistent resolution of the store — [[BatchLog.View]]: the
+    * newest committed generation (covering every batch id <= `upTo`) plus
+    * the committed batch-dir tail beyond it; `upTo` is -1 when no
+    * generation exists. */
+  type StoreView = BatchLog.View
+  val StoreView: BatchLog.View.type = BatchLog.View
 
-  def storeView(s: SparkSession, dir: String): StoreView = {
-    val g = committedGeneration(s, dir)
-    val upTo = g.map(_._2).getOrElse(-1L)
-    StoreView(g.map(_._1), upTo, committedBatches(s, dir).filter(_ > upTo))
-  }
+  def storeView(s: SparkSession, dir: String): StoreView =
+    BatchLog.view(s, dir, "stats")
 
   /** Read a store through a view — ONE multi-path parquet read over the
     * generation slice + tail batch dirs (schema-stable empty when none). */
   private def readCommitted(s: SparkSession, dir: String, store: String,
-                            view: StoreView, ddl: String): DataFrame = {
-    val paths = view.gen.map(g => gdir(dir, g, store)).toSeq ++
-      view.tail.map(b => bdir(dir, store, b))
-    if (paths.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(ddl))
-    else s.read.parquet(paths: _*)
-  }
+                            view: StoreView, ddl: String): DataFrame =
+    BatchLog.readCommitted(s, dir, store, view, ddl)
 
   /** The union of all committed admitted slices. */
   def admitted(s: SparkSession, dir: String): DataFrame =
@@ -405,14 +362,7 @@ object Ingest {
     * generation id, or None when there is nothing new to fold. */
   def compact(s: SparkSession, dir: String): Option[Long] =
     writeGenerationData(s, dir).map { case (gen, upTo) =>
-      import s.implicits._
-      // the commit watermark [[vacuum]] measures its grace period against —
-      // stamped at manifest-write time, so it is (within one job-commit) the
-      // moment readers could first have switched to this generation
-      Seq((upTo, System.currentTimeMillis()))
-        .toDF("up_to", "committed_at_ms").coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(gdir(dir, gen, "manifest")) // job-commit _SUCCESS = COMMIT
+      BatchLog.commitManifest(s, dir, gen, upTo)
       gen
     }
 
@@ -421,26 +371,9 @@ object Ingest {
     * crash-mid-compaction spec can stop exactly at the crash point. */
   private[graft] def writeGenerationData(s: SparkSession, dir: String): Option[(Long, Long)] = {
     val view = storeView(s, dir)
-    // The FIRST fold anchors at the smallest committed id, not id 0: a
-    // store whose caller numbers batches from an arbitrary epoch (a resumed
-    // checkpoint, an id namespace per source) must still compact. Safe
-    // because `StoreView.isCommitted` treating every id <= up_to as
-    // committed only swallows ids BELOW the smallest id ever committed —
-    // ids the caller's monotone batch-id source can never replay. Once a
-    // generation exists the anchor is its up_to: folding across a LATER gap
-    // would mark the gap id committed and silently drop its late replay.
-    val anchor = view.gen.fold(view.tail.headOption.getOrElse(0L) - 1L)(_ => view.upTo)
-    val prefix = view.tail.foldLeft(Vector.empty[Long]) { (acc, b) =>
-      if (b == acc.lastOption.getOrElse(anchor) + 1) acc :+ b else acc
-    }
-    if (prefix.length < view.tail.length) {
-      val gapAt = prefix.lastOption.getOrElse(anchor) + 1
-      log.warn(s"compact($dir): committed-id gap at batch_id=$gapAt leaves " +
-        s"${view.tail.length - prefix.length} committed tail batch(es) " +
-        "unfoldable; if that id was abandoned (never to be committed), the " +
-        "tail directory count will grow until it is backfilled or the " +
-        "store is rebuilt")
-    }
+    // anchoring (first fold at the smallest committed id; later gaps block
+    // the fold) is the shared protocol's rule — see BatchLog.foldablePrefix
+    val prefix = BatchLog.foldablePrefix(dir, view)
     if (prefix.isEmpty) None
     else {
       val folded = view.copy(tail = prefix)
@@ -474,29 +407,5 @@ object Ingest {
     * Returns true iff the superseded paths were deleted. */
   def vacuum(s: SparkSession, dir: String,
              graceMs: Long = DefaultVacuumGraceMs): Boolean =
-    committedGeneration(s, dir).exists { case (gen, upTo) =>
-      val fs = fsOf(s, dir)
-      val manifest = s.read.parquet(gdir(dir, gen, "manifest"))
-      val committedAt =
-        if (manifest.columns.contains("committed_at_ms"))
-          manifest.head().getAs[Long]("committed_at_ms")
-        else fs.getFileStatus(
-          new Path(s"${gdir(dir, gen, "manifest")}/_SUCCESS")).getModificationTime
-      val age = System.currentTimeMillis() - committedAt
-      if (age < graceMs) {
-        log.info(s"vacuum($dir): gen=$gen committed ${age}ms ago " +
-          s"(< grace ${graceMs}ms); refusing to delete superseded paths")
-        false
-      } else {
-        Stores.foreach { store =>
-          listIds(s, dir, store, "batch_id=").filter(_ <= upTo).foreach { b =>
-            fs.delete(new Path(bdir(dir, store, b)), true)
-          }
-        }
-        listIds(s, dir, "compact", "gen=").filter(_ < gen).foreach { g =>
-          fs.delete(new Path(s"$dir/compact/gen=$g"), true)
-        }
-        true
-      }
-    }
+    BatchLog.vacuum(s, dir, Stores, graceMs)
 }

@@ -142,7 +142,7 @@ object Similarity {
   /** embeddings with vec + the M subvectors PRE-SLICED once per row in
     * their own projection (the withShingles lesson: HOF lambdas get no CSE,
     * so slicing inside the argmin lambda would re-slice per (m, j) step). */
-  private def pqVecs(s: SparkSession, d: String): DataFrame =
+  private[ops] def pqVecs(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), asD(col("embedding")).as("vec"))
       .withColumn("subs", transform(sequence(lit(0), lit(PqM - 1)), m =>
@@ -154,11 +154,20 @@ object Similarity {
   /** One-row broadcast sub-codebook: j-th centroid = the sampled vector at
     * vec_id = j*stride + (7 mod stride), stride = max(2, N/PqK) (dense ids by
     * construction — see the ss04 note; N from footer metadata, zero jobs). */
-  private def pqCodebook(v: DataFrame, n: Long): DataFrame = {
+  private[ops] def pqCodebook(v: DataFrame, n: Long): DataFrame = {
     val stride = math.max(2L, n / PqK)
     broadcast(v.filter(col("vec_id") % stride === (7L % stride))
       .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
       .agg(array_sort(collect_list(struct(col("j"), col("subs")))).as("cb")))
+  }
+
+  /** The (j, subs) codebook ROWS for the same stride sample — what
+    * [[AnnIndex]] freezes on disk at init (the one-row broadcast form is
+    * reconstituted from these rows at read time). */
+  private[ops] def pqCodebookRows(v: DataFrame, n: Long): DataFrame = {
+    val stride = math.max(2L, n / PqK)
+    v.filter(col("vec_id") % stride === (7L % stride))
+      .select(floor(col("vec_id") / stride).cast("int").as("j"), col("subs"))
   }
 
   /** PQ encode: (vec_id, code array<int> of M sub-codes), MAP-ONLY (one-row
@@ -197,11 +206,35 @@ object Similarity {
   // ---- stored-index build + probe split) ----
 
   /** Coarse anchor rows (aid, av, an): systematic sample, ≤ MaxAnchors. */
-  private def ivfAnchorRows(s: SparkSession, d: String): DataFrame = {
-    val astride = math.max(AnchorStride, Tables.rowCount(s, d, "embeddings") / MaxAnchors)
-    vecs(s, d).filter(col("vec_id") % astride === AnchorOffset)
+  private def ivfAnchorRows(s: SparkSession, d: String): DataFrame =
+    ivfAnchorRowsOf(vecs(s, d), Tables.rowCount(s, d, "embeddings"))
+
+  /** The same systematic anchor sample over an ARBITRARY (vec_id, vec,
+    * nrm) relation of n rows — what [[AnnIndex]] freezes at init. */
+  private[ops] def ivfAnchorRowsOf(v: DataFrame, n: Long): DataFrame = {
+    val astride = math.max(AnchorStride, n / MaxAnchors)
+    v.filter(col("vec_id") % astride === AnchorOffset)
       .select(col("vec_id").as("aid"), col("vec").as("av"), col("nrm").as("an"))
   }
+
+  /** One-row broadcast anchor array from anchor rows (aid-sorted, so the
+    * strict-> argmax fold keeps the FIRST maximum = ties to smaller aid). */
+  private[ops] def ivfAnchorAgg(anchorRows: DataFrame): DataFrame =
+    broadcast(anchorRows
+      .agg(sort_array(collect_list(struct(col("aid"), col("av"), col("an")))).as("arr")))
+
+  /** MAP-ONLY IVFADC encode of a (vec_id, vec, subs) relation against a
+    * GIVEN anchor array + codebook — the assignment/coding kernel shared
+    * by the one-shot build ([[ivfCodes]]) and the incremental append path
+    * ([[AnnIndex.appendBatch]]), so an appended slice is bit-identical to
+    * what a full rebuild with the same frozen artifacts would code. */
+  private[ops] def ivfEncodeWith(pv: DataFrame, aAgg: DataFrame,
+                                 cbAgg: DataFrame): DataFrame =
+    pv.withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
+      .crossJoin(aAgg).crossJoin(cbAgg)
+      .select(col("vec_id"),
+        graft.spark.VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("arr")).as("aid"),
+        graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb"), PqM).as("code"))
 
   /** The stored IVFADC relation (vec_id, aid, code): ONE map-only pass —
     * coarse assignment is an argmax-cosine fold over the one-row broadcast
@@ -210,19 +243,13 @@ object Similarity {
     * [[graft.spark.PqEncode]] kernel against the one-row broadcast
     * codebook — no corpus shuffle anywhere. */
   private def ivfCodes(s: SparkSession, d: String): DataFrame = {
-    val aAgg = broadcast(ivfAnchorRows(s, d)
-      .agg(sort_array(collect_list(struct(col("aid"), col("av"), col("an")))).as("arr")))
     // coarse assignment + PQ codes both via fused codegen kernels
     // (CosineArgmax / PqEncode) — bit-identical to the argmax/argmin folds
     // they replaced (VectorExpressionsSpec pins), which ran N x |anchors|
     // interpreted lambda steps in the build's hot loop
     val pv = pqVecs(s, d)
-    val cbAgg = pqCodebook(pv, Tables.rowCount(s, d, "embeddings"))
-    pv.withColumn("nrm", sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec"))))
-      .crossJoin(aAgg).crossJoin(cbAgg)
-      .select(col("vec_id"),
-        graft.spark.VectorExpressions.cosArgmax(col("vec"), col("nrm"), col("arr")).as("aid"),
-        graft.spark.VectorExpressions.pqEncode(col("subs"), col("cb"), PqM).as("code"))
+    ivfEncodeWith(pv, ivfAnchorAgg(ivfAnchorRows(s, d)),
+      pqCodebook(pv, Tables.rowCount(s, d, "embeddings")))
   }
 
   /** The registry's canonical query set: every 100th corpus vector, as a
@@ -236,9 +263,15 @@ object Similarity {
 
   /** Broadcast probe list (q_id, aid) for a query-id relation: each query's
     * NProbe nearest coarse anchors by cosine (ties to the smaller aid). */
-  private def ivfProbesFor(s: SparkSession, d: String, qIds: DataFrame): DataFrame = {
+  private def ivfProbesFor(s: SparkSession, d: String, qIds: DataFrame): DataFrame =
+    ivfProbesWith(s, d, qIds, ivfAnchorRows(s, d))
+
+  /** [[ivfProbesFor]] against a GIVEN anchor relation — the probe list
+    * must rank the SAME anchors the index assigned against, so the
+    * log-backed serve path passes its frozen anchors here. */
+  private[ops] def ivfProbesWith(s: SparkSession, d: String, qIds: DataFrame,
+                                 anchorRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val anchorRows = ivfAnchorRows(s, d)
     val q = vecs(s, d).join(broadcast(qIds), col("vec_id") === col("q_id"))
       .select(col("q_id"), col("vec").as("qv"), col("nrm").as("qn"))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("pc").desc, col("aid"))
@@ -271,9 +304,21 @@ object Similarity {
     * equal by construction). */
   private[graft] def ivfAdcServeFor(s: SparkSession, d: String,
                                     asnCodes: DataFrame, qIds: DataFrame): DataFrame = {
+    val pv = pqVecs(s, d)
+    ivfAdcServeWith(s, d, asnCodes, qIds, ivfAnchorRows(s, d),
+      pqCodebook(pv, Tables.rowCount(s, d, "embeddings")))
+  }
+
+  /** [[ivfAdcServeFor]] against GIVEN (frozen) anchors + codebook — the
+    * serve entry of the incremental index log ([[AnnIndex]]), where the
+    * artifacts are the ones persisted at index init, NOT re-derived from
+    * the current corpus: probe ranking and ADC tables must agree with
+    * whatever the stored codes were assigned/coded against. */
+  private[ops] def ivfAdcServeWith(s: SparkSession, d: String,
+                                   asnCodes: DataFrame, qIds: DataFrame,
+                                   anchorRows: DataFrame, cbAgg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pv = pqVecs(s, d)
-    val cbAgg = pqCodebook(pv, Tables.rowCount(s, d, "embeddings"))
     val qt = pqQueryTablesFor(pv, cbAgg, qIds)
     // stage 1: ADC top-R candidates per query — ids only (the ss03/ss07
     // ids-first lesson); PQ quantization error on near-isotropic data
@@ -284,7 +329,7 @@ object Similarity {
     // distance (IEEE negation round-trips exactly; equal adc ties break on
     // vec_id asc in both formulations) — probed candidates are a corpus
     // fraction per query that a per-q_id window would sort whole
-    val cands = ivfProbesFor(s, d, qIds).join(asnCodes, Seq("aid"))
+    val cands = ivfProbesWith(s, d, qIds, anchorRows).join(asnCodes, Seq("aid"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(qt, Seq("q_id"))
       .select(col("q_id"), col("vec_id"), pqAdc.as("adc"))
@@ -337,7 +382,7 @@ object Similarity {
     * absorbing half the corpus). Sub-splitting bounds a write task at
     * ~bucket/8 rows for ≤8 small files per bucket dir — read-side pruning
     * (directory-level on aid) is unchanged. */
-  private val WriteSubSplit = 8
+  private[ops] val WriteSubSplit = 8
 
   private[ops] def ensureIvfIndex(s: SparkSession, d: String): String = {
     val dir = ivfIndexDir(s, d)
@@ -1278,6 +1323,52 @@ object Similarity {
                      FROM resc)
         SELECT q_id, vec_id AS neighbor_id, adc, d2, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ---- ss16: INCREMENTAL index maintenance — the ingest-to-index      ----
+    // ---- composition: admission batches land in the stored IVFADC index ----
+    // ---- as committed APPEND slices encoded against artifacts FROZEN at ----
+    // ---- init (first half of the corpus), with a mid-sequence online    ----
+    // ---- compaction + vacuum (BatchLog's manifest-indirected protocol). ----
+    // ---- The output is the view-resolved code relation — batches 0-1    ----
+    // ---- compacted into the aid-partitioned generation, batch 2 still a ----
+    // ---- tail slice — exploded like ss13 for the exact compare. The     ----
+    // ---- oracle re-derives anchors + codebook from ids < n/2 ONLY, so a ----
+    // ---- lazy implementation that re-trains on the full corpus (or      ----
+    // ---- re-encodes history) hash-mismatches.                           ----
+    Q("ss16_incremental_index",
+      (s, d) => {
+        val dir = AnnIndex.ensureDriverLog(s, d)
+        AnnIndex.codes(s, dir)
+          .select(col("vec_id"), col("aid"),
+            posexplode(col("code")).as(Seq("m", "j")))
+          .select(col("vec_id"), col("aid"), col("m").cast("int").as("m"), col("j"))
+          .orderBy(col("vec_id"), col("m"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          vi AS (SELECT * FROM v WHERE vec_id < (SELECT count(*) FROM v) // 2),
+          a AS (SELECT vec_id AS aid, vec AS av FROM vi
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM vi) // 4096) = 7),
+          asn AS (SELECT vec_id, aid FROM (
+              SELECT v.vec_id, a.aid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM vi) // 256) AS INT) AS j, vec
+                 FROM vi WHERE vec_id % greatest(2, (SELECT count(*) FROM vi) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM vi) // 256)),
+          xd AS (SELECT v.vec_id, m.m, c.j,
+                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              for i in generate_series(1,8) ]) AS dd
+                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
+          codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dd ASC, j ASC) AS rn
+                      FROM xd) WHERE rn = 1)
+        SELECT c.vec_id, s.aid, CAST(c.m AS INT) AS m, c.j
+        FROM codes c JOIN asn s USING (vec_id)
+        ORDER BY c.vec_id, c.m""")),
 
     // ---- dd11: SemDeDup-style semantic dedup (cluster -> within-cluster ----
     // ---- cosine -> keep-first). The embedding-space dedup a pretraining ----

@@ -43,6 +43,19 @@ object StreamingAnnProbe {
     */
   def probeStream(queries: DataFrame, d: String,
                   onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    probeStreamWith(queries, onBatch,
+      (s, qIds) => graft.ops.Similarity.serveFromStoredIndex(s, d, qIds))
+
+  /** [[probeStream]] with the serving backend injected — the same
+    * per-batch plumbing over a DIFFERENT stored index, e.g. the
+    * incrementally-maintained log ([[graft.ops.AnnIndex.serveFromLog]]):
+    * queries stream against an index that admission batches keep
+    * appending to, and each micro-batch's answers reflect the view its
+    * serve call resolved (the log's committed-slice semantics, not a
+    * stream-internal state store). */
+  def probeStreamWith(queries: DataFrame,
+                      onBatch: (DataFrame, Long) => Unit,
+                      serve: (org.apache.spark.sql.SparkSession, DataFrame) => DataFrame): StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -57,7 +70,7 @@ object StreamingAnnProbe {
         if (ids.nonEmpty) {
           import s.implicits._
           val qIds = ids.toSeq.toDF("q_id")
-          onBatch(graft.ops.Similarity.serveFromStoredIndex(s, d, qIds), batchId)
+          onBatch(serve(s, qIds), batchId)
         }
       }
       .start()
