@@ -186,6 +186,54 @@ object Sampling {
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY shard ORDER BY shard""")),
 
+    // ---- sp17: SUBWORD-budget shard packing — sp03's two-level prefix  ----
+    // ---- sum keyed by what a trained model actually consumes: the      ----
+    // ---- frozen-merges BPE count ([[TextOps.BpeMerges]], the codegen'd ----
+    // ---- [[graft.spark.BpeCount]] kernel) instead of whitespace words. ----
+    // ---- Whitespace counting over-budgets short-token text and under-  ----
+    // ---- budgets long words; shards packed by subword counts are what  ----
+    // ---- the training loop sees. The oracle replays the merge loop     ----
+    // ---- EXACTLY as a rank-ordered replace() chain (equivalence argued ----
+    // ---- at the kernel; divergence in any doc's count shifts every     ----
+    // ---- later shard boundary and hash-mismatches). Scale shape is     ----
+    // ---- sp03's: the count is map-only per row, the only ordered       ----
+    // ---- window is over #blocks rows.                                  ----
+    Q("sp17_bpe_pack",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val blockSize = blockSizeFor(Tables.rowCount(s, d, "documents"), s.sparkContext.defaultParallelism)
+        val toks = docs
+          .select(col("doc_id"), TextOps.bpeTokensCol.as("btokens"),
+            (col("doc_id") / blockSize).cast("bigint").as("blk"))
+        val wBlk = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = toks.groupBy(col("blk"))
+          .agg(sum(col("btokens")).as("blk_sum"))
+          .withColumn("blk_off", sum(col("blk_sum")).over(wBlk) - col("blk_sum"))
+          .select(col("blk"), col("blk_off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(broadcast(offsets), Seq("blk"))
+          .withColumn("cum_end", col("blk_off") + sum(col("btokens")).over(wIn))
+          .withColumn("shard", ((col("cum_end") - col("btokens")) / ShardTokens).cast("bigint"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("btokens")).as("sum_btokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${TextOps.bpeTokensSql} AS btokens
+            FROM documents),
+          c AS (SELECT doc_id, btokens,
+                  sum(btokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+                FROM toks),
+          a AS (SELECT doc_id, btokens,
+                  CAST((cum_end - btokens) // $ShardTokens AS BIGINT) AS shard
+                FROM c)
+        SELECT shard, count(*) AS n_docs, CAST(sum(btokens) AS BIGINT) AS sum_btokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY shard ORDER BY shard""")),
+
     // ---- sp04: deterministic global training shuffle ----
     // Every epoch-0 data loader wants the corpus in a reproducible pseudo-
     // random order: position = rank of md5(doc_id || seed). A naive

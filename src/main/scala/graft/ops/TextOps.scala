@@ -68,6 +68,50 @@ object TextOps {
     size(split(trim(col("text")), "\\s+")).cast("bigint")
   private[ops] def exactFpCol: Column = md5(lower(trim(col("text"))))
 
+  /** The FROZEN BPE merge table (rank order) — the subword analog of the
+    * dsirGate/perplexityGate frozen-artifact stance: a trained tokenizer's
+    * merges are an immutable serving artifact, and every budget operator
+    * that packs by subword counts replays exactly this list. Rank k's
+    * output token is the private-use char U+E000+k, so multi-level merges
+    * reference earlier placeholders (the table is WELL-FORMED — operands
+    * are base chars or strictly-earlier ranks — which is what makes
+    * rank-sequential application equal the greedy loop; see
+    * [[graft.spark.BpeCount]]). English bigrams chosen for coverage on
+    * the synthetic corpus; the two-level entries ("the", "ing") pin the
+    * placeholder-recursion path. */
+  private[graft] val BpeMerges: Seq[(Char, Char)] = {
+    def p(k: Int): Char = (graft.spark.BpeCount.PlaceholderBase + k).toChar
+    Seq(
+      ('t', 'h'), (p(0), 'e'),  // ranks 0-1: "th", "the"
+      ('i', 'n'), (p(2), 'g'),  // ranks 2-3: "in", "ing"
+      ('a', 'n'), (p(4), 'd'),  // ranks 4-5: "an", "and"
+      ('e', 'r'), ('o', 'n'), ('r', 'e'), ('a', 't'), ('e', 'n'),
+      ('o', 'r'), ('e', 's'), ('s', 't'), ('a', 'r'), ('o', 'u'),
+      ('l', 'e'), ('i', 's'), ('i', 't'), ('a', 'l'), ('t', 'i'),
+      ('s', 'e'), ('d', 'e'), ('c', 'o'), ('l', 'l'), ('s', 's'),
+      ('e', 'e'), ('o', 'o'))
+  }
+
+  /** The per-doc subword token count under [[BpeMerges]]. */
+  private[ops] def bpeTokensCol: Column =
+    graft.spark.BpeExpressions.bpeCount(col("text"), BpeMerges)
+
+  /** The EXACT DuckDB replay of [[bpeTokensCol]] as an expression over a
+    * column named `text`: the nested replace() chain in rank order
+    * (left-to-right non-overlapping — SQL replace's contract and the
+    * kernel's), count = length(replaced) − spaces (spaces survive every
+    * merge untouched, so the space count of the original text is the
+    * word-boundary correction). */
+  private[ops] val bpeTokensSql: String = {
+    def chrSql(c: Char): String =
+      if (c >= graft.spark.BpeCount.PlaceholderBase) s"chr(${c.toInt})" else s"'$c'"
+    val replaced = BpeMerges.zipWithIndex.foldLeft("text") { case (acc, ((l, r), k)) =>
+      s"replace($acc, ${chrSql(l)} || ${chrSql(r)}, " +
+        s"chr(${graft.spark.BpeCount.PlaceholderBase + k}))"
+    }
+    s"(length($replaced) - (length(text) - length(replace(text, ' ', ''))))"
+  }
+
   /** tx08's bigram-LM per-document scores (doc_id, n_bigrams, n_unseen,
     * nll), shared with sp15's perplexity-band selection — ONE model
     * definition (tokenization, train split, smoothing), the sp14/ingest

@@ -1,0 +1,156 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BpeCount]] — the frozen-merges subword counting kernel — against an
+  * INDEPENDENT reference implementing the textbook greedy loop (always
+  * merge the LOWEST-RANK pair present anywhere in the word, leftmost
+  * first), not the kernel's rank-sequential pass: the equivalence of the
+  * two on well-formed tables is exactly the property the sp17 oracle
+  * depends on, so it is pinned here rather than argued only in prose.
+  * Also pins: interpreted == codegen, the replace-chain formulation the
+  * DuckDB oracle uses (expressed in Spark), nulls, and empties.
+  */
+class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // the spec's own copy of a well-formed table (base chars + two-level
+  // placeholder merges), intentionally overlapping pairs to stress
+  // left-to-right non-overlap ("ee"/"es"/"se", "ll", "th"/"the")
+  private def p(k: Int): Char = (BpeCount.PlaceholderBase + k).toChar
+  private val pairs: Seq[(Char, Char)] = Seq(
+    ('t', 'h'), (p(0), 'e'), ('i', 'n'), (p(2), 'g'), ('e', 'e'),
+    ('e', 's'), ('s', 'e'), ('l', 'l'), ('a', 'n'), (p(8), 'd'))
+
+  /** Textbook greedy: repeatedly merge the lowest-rank pair present,
+    * leftmost occurrence first, until no pair applies. */
+  private def greedyRef(text: String): Long = {
+    val rank = pairs.zipWithIndex.map { case ((l, r), k) => ((l, r), k) }.toMap
+    def word(cs: List[Char]): Long = {
+      var t = cs
+      var done = false
+      while (!done && t.length > 1) {
+        val present = t.zip(t.tail).flatMap(pr => rank.get(pr))
+        if (present.isEmpty) done = true
+        else {
+          val best = present.min
+          val (l, r) = pairs(best)
+          val out = scala.collection.mutable.ListBuffer.empty[Char]
+          var rest = t
+          var merged = false
+          while (rest.nonEmpty) {
+            rest match {
+              case a :: b :: tl if !merged && a == l && b == r =>
+                out += p(best); rest = tl; merged = true // leftmost only
+              case a :: tl => out += a; rest = tl
+              case Nil =>
+            }
+          }
+          t = out.toList
+        }
+      }
+      t.length.toLong
+    }
+    text.split(" ", -1).filter(_.nonEmpty).map(w => word(w.toList)).sum
+  }
+
+  private val rnd = new scala.util.Random(55701L)
+  private def randWord(): String = {
+    val alphabet = "theingandsel" // skewed toward merge material
+    (0 until (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+  private def randText(): String =
+    (0 until rnd.nextInt(8)).map(_ => randWord()).mkString(" ")
+
+  private val cases: Seq[String] =
+    Seq("", " ", "   ", "the", "thee", "these", "theses", "ll", "lll", "llll",
+      "thing", "singing", "and", "sand", "in the end", "a  b", " leading",
+      "trailing ", "x", "seeds sees essen") ++ (1 to 300).map(_ => randText())
+
+  test("kernel == textbook lowest-rank-first greedy on 320 adversarial/random texts") {
+    val merges = BpeCount.encodeMerges(pairs).toArray
+    cases.foreach { t =>
+      val k = BpeCount.compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), merges)
+      val g = greedyRef(t)
+      assert(k == g, s"kernel=$k greedy=$g on '$t'")
+    }
+  }
+
+  test("codegen == interpreted; replace-chain formulation (the oracle's shape) agrees; nulls/empties") {
+    val sp = spark
+    import sp.implicits._
+    val df = (cases.map(Option(_)) :+ None).toDF("text")
+    // the oracle's formulation, in Spark: rank-ordered replace chain,
+    // count = length(replaced) - spaces(original)
+    val replaced = pairs.zipWithIndex.foldLeft(col("text")) { case (acc, ((l, r), k)) =>
+      regexp_replace(acc, lit(java.util.regex.Pattern.quote(s"$l$r")), lit(p(k).toString))
+    }
+    val chain = (length(replaced) -
+      (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))))).cast("long")
+    val rows = df.select(
+      graft.spark.BpeExpressions.bpeCount(col("text"), pairs).as("k"),
+      chain.as("c"), col("text")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(0), "null text must count null")
+      else assert(r.getLong(0) == r.getLong(1),
+        s"kernel=${r.get(0)} chain=${r.get(1)} on '${r.getString(2)}'")
+    }
+    // interpreted path agreement
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val rows2 = df.select(
+        graft.spark.BpeExpressions.bpeCount(col("text"), pairs).as("k"), col("text")).collect()
+      rows2.zip(rows).foreach { case (a, b) =>
+        assert(a.isNullAt(0) == b.isNullAt(0) &&
+          (a.isNullAt(0) || a.getLong(0) == b.getLong(0)),
+          s"interpreted diverges on '${a.get(1)}'")
+      }
+    } finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("the shipped frozen table is well-formed and the registry count is non-trivial") {
+    // well-formed: every operand is a base char or an EARLIER placeholder —
+    // the precondition of the rank-sequential == greedy equivalence
+    graft.ops.TextOps.BpeMerges.zipWithIndex.foreach { case ((l, r), k) =>
+      Seq(l, r).foreach { c =>
+        assert(c < BpeCount.PlaceholderBase || (c - BpeCount.PlaceholderBase) < k,
+          s"rank $k references placeholder of rank ${c - BpeCount.PlaceholderBase}")
+      }
+    }
+    val sp = spark
+    import sp.implicits._
+    // subword counts differ from whitespace counts (the point of sp17) and
+    // from character counts (merges actually fire)
+    val df = Seq("the thing and these", "in an ingot").toDF("text")
+    val r = df.select(
+      graft.spark.BpeExpressions.bpeCount(col("text"), graft.ops.TextOps.BpeMerges).as("b"),
+      size(split(trim(col("text")), "\\s+")).cast("bigint").as("w"),
+      (length(col("text")) - (length(col("text")) -
+        length(regexp_replace(col("text"), lit(" "), lit(""))))).cast("long").as("chars"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getLong(0) > row.getLong(1), "subword count must exceed word count")
+      assert(row.getLong(0) < row.getLong(2), "merges must fire (count < chars)")
+    }
+  }
+}
