@@ -1333,15 +1333,102 @@ object JsonataCompiler {
       * an ABSENT key (rowToJson omits it — emit nothing), while a null
       * ARRAY ELEMENT is an explicit JSON null the engine emits as an item
       * (kept, including a null inner array in a nested splice, which the
-      * engine also emits as one null item). Gates (fall back, never
-      * compile wrongly): exactly one `*`, LAST step, value-rooted plain
-      * names before it; every emitted leaf must agree on the normalized
-      * type (integrals widen to long, integral+float widens to double —
-      * the `**` rules; identical struct types allowed, mixed ones not); a
-      * MapType field value or map-leafed array falls back (a JSON object
-      * whose keys are not statically enumerable); an array base needs
-      * struct elements (all-scalar elements emit nothing in the engine)
-      * and `*` with trailing steps stays interpreted. */
+      * engine also emits as one null item). A MAP base (`value.attrs.*` —
+      * the schemaless-envelope case) compiles to map_values: rowToJson
+      * writes map entries in MapData order with EXPLICIT nulls for null
+      * values (unlike struct fields), so map_values' order and kept nulls
+      * are both exact; array-typed map values splice deep like struct
+      * fields, except a null ARRAY VALUE is an explicit null item (object
+      * value null), not an absent key. Gates (fall back, never compile
+      * wrongly): exactly one `*`, LAST step or one trailing name,
+      * value-rooted plain names before it; every emitted leaf must agree
+      * on the normalized type (integrals widen to long, integral+float
+      * widens to double — the `**` rules; identical struct types allowed,
+      * mixed ones not); a MapType FIELD value or map-leafed array falls
+      * back (an emitted object item — not modeled among struct segments);
+      * an array base needs struct elements (all-scalar elements emit
+      * nothing in the engine). */
+    /** The non-array leaf of a (possibly nested) array type. */
+    private def wcStructLeafOf(at: ArrayType): DataType = at.elementType match {
+      case inner: ArrayType => wcStructLeafOf(inner)
+      case other => other
+    }
+
+    /** The RAW target-field types `base.*.f` touches over a struct base —
+      * scalar occurrences contribute themselves, ArrayType occurrences are
+      * returned AS arrays (the caller maps to element types for unify; the
+      * $join consumer uses the rawness to exclude splicing targets, whose
+      * kept null elements break its null-free claim). None = out of the
+      * subset (map-typed anywhere). Class-level because the $join consumer
+      * must ask the same question compileWildcardPath answers. */
+    private def wcNameOccs(st: StructType, f: String): Option[Seq[DataType]] =
+      st.fields.toSeq.foldLeft(Option(Seq.empty[DataType])) {
+        case (None, _) => None
+        case (Some(acc), fd) => fd.dataType match {
+          case _: MapType => None // emitted object with dynamic keys
+          case s2: StructType => s2.fields.find(_.name == f) match {
+            case None => Some(acc) // key absent: emits nothing
+            case Some(tf) => tf.dataType match {
+              case _: MapType => None
+              case at2: ArrayType => wcStructLeafOf(at2) match {
+                case _: MapType => None
+                case _ => Some(acc :+ at2)
+              }
+              case dt => Some(acc :+ dt)
+            }
+          }
+          case at: ArrayType => wcStructLeafOf(at) match {
+            case _: MapType => None
+            case s2: StructType => s2.fields.find(_.name == f) match {
+              case None => Some(acc)
+              case Some(tf) => tf.dataType match {
+                case _: MapType => None
+                case at2: ArrayType => wcStructLeafOf(at2) match {
+                  case _: MapType => None
+                  case _ => Some(acc :+ at2)
+                }
+                case dt => Some(acc :+ dt)
+              }
+            }
+            case _ => Some(acc) // scalar items: the name step skips them
+          }
+          case _ => Some(acc) // scalar field: skipped
+        }
+      }
+
+    /** True iff `base.*.f` provably touches ONLY scalar f occurrences —
+      * the $join consumer's null-free precondition: scalar-target segments
+      * drop every null (absent keys), while an ARRAY-typed f keeps its
+      * null elements (engine: explicit JSON nulls), which array_join
+      * would silently skip where the engine raises. Conservative: false
+      * whenever the base shape is out of the enumerable subset. */
+    private def wcNameTargetScalarOnly(wsteps: Vector[Step]): Boolean = {
+      val es = wsteps.map(_.expr)
+      if (es.length < 3 || es(es.length - 2) != Wildcard()) return false
+      val f = es.last match {
+        case NameStep(n) => n
+        case _ => return false
+      }
+      val baseNames = es.dropRight(2) match {
+        case v if v.headOption.contains(NameStep("value")) &&
+          v.forall(_.isInstanceOf[NameStep]) => v.tail.collect { case NameStep(n) => n }
+        case _ => return false
+      }
+      def scalarOccs(st: StructType): Boolean =
+        wcNameOccs(st, f).exists(os =>
+          os.nonEmpty && os.forall(!_.isInstanceOf[ArrayType]))
+      fieldType(baseNames) match {
+        case Some(st: StructType) => scalarOccs(st)
+        case Some(ArrayType(et: StructType, _)) => scalarOccs(et)
+        case Some(mt: MapType) => mt.valueType match {
+          case s2: StructType => s2.fields.find(_.name == f).exists(tf =>
+            !tf.dataType.isInstanceOf[ArrayType] && !tf.dataType.isInstanceOf[MapType])
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+
     private def compileWildcardPath(steps: Vector[Step]): Option[TCol] = {
       val es = steps.map(_.expr)
       if (inLambda) return None
@@ -1418,66 +1505,55 @@ object JsonataCompiler {
         TCol(emptyAsNull(all), ArrayType(tt))
 
       // ---- `base.*.f` machinery: the name step maps over the emitted
-      // items, so only struct-typed emissions with key f contribute; every
-      // null in the projected relation is an absent key / dropped
-      // non-object, so ONE global null filter is exact (the `**` argument)
-      def structLeafOf(at: ArrayType): DataType = at.elementType match {
-        case inner: ArrayType => structLeafOf(inner)
-        case other => other
-      }
-      def nameOccs(st: StructType, f: String): Option[Seq[DataType]] =
-        st.fields.toSeq.foldLeft(Option(Seq.empty[DataType])) {
-          case (None, _) => None
-          case (Some(acc), fd) => fd.dataType match {
-            case _: MapType => None // emitted object with dynamic keys
-            case s2: StructType => s2.fields.find(_.name == f) match {
-              case None => Some(acc) // key absent: emits nothing
-              case Some(tf) => tf.dataType match {
-                case _: ArrayType | _: MapType => None // splice/dynamic: interpreted
-                case dt => Some(acc :+ dt)
-              }
-            }
-            case at: ArrayType => structLeafOf(at) match {
-              case _: MapType => None
-              case s2: StructType => s2.fields.find(_.name == f) match {
-                case None => Some(acc)
-                case Some(tf) => tf.dataType match {
-                  case _: ArrayType | _: MapType => None
-                  case dt => Some(acc :+ dt)
-                }
-              }
-              case _ => Some(acc) // scalar items: the name step skips them
-            }
-            case _ => Some(acc) // scalar field: skipped
-          }
-        }
-      // f from a (possibly nested) array's struct items — the wildcard
-      // splice is deep, then the name step extracts per item; null inner
-      // arrays would contribute null ITEMS whose .f is undefined (dropped),
-      // so coalescing them to empty is exact here
-      def extractF(c: Column, at: ArrayType, f: String, tt: DataType): Column =
+      // items, so only struct-typed emissions with key f contribute. Each
+      // segment filters its own nulls EXACTLY per origin: a null scalar f
+      // (or a null/absent item) is an absent key — dropped, like the
+      // engine — while an ARRAY-typed f splices its elements ONE level
+      // (sequence flattening) and a null ELEMENT there is an explicit JSON
+      // null the engine KEEPS as an item. A single global null filter (the
+      // round-12 shape) would conflate the two, which is why array-typed
+      // targets were interpreted until the per-segment rework.
+      def extractF(c: Column, at: ArrayType, f: String, tt: DataType,
+                   fArr: Boolean): Column =
         at.elementType match {
           case inner: ArrayType =>
             flatten(transform(c, e =>
-              coalesce(extractF(e, inner, f, tt), array().cast(ArrayType(tt)))))
-          case _ => transform(c, e => e.getField(f).cast(tt))
+              coalesce(extractF(e, inner, f, tt, fArr), array().cast(ArrayType(tt)))))
+          case _ =>
+            if (fArr)
+              // one-level splice per item; null item / null f -> nothing,
+              // null ELEMENTS of f kept
+              flatten(transform(c, e =>
+                coalesce(e.getField(f).cast(ArrayType(tt)), array().cast(ArrayType(tt)))))
+            else
+              // scalar f: null item / null f = absent key -> dropped
+              filter(transform(c, e => e.getField(f).cast(tt)), x => x.isNotNull)
         }
       def nameSegs(c: Column, st: StructType, f: String, tt: DataType): Seq[Column] =
         st.fields.toSeq.flatMap { fd =>
           fd.dataType match {
-            case s2: StructType if s2.fields.exists(_.name == f) =>
-              Some(array(c.getField(fd.name).getField(f).cast(tt)))
-            case at: ArrayType if (structLeafOf(at) match {
-                case s2: StructType => s2.fields.exists(_.name == f)
-                case _ => false
-              }) =>
-              Some(coalesce(extractF(c.getField(fd.name), at, f, tt),
-                array().cast(ArrayType(tt))))
+            case s2: StructType => s2.fields.find(_.name == f).map { tf =>
+              tf.dataType match {
+                case _: ArrayType =>
+                  coalesce(c.getField(fd.name).getField(f).cast(ArrayType(tt)),
+                    array().cast(ArrayType(tt)))
+                case _ =>
+                  val v = c.getField(fd.name).getField(f).cast(tt)
+                  when(v.isNotNull, array(v)).otherwise(array().cast(ArrayType(tt)))
+              }
+            }
+            case at: ArrayType => wcStructLeafOf(at) match {
+              case s2: StructType => s2.fields.find(_.name == f).map { tf =>
+                coalesce(
+                  extractF(c.getField(fd.name), at, f, tt,
+                    tf.dataType.isInstanceOf[ArrayType]),
+                  array().cast(ArrayType(tt)))
+              }
+              case _ => None
+            }
             case _ => None
           }
         }
-      def emitFiltered(all: Column, tt: DataType): TCol =
-        TCol(emptyAsNull(filter(all, x => x.isNotNull)), ArrayType(tt))
 
       (baseDt, target) match {
         case (st: StructType, None) if st.fields.nonEmpty =>
@@ -1501,30 +1577,85 @@ object JsonataCompiler {
               array().cast(ArrayType(tt)))
             emit(all, tt)
           }
+        // the schemaless-envelope case: a MAP base's `*` is map_values —
+        // rowToJson writes map entries in MapData order with EXPLICIT
+        // nulls (unlike struct fields), so order and kept null items are
+        // both exact; array values splice deep, a null ARRAY VALUE is one
+        // null item (an object value null, not an absent key)
+        case (mt: MapType, None) if mt.keyType == StringType && baseNames.nonEmpty =>
+          val m = col(baseNames.mkString("."))
+          mt.valueType match {
+            case _: MapType => None // object items: not modeled (field-map rule)
+            case at: ArrayType =>
+              for {
+                lt <- leafType(at)
+                tt <- unify(Seq(lt))
+              } yield emit(flatten(transform(map_values(m), v =>
+                coalesce(flattened(v, at, tt), array(lit(null).cast(tt))))), tt)
+            case vt =>
+              unify(Seq(vt)).map(tt => emit(map_values(m).cast(ArrayType(tt)), tt))
+          }
         case (st: StructType, Some(f)) =>
           for {
-            occs <- nameOccs(st, f)
+            occs <- wcNameOccs(st, f)
             if occs.nonEmpty
-            tt <- unify(occs)
+            tt <- unify(occs.map {
+              case at: ArrayType => at.elementType // one-level splice items
+              case dt => dt
+            })
           } yield {
             val base =
               if (baseNames.isEmpty) struct(schema.fieldNames.toIndexedSeq.map(col): _*)
               else col(baseNames.mkString("."))
-            emitFiltered(concat(nameSegs(base, st, f, tt): _*), tt)
+            emit(concat(nameSegs(base, st, f, tt): _*), tt)
           }
         case (ArrayType(et: StructType, _), Some(f)) =>
           // the wildcard emits each element-struct's field VALUES; the name
           // step then applies to those values per element
           for {
-            occs <- nameOccs(et, f)
+            occs <- wcNameOccs(et, f)
             if occs.nonEmpty
-            tt <- unify(occs)
+            tt <- unify(occs.map {
+              case at: ArrayType => at.elementType
+              case dt => dt
+            })
           } yield {
             val all = coalesce(
               flatten(transform(col(baseNames.mkString(".")),
                 e => concat(nameSegs(e, et, f, tt): _*))),
               array().cast(ArrayType(tt)))
-            emitFiltered(all, tt)
+            emit(all, tt)
+          }
+        // map base + name target: the name step maps over the map VALUES
+        // (struct values with key f contribute; null values and absent
+        // keys drop; array-typed f splices one level with elements kept)
+        case (mt: MapType, Some(f)) if mt.keyType == StringType && baseNames.nonEmpty =>
+          mt.valueType match {
+            case s2: StructType =>
+              s2.fields.find(_.name == f).flatMap { tf =>
+                val raw = tf.dataType
+                val ok = raw match {
+                  case _: MapType => false
+                  case at2: ArrayType => !wcStructLeafOf(at2).isInstanceOf[MapType]
+                  case _ => true
+                }
+                if (!ok) None
+                else unify(Seq(raw match {
+                  case at2: ArrayType => at2.elementType
+                  case dt => dt
+                })).map { tt =>
+                  val m = col(baseNames.mkString("."))
+                  val all = raw match {
+                    case _: ArrayType => flatten(transform(map_values(m), v =>
+                      coalesce(v.getField(f).cast(ArrayType(tt)),
+                        array().cast(ArrayType(tt)))))
+                    case _ => filter(transform(map_values(m),
+                      v => v.getField(f).cast(tt)), x => x.isNotNull)
+                  }
+                  emit(all, tt)
+                }
+              }
+            case _ => None
           }
         case _ => None
       }
@@ -2990,11 +3121,13 @@ object JsonataCompiler {
               }
             // a terminal wildcard over an ALL-SCALAR struct is null-free by
             // construction (absent keys filter; only array-element splices
-            // can carry explicit nulls, and those bases fall back here so
-            // the engine's error on a null item is preserved); a wildcard
-            // with a TRAILING NAME step is null-FILTERED by construction
-            // for any base (the name step drops non-objects/absent keys —
-            // the descendant-gate argument)
+            // and map values can carry explicit nulls, and those bases
+            // fall back here so the engine's error on a null item is
+            // preserved); a wildcard with a TRAILING NAME step is
+            // null-FILTERED by construction ONLY for all-scalar f
+            // occurrences (wcNameTargetScalarOnly — an array-typed f
+            // splices with its null elements KEPT since round 13, which
+            // array_join would skip where the engine raises)
             case (Some(wp @ Path(wsteps, false, None)), Some(s2))
                 if (wsteps.lastOption.exists(_.expr == Wildcard()) &&
                   wsteps.init.map(_.expr).headOption.contains(NameStep("value")) &&
@@ -3007,9 +3140,7 @@ object JsonataCompiler {
                         !f.dataType.isInstanceOf[MapType])
                     case _ => false
                   }) ||
-                  (wsteps.length >= 2 &&
-                    wsteps.last.expr.isInstanceOf[NameStep] &&
-                    wsteps(wsteps.length - 2).expr == Wildcard()) =>
+                  wcNameTargetScalarOnly(wsteps) =>
               compile(wp).collect {
                 case t if t.dt == ArrayType(StringType) ||
                     t.dt == ArrayType(StringType, containsNull = true) =>

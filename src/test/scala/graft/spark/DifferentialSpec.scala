@@ -1667,12 +1667,75 @@ class DifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Row(1L, Seq(2L, 3L))).asJava,
       StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>"))
     assert(JsonataCompiler.transformCompiled(scalArr, "{'s': $count(value.xs.*)}").isEmpty)
-    // name-variant fallbacks: array-typed targets (name-step one-level
-    // splice: interpreted), two trailing names, zero static occurrences
+    // ARRAY-typed name targets (round 13): the name step splices f's
+    // elements ONE level — null f / null items drop (absent keys), null
+    // ELEMENTS are explicit JSON nulls the engine keeps ($count sees
+    // them; the $sum null-skip divergence class is the pinned one)
     val arrTgt = spark.createDataFrame(
       Seq(Row(1L, Row(Row(Seq(1L, 2L))))).asJava,
       StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<p: ARRAY<BIGINT>>>"))
-    assert(JsonataCompiler.transformCompiled(arrTgt, "{'s': $count(value.m.*.p)}").isEmpty)
+    diffDf(arrTgt, "{'id': value.id, 's': $sum(value.m.*.p), 'c': $count(value.m.*.p)}",
+      "id BIGINT, s BIGINT, c BIGINT", "id")
+    val arrTgtMix = spark.createDataFrame(
+      Seq(
+        // scalar f + array f occurrences MIX (sequence flattening), null
+        // array (absent), null elements (kept), struct items in arrays
+        Row(1L, Row(Row(7L), Row(Seq(1L, null, 2L)), Seq(Row(Seq(3L), 9L), Row(null, 10L)), "zz")),
+        Row(2L, Row(Row(null), Row(null), null, null)),
+        Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<a: STRUCT<p: BIGINT>, " +
+        "b: STRUCT<p: ARRAY<BIGINT>>, xs: ARRAY<STRUCT<p: ARRAY<BIGINT>, w: BIGINT>>, junk: STRING>"))
+    diffDf(arrTgtMix, "{'id': value.id, 'c': $count(value.m.*.p)}",
+      "id BIGINT, c BIGINT", "id")
+    // $join over an ARRAY-typed string target must stay interpreted: its
+    // kept null elements would be skipped by array_join where the engine
+    // raises (wcNameTargetScalarOnly gates the consumer)
+    val arrStrTgt = spark.createDataFrame(
+      Seq(Row(1L, Row(Row(Seq("a", "b"))))).asJava,
+      StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<t: ARRAY<STRING>>>"))
+    assert(JsonataCompiler.transformCompiled(arrStrTgt,
+      "{'j': $join(value.m.*.t, '|')}").isEmpty)
+    // MAP base (round 13): `value.attrs.*` enumerates the map VALUES in
+    // entry order — rowToJson writes explicit nulls for null map values
+    // (unlike struct fields), so nulls are ITEMS here ($count sees them)
+    val mapBase = spark.createDataFrame(
+      Seq(
+        Row(1L, Map("x" -> 5L, "y" -> null, "z" -> 7L), Map("a" -> 1L, "b" -> 2L), Map("s" -> "u")),
+        Row(2L, Map.empty[String, Any], Map("c" -> 3L), null),
+        Row(3L, null, null, Map("t" -> null))).asJava,
+      StructType.fromDDL("id BIGINT, attrs MAP<STRING, BIGINT>, " +
+        "nn MAP<STRING, BIGINT>, ss MAP<STRING, STRING>"))
+    // $count KEEPS the explicit null map values as items; $sum over a
+    // null item RAISES in the engine, so the sum draw uses the null-free
+    // map (the null-skip $sum divergence class stays out of this pin)
+    diffDf(mapBase, "{'id': value.id, 'c': $count(value.attrs.*), " +
+      "'s': $sum(value.nn.*), 'cs': $count(value.ss.*)}",
+      "id BIGINT, c BIGINT, s BIGINT, cs BIGINT", "id")
+    // map of ARRAY values: deep splice; a null ARRAY VALUE is one explicit
+    // null item (object value null, not an absent key)
+    val mapArrVals = spark.createDataFrame(
+      Seq(
+        Row(1L, Map("x" -> Seq(1L, 2L), "y" -> null)),
+        Row(2L, Map("z" -> Seq(3L, null)))).asJava,
+      StructType.fromDDL("id BIGINT, attrs MAP<STRING, ARRAY<BIGINT>>"))
+    diffDf(mapArrVals, "{'id': value.id, 'c': $count(value.attrs.*)}",
+      "id BIGINT, c BIGINT", "id")
+    // map of STRUCT values + trailing name: values with key f contribute,
+    // null values drop (non-objects), array-typed f splices
+    val mapStructVals = spark.createDataFrame(
+      Seq(
+        Row(1L, Map("x" -> Row(1L, Seq("a")), "y" -> Row(2L, Seq("b", "c")), "n" -> null)),
+        Row(2L, Map.empty[String, Row]), Row(3L, null)).asJava,
+      StructType.fromDDL("id BIGINT, attrs MAP<STRING, STRUCT<p: BIGINT, ts: ARRAY<STRING>>>"))
+    diffDf(mapStructVals,
+      "{'id': value.id, 's': $sum(value.attrs.*.p), 'c': $count(value.attrs.*.ts)}",
+      "id BIGINT, s BIGINT, c BIGINT", "id")
+    // map-base fallbacks: map-of-map values, non-string keys are unseen in
+    // the codec subset; deep names and absent keys still interpreted
+    val mapOfMap = spark.createDataFrame(
+      Seq(Row(1L, Map("x" -> Map("k" -> 1L)))).asJava,
+      StructType.fromDDL("id BIGINT, attrs MAP<STRING, MAP<STRING, BIGINT>>"))
+    assert(JsonataCompiler.transformCompiled(mapOfMap, "{'c': $count(value.attrs.*)}").isEmpty)
     val deepName = spark.createDataFrame(
       Seq(Row(1L, Row(Row(Row(5L))))).asJava,
       StructType.fromDDL("id BIGINT, m STRUCT<x: STRUCT<y: STRUCT<p: BIGINT>>>"))

@@ -1022,6 +1022,103 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRate(compiled, 150, s"wildcard compile rate dropped: $compiled/150")
   }
 
+  test("120 seeded MAP-base / ARRAY-target wildcard shapes agree with the interpreter") {
+    // The round-13 compiled-wildcard extensions: a MAP base (`value.attrs.*`
+    // — the schemaless envelope) enumerates map VALUES with rowToJson's
+    // EXPLICIT nulls kept as items, and an ARRAY-typed name target
+    // (`base.*.f` where some f is ARRAY) splices one level with null
+    // ELEMENTS kept. Aggregate draws over null-bearing emissions use
+    // $count only ($sum/$max/$min over a null item RAISES T0412 in the
+    // engine — that skip-vs-raise class is pinned in DifferentialSpec, not
+    // fuzzed); the numeric draws run over the null-free twin columns.
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(130915L + seedOff)
+    val ddlIn = "id BIGINT, " +
+      "attrs MAP<STRING, BIGINT>, nn MAP<STRING, BIGINT>, " +
+      "mixm MAP<STRING, DOUBLE>, " +
+      "marr MAP<STRING, ARRAY<BIGINT>>, marrnn MAP<STRING, ARRAY<BIGINT>>, " +
+      "mstr MAP<STRING, STRUCT<p: BIGINT, t: STRING, zs: ARRAY<BIGINT>>>, " +
+      "tg STRUCT<a: STRUCT<p: ARRAY<BIGINT>>, b: STRUCT<p: BIGINT>, junk: STRING, " +
+      "  xs: ARRAY<STRUCT<p: ARRAY<BIGINT>, w: BIGINT>>>, " +
+      "tgnn STRUCT<a: STRUCT<p: ARRAY<BIGINT>>, b: STRUCT<p: BIGINT>, junk: STRING, " +
+      "  xs: ARRAY<STRUCT<p: ARRAY<BIGINT>, w: BIGINT>>>"
+    def mbL(p: Int): java.lang.Long =
+      if (rnd.nextInt(p) == 0) null else java.lang.Long.valueOf(rnd.nextInt(90).toLong)
+    def keys(n: Int): Seq[String] = (0 until rnd.nextInt(n)).map(k => s"k$k")
+    def arrN(): Seq[java.lang.Long] = Seq.fill(rnd.nextInt(3))(mbL(4))
+    def arrC(): Seq[java.lang.Long] =
+      Seq.fill(rnd.nextInt(3))(java.lang.Long.valueOf(rnd.nextInt(50).toLong))
+    def mp[A](n: Int, v: () => A): Map[String, A] =
+      if (rnd.nextInt(6) == 0) null.asInstanceOf[Map[String, A]]
+      else keys(n).map(_ -> v()).toMap
+    val rows = (1 to 50).map { i =>
+      def tgRow(clean: Boolean): Row = if (rnd.nextInt(7) == 0) null
+        else Row(
+          if (rnd.nextInt(5) == 0) null else Row(if (clean) arrC() else arrN()),
+          if (rnd.nextInt(5) == 0) null else Row(mbL(4)),
+          if (rnd.nextInt(4) == 0) null else s"j$i",
+          if (rnd.nextInt(4) == 0) null
+          else Seq.fill(rnd.nextInt(3))(Row(
+            if (rnd.nextInt(4) == 0) null else (if (clean) arrC() else arrN()),
+            mbL(4))))
+      Row(i.toLong,
+        mp(4, () => mbL(3)),
+        mp(4, () => java.lang.Long.valueOf(rnd.nextInt(70).toLong)),
+        mp(3, () => java.lang.Double.valueOf(rnd.nextInt(60) / 4.0)),
+        mp(3, () => if (rnd.nextInt(4) == 0) null else arrN()),
+        mp(3, () => arrC()),
+        mp(3, () => if (rnd.nextInt(5) == 0) null
+          else Row(mbL(4), if (rnd.nextInt(4) == 0) null else s"t${rnd.nextInt(4)}", arrN())),
+        tgRow(clean = false),
+        tgRow(clean = true))
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(ddlIn))
+
+    var compiled = 0
+    (1 to 120).foreach { n =>
+      val (expr, ddl) = rnd.nextInt(10) match {
+        case 0 => ("{'id': value.id, 'r': $count(value.attrs.*)}", "id BIGINT, r BIGINT")
+        case 1 =>
+          val f = Seq("sum", "max", "min")(rnd.nextInt(3))
+          (s"{'id': value.id, 'r': $$$f(value.nn.*)}", "id BIGINT, r BIGINT")
+        case 2 => ("{'id': value.id, 'r': $sum(value.mixm.*)}", "id BIGINT, r DOUBLE")
+        case 3 => ("{'id': value.id, 'r': $count(value.marr.*)}", "id BIGINT, r BIGINT")
+        case 4 =>
+          val f = Seq("sum", "max")(rnd.nextInt(2))
+          (s"{'id': value.id, 'r': $$$f(value.marrnn.*)}", "id BIGINT, r BIGINT")
+        // map-of-struct + trailing name: scalar f (null p = absent key,
+        // dropped by BOTH tiers, so numeric draws are safe here)
+        case 5 =>
+          val f = Seq("sum", "count", "max")(rnd.nextInt(3))
+          (s"{'id': value.id, 'r': $$$f(value.mstr.*.p)}", "id BIGINT, r BIGINT")
+        // map-of-struct + ARRAY-typed f: null elements kept -> count only
+        case 6 => ("{'id': value.id, 'r': $count(value.mstr.*.zs)}", "id BIGINT, r BIGINT")
+        // struct base, MIXED scalar+array f occurrences (one-level splice)
+        case 7 =>
+          val f = Seq("sum", "max", "min")(rnd.nextInt(3))
+          (s"{'id': value.id, 'r': $$$f(value.tgnn.*.p)}", "id BIGINT, r BIGINT")
+        case 8 => ("{'id': value.id, 'r': $count(value.tg.*.p)}", "id BIGINT, r BIGINT")
+        case _ =>
+          ("{'id': value.id, 'r': $count(value.attrs.*) > $count(value.marr.*)}",
+            "id BIGINT, r BOOLEAN")
+      }
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None => fail(s"[wcmap-fuzz #$n] expected wildcard shape to compile: $expr")
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("id").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("id").collect().map(_.toSeq).toSeq
+          assert(a.size == b.size, s"[wcmap-fuzz #$n] row count differs: $expr")
+          a.zip(b).foreach { case (ra, rb) =>
+            assert(ra == rb, s"[wcmap-fuzz #$n] $expr\n  compiled:    $ra\n  interpreted: $rb")
+          }
+      }
+    }
+    assertRate(compiled, 120, s"map/array wildcard compile rate dropped: $compiled/120")
+  }
+
   test("150 seeded tuple-stream shapes (#$i / @$v / % compositions) are row-order independent") {
     // The one §2.B corner no other family touches: positional (`#$i`) and
     // context (`@$v`) binds run ONLY on the tuple-stream interpreter, so
