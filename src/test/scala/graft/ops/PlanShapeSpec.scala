@@ -305,6 +305,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allowed = Set("sp03_pack_shards", "sp04_shuffle_order", "sp05_source_mixture",
       "tx09_zipf", "sp10_unimax_budget", "sp11_curriculum_interleave",
       "sp12_pack_examples", // sp12 = sp03's block-summary window, same class
+      "sp17_bpe_pack", // sp17 = sp03's packing keyed by BPE counts, same window
       "pp03_shard_manifest", // pp03 = sp03's block-summary window over survivors
       "pp04_pretraining_pipeline") // pp04's packing = sp12's block-summary window
     def unpartitionedWindows(p: SparkPlan): Seq[String] = {

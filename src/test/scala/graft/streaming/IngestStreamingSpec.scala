@@ -389,6 +389,165 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("capstone tie: pp04-style batch stage composition equals StreamingIngest with both model gates on one batch") {
+    // The two capstones meet: the BATCH tier's pp04 stage pattern (ONE
+    // corpus pass computing every gate input, stage flags as conditional
+    // columns on it, id-only drop sets attached by left joins —
+    // Pipeline.scala's discipline) composed here as a declarative DataFrame
+    // query over the SAME shared builders, vs the STREAMING capstone
+    // (StreamingIngest with the DSIR + perplexity model gates) ingesting
+    // the same corpus as ONE micro-batch into an empty store. Under the
+    // narrowed equality contract (Ingest.scala: no bucket over the census
+    // cap; one batch, so no cross-batch dup chains and no stored side) the
+    // admission SETS and the attrition row must be equal exactly.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val corpus = batches.flatten
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+
+    // ---- frozen model artifacts, trained offline on the corpus (the
+    // model-gated test's recipe: lang labels from the operator's own
+    // predictor; DSIR threshold at the median so both sides populate) ----
+    val predLang = Ingest.flaggedBatch(corpusDf)
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langed = corpus.map { case (id, src, txt) => (id, src, txt, predLang(id)) }
+      .toDF("doc_id", "source", "text", "lang")
+    val (wmap, dflt) = graft.ops.Dsir.loadModel(
+      graft.ops.Dsir.bucketCounts(langed.select(col("lang"), col("text"))))
+    val scores = langed.select(col("doc_id"),
+        graft.ops.Dsir.scoreCol(wmap, dflt).as("s"))
+      .collect().map(_.getDouble(1)).sorted
+    val minScore = scores(scores.length / 2)
+    val corpusDir = tmpDir("tie_corpus")
+    langed.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    PerplexityStore.build(spark, corpusDir, s"$corpusDir/lm")
+    val m = PerplexityStore.load(spark, s"$corpusDir/lm")
+
+    // ---- graft a deterministic dedup pivot: the model gates decide by
+    // TEXT (frozen artifacts), so which fixture docs survive them is not
+    // under the test's control — the base corpus' exact-dup trio may die
+    // at the gates, leaving exact dedup vacuously inert. Pick a PIVOT doc
+    // that provably passes lang + both gates, whose near twin (text + two
+    // novel tokens) ALSO passes and shares a band bucket at agreement
+    // >= 0.5, then append an exact twin (id 100) and that near twin
+    // (id 101): keep-first must drop 100, the near-dup screen must drop
+    // 101 — every stage fires by construction, decided by the same frozen
+    // artifacts both capstones consume. ----
+    def gateKeep(rows: Seq[(Long, String, String)]): Set[Long] = {
+      val df = rows.toDF("doc_id", "source", "text")
+      val langIds = Ingest.flaggedBatch(df).filter(col("lang_ok"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val dsirIds = df.filter(graft.ops.Dsir.scoreCol(wmap, dflt) >= minScore)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val ppxIds = PerplexityStore.score(df, m).filter(col("keep"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      langIds & dsirIds & ppxIds
+    }
+    val basePass = gateKeep(corpus)
+    val baseDocs = features(corpus).map(d => d.id -> d).toMap
+    val candRows = corpus.collect { case (id, src, txt) if basePass(id) =>
+      (1000L + id, src, txt + " qq zz") }
+    val candPass = gateKeep(candRows)
+    val candDocs = features(candRows).map(d => d.id -> d).toMap
+    val pivot = corpus.find { case (id, _, _) =>
+      basePass(id) && candPass(1000L + id) && {
+        val c = candDocs(1000L + id)
+        est(baseDocs(id).sig, c.sig) >= 0.5 &&
+          baseDocs(id).bands.toSet.intersect(c.bands.toSet).nonEmpty
+      }
+    }
+    assert(pivot.isDefined, s"no gate-surviving pivot with a surviving near twin: pass=$basePass")
+    val (_, psrc, ptxt) = pivot.get
+    val corpusAll = corpus ++ Seq((100L, psrc, ptxt), (101L, psrc, ptxt + " qq zz"))
+    val corpusAllDf = corpusAll.toDF("doc_id", "source", "text")
+
+    // ---- the BATCH capstone composition (pp04's shape): one flagged
+    // relation, model-gate flags joined on (their scorers need text),
+    // keep-first exact dedup as a survivors-first window, the near-dup
+    // drop set as a banded self-join verified by the signature-agreement
+    // estimate (the store twin's documented streaming verify — batch dd12
+    // re-reads shingles instead; the tie pins the streaming semantics) ----
+    val dsirOk = corpusAllDf.select(col("doc_id"),
+      (graft.ops.Dsir.scoreCol(wmap, dflt) >= minScore).as("dsir_ok"))
+    val ppxOk = PerplexityStore.score(corpusAllDf, m)
+      .select(col("doc_id"), col("keep").as("ppx_ok"))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("gate_ok").desc, col("doc_id"))
+    val flagged = Ingest.flaggedBatch(corpusAllDf)
+      .join(dsirOk, Seq("doc_id")).join(ppxOk, Seq("doc_id"))
+      .withColumn("gate_ok", col("lang_ok") && col("dsir_ok") && col("ppx_ok"))
+      .withColumn("uniq", col("gate_ok") && row_number().over(wFp) === 1)
+      .persist()
+    val bandRows = flagged.filter(col("uniq"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(graft.ops.Dedup.bandKeysCol(col("sig"))).as(Seq("band", "bkey")))
+      .persist()
+    // contract applicability: no bucket over the census cap on the fixture
+    val maxBucket = bandRows.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bc")).agg(max(col("bc"))).collect()(0).getLong(0)
+    assert(maxBucket <= 1024L, s"fixture breaches the census cap: $maxBucket")
+    def estCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / graft.ops.Dedup.P
+    val ndDrop = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("doc_id"),
+        col("x.sig").as("sa"), col("y.sig").as("sb")).distinct()
+      .filter(estCol(col("sa"), col("sb")) >= 0.5)
+      .select(col("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1))
+    val admitted = flagged.join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("admit", col("uniq") && col("nd_hit").isNull)
+      .persist()
+    val batchSet = admitted.filter(col("admit"))
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // pp04's attrition shape: ONE conditional aggregation, no re-scan
+    val batchStats = admitted.agg(
+      count(lit(1)).as("n_raw"), count_if(col("q_ok")).as("n_quality"),
+      count_if(col("lang_ok")).as("n_lang"), count_if(col("uniq")).as("n_exact"),
+      count_if(col("admit")).as("n_admitted")).collect()(0)
+
+    // non-vacuity: every stage of the composition fires on the fixture
+    val gateDropped = admitted.filter(col("lang_ok") && !col("gate_ok")).count()
+    val exactDropped = admitted.filter(col("gate_ok") && !col("uniq")).count()
+    val ndDropped = admitted.filter(col("uniq") && !col("admit")).count()
+    assert(gateDropped > 0, "model gates inert on the fixture")
+    assert(exactDropped > 0, "exact dedup inert on the fixture")
+    assert(ndDropped > 0, "near-dup screen inert on the fixture")
+    assert(batchSet.nonEmpty, "capstone tie is vacuous: nothing admitted")
+
+    // ---- the STREAMING capstone over the same corpus, one micro-batch ----
+    val dir = tmpDir("tie")
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
+      StreamingIngest.dsirGate(wmap, dflt, minScore),
+      StreamingIngest.perplexityGate(m)))
+    try {
+      input.addData(corpusAll: _*)
+      query.processAllAvailable()
+      assert(storeAdmitted(dir) == batchSet,
+        s"capstones diverge:\n  stream=${storeAdmitted(dir)}\n  batch=$batchSet")
+      val st = storeStats(dir)
+      assert(st.size == 1)
+      assert((st.head.nRaw, st.head.nQuality, st.head.nLang, st.head.nExact,
+        st.head.nAdmitted) ==
+        (batchStats.getLong(0), batchStats.getLong(1), batchStats.getLong(2),
+          batchStats.getLong(3), batchStats.getLong(4)),
+        s"attrition diverges:\n  stream=${st.head}\n  batch=$batchStats")
+    } finally {
+      query.stop()
+      Seq(flagged, bandRows, admitted).foreach(_.unpersist(false))
+    }
+  }
+
   test("compaction folds batches into a committed generation: answers preserved under load, across a crash mid-compaction, and after vacuum") {
     val sp = spark
     import sp.implicits._
