@@ -112,6 +112,111 @@ object TextOps {
     s"(length($replaced) - (length(text) - length(replace(text, ' ', ''))))"
   }
 
+  /** BPE merge TRAINING (Sennrich et al. 2016) — the other half of the
+    * subword story: [[bpeTokensCol]] COUNTS under a frozen table; this
+    * LEARNS the table. The kernel's placeholder representation is what
+    * keeps training distributed-simple AND oracle-exact: every symbol is
+    * ONE char (base chars + private-use placeholders), so a round's
+    * re-segmentation is a single-char-pair `replace` (left-to-right
+    * non-overlapping — both engines' contract and the count kernel's
+    * merge-pass semantics), never a list-of-symbols manipulation.
+    *
+    * Execution shape (what a 100 TB corpus costs): ONE corpus pass folds
+    * the text into the word-count DICTIONARY (vocabulary-scale, not
+    * corpus-scale — the classic BPE trick: all further work is weighted
+    * by `cnt`); each of the N rounds is one partial-agg shuffle over the
+    * dictionary's adjacent-pair explosion (#distinct single-char pairs ≈
+    * hundreds of groups), a 1-ROW argmax collect (bounded — the Dsir
+    * 256-row precedent), and a map-only replace folded into the cached
+    * dictionary's projection (round k re-evaluates k replaces over the
+    * cached base instead of stacking N persists). Tie-breaks are total:
+    * (count DESC, left, right) on single-char strings, which both engines
+    * compare bytewise. Pair counts are the textbook every-adjacent-
+    * position stat ('aaa' counts (a,a) twice, merges once) — the oracle
+    * replays the same.
+    *
+    * Returns one row per learned rank: (rank, l_code, r_code, merged_code,
+    * pair_count, corpus_tokens) with codepoints instead of raw private-use
+    * chars, and corpus_tokens = dictionary-weighted token count AFTER the
+    * rank's merge — the compression curve, and the tie to the count
+    * kernel: feeding the learned pairs to [[graft.spark.BpeExpressions
+    * .bpeCount]] reproduces the final row's corpus_tokens exactly
+    * (BpeTrainSpec pins this and the textbook reference). */
+  private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+                              nMerges: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist() // read 2N times (pair counts + token curve), vocab-sized
+    val picked = Seq.newBuilder[(String, String, Long)] // (l, r, pair_count)
+    val wcols = Seq.newBuilder[Column] // dictionary after rank k's merge
+    var wcol: Column = col("word")
+    var k = 0
+    while (k < nMerges) {
+      val pairs = base.select(col("cnt"), wcol.as("w"))
+        .filter(length(col("w")) >= 2) // sequence(1, 0) would DESCEND
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("l"),
+            col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = (graft.spark.BpeCount.PlaceholderBase + k).toChar.toString
+      wcol = replace(wcol, lit(l + r), lit(merged))
+      picked += ((l, r, c))
+      wcols += wcol
+      k += 1
+    }
+    // the token-count CURVE in ONE job: N weighted lengths over the cached
+    // dictionary (each re-evaluates its prefix of replaces — map-only)
+    val curveRow = base.agg(
+      sum(col("cnt") * length(wcols.result().head)).as("t0"),
+      wcols.result().tail.zipWithIndex.map { case (w, i) =>
+        sum(col("cnt") * length(w)).as(s"t${i + 1}") }: _*).collect()(0)
+    base.unpersist(false)
+    picked.result().zipWithIndex.map { case ((l, r, c), kk) =>
+      (kk.toLong, l.codePointAt(0).toLong, r.codePointAt(0).toLong,
+        (graft.spark.BpeCount.PlaceholderBase + kk).toLong, c, curveRow.getLong(kk))
+    }
+  }
+
+  /** The EXACT DuckDB replay of [[bpeTrain]]: N unrolled rounds, each a
+    * pair-count CTE over the previous dictionary, a 1-row argmax with the
+    * same (c DESC, l, r) tie-break, and a replace re-segmentation to the
+    * round's private-use placeholder. */
+  private[ops] def bpeTrainSql(nMerges: Int): String = {
+    val base = graft.spark.BpeCount.PlaceholderBase.toInt
+    val rounds = (0 until nMerges).map { k =>
+      s"""p$k AS (SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT + 1, 1) AS r,
+              CAST(sum(cnt) AS BIGINT) AS c
+            FROM (SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) AS i
+                  FROM w$k WHERE length(word) >= 2)
+            GROUP BY 1, 2),
+          b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+          w${k + 1} AS (SELECT replace(word, (SELECT l || r FROM b$k), chr(${base + k})) AS word, cnt
+            FROM w$k),
+          t$k AS (SELECT CAST(sum(cnt * length(word)) AS BIGINT) AS toks FROM w${k + 1})"""
+    }.mkString(",\n          ")
+    val rows = (0 until nMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank,
+            CAST((SELECT ord(l) FROM b$k) AS BIGINT) AS l_code,
+            CAST((SELECT ord(r) FROM b$k) AS BIGINT) AS r_code,
+            CAST(${base + k} AS BIGINT) AS merged_code,
+            (SELECT c FROM b$k) AS pair_count,
+            (SELECT toks FROM t$k) AS corpus_tokens"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH w0 AS (SELECT w AS word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) >= 1 GROUP BY w),
+          $rounds
+        SELECT rank, l_code, r_code, merged_code, pair_count, corpus_tokens
+        FROM ($rows) ORDER BY rank"""
+  }
+
   /** tx08's bigram-LM per-document scores (doc_id, n_bigrams, n_unseen,
     * nll), shared with sp15's perplexity-band selection — ONE model
     * definition (tokenization, train split, smoothing), the sp14/ingest
@@ -606,6 +711,21 @@ object TextOps {
         SELECT w1, w2, c12, c1, (c12 + 1)::DOUBLE / (c1 + v.v) AS p_smoothed
         FROM c12 JOIN c1 USING (w1) CROSS JOIN v
         ORDER BY c12 DESC, w1, w2 LIMIT 25""")),
+
+    // ---- tx12: BPE merge training — learn the table bpe_count consumes ----
+    // The tokenizer-training step of a data pipeline: one corpus pass to
+    // the word-count dictionary, then 8 rounds of (pair-count shuffle over
+    // the dictionary, 1-row argmax, map-only replace) — see bpeTrain's
+    // scaladoc for the 100 TB shape. The 8-row result materializes on the
+    // driver (bounded, the Dsir model precedent).
+    Q("tx12_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        bpeTrain(Tables.spread(t(s, d, "documents")).select(col("text")), 8)
+          .toDF("rank", "l_code", "r_code", "merged_code", "pair_count", "corpus_tokens")
+          .orderBy(col("rank"))
+      },
+      Some(bpeTrainSql(8))),
 
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----
