@@ -187,19 +187,23 @@ object TextOps {
   /** The EXACT DuckDB replay of [[bpeTrain]]: N unrolled rounds, each a
     * pair-count CTE over the previous dictionary, a 1-row argmax with the
     * same (c DESC, l, r) tie-break, and a replace re-segmentation to the
-    * round's private-use placeholder. */
+    * round's private-use placeholder. Every multiply-referenced CTE is
+    * AS MATERIALIZED: each w_k feeds three consumers (p_k, w_{k+1}, t_k),
+    * so an inlining planner (DuckDB 1.0 default) would re-evaluate the
+    * chain 3^N times — measured 74 s at sf0.01 inlined vs sub-second
+    * materialized. */
   private[ops] def bpeTrainSql(nMerges: Int): String = {
     val base = graft.spark.BpeCount.PlaceholderBase.toInt
     val rounds = (0 until nMerges).map { k =>
-      s"""p$k AS (SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT + 1, 1) AS r,
+      s"""p$k AS MATERIALIZED (SELECT substr(word, i::INT, 1) AS l, substr(word, i::INT + 1, 1) AS r,
               CAST(sum(cnt) AS BIGINT) AS c
             FROM (SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) AS i
                   FROM w$k WHERE length(word) >= 2)
             GROUP BY 1, 2),
-          b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-          w${k + 1} AS (SELECT replace(word, (SELECT l || r FROM b$k), chr(${base + k})) AS word, cnt
+          b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+          w${k + 1} AS MATERIALIZED (SELECT replace(word, (SELECT l || r FROM b$k), chr(${base + k})) AS word, cnt
             FROM w$k),
-          t$k AS (SELECT CAST(sum(cnt * length(word)) AS BIGINT) AS toks FROM w${k + 1})"""
+          t$k AS MATERIALIZED (SELECT CAST(sum(cnt * length(word)) AS BIGINT) AS toks FROM w${k + 1})"""
     }.mkString(",\n          ")
     val rows = (0 until nMerges).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rank,
@@ -209,7 +213,7 @@ object TextOps {
             (SELECT c FROM b$k) AS pair_count,
             (SELECT toks FROM t$k) AS corpus_tokens"""
     }.mkString("\n          UNION ALL\n          ")
-    s"""WITH w0 AS (SELECT w AS word, count(*) AS cnt
+    s"""WITH w0 AS MATERIALIZED (SELECT w AS word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             WHERE length(w) >= 1 GROUP BY w),
           $rounds
