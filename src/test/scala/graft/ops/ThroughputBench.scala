@@ -119,18 +119,31 @@ object ThroughputBench extends App {
       import org.apache.spark.sql.functions._
       val nested = events.select(col("event_id"),
         struct(col("value").as("a"), (col("value") * 2).as("b"),
-          (col("value") + 1).as("c")).as("m")).cache()
+          (col("value") + 1).as("c")).as("m"),
+        map(lit("a"), col("value"), lit("b"), col("value") * 2,
+          lit("c"), col("value") + 1).as("mp")).cache()
       nested.count()
       // count = the pure-enumeration shape; sum = the array-fold consumer.
       // The sum row was PARITY with the interpreted engine (1.0x) while the
       // compiled $sum was an ArrayAggregate lambda fold outside codegen —
       // the NumArrayFold kernel (round 12) took it to ~3x (4.0M -> 13.5M
-      // rec/s), which is why these two rows exist separately
+      // rec/s), which is why these two rows exist separately.
+      // avg = TWO folds (sum + cnt) inlined into ONE generated function —
+      // the duplicate-local collision the round-13 freshName fix repaired
+      // (pre-fix this silently fell back to interpreted ArrayAggregate).
+      // map count/sum = the round-13 compiled MAP-base wildcard
+      // (map_values) vs the interpreted envelope's object iteration
       for ((tag, expr, ddl) <- Seq(
         ("wildcard count", "{'event_id': value.event_id, 'nw': $count(value.m.*)}",
           "event_id BIGINT, nw BIGINT"),
         ("wildcard sum", "{'event_id': value.event_id, 'sw': $sum(value.m.*)}",
-          "event_id BIGINT, sw DOUBLE"))) {
+          "event_id BIGINT, sw DOUBLE"),
+        ("wildcard avg", "{'event_id': value.event_id, 'aw': $average(value.m.*)}",
+          "event_id BIGINT, aw DOUBLE"),
+        ("wildcard map count", "{'event_id': value.event_id, 'nm': $count(value.mp.*)}",
+          "event_id BIGINT, nm BIGINT"),
+        ("wildcard map sum", "{'event_id': value.event_id, 'sm': $sum(value.mp.*)}",
+          "event_id BIGINT, sm DOUBLE"))) {
         val schema = StructType.fromDDL(ddl)
         assert(JsonataCompiler.compileQuery(nested, expr).isDefined,
           s"$tag two-tier case must ride the compiled tier")
