@@ -19,6 +19,9 @@ object Prep {
   private val ChunkSize = 32
   private val Stride = 24
 
+  /** ch02's chunk budget in SUBWORD tokens (under TextOps.BpeMerges). */
+  private val TokenBudget = 48
+
   /** PII patterns, identical under Java regex and DuckDB RE2. Order matters:
     * emails go first (their local part could otherwise be clipped by the
     * phone/ssn digit runs), then the longer phone form, then bare SSNs. */
@@ -89,6 +92,61 @@ object Prep {
           len(w[chunk_id*$Stride+1 : chunk_id*$Stride+$ChunkSize]) AS n_chunk_tokens,
           md5(array_to_string(w[chunk_id*$Stride+1 : chunk_id*$Stride+$ChunkSize], ' ')) AS chunk_fp
         FROM x ORDER BY doc_id, chunk_id""")),
+
+    // ---- ch02: token-budget greedy chunk packing (subword-faithful) ----
+    // ch01 chunks by fixed WORD windows; real context-window prep packs by
+    // what the model actually consumes — SUBWORD tokens under the frozen
+    // tokenizer (TextOps.BpeMerges, sp17's accounting). Greedy first-fit in
+    // word order: a word that would overflow the 48-subword budget starts a
+    // new chunk; an oversized single word gets its own chunk (run > budget,
+    // next word rolls). The packing state is a (chunk, run) struct folded
+    // over the per-word counts array — per-document, inside whole-stage
+    // codegen, zero shuffle at any scale. Per-word BPE counts are additive
+    // across a chunk because merges never cross whitespace (the BpeCount
+    // contract), so chunk subword sizes are exactly the fold's run values.
+    Q("ch02_token_chunks",
+      (s, d) => {
+        val counts = transform(split(trim(col("text")), "\\s+"),
+          x => graft.spark.BpeExpressions.bpeCount(x, TextOps.BpeMerges))
+        val c = col("c")
+        val zero = struct(lit(0L).as("chunk"), lit(0L).as("run"))
+        val packed = aggregate(c, zero, (a, x) => {
+          val roll = a.getField("run") > 0 && (a.getField("run") + x) > TokenBudget
+          struct(
+            when(roll, a.getField("chunk") + 1).otherwise(a.getField("chunk")).as("chunk"),
+            when(roll, x).otherwise(a.getField("run") + x).as("run"))
+        })
+        Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), explode(array(counts)).as("c"))
+          .select(col("doc_id"), size(c).cast("bigint").as("n_words"),
+            aggregate(c, lit(0L), (a, x) => a + x).as("subwords"),
+            (packed.getField("chunk") + 1).as("n_chunks"))
+          .select(col("doc_id"), col("n_words"), col("subwords"), col("n_chunks"),
+            (col("subwords").cast("double") / col("n_chunks")).as("avg_fill"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+          cs AS (SELECT doc_id, len(w) AS n_words,
+                  list_transform(w, x -> length(${TextOps.bpeReplaceChainSql("x")})) AS c
+                FROM t),
+          -- the fold state is chunk*1e9 + run in ONE BIGINT, not a struct:
+          -- DuckDB's vectorized CASE over struct-typed lambda accumulators
+          -- mis-executes under multi-row batching (full-relation runs gave
+          -- different chunk counts than the same fold filtered to one row);
+          -- scalar-BIGINT CASE folds are deterministic. run < 1e9 always
+          -- (bounded by max(budget, longest word)).
+          p AS (SELECT doc_id, n_words,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS subwords,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+                    (a, x) -> CASE WHEN a % 1000000000 > 0 AND a % 1000000000 + x > $TokenBudget
+                              THEN (a // 1000000000 + 1) * 1000000000 + x
+                              ELSE a + x END) AS st
+                FROM cs)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, subwords,
+          st // 1000000000 + 1 AS n_chunks,
+          subwords::DOUBLE / (st // 1000000000 + 1) AS avg_fill
+        FROM p ORDER BY doc_id""")),
 
     // ---- pii01: PII detection + redaction ----
     // Counts each PII class, then rewrites them to typed placeholders; the

@@ -534,6 +534,64 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("tb", "code")))
       .groupBy(col("tb"), col("code")).agg(count(lit(1)).as("occ"))
 
+  /** ss14's full DuckDB serve replay (anchors → assignment → probes →
+    * codebook → codes → ADC candidates → exact rescore → top-5), shared
+    * with ss17's recall harness so both replay ONE serve definition. */
+  private[ops] val ss14ServeOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS aid, vec AS av FROM v
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
+          asn AS (SELECT vec_id, aid FROM (
+              SELECT v.vec_id, a.aid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          probes AS (SELECT q_id, aid FROM (
+              SELECT q.q_id, a.aid,
+                row_number() OVER (PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
+              FROM q CROSS JOIN a) WHERE rn <= 4),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
+          xd AS (SELECT v.vec_id, m.m, c.j,
+                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              for i in generate_series(1,8) ]) AS dd
+                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
+          codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dd ASC, j ASC) AS rn
+                      FROM xd) WHERE rn = 1),
+          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % 100 = 0),
+          candv AS (SELECT p.q_id, s.vec_id
+                    FROM probes p JOIN asn s USING (aid)
+                    WHERE s.vec_id <> p.q_id),
+          pairs AS (SELECT cv.q_id, c.vec_id,
+                      list_sum(list(qd.dd ORDER BY qd.m)) AS adc
+                    FROM candv cv
+                      JOIN codes c ON c.vec_id = cv.vec_id
+                      JOIN qd ON qd.m = c.m AND qd.j = c.j AND qd.q_id = cv.q_id
+                    GROUP BY cv.q_id, c.vec_id),
+          topr AS (SELECT q_id, vec_id, adc FROM (
+                     SELECT q_id, vec_id, adc,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY adc ASC, vec_id) AS crank
+                     FROM pairs) WHERE crank <= 20),
+          resc AS (SELECT t.q_id, t.vec_id, t.adc,
+                     list_sum(list_transform(range(1, 65), i ->
+                       (qv.vec[i] - xv.vec[i]) * (qv.vec[i] - xv.vec[i]))) AS d2
+                   FROM topr t JOIN v qv ON qv.vec_id = t.q_id
+                     JOIN v xv ON xv.vec_id = t.vec_id),
+          ranked AS (SELECT q_id, vec_id, adc, d2,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY d2 ASC, vec_id) AS rank
+                     FROM resc)
+        SELECT q_id, vec_id AS neighbor_id, adc, d2, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   val entries: Seq[Q] = Seq(
     // ---- ss01: brute-force cosine top-5 per query vector (exact oracle) ----
     // SCALE BOUND on the broadcast: the query side here is vec_id % 100 == 0
@@ -1270,59 +1328,63 @@ object Similarity {
           .select(col("vec_id"), col("aid").cast("bigint").as("aid"), col("code"))
         ivfAdcServe(s, d, idx)
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-          a AS (SELECT vec_id AS aid, vec AS av FROM v
-                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
-          asn AS (SELECT vec_id, aid FROM (
-              SELECT v.vec_id, a.aid,
-                row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
-              FROM v CROSS JOIN a) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
-          probes AS (SELECT q_id, aid FROM (
-              SELECT q.q_id, a.aid,
-                row_number() OVER (PARTITION BY q.q_id
-                  ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
-              FROM q CROSS JOIN a) WHERE rn <= 4),
-          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
-                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
-                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
-          xd AS (SELECT v.vec_id, m.m, c.j,
-                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
-                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
-                              for i in generate_series(1,8) ]) AS dd
-                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
-          codes AS (SELECT vec_id, m, j FROM (
-                      SELECT vec_id, m, j,
-                        row_number() OVER (PARTITION BY vec_id, m
-                          ORDER BY dd ASC, j ASC) AS rn
-                      FROM xd) WHERE rn = 1),
-          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % 100 = 0),
-          candv AS (SELECT p.q_id, s.vec_id
-                    FROM probes p JOIN asn s USING (aid)
-                    WHERE s.vec_id <> p.q_id),
-          pairs AS (SELECT cv.q_id, c.vec_id,
-                      list_sum(list(qd.dd ORDER BY qd.m)) AS adc
-                    FROM candv cv
-                      JOIN codes c ON c.vec_id = cv.vec_id
-                      JOIN qd ON qd.m = c.m AND qd.j = c.j AND qd.q_id = cv.q_id
-                    GROUP BY cv.q_id, c.vec_id),
-          topr AS (SELECT q_id, vec_id, adc FROM (
-                     SELECT q_id, vec_id, adc,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY adc ASC, vec_id) AS crank
-                     FROM pairs) WHERE crank <= 20),
-          resc AS (SELECT t.q_id, t.vec_id, t.adc,
-                     list_sum(list_transform(range(1, 65), i ->
-                       (qv.vec[i] - xv.vec[i]) * (qv.vec[i] - xv.vec[i]))) AS d2
-                   FROM topr t JOIN v qv ON qv.vec_id = t.q_id
-                     JOIN v xv ON xv.vec_id = t.vec_id),
-          ranked AS (SELECT q_id, vec_id, adc, d2,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY d2 ASC, vec_id) AS rank
-                     FROM resc)
-        SELECT q_id, vec_id AS neighbor_id, adc, d2, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""")),
+      Some(ss14ServeOracleSql)),
+    // ---- ss17: ANN index QUALITY — recall@5 of the stored-index serve ----
+    // ---- path against exact ground truth. "Measure, don't guess" for  ----
+    // ---- the index itself: production ANN deployments ship a recall   ----
+    // ---- harness next to the index, because probe counts / codebook   ----
+    // ---- size trade recall for cost and the ONLY way to pick them is  ----
+    // ---- to measure on the real corpus. Ground truth is exact L2^2    ----
+    // ---- top-5 (the serve path's own rescore metric and tie-break)    ----
+    // ---- over the full corpus for the canonical query set — at 100 TB ----
+    // ---- this exact arm runs on a SAMPLED query set (queries are       ----
+    // ---- broadcast; the corpus side streams map-only into the bounded  ----
+    // ---- heap — one shuffle of q_id-keyed partials, never a pair       ----
+    // ---- materialization). Output: per-query hit count + recall.       ----
+    Q("ss17_ann_recall",
+      (s, d) => {
+        val dir = ensureIvfIndex(s, d)
+        val idx = s.read.parquet(dir)
+          .select(col("vec_id"), col("aid").cast("bigint").as("aid"), col("code"))
+        val served = ivfAdcServe(s, d, idx)
+          .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+        val pv = pqVecs(s, d).select(col("vec_id"), col("vec"))
+        val qv = broadcast(pv.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec")))
+        // exact arm: same metric (L2^2), same tie-break (d2 asc, id asc)
+        // as the serve path's rescore; bounded heap, never a window sort
+        val exact = qv.join(pv, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            pqSqd(col("q_vec"), col("vec")).as("d2"))
+          .groupBy(col("q_id"))
+          .agg(graft.spark.TopKAggregate.topkByDouble(
+            -col("d2"), col("vec_id"), PqTopK).as("top"))
+          .select(col("q_id"), explode(col("top")).as("e"))
+          .select(col("q_id"), col("e.id").as("neighbor_id"))
+        exact.join(served, Seq("q_id", "neighbor_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            (col("n_hits").cast("double") / PqTopK).as("recall_at_5"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH served AS (SELECT q_id, neighbor_id FROM ($ss14ServeOracleSql)),
+          v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          q2 AS (SELECT vec_id AS q_id, vec AS qv FROM v2 WHERE vec_id % 100 = 0),
+          ex AS (SELECT q_id, vec_id FROM (
+              SELECT q2.q_id, v2.vec_id,
+                row_number() OVER (PARTITION BY q2.q_id
+                  ORDER BY list_sum(list_transform(range(1, 65), i ->
+                    (q2.qv[i] - v2.vec[i]) * (q2.qv[i] - v2.vec[i]))) ASC,
+                    v2.vec_id) AS rank
+              FROM q2 JOIN v2 ON v2.vec_id <> q2.q_id) WHERE rank <= 5),
+          hits AS (SELECT e.q_id,
+              CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM ex e LEFT JOIN served s
+              ON s.q_id = e.q_id AND s.neighbor_id = e.vec_id
+            GROUP BY e.q_id)
+        SELECT q_id, n_hits, n_hits::DOUBLE / 5 AS recall_at_5
+        FROM hits ORDER BY q_id""")),
 
     // ---- ss16: INCREMENTAL index maintenance — the ingest-to-index      ----
     // ---- composition: admission batches land in the stored IVFADC index ----

@@ -102,15 +102,21 @@ object TextOps {
     * kernel's), count = length(replaced) − spaces (spaces survive every
     * merge untouched, so the space count of the original text is the
     * word-boundary correction). */
-  private[ops] val bpeTokensSql: String = {
+  /** The rank-order replace chain over an arbitrary sql expression — the
+    * [[bpeTokensSql]] body parameterized so per-WORD oracles (ch02's
+    * chunk packing) replay the same kernel: the subword count of a
+    * space-free word is just `length(chain(word))`, no boundary term. */
+  private[graft] def bpeReplaceChainSql(expr: String): String = {
     def chrSql(c: Char): String =
       if (c >= graft.spark.BpeCount.PlaceholderBase) s"chr(${c.toInt})" else s"'$c'"
-    val replaced = BpeMerges.zipWithIndex.foldLeft("text") { case (acc, ((l, r), k)) =>
+    BpeMerges.zipWithIndex.foldLeft(expr) { case (acc, ((l, r), k)) =>
       s"replace($acc, ${chrSql(l)} || ${chrSql(r)}, " +
         s"chr(${graft.spark.BpeCount.PlaceholderBase + k}))"
     }
-    s"(length($replaced) - (length(text) - length(replace(text, ' ', ''))))"
   }
+
+  private[ops] val bpeTokensSql: String =
+    s"(length(${bpeReplaceChainSql("text")}) - (length(text) - length(replace(text, ' ', ''))))"
 
   /** BPE merge TRAINING (Sennrich et al. 2016) — the other half of the
     * subword story: [[bpeTokensCol]] COUNTS under a frozen table; this
@@ -334,6 +340,80 @@ object TextOps {
     s"""0.4 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
         + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))::DOUBLE) / len(text))
         + 0.3 * least(($stopsSql) / len(string_split_regex(trim(text), '\\s+')) * 5, 1.0)"""
+  }
+
+  // ---- tx13's frozen hashed linear classifier (fastText shape) ----
+  // Classifier-based quality filtering is the third frozen-model admission
+  // family real pipelines run next to DSIR and the perplexity band (the
+  // GPT-3/CCNet "quality classifier" slot): a LINEAR model over hashed
+  // unigram + adjacent-bigram features, averaged fastText-style. Everything
+  // here is chosen so the score is BIT-IDENTICAL in Spark and DuckDB:
+  //   - the featurizer is integer polynomial arithmetic (len/first/last
+  //     char codes) mod 64 — exact on both engines;
+  //   - the frozen weights are dyadic rationals k/64, whose shortest
+  //     decimal forms ("0.328125") round-trip exactly into doubles;
+  //   - the score is a LEFT FOLD in array order on both sides (the tx04
+  //     list_reduce mirror), then one add and one divide — identical IEEE
+  //     operation order, so thresholding at 0 can never flip a row.
+  // A production model would swap the 64-bucket table for a learned 2^20
+  // one behind the same columns; the plumbing (broadcast-literal weights,
+  // map-only scoring, gate composition) is what this operator pins.
+  private[graft] val ClfBuckets = 64
+  private[graft] val clfUniW: IndexedSeq[Double] =
+    (0 until ClfBuckets).map(k => (((k * 37 + 11) % ClfBuckets) - 32) / 64.0)
+  private[graft] val clfBiW: IndexedSeq[Double] =
+    (0 until ClfBuckets).map(k => (((k * 53 + 7) % ClfBuckets) - 32) / 64.0)
+  private[graft] val ClfBias: Double = 1.0 / 64.0
+
+  /** Word feature hash: (len*31 + code(first)*17 + code(last)*7) mod 64.
+    * All terms non-negative, so % agrees across engines. */
+  private def clfHash(word: Column): Column =
+    (length(word) * 31 + ascii(word) * 17 +
+      ascii(word.substr(length(word), lit(1))) * 7) % ClfBuckets
+  private def clfHashSql(w: String): String =
+    s"(len($w)*31 + ascii($w)*17 + ascii(substr($w, len($w), 1))*7) % $ClfBuckets"
+
+  /** Classifier score over a bound words-array column: bias + (sum of
+    * unigram weights + sum of bigram weights) / (2*n_words - 1). */
+  private[graft] def clfScoreOf(w: Column): Column = {
+    val uniArr = array(clfUniW.map(lit): _*)
+    val biArr = array(clfBiW.map(lit): _*)
+    val uSum = aggregate(transform(w, x => element_at(uniArr, clfHash(x) + 1)),
+      lit(0.0), (a, x) => a + x)
+    val bIdx = when(size(w) > 1, sequence(lit(1), size(w) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bSum = aggregate(
+      transform(bIdx, i => element_at(biArr,
+        (clfHash(element_at(w, i)) * 131 + clfHash(element_at(w, i + 1)) * 17) % ClfBuckets + 1)),
+      lit(0.0), (a, x) => a + x)
+    lit(ClfBias) + (uSum + bSum) / (size(w) * 2 - 1)
+  }
+
+  /** The classifier's tokenization (shared with the oracle + ingest gate). */
+  private[graft] def clfWordsCol: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** Map-only classifier score of the `text` column ([[StreamingIngest]]'s
+    * classifierGate and tx13 share this single definition). */
+  private[graft] def clfScoreCol: Column = clfScoreOf(clfWordsCol)
+
+  /** Exact DuckDB replay of [[clfScoreOf]] as CTE sql over `documents`. */
+  private[ops] val clfScoreSqlCtes: String = {
+    val uni = clfUniW.mkString("([", ", ", "]::DOUBLE[])")
+    val bi = clfBiW.mkString("([", ", ", "]::DOUBLE[])")
+    s"""t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+              FROM documents),
+          s AS (SELECT doc_id, len(w) AS n_words,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(w, x -> $uni[${clfHashSql("x")} + 1])),
+                (a, x) -> a + x) AS u,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(range(1, len(w)), i ->
+                  $bi[(${clfHashSql("w[i]")}*131 + ${clfHashSql("w[i+1]")}*17) % $ClfBuckets + 1])),
+                (a, x) -> a + x) AS b
+            FROM t),
+          clf AS (SELECT doc_id, n_words,
+              CAST($ClfBias AS DOUBLE) + (u + b) / (2*n_words - 1) AS clf_score
+            FROM s)"""
   }
 
   val entries: Seq[Q] = Seq(
@@ -730,6 +810,27 @@ object TextOps {
           .orderBy(col("rank"))
       },
       Some(bpeTrainSql(8))),
+
+    // ---- tx13: frozen hashed linear quality classifier (fastText shape) ----
+    // See clfScoreOf above for why the score is bit-identical across
+    // engines. Map-only at any scale: the weight table rides the plan as a
+    // 64-element literal array (a learned table would be a broadcast), the
+    // fold runs inside whole-stage codegen, and nothing shuffles — the
+    // exact shape a 100 TB classifier-filter pass needs. `keep` is the
+    // admission decision StreamingIngest.classifierGate applies.
+    Q("tx13_quality_classifier",
+      (s, d) => {
+        Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), size(clfWordsCol).cast("bigint").as("n_words"),
+            clfScoreCol.as("clf_score"))
+          .select(col("doc_id"), col("n_words"), col("clf_score"),
+            when(col("clf_score") >= 0, 1).otherwise(0).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $clfScoreSqlCtes
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, clf_score,
+          CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END AS keep
+        FROM clf ORDER BY doc_id""")),
 
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----

@@ -67,4 +67,13 @@ object StreamingIngest {
     docs => PerplexityStore.score(docs, m)
       .filter(org.apache.spark.sql.functions.col("keep"))
       .select(org.apache.spark.sql.functions.col("doc_id"))
+
+  /** Frozen linear-classifier gate (the tx13 scorer as an admission stage):
+    * keep docs whose hashed-feature fastText-style score clears 0 — the
+    * GPT-3/CCNet "quality classifier" admission slot. Map-only like
+    * [[dsirGate]]: the 64-bucket weight table rides the plan as a
+    * literal array, so the gate adds zero shuffles and zero state. */
+  def classifierGate(): graft.ops.Ingest.ModelGate =
+    docs => docs.filter(graft.ops.TextOps.clfScoreCol >= 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
 }

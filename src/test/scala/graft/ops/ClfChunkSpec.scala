@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** tx13 (frozen hashed linear classifier) and ch02 (subword-budget greedy
+  * chunk packing) against INDEPENDENT plain-Scala references: the classifier
+  * score must be bit-identical (the keep threshold rides on it), and the
+  * packer must replay the oracle's replace-chain word counts + greedy fold —
+  * not the kernel's int-buffer loop — so engine, oracle, and reference are
+  * three separate implementations agreeing exactly. Plus crafted packing
+  * adversaries (oversized word, exact-fit boundary) and the ingest
+  * classifierGate == the tx13 keep set.
+  */
+class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+  private var craftedDir: String = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    craftedDir = java.nio.file.Files.createTempDirectory("ch02spec").toString
+    val docs = Seq(
+      // single 1-subword word -> 1 chunk of run 1
+      (0L, "a", "en", "s", 0L),
+      // 60 q's: no merge touches 'q', count 60 > budget 48 -> own chunk
+      (1L, ("q" * 60) + " bb", "en", "s", 0L),
+      // exact fit: 4 x 12-char merge-free words = 48, 5th word rolls
+      (2L, Seq.fill(5)("x" * 12).mkString(" "), "en", "s", 0L),
+      // multi-level merges: "the"->1 token, "and"->1, "ing"->1
+      (3L, "the and ing theand", "en", "s", 0L))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$craftedDir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---- independent references ----
+
+  /** The oracle's per-word count: Java replace chain in rank order
+    * (left-to-right non-overlapping), NOT the kernel's int-buffer loop. */
+  private def refWordCount(w: String): Long = {
+    var s = w
+    TextOps.BpeMerges.zipWithIndex.foreach { case ((l, r), k) =>
+      s = s.replace("" + l + r,
+        (graft.spark.BpeCount.PlaceholderBase + k).toChar.toString)
+    }
+    s.length.toLong
+  }
+
+  /** Greedy first-fit fold: (chunkIdx, run) after packing `cs` at `budget`. */
+  private def refPack(cs: Seq[Long], budget: Long = 48L): (Long, Long) =
+    cs.foldLeft((0L, 0L)) { case ((ch, run), c) =>
+      if (run > 0 && run + c > budget) (ch + 1, c) else (ch, run + c)
+    }
+
+  private def clfHashRef(w: String): Int = {
+    val first = if (w.isEmpty) 0 else w.charAt(0).toInt
+    val last = if (w.isEmpty) 0 else w.charAt(w.length - 1).toInt
+    (w.length * 31 + first * 17 + last * 7) % TextOps.ClfBuckets
+  }
+
+  /** (n_words, score) with the engine's exact IEEE operation order:
+    * left-fold unigram sum, left-fold bigram sum, one add, one divide. */
+  private def refScore(text: String): (Long, Double) = {
+    val words = text.trim.toLowerCase.split("\\s+", -1)
+    val hs = words.map(clfHashRef)
+    val u = words.foldLeft(0.0)((a, w) => a + TextOps.clfUniW(clfHashRef(w)))
+    val b = (0 until words.length - 1).foldLeft(0.0)((a, i) =>
+      a + TextOps.clfBiW((hs(i) * 131 + hs(i + 1) * 17) % TextOps.ClfBuckets))
+    (words.length.toLong, TextOps.ClfBias + (u + b) / (2 * words.length - 1))
+  }
+
+  private def texts(dir: String): Map[Long, String] =
+    Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // ---- tx13 ----
+
+  test("tx13 classifier score is bit-identical to the independent reference") {
+    val byDoc = texts(sfDir)
+    val rows = graft.SparkEntry.queries("tx13_quality_classifier")(spark, sfDir)
+      .collect()
+    assert(rows.length == byDoc.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nw, score) = refScore(byDoc(id))
+      assert(r.getAs[Long]("n_words") == nw, s"doc $id n_words")
+      // EXACT double equality — the whole point of the dyadic-weight design
+      assert(r.getAs[Double]("clf_score") == score, s"doc $id score")
+      assert(r.getAs[Int]("keep") == (if (score >= 0) 1 else 0), s"doc $id keep")
+    }
+  }
+
+  test("tx13 keep decision is non-trivial on the corpus (both classes live)") {
+    val keeps = graft.SparkEntry.queries("tx13_quality_classifier")(spark, sfDir)
+      .groupBy(col("keep")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(keeps.getOrElse(1, 0L) > 0, "no doc kept — constant gate")
+    assert(keeps.getOrElse(0, 0L) > 0, "no doc dropped — constant gate")
+  }
+
+  test("classifierGate admits exactly the tx13 keep set") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val admitted = graft.streaming.StreamingIngest.classifierGate()(docs)
+      .collect().map(_.getLong(0)).toSet
+    val expected = texts(sfDir).collect {
+      case (id, t) if refScore(t)._2 >= 0 => id
+    }.toSet
+    assert(admitted == expected)
+  }
+
+  // ---- ch02 ----
+
+  private def checkCh02(dir: String): Unit = {
+    val byDoc = texts(dir)
+    val rows = graft.SparkEntry.queries("ch02_token_chunks")(spark, dir).collect()
+    assert(rows.length == byDoc.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cs = byDoc(id).trim.split("\\s+", -1).toSeq.map(refWordCount)
+      val (ch, _) = refPack(cs)
+      assert(r.getAs[Long]("n_words") == cs.length.toLong, s"doc $id n_words")
+      assert(r.getAs[Long]("subwords") == cs.sum, s"doc $id subwords")
+      assert(r.getAs[Long]("n_chunks") == ch + 1, s"doc $id n_chunks")
+      assert(r.getAs[Double]("avg_fill") == cs.sum.toDouble / (ch + 1), s"doc $id avg_fill")
+    }
+  }
+
+  test("ch02 packing equals the replace-chain + greedy-fold reference on the corpus") {
+    checkCh02(sfDir)
+  }
+
+  test("ch02 crafted adversaries: oversized word, exact-fit boundary, multi-level merges") {
+    checkCh02(craftedDir)
+    val rows = graft.SparkEntry.queries("ch02_token_chunks")(spark, craftedDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("subwords"), r.getAs[Long]("n_chunks"))).toMap
+    assert(rows(0L) == ((1L, 1L)))
+    // 60 q's (own oversized chunk) + "bb" (rolls to a second chunk)
+    assert(rows(1L) == ((62L, 2L)))
+    // 4 x 12 fill the budget EXACTLY (48 is not > 48), 5th rolls
+    assert(rows(2L) == ((60L, 2L)))
+    // "the"=1, "and"=1, "ing"=1, "theand"=2 -> 5 subwords, 1 chunk
+    assert(rows(3L) == ((5L, 1L)))
+  }
+}
