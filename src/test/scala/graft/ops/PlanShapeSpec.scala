@@ -551,9 +551,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("row_number"), "score relation still ranks via a window sort:\n" + p.take(3000))
   }
 
+  test("tx13 classifier: map-only scoring — no joins, weights ride the plan as literals") {
+    val p = plan("tx13_quality_classifier")
+    assert(!p.contains("Join"), "the weight table must be a literal array, not a joined relation\n" + p.take(2000))
+    // map-only: the only exchanges are the spread repartition + output sort
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+  }
+
+  test("ch02 token chunks: per-row fold — bpe_count kernel inline, no joins") {
+    val p = plan("ch02_token_chunks")
+    assert(p.contains("bpe_count"), "per-word counts must run on the native kernel\n" + p.take(2000))
+    assert(!p.contains("Join"), "packing is a per-document fold, never a join\n" + p.take(2000))
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
+  }
+
+  test("ss17 ann recall: exact arm reduces through the bounded heap, never a corpus window sort") {
+    val p = plan("ss17_ann_recall")
+    assert(p.contains("partial_topk_by"), "exact top-5 must be the heap aggregate\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the ONLY row_number windows allowed are the serve path's bounded ones
+    // (probe selection over #anchors, rescore over R=20) — both inherited
+    // from ss14 and already pinned there; the exact arm adds none, so the
+    // window count must not exceed ss14's
+    val pServe = plan("ss14_ivf_probe")
+    assert(p.split("row_number").length <= pServe.split("row_number").length + 1,
+      "exact ground truth must not add window ranks\n" + p.take(3000))
+  }
+
+
   test("registry-wide: no CartesianProduct anywhere; BroadcastNestedLoopJoin only on the broadcast-bounded allow-list") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // (per-query pins for tx13/ch02/ss17 live above; this sweep catches
+    // the forbidden shapes in anything they — or future rows — compose)
 
     // BroadcastNestedLoopJoin allow-list: every entry's broadcast side is
     // BOUNDED — a capped anchor/query/seed sample, a one-row aggregate
@@ -571,6 +601,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ss11_ivfadc",              // coarse anchors + codebook + query sample
       "ss14_ivf_probe",           // probe queries vs pruned stored buckets
       "ss15_hard_negatives",      // anchor sample (vec_id % 50) broadcast
+      "ss17_ann_recall",          // exact arm: query sample (vec_id % 100) broadcast vs corpus (the ss01 shape)
       "sp14_dsir_resample",       // one-row totals attach in Dsir.weights
       "sp16_cluster_coverage",    // footer-stride coverage anchors broadcast
       "dd15_semdedup_sweep",      // bounded anchor set per semdedup region
