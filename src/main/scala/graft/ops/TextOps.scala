@@ -393,8 +393,13 @@ object TextOps {
   private[graft] def clfWordsCol: Column = split(lower(trim(col("text"))), "\\s+")
 
   /** Map-only classifier score of the `text` column ([[StreamingIngest]]'s
-    * classifierGate and tx13 share this single definition). */
-  private[graft] def clfScoreCol: Column = clfScoreOf(clfWordsCol)
+    * classifierGate and tx13 share this single definition) — the ClfScore
+    * native kernel: one codegen'd pass replacing the clfScoreOf compose's
+    * four CodegenFallback HOF lambdas (tokenize once, hash once, both
+    * folds share the hash array; bit-identical by construction, ClfChunkSpec
+    * pins it against the compose on both eval paths). */
+  private[graft] def clfScoreCol: Column =
+    graft.spark.ClfExpressions.clfScore(col("text"), clfUniW, clfBiW, ClfBias)
 
   /** Exact DuckDB replay of [[clfScoreOf]] as CTE sql over `documents`. */
   private[ops] val clfScoreSqlCtes: String = {

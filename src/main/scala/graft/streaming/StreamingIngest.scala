@@ -69,11 +69,13 @@ object StreamingIngest {
       .select(org.apache.spark.sql.functions.col("doc_id"))
 
   /** Frozen linear-classifier gate (the tx13 scorer as an admission stage):
-    * keep docs whose hashed-feature fastText-style score clears 0 — the
-    * GPT-3/CCNet "quality classifier" admission slot. Map-only like
-    * [[dsirGate]]: the 64-bucket weight table rides the plan as a
-    * literal array, so the gate adds zero shuffles and zero state. */
-  def classifierGate(): graft.ops.Ingest.ModelGate =
-    docs => docs.filter(graft.ops.TextOps.clfScoreCol >= 0)
+    * keep docs whose hashed-feature fastText-style score clears `minScore`
+    * (default 0, tx13's keep threshold; deployments tune the operating
+    * point against a labeled holdout) — the GPT-3/CCNet "quality
+    * classifier" admission slot. Map-only like [[dsirGate]]: the 64-bucket
+    * weight table rides the plan as a literal array, so the gate adds zero
+    * shuffles and zero state. */
+  def classifierGate(minScore: Double = 0.0): graft.ops.Ingest.ModelGate =
+    docs => docs.filter(graft.ops.TextOps.clfScoreCol >= minScore)
       .select(org.apache.spark.sql.functions.col("doc_id"))
 }

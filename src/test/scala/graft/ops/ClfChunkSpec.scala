@@ -102,6 +102,45 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ClfScore kernel == the HOF compose bitwise (corpus + adversaries, both eval paths)") {
+    val sp = spark
+    import sp.implicits._
+    // ASCII adversaries only: the ascii() contract (first byte == codepoint)
+    // is the documented tx13/oracle scope — see the ClfScore scaladoc
+    val adversaries = Seq(
+      "", " ", "  a  b ", "a", "the and ing", "word",
+      "MiXeD CaSe WORDS", "punct, marks! here?", "   leading", "trailing   ",
+      "a  b   c    d", "1 22 333 4444 55555", "!@# $%^ &*(")
+    val corpus = Tables.t(spark, sfDir, "documents").select(col("text"))
+    val crafted = (adversaries.map(Option(_)) :+ None).toDF("text")
+    for (df <- Seq(corpus, crafted)) {
+      val sel = df.select(
+        graft.spark.ClfExpressions.clfScore(col("text"),
+          TextOps.clfUniW, TextOps.clfBiW, TextOps.ClfBias).as("k"),
+        TextOps.clfScoreOf(TextOps.clfWordsCol).as("c"),
+        col("text"))
+      val rows = sel.collect()
+      rows.foreach { r =>
+        if (r.isNullAt(2)) assert(r.isNullAt(0) && r.isNullAt(1), "null text must score null")
+        else assert(r.getDouble(0) == r.getDouble(1),
+          s"kernel=${r.get(0)} compose=${r.get(1)} on '${r.get(2)}'")
+      }
+      // interpreted path agreement (the BpeCountSpec recipe)
+      sp.conf.set("spark.sql.codegen.wholeStage", "false")
+      sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        sel.collect().zip(rows).foreach { case (a, b) =>
+          assert(a.isNullAt(0) == b.isNullAt(0) &&
+            (a.isNullAt(0) || a.getDouble(0) == b.getDouble(0)),
+            s"interpreted diverges on '${a.get(2)}'")
+        }
+      } finally {
+        sp.conf.set("spark.sql.codegen.wholeStage", "true")
+        sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+  }
+
   test("tx13 keep decision is non-trivial on the corpus (both classes live)") {
     val keeps = graft.SparkEntry.queries("tx13_quality_classifier")(spark, sfDir)
       .groupBy(col("keep")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

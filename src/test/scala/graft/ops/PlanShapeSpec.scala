@@ -553,6 +553,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("tx13 classifier: map-only scoring — no joins, weights ride the plan as literals") {
     val p = plan("tx13_quality_classifier")
+    assert(p.contains("clf_score"), "scoring must run on the native kernel\n" + p.take(2000))
     assert(!p.contains("Join"), "the weight table must be a literal array, not a joined relation\n" + p.take(2000))
     // map-only: the only exchanges are the spread repartition + output sort
     assert(p.split("Exchange").length - 1 <= 2, p.take(2000))

@@ -181,5 +181,33 @@ object ThroughputBench extends App {
       varIn.select(JsonataFunctions.jsonataVariant(col("p"), expr).as("v"))
     }
   }
+
+  // classifier kernel (round 13): the tx13 score as ONE codegen'd pass
+  // (ClfScore) vs the split->transform->aggregate HOF compose it replaced
+  locally {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    val one = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = Tables.spread(Seq.fill(100)(one).reduce(_ unionAll _))
+      .select(col("text")).cache()
+    val nd = docs.count()
+    def run(label: String)(f: => DataFrame): Double = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[thr] $label: ${nd / sec}%.0f rec/s (${sec}%.2f s)")
+      nd / sec
+    }
+    val rk = run("clf score [ClfScore kernel]") {
+      docs.select(graft.spark.ClfExpressions.clfScore(col("text"),
+        TextOps.clfUniW, TextOps.clfBiW, TextOps.ClfBias).as("s"))
+    }
+    val rc = run("clf score [HOF compose]") {
+      docs.select(TextOps.clfScoreOf(TextOps.clfWordsCol).as("s"))
+    }
+    println(f"[thr] clf score RATIO kernel/compose: ${rk / rc}%.1fx")
+    docs.unpersist()
+  }
   spark.stop()
 }

@@ -389,6 +389,76 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("classifier gate composes as a THIRD frozen-model stage; stream equals the sequential reference") {
+    // The full three-gate admission chain a production curation pipeline
+    // runs (DSIR relevance + perplexity band + quality classifier), each a
+    // pure per-doc decision against frozen artifacts. The classifier's
+    // operating point is set at the corpus median score so the third gate
+    // provably cuts beyond the first two (non-vacuity asserted).
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val dir = tmpDir("gates3")
+
+    val predLang = Ingest.flaggedBatch(batches.flatten.toDF("doc_id", "source", "text"))
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = batches.flatten
+      .map { case (id, src, txt) => (id, src, txt, predLang(id)) }
+      .toDF("doc_id", "source", "text", "lang")
+    val (wmap, dflt) = graft.ops.Dsir.loadModel(
+      graft.ops.Dsir.bucketCounts(corpus.select(col("lang"), col("text"))))
+    val dsirScores = corpus
+      .select(col("doc_id"), graft.ops.Dsir.scoreCol(wmap, dflt).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sortedScores = dsirScores.values.toSeq.sorted
+    val minScore = sortedScores(sortedScores.length / 2)
+
+    val corpusDir = tmpDir("gates3_corpus")
+    corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    PerplexityStore.build(spark, corpusDir, s"$corpusDir/lm")
+    val m = PerplexityStore.load(spark, s"$corpusDir/lm")
+    val ppxKeep = PerplexityStore
+      .score(corpus.select(col("doc_id"), col("source"), col("text")), m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+
+    // classifier operating point: corpus median of the tx13 score
+    val clfScores = corpus
+      .select(col("doc_id"), graft.ops.TextOps.clfScoreCol.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clfSorted = clfScores.values.toSeq.sorted
+    val clfThr = clfSorted(clfSorted.length / 2)
+
+    val dsirKeep: Long => Boolean = id => dsirScores(id) >= minScore
+    val clfKeep: Long => Boolean = id => clfScores(id) >= clfThr
+    val modelKeep: Long => Boolean = id => dsirKeep(id) && ppxKeep(id) && clfKeep(id)
+
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
+      StreamingIngest.dsirGate(wmap, dflt, minScore),
+      StreamingIngest.perplexityGate(m),
+      StreamingIngest.classifierGate(clfThr)))
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+
+      val (refAdmitted, refStats) = runRef(batches, modelKeep = modelKeep)
+      val (twoGate, _) = runRef(batches,
+        modelKeep = id => dsirKeep(id) && ppxKeep(id))
+      // non-vacuity: the classifier must cut docs the first two gates kept
+      assert(refAdmitted != twoGate,
+        s"classifier gate adds nothing beyond DSIR+perplexity: thr=$clfThr scores=$clfScores")
+      assert(refAdmitted.nonEmpty, "three-gate fixture admitted nothing — equality is vacuous")
+
+      assert(storeAdmitted(dir) == refAdmitted,
+        s"three-gate admission diverges:\n  store=${storeAdmitted(dir)}\n  ref=$refAdmitted")
+      assert(storeStats(dir) == refStats,
+        s"three-gate stats diverge:\n  store=${storeStats(dir)}\n  ref=$refStats")
+    } finally query.stop()
+  }
+
   test("capstone tie: pp04-style batch stage composition equals StreamingIngest with both model gates on one batch") {
     // The two capstones meet: the BATCH tier's pp04 stage pattern (ONE
     // corpus pass computing every gate input, stage flags as conditional
