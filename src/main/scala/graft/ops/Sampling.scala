@@ -234,6 +234,36 @@ object Sampling {
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM a GROUP BY shard ORDER BY shard""")),
 
+    // ---- sp18: weighted sampling WITHOUT replacement (exponential keys) ----
+    // Efraimidis-Spirakis: each doc draws key = -ln(u)/w for deterministic
+    // u in (0,1] and weight w; the k SMALLEST keys are a weight-proportional
+    // sample without replacement — the quality-weighted corpus subsample a
+    // curation pipeline draws when it can't keep everything. Everything is
+    // deterministic and engine-exact: u from LCG integer math on doc_id
+    // ((a*id + c) mod M + 1)/(M+1), w = tx02's quality score (the pp01
+    // shared builder, raw-double identical both engines), keys through one
+    // ln + one divide (the tx08 ln precedent). w > 0 always: quality >=
+    // 0.4*min(n_words/100, 1) > 0 on any non-empty doc. Scale shape: the
+    // selection is TakeOrderedAndProject — map-side partial top-k, no
+    // global sort, no shuffle beyond k-row partials (sp08's plan) — and the
+    // weight is map-only, so the whole draw is one pass at any corpus size.
+    Q("sp18_weighted_sample",
+      (s, d) => {
+        val N = 200
+        val m = 2147483647L
+        val u = (((col("doc_id") * 1103515245L + 12345L) % m) + 1L).cast("double") / lit(m + 1L).cast("double")
+        val w = TextOps.qualityCol
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"), w.as("w"), (-log(u) / w).as("k"))
+          .orderBy(col("k"), col("doc_id")).limit(N)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH r AS (SELECT doc_id, source, ${TextOps.qualitySql} AS w,
+              -ln((((doc_id * 1103515245 + 12345) % 2147483647) + 1)::DOUBLE
+                  / 2147483648) / (${TextOps.qualitySql}) AS k
+            FROM documents ORDER BY k, doc_id LIMIT 200)
+        SELECT doc_id, source, w, k FROM r ORDER BY doc_id""")),
+
     // ---- sp04: deterministic global training shuffle ----
     // Every epoch-0 data loader wants the corpus in a reproducible pseudo-
     // random order: position = rank of md5(doc_id || seed). A naive

@@ -323,4 +323,41 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     scored.unpersist()
   }
+
+  test("sp18 weighted sample matches an independent scala replay and is weight-biased") {
+    val rows = graft.SparkEntry.queries("sp18_weighted_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("w"), r.getAs[Double]("k")))
+    // independent replay: weights from the engine's own (oracle-pinned)
+    // quality builder, u/key re-derived in plain scala
+    val wByDoc = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.qualityCol.as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = 2147483647L
+    def key(id: Long, w: Double): Double = {
+      val u = (((id * 1103515245L + 12345L) % m) + 1L).toDouble / (m + 1L).toDouble
+      // StrictMath, not Math: Spark's Log expression evaluates via
+      // StrictMath.log, which can differ from the intrinsic by one ulp
+      -StrictMath.log(u) / w
+    }
+    val expected = wByDoc.toSeq.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (k, id) }.take(200)
+    val got = rows.sortBy(_._1).toSeq
+    val exp = expected.sortBy(_._1)
+    val diffs = got.zip(exp).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty,
+      s"engine sample diverges from the scala replay (${diffs.length} rows):\n  " +
+        diffs.take(5).map { case (a, b) => s"engine=$a replay=$b" }.mkString("\n  "))
+    // weight bias: an E-S draw favors heavy docs — the sampled mean quality
+    // must exceed the corpus mean (deterministic on this fixture)
+    val corpusMean = wByDoc.values.sum / wByDoc.size
+    val sampleMean = rows.map(_._2).sum / rows.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — draw not weight-proportional")
+  }
+
+  test("sp18 selection plan is TakeOrderedAndProject, never a global sort") {
+    val p = graft.SparkEntry.queries("sp18_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
