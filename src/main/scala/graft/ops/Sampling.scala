@@ -100,6 +100,23 @@ object Sampling {
   /** Tokens per packed shard (whitespace tokens, the tx03 definition). */
   private[ops] val ShardTokens = 4096L // shared with pp03's survivor packing
 
+  /** sp18's Efraimidis-Spirakis draw ingredients, shared with the streaming
+    * twin ([[graft.streaming.StreamingWeightedSample]]) so batch and stream
+    * provably score every document identically: w = tx02's quality score
+    * (the pp01 shared builder), u = LCG integer math on doc_id mapped into
+    * (0, 1], key = −ln(u)/w (smaller is better; selection keeps the k
+    * smallest). Engine-exact: integer u; Spark's Log evaluates via
+    * StrictMath.log (pinned in SamplingSpec's replay). doc_id*a stays inside
+    * Long for ids < 8.4e9; a 100 TB id space swaps in a 64-bit mix behind
+    * the same column. */
+  private[graft] def esWeightCol: Column = TextOps.qualityCol
+  private[graft] def esKeyCol: Column = {
+    val m = 2147483647L
+    val u = (((col("doc_id") * 1103515245L + 12345L) % m) + 1L).cast("double") /
+      lit(m + 1L).cast("double")
+    -log(u) / esWeightCol
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- sp01: deterministic train/val/test split (80/10/10 by doc hash) ----
     Q("sp01_hash_split",
@@ -250,11 +267,8 @@ object Sampling {
     Q("sp18_weighted_sample",
       (s, d) => {
         val N = 200
-        val m = 2147483647L
-        val u = (((col("doc_id") * 1103515245L + 12345L) % m) + 1L).cast("double") / lit(m + 1L).cast("double")
-        val w = TextOps.qualityCol
         t(s, d, "documents")
-          .select(col("doc_id"), col("source"), w.as("w"), (-log(u) / w).as("k"))
+          .select(col("doc_id"), col("source"), esWeightCol.as("w"), esKeyCol.as("k"))
           .orderBy(col("k"), col("doc_id")).limit(N)
           .orderBy(col("doc_id"))
       },
