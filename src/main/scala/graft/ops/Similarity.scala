@@ -1348,7 +1348,11 @@ object Similarity {
           .select(col("vec_id"), col("aid").cast("bigint").as("aid"), col("code"))
         val served = ivfAdcServe(s, d, idx)
           .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-        val pv = pqVecs(s, d).select(col("vec_id"), col("vec"))
+        // spread: the exact arm does queries x corpus x dim work directly on
+        // the scan partitioning, and the fixture is one parquet split — the
+        // sf1 smoke showed the whole brute-force pass as a single 2.7 s task
+        // without it (the Tables.spread precondition exactly)
+        val pv = Tables.spread(pqVecs(s, d).select(col("vec_id"), col("vec")))
         val qv = broadcast(pv.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("vec").as("q_vec")))
         // exact arm: same metric (L2^2), same tie-break (d2 asc, id asc)
