@@ -179,6 +179,30 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkCh02(sfDir)
   }
 
+  test("seeded random-text fuzz: kernel score and packing fold match the references on 300 draws") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(0xC1F13L)
+    val pool = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.,;:!?#   "
+    val texts = Seq.tabulate(300) { _ =>
+      val n = rnd.nextInt(200)
+      String.valueOf(Array.fill(n)(pool.charAt(rnd.nextInt(pool.length))))
+    }.filter(_.trim.nonEmpty) // all-space draws: split("") shapes are pinned in the crafted test
+    val df = texts.toDF("text")
+    val rows = df.select(col("text"),
+      graft.spark.ClfExpressions.clfScore(col("text"),
+        TextOps.clfUniW, TextOps.clfBiW, TextOps.ClfBias).as("s"),
+      transform(split(trim(col("text")), "\\s+"),
+        x => graft.spark.BpeExpressions.bpeCount(x, TextOps.BpeMerges)).as("c")).collect()
+    assert(rows.length >= 250, "fuzz corpus unexpectedly small")
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getDouble(1) == refScore(t)._2, s"kernel score diverges on '$t'")
+      val cs = t.trim.split("\\s+", -1).toSeq.map(refWordCount)
+      assert(r.getSeq[Long](2) == cs, s"per-word counts diverge on '$t'")
+    }
+  }
+
   test("ch02 crafted adversaries: oversized word, exact-fit boundary, multi-level merges") {
     checkCh02(craftedDir)
     val rows = graft.SparkEntry.queries("ch02_token_chunks")(spark, craftedDir)
