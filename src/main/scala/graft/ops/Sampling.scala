@@ -106,13 +106,14 @@ object Sampling {
     * (the pp01 shared builder), u = LCG integer math on doc_id mapped into
     * (0, 1], key = −ln(u)/w (smaller is better; selection keeps the k
     * smallest). Engine-exact: integer u; Spark's Log evaluates via
-    * StrictMath.log (pinned in SamplingSpec's replay). doc_id*a stays inside
-    * Long for ids < 8.4e9; a 100 TB id space swaps in a 64-bit mix behind
-    * the same column. */
+    * StrictMath.log (pinned in SamplingSpec's replay). The id is reduced
+    * mod M BEFORE the multiply — (id % M)*a < 2^61, so the fold can never
+    * overflow Long (or DuckDB's BIGINT) at any id, and the value is
+    * unchanged (x*a ≡ (x%M)*a mod M). */
   private[graft] def esWeightCol: Column = TextOps.qualityCol
   private[graft] def esKeyCol: Column = {
     val m = 2147483647L
-    val u = (((col("doc_id") * 1103515245L + 12345L) % m) + 1L).cast("double") /
+    val u = ((((col("doc_id") % m) * 1103515245L + 12345L) % m) + 1L).cast("double") /
       lit(m + 1L).cast("double")
     -log(u) / esWeightCol
   }
@@ -273,7 +274,7 @@ object Sampling {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH r AS (SELECT doc_id, source, ${TextOps.qualitySql} AS w,
-              -ln((((doc_id * 1103515245 + 12345) % 2147483647) + 1)::DOUBLE
+              -ln(((((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) + 1)::DOUBLE
                   / 2147483648) / (${TextOps.qualitySql}) AS k
             FROM documents ORDER BY k, doc_id LIMIT 200)
         SELECT doc_id, source, w, k FROM r ORDER BY doc_id""")),

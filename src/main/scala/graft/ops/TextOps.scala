@@ -825,8 +825,12 @@ object TextOps {
     // admission decision StreamingIngest.classifierGate applies.
     Q("tx13_quality_classifier",
       (s, d) => {
+        // n_words needs its own split (the score kernel keeps the word
+        // count internal); trim-only — lowercasing can't change whitespace,
+        // so the count matches the oracle's lowered split at half the cost
         Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), size(clfWordsCol).cast("bigint").as("n_words"),
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_words"),
             clfScoreCol.as("clf_score"))
           .select(col("doc_id"), col("n_words"), col("clf_score"),
             when(col("clf_score") >= 0, 1).otherwise(0).as("keep"))

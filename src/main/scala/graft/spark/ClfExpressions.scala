@@ -23,10 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * last-char step, and accumulates the unigram and bigram folds as two
   * separate left-to-right double sums in word order — the exact IEEE
   * operation order of the two aggregate() calls it replaces — then one
-  * add and one divide. ASCII contract on ascii(): both formulations score
-  * the first BYTE of a char (Spark's Ascii semantics), which equals the
-  * codepoint only for ASCII — the tx13/oracle contract (the DuckDB oracle
-  * uses codepoints, identical on the ASCII corpora; see the tx13 note).
+  * add and one divide. ascii() is Spark 4's codepoint semantics (measured;
+  * DuckDB's ascii agrees), so kernel == compose == oracle on any UTF-8
+  * text, and the hash index is provably non-negative.
   *
   * Weights ride codegen as TWO broadcast-referenced double[64] tables +
   * a bias constant; a learned 2^20-bucket production table swaps in
@@ -69,13 +68,19 @@ object ClfScore {
   /** The whitespace tokenizer pattern StringSplit would compile. */
   private val WsPattern = UTF8String.fromString("\\s+")
 
-  /** Spark Ascii semantics: signed first BYTE (0 for empty) — what the
-    * Column compose's ascii() computes; codepoint-equal on ASCII. */
-  private def asciiOf(w: UTF8String): Int =
-    if (w.numBytes() > 0) w.getByte(0).toInt else 0
+  /** Spark Ascii semantics (4.x): the Unicode CODEPOINT of the first
+    * character, 0 for empty — measured against the ascii() expression
+    * (é → 233, € → 8364), and the same thing DuckDB's ascii() returns, so
+    * the hash is engine-exact on ANY UTF-8 text, not just ASCII. */
+  private def asciiOf(w: UTF8String): Int = {
+    val c = w.substring(0, 1)
+    if (c.numBytes() > 0) c.toString.codePointAt(0) else 0
+  }
 
   /** Word feature hash — the Column formulation verbatim:
-    * len*31 + ascii(first)*17 + ascii(substr(w, len(w), 1))*7 mod 64. */
+    * len*31 + ascii(first)*17 + ascii(substr(w, len(w), 1))*7 mod 64.
+    * Codepoints and lengths are non-negative, so % never goes negative
+    * and the table index is always in range — the kernel is TOTAL. */
   private def hash(w: UTF8String): Int = {
     val n = w.numChars()
     (n * 31 + asciiOf(w) * 17 + asciiOf(w.substringSQL(n, 1)) * 7) % Buckets

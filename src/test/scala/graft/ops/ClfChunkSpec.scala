@@ -105,12 +105,13 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ClfScore kernel == the HOF compose bitwise (corpus + adversaries, both eval paths)") {
     val sp = spark
     import sp.implicits._
-    // ASCII adversaries only: the ascii() contract (first byte == codepoint)
-    // is the documented tx13/oracle scope — see the ClfScore scaladoc
+    // incl. non-ASCII: ascii() is codepoint semantics on both formulations
+    // (and in DuckDB), so the agreement holds on any UTF-8 text
     val adversaries = Seq(
       "", " ", "  a  b ", "a", "the and ing", "word",
       "MiXeD CaSe WORDS", "punct, marks! here?", "   leading", "trailing   ",
-      "a  b   c    d", "1 22 333 4444 55555", "!@# $%^ &*(")
+      "a  b   c    d", "1 22 333 4444 55555", "!@# $%^ &*(",
+      "étude naïve café", "€100 øre 北京 emoji🙂end", "Ärger straße")
     val corpus = Tables.t(spark, sfDir, "documents").select(col("text"))
     val crafted = (adversaries.map(Option(_)) :+ None).toDF("text")
     for (df <- Seq(corpus, crafted)) {

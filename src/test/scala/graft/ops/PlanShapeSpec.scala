@@ -575,7 +575,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // from ss14 and already pinned there; the exact arm adds none, so the
     // window count must not exceed ss14's
     val pServe = plan("ss14_ivf_probe")
-    assert(p.split("row_number").length <= pServe.split("row_number").length + 1,
+    assert(p.split("row_number").length <= pServe.split("row_number").length,
       "exact ground truth must not add window ranks\n" + p.take(3000))
   }
 

@@ -334,7 +334,7 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val m = 2147483647L
     def key(id: Long, w: Double): Double = {
-      val u = (((id * 1103515245L + 12345L) % m) + 1L).toDouble / (m + 1L).toDouble
+      val u = ((((id % m) * 1103515245L + 12345L) % m) + 1L).toDouble / (m + 1L).toDouble
       // StrictMath, not Math: Spark's Log expression evaluates via
       // StrictMath.log, which can differ from the intrinsic by one ulp
       -StrictMath.log(u) / w
