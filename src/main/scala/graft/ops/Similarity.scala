@@ -143,8 +143,14 @@ object Similarity {
     * their own projection (the withShingles lesson: HOF lambdas get no CSE,
     * so slicing inside the argmin lambda would re-slice per (m, j) step). */
   private[ops] def pqVecs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("vec_id"), asD(col("embedding")).as("vec"))
+    pqVecsOf(t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** The same (vec_id, vec, subs) projection over an ARBITRARY
+    * (vec_id, embedding) relation — what the ingest→index composition
+    * ([[graft.streaming.StreamingIngest.ingestStreamIndexed]]) applies to
+    * each micro-batch's admitted rows before [[AnnIndex.appendBatch]]. */
+  private[graft] def pqVecsOf(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), asD(col("embedding")).as("vec"))
       .withColumn("subs", transform(sequence(lit(0), lit(PqM - 1)), m =>
         slice(col("vec"), m * lit(PqSubDim) + lit(1), lit(PqSubDim))))
 
@@ -534,27 +540,60 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("tb", "code")))
       .groupBy(col("tb"), col("code")).agg(count(lit(1)).as("occ"))
 
-  /** ss14's full DuckDB serve replay (anchors → assignment → probes →
-    * codebook → codes → ADC candidates → exact rescore → top-5), shared
-    * with ss17's recall harness so both replay ONE serve definition. */
-  private[ops] val ss14ServeOracleSql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-          a AS (SELECT vec_id AS aid, vec AS av FROM v
-                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
+  /** Bound on the recall harness's query-set size (ss17/ss18): the exact
+    * arm broadcasts the query set and does q×corpus×dim work, so its size
+    * must be bounded BY CONSTRUCTION, not by a comment — the round-13
+    * advice. [[recallQueryMod]] widens the canonical %100 stride in
+    * multiples of 100 once the corpus outgrows 100·MaxRecallQueries rows,
+    * so the harness queries stay a SUBSET of the %100 serving set and
+    * their count never exceeds ~MaxRecallQueries at any corpus size.
+    * Inert at every oracle fixture (stride stays exactly 100 below
+    * 409,600 rows), and the DuckDB oracles replay the same scalar-subquery
+    * stride, so growth in the fixture moves both sides together. */
+  private[ops] val MaxRecallQueries = 4096L
+
+  private[ops] def recallQueryMod(n: Long): Long =
+    100L * math.max(1L, n / (100L * MaxRecallQueries))
+
+  /** The harness query-id relation: every recallQueryMod-th vector. */
+  private[ops] def recallQueryIds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"))
+      .filter(col("vec_id") %
+        recallQueryMod(Tables.rowCount(s, d, "embeddings")) === 0)
+      .select(col("vec_id").as("q_id"))
+
+  /** [[recallQueryMod]] as a DuckDB scalar subquery (100·4096 = 409600). */
+  private[ops] val RecallQStrideSql =
+    "(100 * greatest(1, (SELECT count(*) FROM embeddings) // 409600))"
+
+  /** The full DuckDB IVFADC serve replay (anchors → assignment → probes →
+    * codebook → codes → ADC candidates → exact rescore → top-5),
+    * parameterized on (a) `art`, the ARTIFACT source relation — `v` for
+    * the one-shot ss13/ss14 index whose anchors/codebook derive from the
+    * whole corpus, `vi` (the first-half init slice) for the incremental
+    * ss16 log whose artifacts are FROZEN at init — and (b) `qStride`, the
+    * query-id stride expression. ONE serve definition replayed by ss14,
+    * ss17's recall harness, and ss18's incremental-recall harness, so the
+    * engines can never drift onto different serve semantics. */
+  private[ops] def serveOracleSql(art: String, qStride: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          vi AS (SELECT * FROM v WHERE vec_id < (SELECT count(*) FROM v) // 2),
+          a AS (SELECT vec_id AS aid, vec AS av FROM $art
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM $art) // 4096) = 7),
           asn AS (SELECT vec_id, aid FROM (
               SELECT v.vec_id, a.aid,
                 row_number() OVER (PARTITION BY v.vec_id
                   ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
               FROM v CROSS JOIN a) WHERE rn = 1),
-          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % 100 = 0),
+          q AS (SELECT vec_id AS q_id, vec AS qv FROM v WHERE vec_id % $qStride = 0),
           probes AS (SELECT q_id, aid FROM (
               SELECT q.q_id, a.aid,
                 row_number() OVER (PARTITION BY q.q_id
                   ORDER BY list_cosine_similarity(q.qv, a.av) DESC, a.aid) AS rn
               FROM q CROSS JOIN a) WHERE rn <= 4),
-          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
-                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
-                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM $art) // 256) AS INT) AS j, vec
+                 FROM $art WHERE vec_id % greatest(2, (SELECT count(*) FROM $art) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM $art) // 256)),
           xd AS (SELECT v.vec_id, m.m, c.j,
                    list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
                               * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
@@ -565,7 +604,7 @@ object Similarity {
                         row_number() OVER (PARTITION BY vec_id, m
                           ORDER BY dd ASC, j ASC) AS rn
                       FROM xd) WHERE rn = 1),
-          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % 100 = 0),
+          qd AS (SELECT vec_id AS q_id, m, j, dd FROM xd WHERE vec_id % $qStride = 0),
           candv AS (SELECT p.q_id, s.vec_id
                     FROM probes p JOIN asn s USING (aid)
                     WHERE s.vec_id <> p.q_id),
@@ -591,6 +630,69 @@ object Similarity {
                      FROM resc)
         SELECT q_id, vec_id AS neighbor_id, adc, d2, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** ss14's serve replay: one-shot artifacts, the canonical %100 queries. */
+  private[ops] val ss14ServeOracleSql: String = serveOracleSql("v", "100")
+
+  /** The recall-harness oracle around a given served-relation SQL: exact
+    * L2² top-5 ground truth (same metric and tie-break as the serve
+    * path's rescore) over the bounded harness query set, left-joined to
+    * the served answers — per-query hit count + recall@5. Shared by ss17
+    * (one-shot index) and ss18 (incremental log-backed index). */
+  private[ops] def recallOracleSql(servedSql: String): String =
+    s"""WITH served AS (SELECT q_id, neighbor_id FROM ($servedSql)),
+          v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          q2 AS (SELECT vec_id AS q_id, vec AS qv FROM v2
+                 WHERE vec_id % $RecallQStrideSql = 0),
+          ex AS (SELECT q_id, vec_id FROM (
+              SELECT q2.q_id, v2.vec_id,
+                row_number() OVER (PARTITION BY q2.q_id
+                  ORDER BY list_sum(list_transform(range(1, 65), i ->
+                    (q2.qv[i] - v2.vec[i]) * (q2.qv[i] - v2.vec[i]))) ASC,
+                    v2.vec_id) AS rank
+              FROM q2 JOIN v2 ON v2.vec_id <> q2.q_id) WHERE rank <= 5),
+          hits AS (SELECT e.q_id,
+              CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM ex e LEFT JOIN served s
+              ON s.q_id = e.q_id AND s.neighbor_id = e.vec_id
+            GROUP BY e.q_id)
+        SELECT q_id, n_hits, n_hits::DOUBLE / 5 AS recall_at_5
+        FROM hits ORDER BY q_id"""
+
+  /** The recall@5 harness body shared by ss17 and ss18: exact L2² top-5
+    * over the bounded harness query set ([[recallQueryIds]]) vs a given
+    * served relation. The exact arm is deliberately brute-force (it IS
+    * the ground truth): queries broadcast (≤ [[MaxRecallQueries]] by
+    * construction), the corpus streams map-only into the bounded TopK
+    * heap — one shuffle of q_id-keyed partials, never a pair
+    * materialization, never a window sort. */
+  private def recallHarness(s: SparkSession, d: String, served0: DataFrame): DataFrame = {
+    val served = served0.select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    // spread: the exact arm does queries x corpus x dim work directly on
+    // the scan partitioning, and the fixture is one parquet split — the
+    // sf1 smoke showed the whole brute-force pass as a single 2.7 s task
+    // without it (the Tables.spread precondition exactly)
+    val pv = Tables.spread(pqVecs(s, d).select(col("vec_id"), col("vec")))
+    val qv = broadcast(pv.join(broadcast(recallQueryIds(s, d)),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("vec").as("q_vec")))
+    // exact arm: same metric (L2^2), same tie-break (d2 asc, id asc)
+    // as the serve path's rescore; bounded heap, never a window sort
+    val exact = qv.join(pv, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        pqSqd(col("q_vec"), col("vec")).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(graft.spark.TopKAggregate.topkByDouble(
+        -col("d2"), col("vec_id"), PqTopK).as("top"))
+      .select(col("q_id"), explode(col("top")).as("e"))
+      .select(col("q_id"), col("e.id").as("neighbor_id"))
+    exact.join(served, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / PqTopK).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
 
   val entries: Seq[Q] = Seq(
     // ---- ss01: brute-force cosine top-5 per query vector (exact oracle) ----
@@ -1346,49 +1448,32 @@ object Similarity {
         val dir = ensureIvfIndex(s, d)
         val idx = s.read.parquet(dir)
           .select(col("vec_id"), col("aid").cast("bigint").as("aid"), col("code"))
-        val served = ivfAdcServe(s, d, idx)
-          .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-        // spread: the exact arm does queries x corpus x dim work directly on
-        // the scan partitioning, and the fixture is one parquet split — the
-        // sf1 smoke showed the whole brute-force pass as a single 2.7 s task
-        // without it (the Tables.spread precondition exactly)
-        val pv = Tables.spread(pqVecs(s, d).select(col("vec_id"), col("vec")))
-        val qv = broadcast(pv.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("q_id"), col("vec").as("q_vec")))
-        // exact arm: same metric (L2^2), same tie-break (d2 asc, id asc)
-        // as the serve path's rescore; bounded heap, never a window sort
-        val exact = qv.join(pv, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            pqSqd(col("q_vec"), col("vec")).as("d2"))
-          .groupBy(col("q_id"))
-          .agg(graft.spark.TopKAggregate.topkByDouble(
-            -col("d2"), col("vec_id"), PqTopK).as("top"))
-          .select(col("q_id"), explode(col("top")).as("e"))
-          .select(col("q_id"), col("e.id").as("neighbor_id"))
-        exact.join(served, Seq("q_id", "neighbor_id"), "left")
-          .groupBy(col("q_id"))
-          .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"))
-          .select(col("q_id"), col("n_hits"),
-            (col("n_hits").cast("double") / PqTopK).as("recall_at_5"))
-          .orderBy(col("q_id"))
+        // serve the HARNESS query set (the bounded recallQueryIds sample,
+        // = the canonical %100 set at every oracle fixture) so the whole
+        // harness — served arm included — is bounded by construction
+        recallHarness(s, d, ivfAdcServeFor(s, d, idx, recallQueryIds(s, d)))
       },
-      Some(s"""WITH served AS (SELECT q_id, neighbor_id FROM ($ss14ServeOracleSql)),
-          v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-          q2 AS (SELECT vec_id AS q_id, vec AS qv FROM v2 WHERE vec_id % 100 = 0),
-          ex AS (SELECT q_id, vec_id FROM (
-              SELECT q2.q_id, v2.vec_id,
-                row_number() OVER (PARTITION BY q2.q_id
-                  ORDER BY list_sum(list_transform(range(1, 65), i ->
-                    (q2.qv[i] - v2.vec[i]) * (q2.qv[i] - v2.vec[i]))) ASC,
-                    v2.vec_id) AS rank
-              FROM q2 JOIN v2 ON v2.vec_id <> q2.q_id) WHERE rank <= 5),
-          hits AS (SELECT e.q_id,
-              CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-            FROM ex e LEFT JOIN served s
-              ON s.q_id = e.q_id AND s.neighbor_id = e.vec_id
-            GROUP BY e.q_id)
-        SELECT q_id, n_hits, n_hits::DOUBLE / 5 AS recall_at_5
-        FROM hits ORDER BY q_id""")),
+      Some(recallOracleSql(serveOracleSql("v", RecallQStrideSql)))),
+
+    // ---- ss18: recall of the INCREMENTAL index — the number that tells  ----
+    // ---- a deployment when to retrain. ss17 measures the one-shot ss13  ----
+    // ---- build; the index whose recall actually DEGRADES is the ss16    ----
+    // ---- log-backed one, whose anchors/codebook are frozen on the       ----
+    // ---- first-half corpus while appends keep landing (AnnIndex's       ----
+    // ---- documented drift trade). Same harness, same exact arm, served  ----
+    // ---- relation = AnnIndex.serveFromLog over the committed view —     ----
+    // ---- generation + tail — against the FROZEN artifacts. The oracle   ----
+    // ---- re-derives those artifacts from ids < n/2 ONLY (the ss16       ----
+    // ---- stance), so an engine that silently retrained on the grown     ----
+    // ---- corpus would serve different answers and hash-mismatch.        ----
+    // ---- SimilarityRecallSpec pins the measured drift vs ss17's number. ----
+    Q("ss18_incremental_recall",
+      (s, d) => {
+        val dir = AnnIndex.ensureDriverLog(s, d)
+        recallHarness(s, d,
+          AnnIndex.serveFromLog(s, d, dir, recallQueryIds(s, d)))
+      },
+      Some(recallOracleSql(serveOracleSql("vi", RecallQStrideSql)))),
 
     // ---- ss16: INCREMENTAL index maintenance — the ingest-to-index      ----
     // ---- composition: admission batches land in the stored IVFADC index ----

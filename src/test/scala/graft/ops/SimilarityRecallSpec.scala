@@ -172,6 +172,28 @@ class SimilarityRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.unpersist()
   }
 
+  test("ss18 incremental-index recall vs ss17 one-shot recall — the drift measurement") {
+    // The ss16 log's artifacts are FROZEN on the first-half corpus, so its
+    // recall is a DIFFERENT number from ss17's (whose index trains on the
+    // full corpus) — this is the number a deployment watches to decide when
+    // to trigger the periodic full retrain (AnnIndex's documented trade).
+    // Direction is corpus-dependent: the frozen init slice yields FEWER
+    // anchors (stride floors), so each probed bucket holds MORE of the
+    // corpus — recall can come out HIGHER at higher serve cost (measured
+    // +0.12 at sf0.01), while at sf0.1 the two measure equal (0.38 vs
+    // 0.39). The pin is a floor + a band around the one-shot number:
+    // real drift (artifacts pathologically stale) blows past both.
+    def meanRecall(name: String): Double =
+      SparkEntry.queries(name)(spark, sfDir)
+        .agg(avg(col("recall_at_5"))).head().getDouble(0)
+    val oneShot = meanRecall("ss17_ann_recall")
+    val incremental = meanRecall("ss18_incremental_recall")
+    assert(incremental >= 0.5,
+      s"incremental-index recall@5 = $incremental — below the 0.5 floor (measured 0.68)")
+    assert(math.abs(incremental - oneShot) <= 0.25,
+      s"incremental recall $incremental drifted more than 0.25 from one-shot $oneShot")
+  }
+
   test("ss15 semi-hard negatives match an independent scala replay exactly") {
     val rows = SparkEntry.queries("ss15_hard_negatives")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
