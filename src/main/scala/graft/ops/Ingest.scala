@@ -348,6 +348,67 @@ object Ingest {
     Seq(flagged, exact, bandRows, candIds, admit).foreach(_.unpersist(false))
   }
 
+  /** The admitted doc_ids of a COMMITTED batch, readable under replay even
+    * after the slice was folded into a generation: a tail slice reads its
+    * own `admitted/batch_id=N` directory; a compacted batch resolves
+    * through the view's admitted relation semi-joined with the batch's own
+    * candidate ids (doc_ids are globally unique under the store's
+    * exactly-once contract, so the intersection IS that batch's admitted
+    * set). Never RECOMPUTES admission — the store is the authority, so a
+    * replay can never disagree with what was committed. */
+  private[graft] def admittedIds(s: SparkSession, dir: String, batchId: Long,
+                                 batchDocIds: DataFrame): DataFrame = {
+    val view = storeView(s, dir)
+    require(view.isCommitted(batchId),
+      s"admittedIds($dir, batch $batchId): batch is not committed")
+    if (view.tail.contains(batchId))
+      s.read.parquet(bdir(dir, "admitted", batchId)).select(col("doc_id"))
+    else
+      readCommitted(s, dir, "admitted", view,
+        "doc_id BIGINT, source STRING, tokens BIGINT")
+        .select(col("doc_id"))
+        .join(batchDocIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** One micro-batch through BOTH committed-batch logs — corpus admission
+    * ([[ingestBatch]]) and the incremental ANN index ([[AnnIndex.appendBatch]])
+    * — under the SAME batch id, so ingest and index share one exactly-once
+    * discipline instead of running side by side.
+    *
+    * Cross-store commit ORDER: the ADMISSION commit (stats `_SUCCESS`)
+    * lands first, the CODES commit second. Both stores are idempotent per
+    * batch id, so a crash anywhere replays cleanly:
+    *   - before the admission commit → both stores rerun (partial writes
+    *     overwritten);
+    *   - BETWEEN the two commits → admission no-ops (committed) and the
+    *     index append re-derives the admitted set FROM THE STORE
+    *     ([[admittedIds]] — never a recomputation of admission, so the two
+    *     stores cannot disagree on membership across replays) and commits;
+    *   - after both → both no-op.
+    *
+    * `batch` must carry (doc_id, source, text, embedding): embeddings ride
+    * the stream's own payload (map-only), while the index ARTIFACTS are
+    * frozen at init ([[AnnIndex.ensureArtifacts]], required before the
+    * first batch — refusing loudly beats silently training per-batch
+    * artifacts that would re-bucket every earlier slice). */
+  def ingestAndIndexBatch(s: SparkSession, corpusDir: String, indexDir: String,
+                          batch: DataFrame, batchId: Long,
+                          bucketCap: Long = BucketCap,
+                          modelGates: Seq[ModelGate] = Seq.empty): Unit = {
+    require(AnnIndex.artifactsReady(s, indexDir),
+      s"AnnIndex artifacts at $indexDir are not committed — freeze them from " +
+        "an init corpus (AnnIndex.ensureArtifacts) before streaming ingest")
+    ingestBatch(s, corpusDir, batch, batchId, bucketCap, modelGates)
+    if (!AnnIndex.view(s, indexDir).isCommitted(batchId)) {
+      val ids = admittedIds(s, corpusDir, batchId,
+        batch.select(col("doc_id").cast("long").as("doc_id")))
+      val pv = Similarity.pqVecsOf(batch.select(
+          col("doc_id").cast("long").as("vec_id"), col("embedding")))
+        .join(ids.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      AnnIndex.appendBatch(s, indexDir, pv, batchId)
+    }
+  }
+
   /** Fold the contiguous committed batch prefix — and the previous
     * committed generation, if any — into a new generation `compact/gen=G`,
     * re-clustered by each store's probe key (`repartitionByRange` +

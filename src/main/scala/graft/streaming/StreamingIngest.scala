@@ -51,6 +51,28 @@ object StreamingIngest {
     checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)).start()
   }
 
+  /** [[ingestStream]] composed with the incremental ANN index: each
+    * micro-batch runs corpus admission AND lands its admitted docs' PQ
+    * codes as an index append slice under the SAME batch id —
+    * [[graft.ops.Ingest.ingestAndIndexBatch]]'s two-store commit-order
+    * contract (admission commit first, codes commit second; a crash
+    * between them replays cleanly because the index append re-reads the
+    * admitted set from the committed store). Input rows must carry
+    * (doc_id, source, text, embedding); the index artifacts must already
+    * be frozen ([[graft.ops.AnnIndex.ensureArtifacts]]) — the same
+    * checkpoint-durability caveat as [[ingestStream]] applies. */
+  def ingestStreamIndexed(docs: DataFrame, dir: String, indexDir: String,
+                          checkpointLocation: Option[String] = None,
+                          modelGates: Seq[graft.ops.Ingest.ModelGate] = Seq.empty): StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Ingest.ingestAndIndexBatch(batch.sparkSession, dir, indexDir,
+          batch, batchId, modelGates = modelGates)
+      }
+    checkpointLocation.fold(w)(loc => w.option("checkpointLocation", loc)).start()
+  }
+
   /** DSIR threshold gate (the sp14/[[StreamingDsir]] scorer as an admission
     * stage): keep docs whose frozen-model LLR score clears `minScore` — the
     * paper's importance-resampling acceptance by weight, map-only (a

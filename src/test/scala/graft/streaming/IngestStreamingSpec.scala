@@ -459,17 +459,18 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
-  test("capstone tie: pp04-style batch stage composition equals StreamingIngest with both model gates on one batch") {
+  test("capstone tie: pp04-style batch stage composition equals StreamingIngest with all THREE model gates on one batch") {
     // The two capstones meet: the BATCH tier's pp04 stage pattern (ONE
     // corpus pass computing every gate input, stage flags as conditional
     // columns on it, id-only drop sets attached by left joins —
     // Pipeline.scala's discipline) composed here as a declarative DataFrame
     // query over the SAME shared builders, vs the STREAMING capstone
-    // (StreamingIngest with the DSIR + perplexity model gates) ingesting
-    // the same corpus as ONE micro-batch into an empty store. Under the
-    // narrowed equality contract (Ingest.scala: no bucket over the census
-    // cap; one batch, so no cross-batch dup chains and no stored side) the
-    // admission SETS and the attrition row must be equal exactly.
+    // (StreamingIngest with the full three-gate chain: DSIR + perplexity
+    // band + the tx13 quality classifier) ingesting the same corpus as ONE
+    // micro-batch into an empty store. Under the narrowed equality
+    // contract (Ingest.scala: no bucket over the census cap; one batch, so
+    // no cross-batch dup chains and no stored side) the admission SETS and
+    // the attrition row must be equal exactly.
     val sp = spark
     import sp.implicits._
     import org.apache.spark.sql.functions._
@@ -497,6 +498,11 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
     PerplexityStore.build(spark, corpusDir, s"$corpusDir/lm")
     val m = PerplexityStore.load(spark, s"$corpusDir/lm")
+    // the THIRD gate (tx13 classifier), operating point at the corpus
+    // median score so it provably cuts beyond the first two
+    val clfSorted = corpusDf.select(graft.ops.TextOps.clfScoreCol.as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    val clfThr = clfSorted(clfSorted.length / 2)
 
     // ---- graft a deterministic dedup pivot: the model gates decide by
     // TEXT (frozen artifacts), so which fixture docs survive them is not
@@ -516,7 +522,9 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       val ppxIds = PerplexityStore.score(df, m).filter(col("keep"))
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-      langIds & dsirIds & ppxIds
+      val clfIds = df.filter(graft.ops.TextOps.clfScoreCol >= clfThr)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      langIds & dsirIds & ppxIds & clfIds
     }
     val basePass = gateKeep(corpus)
     val baseDocs = features(corpus).map(d => d.id -> d).toMap
@@ -546,10 +554,14 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (graft.ops.Dsir.scoreCol(wmap, dflt) >= minScore).as("dsir_ok"))
     val ppxOk = PerplexityStore.score(corpusAllDf, m)
       .select(col("doc_id"), col("keep").as("ppx_ok"))
+    val clfOk = corpusAllDf.select(col("doc_id"),
+      (graft.ops.TextOps.clfScoreCol >= clfThr).as("clf_ok"))
     val wFp = Window.partitionBy(col("fp")).orderBy(col("gate_ok").desc, col("doc_id"))
     val flagged = Ingest.flaggedBatch(corpusAllDf)
       .join(dsirOk, Seq("doc_id")).join(ppxOk, Seq("doc_id"))
-      .withColumn("gate_ok", col("lang_ok") && col("dsir_ok") && col("ppx_ok"))
+      .join(clfOk, Seq("doc_id"))
+      .withColumn("gate_ok",
+        col("lang_ok") && col("dsir_ok") && col("ppx_ok") && col("clf_ok"))
       .withColumn("uniq", col("gate_ok") && row_number().over(wFp) === 1)
       .persist()
     val bandRows = flagged.filter(col("uniq"))
@@ -584,11 +596,17 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       count_if(col("lang_ok")).as("n_lang"), count_if(col("uniq")).as("n_exact"),
       count_if(col("admit")).as("n_admitted")).collect()(0)
 
-    // non-vacuity: every stage of the composition fires on the fixture
+    // non-vacuity: every stage of the composition fires on the fixture —
+    // including the CLASSIFIER specifically (a doc the first two gates
+    // kept must die at the third, or the tie never exercises tx13)
     val gateDropped = admitted.filter(col("lang_ok") && !col("gate_ok")).count()
+    val clfDropped = admitted.filter(
+      col("lang_ok") && col("dsir_ok") && col("ppx_ok") && !col("clf_ok")).count()
     val exactDropped = admitted.filter(col("gate_ok") && !col("uniq")).count()
     val ndDropped = admitted.filter(col("uniq") && !col("admit")).count()
     assert(gateDropped > 0, "model gates inert on the fixture")
+    assert(clfDropped > 0,
+      s"classifier gate inert in the capstone tie (thr=$clfThr)")
     assert(exactDropped > 0, "exact dedup inert on the fixture")
     assert(ndDropped > 0, "near-dup screen inert on the fixture")
     assert(batchSet.nonEmpty, "capstone tie is vacuous: nothing admitted")
@@ -599,7 +617,8 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = input.toDF().toDF("doc_id", "source", "text")
     val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
       StreamingIngest.dsirGate(wmap, dflt, minScore),
-      StreamingIngest.perplexityGate(m)))
+      StreamingIngest.perplexityGate(m),
+      StreamingIngest.classifierGate(clfThr)))
     try {
       input.addData(corpusAll: _*)
       query.processAllAvailable()
@@ -616,6 +635,102 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       query.stop()
       Seq(flagged, bandRows, admitted).foreach(_.unpersist(false))
     }
+  }
+
+  test("ingest→index composition: admission batches land as index slices under the same batch id; a crash between the two commits replays cleanly") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.ops.{AnnIndex, Similarity}
+
+    // deterministic 64-dim embeddings as ONE Spark expression over doc_id —
+    // the same column feeds the stream, the one-shot reference log, and the
+    // faux embeddings table, so every arm sees identical vectors
+    def embCol = transform(sequence(lit(0), lit(63)), i =>
+      pmod(col("doc_id") * lit(37) + i * lit(101), lit(97)).cast("double")
+        / lit(97.0) + lit(0.01))
+
+    val allDf = batches.flatten.toDF("doc_id", "source", "text")
+    // a faux corpus dir so the serve path (probe ranking, query ADC tables,
+    // full-vector rescore) can resolve vectors by id — the spec's stand-in
+    // for the embeddings table the admitted docs came from
+    val embDir = tmpDir("idx_embed")
+    allDf.select(col("doc_id").as("vec_id"),
+        embCol.cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+
+    // artifacts FROZEN from the init corpus before the stream starts (the
+    // composition REFUSES to run without them — frozen-artifact stance)
+    val initPv = Similarity.pqVecsOf(
+      allDf.select(col("doc_id").as("vec_id"), embCol.as("embedding")))
+    val indexDir = tmpDir("idx_log")
+    AnnIndex.ensureArtifacts(spark, indexDir, initPv, batches.flatten.size.toLong)
+
+    val corpusDir = tmpDir("idx_corpus")
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+      .withColumn("embedding", embCol)
+    val query = StreamingIngest.ingestStreamIndexed(docs, corpusDir, indexDir)
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    } finally query.stop()
+
+    val (refAdmitted, _) = runRef(batches)
+    val admittedIds = refAdmitted.map(_._1)
+
+    // (1) the index holds codes for EXACTLY the admitted docs, and every
+    // admission batch id is committed in the index log too
+    def codeSet(dir: String): Set[(Long, Long, Seq[Int])] =
+      AnnIndex.codes(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    val streamed = codeSet(indexDir)
+    assert(streamed.map(_._1) == admittedIds,
+      s"index membership diverges from admission:\n  index=${streamed.map(_._1)}\n  admitted=$admittedIds")
+    val idxView = AnnIndex.view(spark, indexDir)
+    assert(Seq(0L, 1L, 2L).forall(idxView.isCommitted),
+      s"admission batch ids not all committed in the index log: $idxView")
+
+    // (2) the streamed codes equal a ONE-SHOT append of exactly the
+    // admitted corpus against the same frozen artifacts (bit-identical
+    // encode — the IvfAppendSpec equality, now across the composition)
+    val refLog = tmpDir("idx_ref")
+    AnnIndex.ensureArtifacts(spark, refLog, initPv, batches.flatten.size.toLong)
+    val admittedPv = Similarity.pqVecsOf(
+      allDf.filter(col("doc_id").isin(admittedIds.toSeq: _*))
+        .select(col("doc_id").as("vec_id"), embCol.as("embedding")))
+    AnnIndex.appendBatch(spark, refLog, admittedPv, 0L)
+    assert(streamed == codeSet(refLog),
+      "streamed codes diverge from the one-shot append of the admitted corpus")
+
+    // (3) probe answers served from the streamed log == the one-shot log
+    // (the ss14 pipeline against the same frozen artifacts)
+    val qIds = Seq(admittedIds.min, admittedIds.max).toDF("q_id")
+    def serveRows(dir: String): Set[(Long, Long, Int)] =
+      AnnIndex.serveFromLog(spark, embDir, dir, qIds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val servedStreamed = serveRows(indexDir)
+    assert(servedStreamed.nonEmpty, "probe answers vacuously empty")
+    assert(servedStreamed == serveRows(refLog),
+      "probe answers diverge between streamed and one-shot logs")
+
+    // (4) crash BETWEEN the two commits: batch 3's admission commits but
+    // the codes append never runs; the composed replay no-ops admission,
+    // re-derives the admitted set FROM THE STORE, and commits the codes
+    val b3 = Seq((50L, "web", enDoc(ownBody(50L))), (51L, "web", badQuality))
+    val b3df = b3.toDF("doc_id", "source", "text").withColumn("embedding", embCol)
+    graft.ops.Ingest.ingestBatch(spark, corpusDir, b3df, 3L) // the crash point
+    assert(!AnnIndex.view(spark, indexDir).isCommitted(3L),
+      "codes must not be committed at the crash point")
+    graft.ops.Ingest.ingestAndIndexBatch(spark, corpusDir, indexDir, b3df, 3L)
+    assert(AnnIndex.view(spark, indexDir).isCommitted(3L))
+    val afterReplay = codeSet(indexDir).map(_._1)
+    assert(afterReplay == admittedIds + 50L,
+      s"replay must index exactly the admitted docs: $afterReplay")
+    // full replay of a fully-committed batch: both stores no-op
+    graft.ops.Ingest.ingestAndIndexBatch(spark, corpusDir, indexDir, b3df, 3L)
+    assert(codeSet(indexDir).map(_._1) == admittedIds + 50L)
   }
 
   test("compaction folds batches into a committed generation: answers preserved under load, across a crash mid-compaction, and after vacuum") {
