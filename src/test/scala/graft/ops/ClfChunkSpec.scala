@@ -65,9 +65,13 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
   private def clfHashRef(w: String): Int = {
-    val first = if (w.isEmpty) 0 else w.charAt(0).toInt
-    val last = if (w.isEmpty) 0 else w.charAt(w.length - 1).toInt
-    (w.length * 31 + first * 17 + last * 7) % TextOps.ClfBuckets
+    // CODEPOINT-based like the engine (ClfScore hashes UTF8String.numChars
+    // and codePointAt) — a UTF-16 charAt/length reference would silently
+    // depend on the fixture being BMP-only (round-13 advice)
+    val n = w.codePointCount(0, w.length)
+    val first = if (w.isEmpty) 0 else w.codePointAt(0)
+    val last = if (w.isEmpty) 0 else w.codePointBefore(w.length)
+    (n * 31 + first * 17 + last * 7) % TextOps.ClfBuckets
   }
 
   /** (n_words, score) with the engine's exact IEEE operation order:
@@ -84,6 +88,19 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def texts(dir: String): Map[Long, String] =
     Tables.t(spark, dir, "documents").select(col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("classifier score matches the reference on non-BMP text (one codepoint convention)") {
+    // the convention the codepoint-based reference exists for: an astral
+    // char is ONE symbol in the word hash (length, first, last) on both
+    // the engine kernel and this reference
+    val sp = spark
+    import sp.implicits._
+    val x = new String(Character.toChars(0x1D54F))
+    val astral = s"the $x${x}quick ${x}fox$x over $x"
+    val got = Seq(astral).toDF("text")
+      .select(TextOps.clfScoreCol.as("s")).head().getDouble(0)
+    assert(got == refScore(astral)._2, s"engine=$got ref=${refScore(astral)._2}")
+  }
 
   // ---- tx13 ----
 

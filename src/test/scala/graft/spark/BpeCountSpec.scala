@@ -39,10 +39,12 @@ class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     ('e', 's'), ('s', 'e'), ('l', 'l'), ('a', 'n'), (p(8), 'd'))
 
   /** Textbook greedy: repeatedly merge the lowest-rank pair present,
-    * leftmost occurrence first, until no pair applies. */
-  private def greedyRef(text: String): Long = {
-    val rank = pairs.zipWithIndex.map { case ((l, r), k) => ((l, r), k) }.toMap
-    def word(cs: List[Char]): Long = {
+    * leftmost occurrence first, until no pair applies. Operates on
+    * CODEPOINTS (the kernel's symbol domain), so astral-plane chars are
+    * one symbol here too. */
+  private def greedyRef(text: String, tbl: Seq[(Char, Char)] = pairs): Long = {
+    val rank = tbl.zipWithIndex.map { case ((l, r), k) => ((l.toInt, r.toInt), k) }.toMap
+    def word(cs: List[Int]): Long = {
       var t = cs
       var done = false
       while (!done && t.length > 1) {
@@ -50,14 +52,14 @@ class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (present.isEmpty) done = true
         else {
           val best = present.min
-          val (l, r) = pairs(best)
-          val out = scala.collection.mutable.ListBuffer.empty[Char]
+          val (l, r) = (tbl(best)._1.toInt, tbl(best)._2.toInt)
+          val out = scala.collection.mutable.ListBuffer.empty[Int]
           var rest = t
           var merged = false
           while (rest.nonEmpty) {
             rest match {
               case a :: b :: tl if !merged && a == l && b == r =>
-                out += p(best); rest = tl; merged = true // leftmost only
+                out += (BpeCount.PlaceholderBase + best); rest = tl; merged = true // leftmost only
               case a :: tl => out += a; rest = tl
               case Nil =>
             }
@@ -67,7 +69,8 @@ class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       t.length.toLong
     }
-    text.split(" ", -1).filter(_.nonEmpty).map(w => word(w.toList)).sum
+    text.split(" ", -1).filter(_.nonEmpty)
+      .map(w => word(w.codePoints().toArray.toList)).sum
   }
 
   private val rnd = new scala.util.Random(55701L)
@@ -83,12 +86,72 @@ class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
       "thing", "singing", "and", "sand", "in the end", "a  b", " leading",
       "trailing ", "x", "seeds sees essen") ++ (1 to 300).map(_ => randText())
 
-  test("kernel == textbook lowest-rank-first greedy on 320 adversarial/random texts") {
+  test("kernel == textbook lowest-rank-first greedy on 320 adversarial/random texts, BOTH paths") {
     val merges = BpeCount.encodeMerges(pairs).toArray
+    val seqTbl = new BpeCount.MergeTable(merges, false)
+    val heapTbl = new BpeCount.MergeTable(merges, true)
     cases.foreach { t =>
-      val k = BpeCount.compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), merges)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val k = BpeCount.compute(u, seqTbl)
+      val h = BpeCount.compute(u, heapTbl)
       val g = greedyRef(t)
-      assert(k == g, s"kernel=$k greedy=$g on '$t'")
+      assert(k == g, s"seq kernel=$k greedy=$g on '$t'")
+      assert(h == g, s"heap kernel=$h greedy=$g on '$t'")
+    }
+  }
+
+  test("codepoint symbols: astral-plane chars are ONE symbol (DuckDB's length/replace arithmetic), both paths") {
+    // the adversarial surrogate-pair cases the round-13 review asked for:
+    // U+1D54F (math X) is 2 UTF-16 code units but one codepoint — a
+    // code-unit kernel would count it twice and could even false-match a
+    // merge operand against a lone surrogate
+    val x = new String(Character.toChars(0x1D54F))
+    val astral = Seq(
+      s"$x", s"a${x}b", s"th$x", s"${x}the$x in", s"$x $x $x",
+      s"the$x${x}the", s"ll$x" + x * 3)
+    val merges = BpeCount.encodeMerges(pairs).toArray
+    val seqTbl = new BpeCount.MergeTable(merges, false)
+    val heapTbl = new BpeCount.MergeTable(merges, true)
+    astral.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val g = greedyRef(t)
+      assert(BpeCount.compute(u, seqTbl) == g, s"seq diverges on astral '$t'")
+      assert(BpeCount.compute(u, heapTbl) == g, s"heap diverges on astral '$t'")
+    }
+    // the arithmetic the oracle uses: one astral char counts 1, not 2
+    assert(BpeCount.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"a${x}b"), seqTbl) == 3L)
+  }
+
+  test("heap path == sequential path on a WIDE random table (past the dispatch threshold)") {
+    // a 300-rank table (well-formed: operands are base chars or earlier
+    // placeholders) — wide enough that the production dispatch picks the
+    // heap; both paths must agree bit-identically on the fuzz corpus
+    val r2 = new scala.util.Random(90210L)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val wide = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+    while (wide.length < 300) {
+      def operand(): Char =
+        if (wide.nonEmpty && r2.nextInt(4) == 0) p(r2.nextInt(wide.length))
+        else alphabet(r2.nextInt(alphabet.length))
+      val cand = (operand(), operand())
+      if (!wide.contains(cand)) wide += cand // duplicate pairs would make rankOf ambiguous
+    }
+    val merges = BpeCount.encodeMerges(wide.toSeq).toArray
+    assert(merges.length > BpeCount.HeapThreshold)
+    assert(new BpeCount.MergeTable(merges).useHeap, "production dispatch must pick the heap")
+    val seqTbl = new BpeCount.MergeTable(merges, false)
+    val heapTbl = new BpeCount.MergeTable(merges, true)
+    val texts = cases ++ (1 to 200).map(_ =>
+      (0 until (1 + r2.nextInt(6))).map(_ =>
+        (0 until (1 + r2.nextInt(12))).map(_ => alphabet(r2.nextInt(alphabet.length))).mkString)
+        .mkString(" "))
+    texts.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val s = BpeCount.compute(u, seqTbl)
+      val h = BpeCount.compute(u, heapTbl)
+      assert(s == h, s"paths diverge on '$t': seq=$s heap=$h")
+      assert(s == greedyRef(t, wide.toSeq), s"seq != greedy on '$t'")
     }
   }
 
