@@ -74,6 +74,12 @@ object Bench {
     // line beside the sources so the full table always survives the run.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] persist failed: ${e.getMessage}") }
+    // The full per-query line outgrew the driver's stdout tail window (153
+    // queries ≈ 4.6 KB), so the tail starts MID-LINE and nothing in the
+    // artifact parses. Emit a compact, complete JSON record LAST: whatever
+    // tail the driver keeps now always ends with one parseable line (total +
+    // scale + a pointer to the committed full table).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"queries_full":"BENCH_FULL.json"}""")
     org.apache.logging.log4j.core.config.Configurator.setLevel(windowLogger, priorWindowLevel)
     spark.stop()
   }

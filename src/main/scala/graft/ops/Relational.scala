@@ -19,6 +19,37 @@ object Relational {
   private def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
   private def orders(s: SparkSession, d: String)   = t(s, d, "orders")
 
+  /** q20's grouped-quantile aggregation with the 100 TB swap: `approx =
+    * true` selects `approx_percentile` at [[Sampling.ApproxAccuracy]] (a
+    * bounded-memory sketch with map-side partials) over the exact
+    * `percentile` (a per-group O(n) sorted buffer) — same plan shape,
+    * same output columns. The exact path stays the oracle; the approx
+    * path's rank-error band (each returned value is an actual price whose
+    * rank sits within ±1/accuracy quantiles of the target) is pinned in
+    * SamplingSpec, the sp15 convention.
+    *
+    * Raw doubles, no round(): both engines interpolate lo + (hi-lo)*frac
+    * on identical inputs, so the values agree to the last ulp, while a
+    * 2dp round can flip on a value 1 ulp below a .xx5 boundary (seen at
+    * sf0.001: 52724.244999999995 rounded .24 by Spark, .25 by DuckDB).
+    * The driver compares floats at 6dp, which absorbs ulp-level noise. */
+  private[ops] def priceQuantiles(li: DataFrame, approx: Boolean = false): DataFrame = {
+    // one percentile aggregate with an array of targets: a single
+    // per-group buffer (or sketch) instead of four
+    val ps =
+      if (approx) expr("approx_percentile(l_extendedprice, " +
+        s"array(0.25D, 0.5D, 0.75D, 0.95D), ${Sampling.ApproxAccuracy})")
+      else expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    li.groupBy(col("l_returnflag"))
+      .agg(ps.as("ps"))
+      .select(col("l_returnflag"),
+        get(col("ps"), lit(0)).cast("double").as("p25"),
+        get(col("ps"), lit(1)).cast("double").as("p50"),
+        get(col("ps"), lit(2)).cast("double").as("p75"),
+        get(col("ps"), lit(3)).cast("double").as("p95"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- q01: TPC-H Q1-style pricing summary (partial agg, single shuffle) ----
     Q("q01_pricing_summary",
@@ -328,25 +359,11 @@ object Relational {
     // Exact `percentile` rather than approx_percentile so DuckDB's
     // quantile_cont (same linear-interpolation definition) is an exact oracle;
     // partial aggregation still applies (per-group sorted buffers merge
-    // map-side). For 100 TB pipelines approx_percentile (t-digest, fixed-size
-    // sketch) is the drop-in swap on the same plan shape.
+    // map-side). For 100 TB pipelines `approx = true` is the drop-in swap
+    // on the same plan shape ([[priceQuantiles]] — rank band pinned in
+    // SamplingSpec, the sp15 convention).
     Q("q20_quantiles",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        // one percentile aggregate with an array of targets: a single
-        // per-group buffer instead of four
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
-        // raw doubles, no round(): both engines interpolate lo + (hi-lo)*frac
-        // on identical inputs, so the values agree to the last ulp, while a
-        // 2dp round can flip on a value 1 ulp below a .xx5 boundary (seen at
-        // sf0.001: 52724.244999999995 rounded .24 by Spark, .25 by DuckDB).
-        // The driver compares floats at 6dp, which absorbs ulp-level noise.
-        .select(col("l_returnflag"),
-          get(col("ps"), lit(0)).as("p25"),
-          get(col("ps"), lit(1)).as("p50"),
-          get(col("ps"), lit(2)).as("p75"),
-          get(col("ps"), lit(3)).as("p95"))
-        .orderBy(col("l_returnflag")),
+      (s, d) => priceQuantiles(t(s, d, "lineitem")),
       Some("""SELECT l_returnflag,
           quantile_cont(l_extendedprice, 0.25) AS p25,
           quantile_cont(l_extendedprice, 0.5) AS p50,

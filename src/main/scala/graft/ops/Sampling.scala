@@ -109,7 +109,16 @@ object Sampling {
     * StrictMath.log (pinned in SamplingSpec's replay). The id is reduced
     * mod M BEFORE the multiply — (id % M)*a < 2^61, so the fold can never
     * overflow Long (or DuckDB's BIGINT) at any id, and the value is
-    * unchanged (x*a ≡ (x%M)*a mod M). */
+    * unchanged (x*a ≡ (x%M)*a mod M).
+    *
+    * Oracle-exactness caveat (FIXTURE-VALIDATED, not proven): the DuckDB
+    * compare additionally assumes libm's ln equals fdlibm's
+    * StrictMath.log to the last bit on every u = j/2^31 the LCG can
+    * produce — libm log may differ by 1 ulp on some inputs (the tx08
+    * precedent), which would flip a bitwise key compare or a k-th
+    * selection boundary. Validated empirically at all three fixtures;
+    * the within-engine contracts (SamplingSpec's bit-exact scala replay,
+    * the streaming twin's prefix equality) do not depend on it. */
   private[graft] def esWeightCol: Column = TextOps.qualityCol
   private[graft] def esKeyCol: Column = {
     val m = 2147483647L

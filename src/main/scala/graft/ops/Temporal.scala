@@ -202,6 +202,41 @@ object Temporal {
       .orderBy(col("step"))
   }
 
+  /** ev04's per-transition latency stats with the 100 TB swap: `approx =
+    * true` selects `approx_percentile` at [[Sampling.ApproxAccuracy]]
+    * (bounded-memory sketch, map-side partials) over the exact
+    * `percentile` (a per-group O(n) buffer) — same plan shape, same
+    * output columns. Exact stays the oracle; the approx rank band is
+    * pinned in TemporalSpec (the sp15 convention). */
+  private[ops] def funnelLatencyStats(s: org.apache.spark.sql.SparkSession,
+                                      d: String, approx: Boolean = false): DataFrame = {
+    val steps = Seq("view", "click", "purchase")
+    val e = eventsMs(s, d)
+      .select(col("user_id"), col("e_ms").as("ts"), col("event_type"))
+    val hits = graft.streaming.StreamingFunnel.batchReference(e, steps)
+      .select(col("user_id"), col("step").cast("bigint").as("step"), col("t_ms"))
+    val nxt = hits.select(col("user_id"), (col("step") - 1).as("step"),
+      col("t_ms").as("t_next"))
+    val ps =
+      if (approx) expr("approx_percentile(lat, array(0.5D, 0.9D), " +
+        s"${Sampling.ApproxAccuracy})")
+      else expr("percentile(lat, array(0.5D, 0.9D))")
+    hits.join(nxt, Seq("user_id", "step"))
+      .select(col("step"), (col("t_next") - col("t_ms")).as("lat"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        ps.as("ps"),
+        sum(col("lat")).as("sum_ms"))
+      .select(col("step"),
+        when(col("step") === 1, "view->click")
+          .otherwise("click->purchase").as("transition"),
+        col("n_users"),
+        get(col("ps"), lit(0)).cast("double").as("p50"),
+        get(col("ps"), lit(1)).cast("double").as("p90"),
+        col("sum_ms"))
+      .orderBy(col("step"))
+  }
+
   val entries: Seq[Q] = Seq(
     // ---- aj01: as-of join — the customer's latest order as of each event ----
     // Point-in-time-correct feature lookup: no order newer than the event
@@ -413,29 +448,7 @@ object Temporal {
     // ---- convention; raw doubles, both engines interpolate lo+(hi-lo)f ----
     // ---- identically). sum_ms fingerprints the latency multiset.        ----
     Q("ev04_funnel_latency",
-      (s, d) => {
-        val steps = Seq("view", "click", "purchase")
-        val e = eventsMs(s, d)
-          .select(col("user_id"), col("e_ms").as("ts"), col("event_type"))
-        val hits = graft.streaming.StreamingFunnel.batchReference(e, steps)
-          .select(col("user_id"), col("step").cast("bigint").as("step"), col("t_ms"))
-        val nxt = hits.select(col("user_id"), (col("step") - 1).as("step"),
-          col("t_ms").as("t_next"))
-        hits.join(nxt, Seq("user_id", "step"))
-          .select(col("step"), (col("t_next") - col("t_ms")).as("lat"))
-          .groupBy(col("step"))
-          .agg(count(lit(1)).as("n_users"),
-            expr("percentile(lat, array(0.5D, 0.9D))").as("ps"),
-            sum(col("lat")).as("sum_ms"))
-          .select(col("step"),
-            when(col("step") === 1, "view->click")
-              .otherwise("click->purchase").as("transition"),
-            col("n_users"),
-            get(col("ps"), lit(0)).as("p50"),
-            get(col("ps"), lit(1)).as("p90"),
-            col("sum_ms"))
-          .orderBy(col("step"))
-      },
+      (s, d) => funnelLatencyStats(s, d),
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
           a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
           b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)

@@ -80,10 +80,20 @@ object StreamingWeightedSample {
       var changed = false
       rows.foreach { r =>
         n += 1
-        val admit = buf.length < k || {
+        // At-least-once sources re-deliver rows; a doc's key is a pure
+        // function of the doc, so a re-delivery is detectable exactly when
+        // it matters: the only way a duplicate could ever re-enter is as
+        // an INCUMBENT while the sample is still below k (an evicted or
+        // never-admitted doc always loses to the incumbent boundary, whose
+        // worst key only improves), so the incumbent scan below makes the
+        // sample duplicate-free under any delivery discipline. It runs
+        // only for would-admit candidates (rare once the sample warms).
+        // n_seen still counts DELIVERIES, not distinct docs — exactly-once
+        // sources (the pinned prefix-equality contract) are unaffected.
+        val admit = (buf.length < k || {
           val worst = buf.last
           r.key < worst.key || (r.key == worst.key && r.doc_id < worst.doc_id)
-        }
+        }) && !buf.exists(_.doc_id == r.doc_id)
         if (admit) {
           buf = (buf :+ Entry(r.key, r.doc_id, r.source, r.w))
             .sortBy(e => (e.key, e.doc_id)).take(k)

@@ -324,6 +324,38 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     scored.unpersist()
   }
 
+  test("q20 approx quantiles sit within the pinned rank band of the exact path") {
+    // the same 100 TB flag as sp15, landed on q20 (round-13 verdict #6):
+    // approx_percentile at accuracy A returns an ACTUAL price whose rank
+    // lies within ±1/A quantiles of the target; exact stays the oracle
+    val byFlag = Tables.t(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    def quart(approx: Boolean): Map[String, Seq[Double]] =
+      Relational.priceQuantiles(Tables.t(spark, sfDir, "lineitem"), approx)
+        .collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = quart(approx = false)
+    val approx = quart(approx = true)
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val eps = 1.0 / Sampling.ApproxAccuracy
+    approx.foreach { case (f, vs) =>
+      val sc = byFlag(f)
+      val n = sc.length
+      Seq(0.25, 0.5, 0.75, 0.95).zip(vs).foreach { case (q, v) =>
+        val lo = math.max(0, math.floor((q - eps) * n).toInt - 1)
+        val hi = math.min(n - 1, math.ceil((q + eps) * n).toInt)
+        assert((lo to hi).exists(i => sc(i) == v),
+          s"flag $f q=$q: approx $v outside ranks [$lo,$hi] of n=$n prices")
+      }
+      // quantiles are ordered on both paths
+      assert(vs == vs.sorted && exact(f) == exact(f).sorted, s"$f quantiles inverted")
+    }
+  }
+
   test("sp18 weighted sample matches an independent scala replay and is weight-biased") {
     val rows = graft.SparkEntry.queries("sp18_weighted_sample")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("w"), r.getAs[Double]("k")))

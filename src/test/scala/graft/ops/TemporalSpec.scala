@@ -268,4 +268,44 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("rt")).collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(900L, 1099L))
   }
+
+  test("ev04 approx latency percentiles sit within the pinned rank band of the exact path") {
+    // the same 100 TB flag as sp15/q20 (round-13 verdict #6): the approx
+    // path must return an ACTUAL latency whose rank lies within ±1/A
+    // quantiles of the target; the exact path stays the DuckDB oracle
+    val steps = Seq("view", "click", "purchase")
+    // rebuild the aligned step times the engine uses (its own shared
+    // builder), then the per-transition latency multisets in plain scala
+    val evs = Tables.t(spark, sfDir, "events")
+    val e2 = evs.select(col("user_id"), Tables.eventsTsMillis(evs).as("ts"),
+      col("event_type"))
+    val hits = graft.streaming.StreamingFunnel.batchReference(e2, steps)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Int]("step").toLong, r.getAs[Long]("t_ms")))
+      .map { case (u, st, t) => (u, st) -> t }.toMap
+    val lats: Map[Long, Seq[Long]] = Seq(1L, 2L).map { st =>
+      st -> hits.collect { case ((u, s0), t) if s0 == st && hits.contains((u, st + 1)) =>
+        hits((u, st + 1)) - t
+      }.toSeq.sorted
+    }.toMap
+    def stats(approx: Boolean): Map[Long, (Long, Double, Double)] =
+      Temporal.funnelLatencyStats(spark, sfDir, approx).collect()
+        .map(r => r.getAs[Long]("step") ->
+          (r.getAs[Long]("n_users"), r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val exact = stats(approx = false)
+    val approx = stats(approx = true)
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val eps = 1.0 / Sampling.ApproxAccuracy
+    approx.foreach { case (st, (nu, p50, p90)) =>
+      val sc = lats(st)
+      assert(nu == sc.length.toLong, s"step $st latency multiset diverges")
+      Seq((0.5, p50), (0.9, p90)).foreach { case (q, v) =>
+        val n = sc.length
+        val lo = math.max(0, math.floor((q - eps) * n).toInt - 1)
+        val hi = math.min(n - 1, math.ceil((q + eps) * n).toInt)
+        assert((lo to hi).exists(i => sc(i).toDouble == v),
+          s"step $st q=$q: approx $v outside ranks [$lo,$hi] of n=$n latencies")
+      }
+    }
+  }
 }

@@ -107,4 +107,27 @@ class WeightedSampleStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // state bounded by k (list entries + the seen counter)
     assert(stateRows >= 0 && stateRows <= K + 5, s"state rows $stateRows exceed the k bound")
   }
+
+  test("re-delivered docs never duplicate the sample (at-least-once sources)") {
+    // the round-13 advice: an at-least-once source re-delivering a doc
+    // that is an INCUMBENT while the sample is below k used to admit it
+    // twice (identical key and id pass the boundary check). The sample
+    // must stay duplicate-free and CONTENT-equal to the draw over the
+    // distinct docs; n_seen counts deliveries by contract.
+    val all = corpus()
+    val b0 = all.filter(_._1 % 3 == 0)
+    val b1 = all.filter(_._1 % 3 == 1)
+    // k > |b0|, so every b0 doc is an incumbent when batch 1 re-delivers it
+    assert(b0.size < K, "fixture must keep the sample below k at batch 0")
+    val (emissions, _) = run(Seq(b0, b0 ++ b1, b1))
+    emissions.values.foreach { sample =>
+      val ids = sample.map(_._2)
+      assert(ids.distinct.length == ids.length,
+        s"re-delivery duplicated the sample: $ids")
+    }
+    // the final sample equals the batch draw over the DISTINCT docs
+    val finalSample = emissions(emissions.keySet.max)
+    assert(finalSample == reference(b0 ++ b1),
+      "final sample diverges from the distinct-doc draw under re-delivery")
+  }
 }
