@@ -2215,6 +2215,38 @@ object JsonataCompiler {
       }
     }
 
+    /** A DYNAMIC (per-element computed) group-by key: any context-mode
+      * compilable expression over the element that is STATICALLY a string —
+      * the `code & '-' & region` / `$uppercase(region)` analytics idioms.
+      * Generalizes [[elemKey]]'s member-field form. Static StringType is
+      * the gate twice over: the engine raises T1003 on non-string keys
+      * (statically non-string expressions stay interpreted to preserve the
+      * error), and a statically-string compile can only produce string or
+      * NULL at runtime — NULL keys are the engine's undefined-key skip.
+      * `%` stays unbound, the compilePredicate rule: inside a per-element
+      * context the parent is a different object per element.
+      *
+      * Why compile a shape that measures ~0.5× the interpreter standalone
+      * (ThroughputBench dyn-key row — nested HOFs are CodegenFallback):
+      * TIER REACH. transformCompiled is all-or-nothing per expression, so
+      * one group-by inside a wide otherwise-compiled projection would drag
+      * every other field onto the interpreter — where those fields are the
+      * 3-10× losses. Same status as the member-field group-by (also ~0.5×
+      * standalone, same measurement). */
+    private def ctxKey(kExpr: Ast, et: DataType): Option[Column => Column] = {
+      def inCtx[A](v: TCol)(f: => A): A = {
+        val (se, si) = (lambdaEnv, inLambda)
+        lambdaEnv += ("" -> v); inLambda = true
+        lambdaEnv -= "%"
+        try f finally { lambdaEnv = se; inLambda = si }
+      }
+      inCtx(TCol(lit(null).cast(et), et))(compile(kExpr)) match {
+        case Some(TCol(_, StringType)) =>
+          Some((e: Column) => inCtx(TCol(e, et))(compile(kExpr)).get.col)
+        case _ => None
+      }
+    }
+
     /** `value.arr^(t1, t2)` -> array_sort with an explicit comparator that
       * replicates the engine's term semantics exactly: undefined keys last
       * (first under `>`), term-major chaining, stable (both sides TimSort).
@@ -2285,19 +2317,50 @@ object JsonataCompiler {
         if (ctor.pairs.length != 1) compileLiteralKeyGroup(arr, et, ctor)
         else {
           val (kExpr, vExpr) = ctor.pairs.head
-          elemKey(kExpr, et) match {
-            case Some((kf, StringType)) =>
+          // member-field keys take elemKey's direct extractor; any other
+          // non-literal key tries the general context-mode compile (a
+          // literal key routes to compileLiteralKeyGroup — same semantics,
+          // cheaper plan: no per-key filter scans). A non-string member
+          // key stays interpreted (engine T1003).
+          val dynKf: Option[Column => Column] = elemKey(kExpr, et) match {
+            case Some((kf, StringType)) => Some(kf)
+            case Some(_) => None
+            case None => kExpr match {
+              case StrLit(_) => None
+              case _ => ctxKey(kExpr, et)
+            }
+          }
+          dynKf match {
+            case Some(kf) =>
               compileGroupValue(vExpr, et).map { case (aggF, vt) =>
-                val keys = array_distinct(filter(transform(arr, e => kf(e)), k => k.isNotNull))
+                // the key computes ONCE per element into a (k, v) pair
+                // array; the per-key group filters re-read the stamped key
+                // instead of re-evaluating kf — a computed key evaluated
+                // per (key × element) measured 3× SLOWER than the
+                // interpreter on concat keys (ThroughputBench dyn-key row)
+                val keyed = transform(arr, e => struct(kf(e).as("k"), e.as("v")))
+                val keys = array_distinct(filter(
+                  transform(keyed, x => x.getField("k")), k => k.isNotNull))
                 val entries = transform(keys, k =>
-                  struct(k.as("key"), aggF(filter(arr, e => kf(e) === k)).as("value")))
+                  struct(k.as("key"),
+                    aggF(transform(filter(keyed, x => x.getField("k") === k),
+                      x => x.getField("v"))).as("value")))
                 val m = map_filter(map_from_entries(entries), (_, v) => v.isNotNull)
-                val empty = map_from_entries(array().cast(ArrayType(
-                  StructType(Seq(StructField("key", StringType, nullable = false),
-                    StructField("value", vt))), containsNull = false)))
-                TCol(coalesce(m, empty), MapType(StringType, vt))
+                // empty/undefined base: the engine groups the single
+                // UNDEFINED item (evalGroup's Vector(null) wrap). Its key
+                // is the key expression under undefined context — kf(null):
+                // COMPUTED keys can be DEFINED there (the undefined→'' rule
+                // makes `f & '-'` yield '-'), member fields never are — and
+                // its aggregates see an EMPTY member sequence ($count → 0,
+                // the numeric folds → undefined, dropped by the filter).
+                val kNull = kf(lit(null).cast(et))
+                val vNull = aggF(array().cast(at)).cast(vt)
+                val undefEntry = map_from_entries(
+                  filter(array(struct(kNull.as("key"), vNull.as("value"))),
+                    s => s.getField("key").isNotNull && s.getField("value").isNotNull))
+                TCol(when(size(arr) > 0, m).otherwise(undefEntry), MapType(StringType, vt))
               }
-            case _ =>
+            case None =>
               // a single LITERAL-keyed pair is the degenerate multi-pair case
               compileLiteralKeyGroup(arr, et, ctor)
           }

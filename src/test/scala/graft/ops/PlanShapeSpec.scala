@@ -579,6 +579,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exact ground truth must not add window ranks\n" + p.take(3000))
   }
 
+  test("ss18 incremental recall: same harness shape over the log-backed serve") {
+    val p = plan("ss18_incremental_recall")
+    assert(p.contains("partial_topk_by"), "exact top-5 must be the heap aggregate\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the serve arm resolves the committed view (generation + tail) against
+    // the FROZEN artifacts — same bounded windows as ss17's serve, none added
+    val pOneShot = plan("ss17_ann_recall")
+    assert(p.split("row_number").length <= pOneShot.split("row_number").length,
+      "log-backed harness must not add window ranks\n" + p.take(3000))
+  }
+
 
   test("registry-wide: no CartesianProduct anywhere; BroadcastNestedLoopJoin only on the broadcast-bounded allow-list") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -603,6 +614,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ss14_ivf_probe",           // probe queries vs pruned stored buckets
       "ss15_hard_negatives",      // anchor sample (vec_id % 50) broadcast
       "ss17_ann_recall",          // exact arm: query sample (vec_id % 100) broadcast vs corpus (the ss01 shape)
+      "ss18_incremental_recall",  // same exact arm over the log-backed serve; query set BOUNDED by recallQueryMod (≤ ~4096 at any corpus size)
       "sp14_dsir_resample",       // one-row totals attach in Dsir.weights
       "sp16_cluster_coverage",    // footer-stride coverage anchors broadcast
       "dd15_semdedup_sweep",      // bounded anchor set per semdedup region

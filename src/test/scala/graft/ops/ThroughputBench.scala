@@ -153,6 +153,36 @@ object ThroughputBench extends App {
       }
       nested.unpersist()
     }
+
+    // round-14 compiled DYNAMIC-key group-by (ctxKey). Measured HONESTLY:
+    // compiled group-by — member key OR computed key — runs ~0.5x the
+    // interpreter STANDALONE on small arrays (the nested-HOF compose is
+    // CodegenFallback; Catalyst's per-row lambda binding costs ~2x the
+    // whole envelope round-trip at 3 elements). The compile exists for
+    // TIER REACH, not this row's ratio: transformCompiled is
+    // all-or-nothing per expression, so one group-by inside a wide
+    // otherwise-compiled projection no longer drags every other field
+    // onto the interpreter (where those fields are the 3-10x wins above).
+    // If a group shape ever dominates a hot path, the NumArrayFold
+    // precedent applies: fuse it into a codegen kernel.
+    locally {
+      import org.apache.spark.sql.functions._
+      val grouped = events.select(col("event_id"),
+        array(
+          struct(col("event_type").as("cat"), col("value").as("price")),
+          struct(upper(col("event_type")).as("cat"), (col("value") * 2).as("price")),
+          struct(lit("x").as("cat"), (col("value") + 1).as("price"))).as("items")).cache()
+      grouped.count()
+      val expr = "{'event_id': value.event_id, 'g': value.items{cat & '-' & cat: $sum(price)}}"
+      val ddl = "event_id BIGINT, g MAP<STRING,DOUBLE>"
+      val schema = StructType.fromDDL(ddl)
+      assert(JsonataCompiler.compileQuery(grouped, expr).isDefined,
+        "dyn-key group two-tier case must ride the compiled tier")
+      val rc = run("two-tier dyn-key group [compiled/auto]")(JsonataDF.auto(grouped, expr, schema))
+      val ri = run("two-tier dyn-key group [interpreted]")(JsonataDF.transformAs(grouped, expr, schema))
+      println(f"[thr] two-tier dyn-key group RATIO compiled/interpreted: ${rc / ri}%.1fx")
+      grouped.unpersist()
+    }
   }
 
   // variant tier: variant INPUT (binary walker, no input-side text) must beat

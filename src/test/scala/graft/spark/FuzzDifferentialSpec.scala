@@ -279,6 +279,61 @@ class FuzzDifferentialSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertRate(compiled, 75, s"group-map compile rate dropped: $compiled/150")
   }
 
+  test("120 seeded DYNAMIC-key group-by shapes agree with the interpreter") {
+    // round-14: single-pair `{}` group-by keys beyond member fields —
+    // concats, case functions, substrings, conditionals — compiled via the
+    // context-mode key compiler (JsonataCompiler.ctxKey). Null fields,
+    // null/empty arrays, and keys DEFINED under undefined context (the
+    // `f & '-'` undefined→'' rule on the engine's Vector(null) wrap) are
+    // exactly where the tiers could drift.
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(77140L + seedOff)
+    val cats = Vector("a", "bb", "c")
+    val rows = (1 to 40).map { i =>
+      val arr =
+        if (i % 9 == 0) null
+        else Seq.tabulate(i % 6) { j =>
+          Row(
+            if ((i + j) % 5 == 0) null else cats((i + j) % 3),
+            if ((i * 3 + j) % 7 == 0) null else s"t${(i + j) % 4}",
+            if ((i + 2 * j) % 6 == 0) null else ((i + j) % 40 - 5).toLong)
+        }
+      Row(i.toLong, arr)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType.fromDDL(
+      "k BIGINT, arr ARRAY<STRUCT<cat: STRING, tag: STRING, price: BIGINT>>"))
+    val keyGrammar = Vector[() => String](
+      () => "cat & '-' & tag",
+      () => "$uppercase(cat)",
+      () => "tag & '!'",
+      () => s"(price >= ${rnd.nextInt(20) - 5} ? 'hi' : 'lo')",
+      () => "$substring(cat, 0, 1) & tag",
+      () => "$lowercase(tag) & cat",
+      () => "cat & cat")
+    val aggGrammar = Vector(
+      "$count($)" -> "BIGINT", "$sum(price)" -> "BIGINT",
+      "$min(price)" -> "BIGINT", "$max(price)" -> "BIGINT",
+      "$average(price)" -> "DOUBLE")
+    var compiled = 0
+    (1 to 120).foreach { n =>
+      val key = keyGrammar(rnd.nextInt(keyGrammar.size))()
+      val (agg, vt) = aggGrammar(rnd.nextInt(aggGrammar.size))
+      val expr = s"{'k': value.k, 'g': value.arr{$key: $agg}}"
+      val ddl = s"k BIGINT, g MAP<STRING,$vt>"
+      JsonataCompiler.transformCompiled(df, expr) match {
+        case None =>
+        case Some(c) =>
+          compiled += 1
+          val a = c.orderBy("k").collect().map(_.toSeq).toSeq
+          val b = JsonataDF.transformAs(df, expr, StructType.fromDDL(ddl))
+            .orderBy("k").collect().map(_.toSeq).toSeq
+          assert(a == b, s"[dyngroup-fuzz #$n] $expr\n  compiled:    $a\n  interpreted: $b")
+      }
+    }
+    assertRate(compiled, 100, s"dynamic-key group compile rate dropped: $compiled/120")
+  }
+
   test("120 seeded sort shapes (^() and comparator $sort) agree with the interpreter") {
     val sp = spark
     import sp.implicits._
