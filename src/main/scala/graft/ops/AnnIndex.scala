@@ -173,6 +173,47 @@ object AnnIndex {
     Similarity.ivfAdcServeWith(s, d, codes(s, dir), qIds,
       anchors(s, dir), codebookAgg(s, dir))
 
+  /** Mean recall@5 of this log's serve path against the exact arm over
+    * the bounded harness query set — the ss18 measurement as one driver
+    * scalar (one bounded aggregate; the harness is ≤ ~4096 queries by
+    * construction at any corpus size). */
+  def measuredRecall(s: SparkSession, d: String, dir: String): Double =
+    Similarity.recallHarness(s, d,
+        serveFromLog(s, d, dir, Similarity.recallQueryIds(s, d)),
+        Similarity.recallQueryIds(s, d))
+      .agg(avg(col("recall_at_5"))).head().getDouble(0)
+
+  /** The measured-recall RETRAIN TRIGGER — closes the loop ss18 opens:
+    * the harness MEASURES the frozen-artifact drift, this ACTS on it,
+    * turning the "periodic full re-train" the freeze trade defers to
+    * into a mechanical decision instead of an ops runbook. When the
+    * log's measured recall falls below `minRecall`, a FRESH log is built
+    * at `newDir` from the CURRENT corpus — new frozen artifacts + the
+    * whole corpus as its batch 0, through the same append API, so the
+    * new index is immediately incremental again (ss13's rebuild stance
+    * expressed in the log's own vocabulary). Returns true iff the
+    * retrain fired.
+    *
+    * The SERVING SWITCH is the caller's: a deployment flips its pointer
+    * to `newDir` once this returns true and vacuums the old log after
+    * the reader grace window — the BatchLog discipline. Rebuilding in
+    * place is deliberately NOT offered: the old log's codes are only
+    * meaningful against the old artifacts, so an in-place swap would
+    * need an atomic artifacts+codes replacement the directory protocol
+    * does not (and should not) promise. */
+  def retrainIfBelow(s: SparkSession, d: String, dir: String, newDir: String,
+                     minRecall: Double): Boolean = {
+    val measured = measuredRecall(s, d, dir)
+    if (measured >= minRecall) false
+    else {
+      val pv = Similarity.pqVecs(s, d)
+      val n = Tables.rowCount(s, d, "embeddings")
+      ensureArtifacts(s, newDir, pv, n)
+      appendBatch(s, newDir, pv, 0L)
+      true
+    }
+  }
+
   /** The ss16 registry lifecycle: a deterministic replay of the
     * incremental protocol over the driver's own corpus — artifacts frozen
     * from the FIRST HALF of the embeddings table (so the frozen-artifact

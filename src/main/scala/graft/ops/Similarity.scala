@@ -666,14 +666,15 @@ object Similarity {
     * construction), the corpus streams map-only into the bounded TopK
     * heap — one shuffle of q_id-keyed partials, never a pair
     * materialization, never a window sort. */
-  private def recallHarness(s: SparkSession, d: String, served0: DataFrame): DataFrame = {
+  private[ops] def recallHarness(s: SparkSession, d: String, served0: DataFrame,
+                                 qIds: DataFrame): DataFrame = {
     val served = served0.select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
     // spread: the exact arm does queries x corpus x dim work directly on
     // the scan partitioning, and the fixture is one parquet split — the
     // sf1 smoke showed the whole brute-force pass as a single 2.7 s task
     // without it (the Tables.spread precondition exactly)
     val pv = Tables.spread(pqVecs(s, d).select(col("vec_id"), col("vec")))
-    val qv = broadcast(pv.join(broadcast(recallQueryIds(s, d)),
+    val qv = broadcast(pv.join(broadcast(qIds),
         col("vec_id") === col("q_id"))
       .select(col("q_id"), col("vec").as("q_vec")))
     // exact arm: same metric (L2^2), same tie-break (d2 asc, id asc)
@@ -1451,7 +1452,8 @@ object Similarity {
         // serve the HARNESS query set (the bounded recallQueryIds sample,
         // = the canonical %100 set at every oracle fixture) so the whole
         // harness — served arm included — is bounded by construction
-        recallHarness(s, d, ivfAdcServeFor(s, d, idx, recallQueryIds(s, d)))
+        val qIds = recallQueryIds(s, d)
+        recallHarness(s, d, ivfAdcServeFor(s, d, idx, qIds), qIds)
       },
       Some(recallOracleSql(serveOracleSql("v", RecallQStrideSql)))),
 
@@ -1470,8 +1472,9 @@ object Similarity {
     Q("ss18_incremental_recall",
       (s, d) => {
         val dir = AnnIndex.ensureDriverLog(s, d)
+        val qIds = recallQueryIds(s, d)
         recallHarness(s, d,
-          AnnIndex.serveFromLog(s, d, dir, recallQueryIds(s, d)))
+          AnnIndex.serveFromLog(s, d, dir, qIds), qIds)
       },
       Some(recallOracleSql(serveOracleSql("vi", RecallQStrideSql)))),
 

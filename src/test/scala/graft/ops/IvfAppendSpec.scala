@@ -146,4 +146,46 @@ class IvfAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dynamicpruning"),
       "probed aids must prune the compacted generation's partitions:\n" + plan.take(2000))
   }
+
+  test("retrain trigger: fires only below the threshold and rebuilds from the CURRENT corpus") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_retrain_src").toString
+    val newDir = java.nio.file.Files.createTempDirectory("graft_ivf_retrain_dst").toString + "/gen1"
+    val n = Tables.rowCount(sp, d, "embeddings")
+    val cut1 = n / 2
+    val pv = Similarity.pqVecs(sp, d)
+
+    // a drifted log: artifacts frozen on the first half, full corpus appended
+    AnnIndex.ensureArtifacts(sp, dir, pv.filter(col("vec_id") < cut1), cut1)
+    AnnIndex.appendBatch(sp, dir, pv, 0L)
+
+    val measured = AnnIndex.measuredRecall(sp, d, dir)
+    assert(measured > 0.0 && measured <= 1.0, s"implausible recall $measured")
+
+    // below-threshold recall is FINE: no retrain, no new log
+    assert(!AnnIndex.retrainIfBelow(sp, d, dir, newDir, minRecall = measured - 0.01))
+    assert(!AnnIndex.artifactsReady(sp, newDir), "no-op retrain must not create artifacts")
+
+    // above-threshold demand: the retrain fires and the fresh log equals
+    // the ss13 full-corpus one-shot build (current-corpus artifacts)
+    assert(AnnIndex.retrainIfBelow(sp, d, dir, newDir, minRecall = measured + 0.01))
+    assert(AnnIndex.artifactsReady(sp, newDir))
+    val fullAgg = Similarity.ivfAnchorAgg(
+      Similarity.ivfAnchorRowsOf(
+        pv.select(col("vec_id"), col("vec")).withColumn("nrm",
+          sqrt(graft.spark.VectorExpressions.dot(col("vec"), col("vec")))), n))
+    val refFull = codeSet(Similarity.ivfEncodeWith(pv, fullAgg,
+      Similarity.pqCodebook(pv, n)))
+    assert(codeSet(AnnIndex.codes(sp, newDir)) == refFull,
+      "retrained log must equal the full-corpus one-shot encode")
+    // idempotence: a second trigger against the SAME source log fires
+    // again (the source's recall is unchanged) but the append no-ops on
+    // the committed batch id — the new log is unchanged
+    assert(AnnIndex.retrainIfBelow(sp, d, dir, newDir, minRecall = measured + 0.01))
+    assert(codeSet(AnnIndex.codes(sp, newDir)) == refFull)
+    // the fresh log is immediately incremental: its own measured recall
+    // is a valid harness number over the same bounded query set
+    val fresh = AnnIndex.measuredRecall(sp, d, newDir)
+    assert(fresh > 0.0 && fresh <= 1.0, s"implausible fresh recall $fresh")
+  }
 }
