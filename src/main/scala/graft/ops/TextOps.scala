@@ -96,6 +96,46 @@ object TextOps {
   private[ops] def bpeTokensCol: Column =
     graft.spark.BpeExpressions.bpeCount(col("text"), BpeMerges)
 
+  /** A PRODUCTION-WIDTH frozen merge table (80 ranks > HeapThreshold=64)
+    * so the heap merger — the path a real 50k-vocab tokenizer lands on —
+    * is exercised by a driver-gated oracle row (tx14), not only by the
+    * forced-path spec. Ranks 0-27 are [[BpeMerges]] verbatim (keeping the
+    * two-level "the"/"ing" recursion entries on the heap path); ranks
+    * 28-77 fill with the first 50 unseen letter bigrams of a frequency-
+    * ordered alphabet scan (dense hits on English-ish text — the wide
+    * table must CHANGE counts vs the 28-rank one, or the row would prove
+    * nothing); ranks 78-79 are deep recursions referencing WIDE-ONLY
+    * placeholders (ranks 28 and 78), pinning multi-level placeholder
+    * resolution above the dispatch threshold. Well-formed by
+    * construction: the scan dedups against everything already picked and
+    * every recursion references a strictly earlier rank — checked at
+    * class-init by the MergeTable validation below. */
+  private[graft] val BpeMergesWide: Seq[(Char, Char)] = {
+    def p(k: Int): Char = (graft.spark.BpeCount.PlaceholderBase + k).toChar
+    val seen = scala.collection.mutable.LinkedHashSet[(Char, Char)](BpeMerges: _*)
+    val letters = "etaoinshrdlcumwfgypbvk"
+    val fill = for (l <- letters; r <- letters; pr = (l, r)
+                    if !seen.contains(pr)) yield { seen += pr; pr }
+    BpeMerges ++ fill.take(50) ++ Seq((p(28), 's'), (p(78), 'e'))
+  }
+
+  /** Class-init guards for the tx14 contract: the wide table must
+    * actually dispatch to the heap (width above the threshold, table
+    * well-formed — a malformed one would THROW here, at the earliest
+    * possible moment) — otherwise the row silently degrades to re-proving
+    * the sequential path sp17 already covers. */
+  locally {
+    val t = new graft.spark.BpeCount.MergeTable(
+      graft.spark.BpeCount.encodeMerges(BpeMergesWide).toArray)
+    require(t.useHeap && t.wellFormed,
+      s"BpeMergesWide (${BpeMergesWide.length} ranks) must dispatch to the " +
+        "heap merger — tx14 exists to oracle-gate that path")
+  }
+
+  /** The per-doc subword token count under the production-width table. */
+  private[ops] def bpeWideTokensCol: Column =
+    graft.spark.BpeExpressions.bpeCount(col("text"), BpeMergesWide)
+
   /** The EXACT DuckDB replay of [[bpeTokensCol]] as an expression over a
     * column named `text`: the nested replace() chain in rank order
     * (left-to-right non-overlapping — SQL replace's contract and the
@@ -105,18 +145,31 @@ object TextOps {
   /** The rank-order replace chain over an arbitrary sql expression — the
     * [[bpeTokensSql]] body parameterized so per-WORD oracles (ch02's
     * chunk packing) replay the same kernel: the subword count of a
-    * space-free word is just `length(chain(word))`, no boundary term. */
-  private[graft] def bpeReplaceChainSql(expr: String): String = {
+    * space-free word is just `length(chain(word))`, no boundary term.
+    * Parameterized on the merge list too (tx14's production-width table
+    * replays through the SAME chain builder — SQL replace is rank-order
+    * left-to-right non-overlapping at any table width). */
+  private[graft] def bpeReplaceChainSqlFor(merges: Seq[(Char, Char)],
+                                           expr: String): String = {
     def chrSql(c: Char): String =
       if (c >= graft.spark.BpeCount.PlaceholderBase) s"chr(${c.toInt})" else s"'$c'"
-    BpeMerges.zipWithIndex.foldLeft(expr) { case (acc, ((l, r), k)) =>
+    merges.zipWithIndex.foldLeft(expr) { case (acc, ((l, r), k)) =>
       s"replace($acc, ${chrSql(l)} || ${chrSql(r)}, " +
         s"chr(${graft.spark.BpeCount.PlaceholderBase + k}))"
     }
   }
 
-  private[ops] val bpeTokensSql: String =
-    s"(length(${bpeReplaceChainSql("text")}) - (length(text) - length(replace(text, ' ', ''))))"
+  private[graft] def bpeReplaceChainSql(expr: String): String =
+    bpeReplaceChainSqlFor(BpeMerges, expr)
+
+  private def bpeTokensSqlFor(merges: Seq[(Char, Char)]): String =
+    s"(length(${bpeReplaceChainSqlFor(merges, "text")}) - " +
+      "(length(text) - length(replace(text, ' ', ''))))"
+
+  private[ops] val bpeTokensSql: String = bpeTokensSqlFor(BpeMerges)
+
+  /** tx14's oracle body: the same count identity under the wide table. */
+  private[ops] val bpeWideTokensSql: String = bpeTokensSqlFor(BpeMergesWide)
 
   /** BPE merge TRAINING (Sennrich et al. 2016) — the other half of the
     * subword story: [[bpeTokensCol]] COUNTS under a frozen table; this
@@ -840,6 +893,34 @@ object TextOps {
         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, clf_score,
           CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END AS keep
         FROM clf ORDER BY doc_id""")),
+
+    // ---- tx14: subword accounting under a PRODUCTION-WIDTH merge table ----
+    // The round-14 heap merger (BpeExpressions.mergeHeap — open-addressed
+    // rank table, linked symbol list, lazy-deletion heap) never executed in
+    // a driver-gated query: every other BPE row runs the 28-rank shipped
+    // table, below the dispatch threshold. This row counts the corpus under
+    // the 80-rank BpeMergesWide (useHeap = true, guarded at class init), so
+    // the production-vocabulary path has a green DuckDB row: the oracle's
+    // rank-ordered replace() chain is width-agnostic and exact, and a heap
+    // bug (wrong pop order, stale heap entry, bad placeholder resolution)
+    // hash-mismatches the per-source sums. Per-doc counts also ride along
+    // aggregated per source x a length bucket so single-doc divergences
+    // can't cancel in one big sum. Same scale shape as tx03: one map-only
+    // pass (the kernel is per-row inside whole-stage codegen; the table is
+    // one plan-referenced object) into a partial-agg shuffle on source.
+    Q("tx14_bpe_wide",
+      (s, d) => {
+        Tables.spread(t(s, d, "documents"))
+          .select(col("source"), bpeWideTokensCol.as("bt"),
+            (length(col("text")) % 7).cast("bigint").as("lb"))
+          .groupBy(col("source"), col("lb"))
+          .agg(sum(col("bt")).as("btokens"), count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("lb"))
+      },
+      Some(s"""SELECT source, length(text) % 7 AS lb,
+          CAST(sum($bpeWideTokensSql) AS BIGINT) AS btokens,
+          count(*) AS n_docs
+        FROM documents GROUP BY source, lb ORDER BY source, lb""")),
 
     // ---- pp01: composite training-data filter — quality gate + language ----
     // ---- gate + exact dedup, the end-to-end corpus-cleaning pipeline ----

@@ -52,9 +52,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale: both paths are per-row map work inside whole-stage codegen; the
   * merge table is ONE broadcast-referenced object (packed long[] + the
   * heap path's rank table). The Column API takes (Char, Char) pairs —
-  * operands stay BMP and placeholder DEPTH is bounded by the char-typed
-  * API at 8191 levels — while the packed form carries 21-bit symbols, so
-  * table WIDTH (rank count) is bounded only by the placeholder range.
+  * operands stay BMP — while the packed form carries 21-bit symbols.
+  * Table WIDTH is capped at [[BpeCount.MaxRanks]] = 6400: placeholders
+  * live in the BMP private-use block U+E000..U+F8FF, and rank 6400 would
+  * spill past U+F8FF into REAL assigned characters (CJK compatibility
+  * ideographs etc.), which input text may legitimately contain — a
+  * false-match hazard, so [[BpeCount.encodeMerges]] refuses it outright.
   */
 case class BpeCount(child: Expression, merges: Seq[Long])
   extends UnaryExpression {
@@ -106,20 +109,50 @@ object BpeCount {
     * the heap. */
   val HeapThreshold: Int = 64
 
+  /** Hard cap on table width: placeholders must stay inside the BMP
+    * private-use block U+E000..U+F8FF (0x1900 = 6400 codepoints). Rank
+    * 6400 would emit U+F900 — a real assigned character (CJK
+    * compatibility ideograph) that input text may contain, silently
+    * false-matching merged tokens and diverging from the DuckDB oracle's
+    * private-use replay. */
+  val MaxRanks: Int = 0xF8FF - 0xE000 + 1
+
   /** Encode (left, right) pairs in rank order into the kernel's packed
     * 21-bit-field long form (l << 42 | r << 21 | new); rank k's output
-    * token is PlaceholderBase + k. */
-  def encodeMerges(pairs: Seq[(Char, Char)]): Seq[Long] =
+    * token is PlaceholderBase + k. Refuses tables wider than
+    * [[MaxRanks]] — see its note. */
+  def encodeMerges(pairs: Seq[(Char, Char)]): Seq[Long] = {
+    require(pairs.length <= MaxRanks,
+      s"merge table has ${pairs.length} ranks — placeholders past rank " +
+        s"$MaxRanks leave the private-use block and collide with real text")
     pairs.zipWithIndex.map { case ((l, r), k) =>
       (l.toLong << 42) | (r.toLong << 21) | (PlaceholderBase + k).toLong
     }
+  }
 
   /** The frozen merge table in the form the kernel consumes: the packed
     * rank-ordered array plus — on the heap path only — an open-addressed
     * (l, r) → rank lookup built once and shared by every row.
     * `useHeap` is explicit so the spec can force either path onto the
-    * same table and pin them bit-identical. */
-  final class MergeTable(val merges: Array[Long], val useHeap: Boolean)
+    * same table and pin them bit-identical.
+    *
+    * WELL-FORMEDNESS (validated here, in the one constructor every path
+    * goes through): no (l, r) pair may repeat across ranks, and every
+    * operand must be a base symbol or an EARLIER rank's placeholder. The
+    * heap greedy equals the documented rank-sequential semantics (and the
+    * DuckDB replace-chain oracle) only under these conditions — a
+    * duplicated pair makes rankOf ambiguous, and a forward-referencing
+    * operand can fire under the greedy order but never under the
+    * sequential one. Any request for the heap path — explicit or the
+    * auto-dispatch width rule — THROWS on a malformed table: a
+    * production-width corrupt artifact silently degraded to the
+    * sequential pass would be a 56× perf cliff at 100 TB, and silently
+    * changed token counts would be worse, so the only honest answer is a
+    * loud refusal. Small tables (≤ [[HeapThreshold]] ranks, sequential
+    * path) stay permissive: rank-sequential application is well-defined
+    * — and replayed exactly by the replace-chain oracle — for ANY pair
+    * list, well-formed or not. */
+  final class MergeTable(val merges: Array[Long], requestedHeap: Boolean)
     extends Serializable {
 
     def this(merges: Array[Long]) = this(merges, merges.length > HeapThreshold)
@@ -134,18 +167,42 @@ object BpeCount {
     private val mask = cap - 1
     private val keySlots = new Array[Long](cap)
     private val rankSlots = new Array[Int](cap)
-    locally {
+
+    /** True iff no (l, r) duplicates and no forward placeholder refs —
+      * computed during the same insert loop that builds the rank table. */
+    val wellFormed: Boolean = {
+      var ok = true
+      // operand x is a placeholder iff it falls in this table's own
+      // placeholder range; its rank must precede the referencing rank
+      val pBase = PlaceholderBase.toInt
+      val pEnd = pBase + merges.length
+      def operandOk(x: Int, k: Int): Boolean =
+        x < pBase || x >= pEnd || (x - pBase) < k
       var k = 0
       while (k < merges.length) {
         val mm = merges(k)
+        val l = (mm >>> 42).toInt
+        val r = ((mm >>> 21) & 0x1FFFFF).toInt
+        if (!operandOk(l, k) || !operandOk(r, k)) ok = false
         val key = (mm >>> 21) + 1L // top 42 bits = l<<21|r; +1 reserves 0
         var i = (scala.util.hashing.byteswap64(key) & mask).toInt
-        while (keySlots(i) != 0L) i = (i + 1) & mask
+        while (keySlots(i) != 0L) {
+          if (keySlots(i) == key) ok = false // duplicate (l, r) pair
+          i = (i + 1) & mask
+        }
         keySlots(i) = key
         rankSlots(i) = k
         k += 1
       }
+      ok
     }
+    require(!requestedHeap || wellFormed,
+      "malformed BPE merge table (duplicate pair or forward placeholder " +
+        "reference) — the heap path would silently diverge from the " +
+        "rank-sequential semantics; fix the table or stay sequential")
+
+    /** Effective dispatch — by the require above, true implies wellFormed. */
+    val useHeap: Boolean = requestedHeap
 
     /** Rank of the merge (l, r), or -1 when the pair never merges. */
     def rankOf(l: Int, r: Int): Int = {

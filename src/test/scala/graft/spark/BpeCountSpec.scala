@@ -191,6 +191,74 @@ class BpeCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("malformed tables never reach the heap: duplicate pairs and forward refs are rejected loudly") {
+    // duplicate (l, r): rankOf would be ambiguous on the heap path
+    val dup = Seq(('t', 'h'), ('i', 'n'), ('t', 'h'))
+    val dupM = BpeCount.encodeMerges(dup).toArray
+    intercept[IllegalArgumentException](new BpeCount.MergeTable(dupM, true))
+    // forward placeholder reference: rank 0 uses rank 1's placeholder —
+    // fires under the greedy order, never under the sequential one
+    val fwd = Seq((p(1), 'e'), ('t', 'h'))
+    val fwdM = BpeCount.encodeMerges(fwd).toArray
+    intercept[IllegalArgumentException](new BpeCount.MergeTable(fwdM, true))
+    // the sequential path stays permissive (rank-sequential semantics and
+    // the replace-chain oracle are well-defined for ANY pair list) but the
+    // table KNOWS it is malformed and never auto-dispatches to the heap
+    Seq(dupM, fwdM).foreach { m =>
+      val t = new BpeCount.MergeTable(m, false)
+      assert(!t.wellFormed && !t.useHeap)
+      // counts still match the textbook replace-chain on the seq path
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString("the thin") // th fires
+      assert(BpeCount.compute(u, t) > 0L)
+    }
+    // a WIDE malformed table refuses auto-dispatch too: degrading a
+    // production-width corrupt artifact to the 56x-slower sequential pass
+    // would be its own silent failure
+    val wideDup = (0 until (BpeCount.HeapThreshold + 5)).map(i =>
+      (('a' + i % 26).toChar, ('a' + (i / 26) % 26).toChar)) :+ ('a', 'a')
+    intercept[IllegalArgumentException](
+      new BpeCount.MergeTable(BpeCount.encodeMerges(wideDup).toArray))
+  }
+
+  test("encodeMerges caps the table at the BMP private-use block (6400 ranks)") {
+    assert(BpeCount.MaxRanks == 6400)
+    // rank 6400 would emit U+F900 — a real CJK compatibility ideograph
+    assert(0xE000 + BpeCount.MaxRanks == 0xF900)
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    def pairAt(i: Int): (Char, Char) =
+      (base(i % base.length), base((i / base.length) % base.length))
+    val atCap = (0 until BpeCount.MaxRanks).map(pairAt)
+    assert(BpeCount.encodeMerges(atCap).length == BpeCount.MaxRanks) // 6400 ok
+    intercept[IllegalArgumentException](
+      BpeCount.encodeMerges(atCap :+ pairAt(BpeCount.MaxRanks))) // 6401 refused
+  }
+
+  test("tx14's production-width table dispatches to the heap and changes counts vs the 28-rank table") {
+    val wide = graft.ops.TextOps.BpeMergesWide
+    assert(wide.length > BpeCount.HeapThreshold, s"width ${wide.length}")
+    val tbl = new BpeCount.MergeTable(BpeCount.encodeMerges(wide).toArray)
+    assert(tbl.useHeap && tbl.wellFormed,
+      "tx14's table must land on the heap path — that is the row's point")
+    // prefix property: ranks 0-27 are the shipped table verbatim, so tx14
+    // extends (not forks) the frozen-artifact story
+    assert(wide.take(graft.ops.TextOps.BpeMerges.length) == graft.ops.TextOps.BpeMerges)
+    // the wide table must actually FIRE beyond the shipped 28 ranks on
+    // representative text, or tx14 would re-prove sp17 under a new name;
+    // heap == greedy on the same text (the independent reference, at width)
+    val texts = Seq("the other estate is near", "her red car radar",
+      "sense and sensibility", "these theses") ++ (1 to 100).map(_ => randText())
+    val narrow = new BpeCount.MergeTable(
+      BpeCount.encodeMerges(graft.ops.TextOps.BpeMerges).toArray)
+    var diverged = false
+    texts.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val w = BpeCount.compute(u, tbl)
+      assert(w == greedyRef(t, wide), s"wide-table heap != greedy on '$t'")
+      if (w != BpeCount.compute(u, narrow)) diverged = true
+    }
+    assert(diverged, "wide table never fired past rank 27 — tx14 would be vacuous")
+  }
+
   test("the shipped frozen table is well-formed and the registry count is non-trivial") {
     // well-formed: every operand is a base char or an EARLIER placeholder —
     // the precondition of the rank-sequential == greedy equivalence
