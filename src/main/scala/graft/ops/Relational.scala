@@ -425,6 +425,40 @@ object Relational {
           coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS F,
           coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS O,
           coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS P
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q23: q20's 100 TB APPROX path, driver-gated ----
+    // q20's oracle checks only the exact-percentile aggregation; the
+    // `approx = true` swap (approx_percentile's bounded-memory sketch with
+    // map-side partials — what a 100 TB deployment actually runs) had only
+    // a spec pin. This row RUNS it and emits the sketch's rank-band
+    // contract as bf03-style within_bound booleans: the 3-row approx
+    // result broadcasts back onto lineitem, one conditional-sum pass
+    // collects lt/le rank stats per (flag, quantile), and
+    // Sampling.withinRankBand applies the published ±1/accuracy band —
+    // deterministic on fixed data, so the oracle is per-flag group sizes
+    // plus literal TRUEs. Two shuffles total (the sketch agg + the stats
+    // agg), both partial-aggregated; nothing holds a per-group buffer.
+    Q("q23_quantile_band",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        val ap = priceQuantiles(li, approx = true)
+        val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+        val stats = qs.flatMap { case (c, _) =>
+          val (lt, le) = Sampling.rankStats(col("l_extendedprice"), col(c))
+          Seq(lt.as(s"lt_$c"), le.as(s"le_$c"))
+        }
+        val g = li.join(broadcast(ap), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), stats: _*)
+        g.select(col("l_returnflag") +: col("n") +: qs.map { case (c, q) =>
+            Sampling.withinRankBand(q, col(s"lt_$c"), col(s"le_$c"),
+              col("n")).as(s"wb_$c")
+          }: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          TRUE AS wb_p25, TRUE AS wb_p50, TRUE AS wb_p75, TRUE AS wb_p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -80,6 +80,34 @@ object Sampling {
     * between the exact (q - 1/A) and (q + 1/A) quantiles. */
   private[graft] val ApproxAccuracy: Int = 10000
 
+  /** bf03-style `within_bound` column for an approx_percentile value at
+    * target quantile `q` — the driver-gated form of the rank band the
+    * specs pin (SamplingSpec/TemporalSpec, identical lo/hi arithmetic:
+    * ±1/[[ApproxAccuracy]] quantiles, plus one rank of slack for the
+    * discrete floor/ceil). Expressed on per-group rank STATS instead of a
+    * sorted array so it aggregates in one distributed pass: with
+    * lt = #{x < v}, le = #{x <= v}, n = group size, the sorted indices
+    * holding v are exactly [lt, le-1], so the band [lo, hi] contains one
+    * iff v occurs at all (le > lt) and the two intervals intersect.
+    * Deterministic on fixed data (the sketch has no randomness), so the
+    * oracle's side is a literal TRUE — the bf03 convention. */
+  private[ops] def withinRankBand(q: Double, lt: Column, le: Column,
+                                  n: Column): Column = {
+    val eps = 1.0 / ApproxAccuracy
+    val lo = greatest(lit(0L), floor(lit(q - eps) * n) - 1)
+    val hi = least(n - 1, ceil(lit(q + eps) * n))
+    (le > lt) && (lt <= hi) && (le - 1 >= lo)
+  }
+
+  /** The lt/le rank-stat aggregate pair for [[withinRankBand]]: counts of
+    * group values strictly below / at-or-below the broadcast-attached
+    * approx value in column `vCol` — partial-aggregable conditional sums,
+    * so the whole band check costs one extra shuffle-free pass over the
+    * already-joined relation. */
+  private[ops] def rankStats(x: Column, vCol: Column): (Column, Column) =
+    (sum(when(x < vCol, 1L).otherwise(0L)),
+     sum(when(x <= vCol, 1L).otherwise(0L)))
+
   private def splitOf(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   private val splitOfSql =
@@ -886,6 +914,45 @@ object Sampling {
                  FROM scs GROUP BY source)
         SELECT doc_id, scs.source, score,
           (score >= p25 AND score <= p75) AS keep
-        FROM scs JOIN qs ON scs.source = qs.source ORDER BY doc_id"""))
+        FROM scs JOIN qs ON scs.source = qs.source ORDER BY doc_id""")),
+
+    // ---- sp19: the 100 TB APPROX path of sp15, driver-gated ----
+    // sp15's oracle checks only the exact-percentile path; the flag a real
+    // 100 TB deployment flips (approx_percentile's bounded-memory sketch,
+    // map-side partials, no per-group O(n) buffer) previously had only a
+    // spec pin. This row RUNS the approx path and emits its rank-band
+    // contract as bf03-style within_bound booleans: lt/le rank stats
+    // against each approx threshold aggregate in one pass over the same
+    // scored relation, and the band arithmetic ([[withinRankBand]]) is
+    // the sketch's published ±1/accuracy guarantee — deterministic on
+    // fixed data, so the oracle asserts per-source group sizes (the exact
+    // SQL replay of the scored relation) plus literal TRUEs. A sketch
+    // regression (wrong rank, lost partials in merge) flips a boolean and
+    // hash-mismatches.
+    Q("sp19_ppx_band_approx",
+      (s, d) => {
+        val scored = perplexityScored(s, d)
+        val thr = perplexityThresholds(scored, approx = true)
+        val (lt25, le25) = rankStats(col("score"), col("p25"))
+        val (lt75, le75) = rankStats(col("score"), col("p75"))
+        // scored stays persisted across its two consumers (threshold agg +
+        // band join), the sp15 pattern; Verify/Bench clear cache per query
+        scored.join(broadcast(thr), "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            lt25.as("lt25"), le25.as("le25"),
+            lt75.as("lt75"), le75.as("le75"))
+          .select(col("source"), col("n"),
+            withinRankBand(0.25, col("lt25"), col("le25"), col("n")).as("wb_p25"),
+            withinRankBand(0.75, col("lt75"), col("le75"), col("n")).as("wb_p75"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH ${TextOps.nllSqlCtes},
+          sc AS (SELECT d.doc_id, round(coalesce(s.nll, 0.0), 6) AS score
+                 FROM d LEFT JOIN s USING (doc_id)),
+          scs AS (SELECT sc.doc_id, doc.source, sc.score
+                  FROM sc JOIN documents doc USING (doc_id))
+        SELECT source, count(*) AS n, TRUE AS wb_p25, TRUE AS wb_p75
+        FROM scs GROUP BY source ORDER BY source"""))
   )
 }

@@ -208,8 +208,11 @@ object Temporal {
     * `percentile` (a per-group O(n) buffer) — same plan shape, same
     * output columns. Exact stays the oracle; the approx rank band is
     * pinned in TemporalSpec (the sp15 convention). */
-  private[ops] def funnelLatencyStats(s: org.apache.spark.sql.SparkSession,
-                                      d: String, approx: Boolean = false): DataFrame = {
+  /** The per-transition latency relation (step, lat) the stats aggregate
+    * over — factored out so ev08's rank-band check provably measures the
+    * SAME latencies the approx sketch summarized. */
+  private[ops] def funnelLatencies(s: org.apache.spark.sql.SparkSession,
+                                   d: String): DataFrame = {
     val steps = Seq("view", "click", "purchase")
     val e = eventsMs(s, d)
       .select(col("user_id"), col("e_ms").as("ts"), col("event_type"))
@@ -217,12 +220,17 @@ object Temporal {
       .select(col("user_id"), col("step").cast("bigint").as("step"), col("t_ms"))
     val nxt = hits.select(col("user_id"), (col("step") - 1).as("step"),
       col("t_ms").as("t_next"))
+    hits.join(nxt, Seq("user_id", "step"))
+      .select(col("step"), (col("t_next") - col("t_ms")).as("lat"))
+  }
+
+  private[ops] def funnelLatencyStats(s: org.apache.spark.sql.SparkSession,
+                                      d: String, approx: Boolean = false): DataFrame = {
     val ps =
       if (approx) expr("approx_percentile(lat, array(0.5D, 0.9D), " +
         s"${Sampling.ApproxAccuracy})")
       else expr("percentile(lat, array(0.5D, 0.9D))")
-    hits.join(nxt, Seq("user_id", "step"))
-      .select(col("step"), (col("t_next") - col("t_ms")).as("lat"))
+    funnelLatencies(s, d)
       .groupBy(col("step"))
       .agg(count(lit(1)).as("n_users"),
         ps.as("ps"),
@@ -613,6 +621,53 @@ object Temporal {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no FROM f)
         SELECT user_id, sess_no, count(*) AS n_events,
           min(e_ms) AS start_ms, max(e_ms) AS end_ms, sum(value) AS sum_value
-        FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
+        FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""")),
+
+    // ---- ev08: ev04's 100 TB APPROX path, driver-gated ----
+    // The same within_bound stance as q23/sp19 (see q23's comment for the
+    // mechanics): run funnelLatencyStats' `approx = true` swap, broadcast
+    // the 2-row sketch result back onto the SAME latency relation the
+    // sketch summarized (funnelLatencies — one shared builder, so the
+    // band check cannot measure different latencies), and emit each
+    // percentile's ±1/accuracy rank-band boolean. The oracle replays
+    // ev04's latency CTEs for the per-transition counts plus literal
+    // TRUEs. The latency relation is rebuilt for the stats pass (one
+    // extra events scan — the band check is an AUDIT query, not the
+    // serving path, and at 100 TB an audit pass over events is the cost
+    // of certifying the sketch).
+    Q("ev08_latency_band",
+      (s, d) => {
+        val ap = funnelLatencyStats(s, d, approx = true)
+          .select(col("step"), col("transition"), col("p50"), col("p90"))
+        val (lt50, le50) = Sampling.rankStats(col("lat"), col("p50"))
+        val (lt90, le90) = Sampling.rankStats(col("lat"), col("p90"))
+        funnelLatencies(s, d).join(broadcast(ap), Seq("step"))
+          .groupBy(col("step"), col("transition"))
+          .agg(count(lit(1)).as("n_users"),
+            lt50.as("lt50"), le50.as("le50"),
+            lt90.as("lt90"), le90.as("le90"))
+          .select(col("step"), col("transition"), col("n_users"),
+            Sampling.withinRankBand(0.5, col("lt50"), col("le50"),
+              col("n_users")).as("wb_p50"),
+            Sampling.withinRankBand(0.9, col("lt90"), col("le90"),
+              col("n_users")).as("wb_p90"))
+          .orderBy(col("step"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ms, event_type FROM events),
+          a AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+          b AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN a USING (user_id)
+                WHERE e.event_type = 'click' AND e.ms >= a.t GROUP BY e.user_id),
+          c AS (SELECT e.user_id, min(e.ms) AS t FROM e JOIN b USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ms >= b.t GROUP BY e.user_id),
+          l1 AS (SELECT b.t - a.t AS lat FROM a JOIN b USING (user_id)),
+          l2 AS (SELECT c.t - b.t AS lat FROM b JOIN c USING (user_id))
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view->click' AS transition,
+            CAST(count(*) AS BIGINT) AS n_users, TRUE AS wb_p50, TRUE AS wb_p90
+          FROM l1 HAVING count(*) > 0
+          UNION ALL
+          SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT), TRUE, TRUE
+          FROM l2 HAVING count(*) > 0)
+        ORDER BY step"""))
   )
 }
