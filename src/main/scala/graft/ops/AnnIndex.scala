@@ -177,11 +177,13 @@ object AnnIndex {
     * the bounded harness query set — the ss18 measurement as one driver
     * scalar (one bounded aggregate; the harness is ≤ ~4096 queries by
     * construction at any corpus size). */
-  def measuredRecall(s: SparkSession, d: String, dir: String): Double =
-    Similarity.recallHarness(s, d,
-        serveFromLog(s, d, dir, Similarity.recallQueryIds(s, d)),
-        Similarity.recallQueryIds(s, d))
+  def measuredRecall(s: SparkSession, d: String, dir: String): Double = {
+    // one harness query set for BOTH arms — the bounded-query contract
+    // lives in exactly one place
+    val qIds = Similarity.recallQueryIds(s, d)
+    Similarity.recallHarness(s, d, serveFromLog(s, d, dir, qIds), qIds)
       .agg(avg(col("recall_at_5"))).head().getDouble(0)
+  }
 
   /** The measured-recall RETRAIN TRIGGER — closes the loop ss18 opens:
     * the harness MEASURES the frozen-artifact drift, this ACTS on it,
@@ -214,6 +216,37 @@ object AnnIndex {
     }
   }
 
+  /** Record the pointer FLIP on the superseded log: called by the
+    * deployment at the moment it switches serving to the retrained log
+    * (NOT by [[retrainIfBelow]] — the serving switch is the caller's, per
+    * its contract, so the retirement watermark must be stamped when the
+    * switch actually happens, not when the rebuild finished). The marker
+    * is the watermark [[retire]] measures its reader grace against. */
+  def markRetired(s: SparkSession, dir: String): Unit = {
+    val fs = BatchLog.fsOf(s, dir)
+    val out = fs.create(new Path(s"$dir/_RETIRED"), true)
+    try out.writeLong(System.currentTimeMillis()) finally out.close()
+  }
+
+  /** Delete a RETIRED log wholesale after the reader grace window — the
+    * cross-log analog of [[BatchLog.vacuum]]'s intra-log discipline:
+    * flipping the serving pointer must not strand a reader that resolved
+    * the old log's view just before the flip, so inside the window (or
+    * with no [[markRetired]] marker at all) this is a refusing no-op that
+    * returns false. Returns true iff the log was deleted. */
+  def retire(s: SparkSession, dir: String,
+             graceMs: Long = BatchLog.DefaultVacuumGraceMs): Boolean = {
+    val fs = BatchLog.fsOf(s, dir)
+    val marker = new Path(s"$dir/_RETIRED")
+    if (!fs.exists(marker)) false
+    else {
+      val in = fs.open(marker)
+      val flippedAt = try in.readLong() finally in.close()
+      if (System.currentTimeMillis() - flippedAt < graceMs) false
+      else { fs.delete(new Path(dir), true); true }
+    }
+  }
+
   /** The ss16 registry lifecycle: a deterministic replay of the
     * incremental protocol over the driver's own corpus — artifacts frozen
     * from the FIRST HALF of the embeddings table (so the frozen-artifact
@@ -240,5 +273,24 @@ object AnnIndex {
     vacuum(s, dir, graceMs = 0L) // private tmp store: no concurrent readers
     appendBatch(s, dir, pv.filter(col("vec_id") >= cut2), 2L)
     dir
+  }
+
+  /** The ss19 registry lifecycle: a deterministic replay of the RETRAIN
+    * TRIGGER over the driver's own corpus. The drifted log is ss16's
+    * ([[ensureDriverLog]] — artifacts frozen on the first-half corpus);
+    * `minRecall = 1.01` exceeds any achievable recall, so the decision
+    * branch fires deterministically at every scale — the recall NUMBER is
+    * ss18's row, this row gates the ACTION: fresh artifacts from the
+    * CURRENT corpus plus the whole corpus as the new log's batch 0,
+    * through the same measured-recall path a deployment's periodic check
+    * runs. Idempotent across reruns: the trigger re-fires (the OLD log's
+    * measured recall is a fixed fact of the fixture) and the new log's
+    * ensureArtifacts/appendBatch both no-op on committed state. */
+  private[ops] def ensureRetrainedLog(s: SparkSession, d: String): String = {
+    val oldDir = ensureDriverLog(s, d)
+    val newDir = s"${oldDir}_rt"
+    val fired = retrainIfBelow(s, d, oldDir, newDir, minRecall = 1.01)
+    require(fired, "retrain trigger must fire at minRecall > 1.0")
+    newDir
   }
 }

@@ -634,6 +634,37 @@ object Similarity {
   /** ss14's serve replay: one-shot artifacts, the canonical %100 queries. */
   private[ops] val ss14ServeOracleSql: String = serveOracleSql("v", "100")
 
+  /** The whole-corpus-artifact CODE relation oracle — ss13's build output,
+    * and (verbatim) ss19's: a retrain builds fresh artifacts from the
+    * CURRENT corpus and re-encodes everything through the same kernels, so
+    * its committed log must equal the one-shot build bit-for-bit. Shared so
+    * the two rows can never drift onto different encode semantics. */
+  private[ops] val oneShotCodesOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+          a AS (SELECT vec_id AS aid, vec AS av FROM v
+                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
+          asn AS (SELECT vec_id, aid FROM (
+              SELECT v.vec_id, a.aid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
+              FROM v CROSS JOIN a) WHERE rn = 1),
+          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
+                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
+                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
+          xd AS (SELECT v.vec_id, m.m, c.j,
+                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
+                              for i in generate_series(1,8) ]) AS dd
+                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
+          codes AS (SELECT vec_id, m, j FROM (
+                      SELECT vec_id, m, j,
+                        row_number() OVER (PARTITION BY vec_id, m
+                          ORDER BY dd ASC, j ASC) AS rn
+                      FROM xd) WHERE rn = 1)
+        SELECT c.vec_id, s.aid, CAST(c.m AS INT) AS m, c.j
+        FROM codes c JOIN asn s USING (vec_id)
+        ORDER BY c.vec_id, c.m"""
+
   /** The recall-harness oracle around a given served-relation SQL: exact
     * L2² top-5 ground truth (same metric and tie-break as the serve
     * path's rescore) over the bounded harness query set, left-joined to
@@ -1391,30 +1422,7 @@ object Similarity {
           .select(col("vec_id"), col("aid"), col("m").cast("int").as("m"), col("j"))
           .orderBy(col("vec_id"), col("m"))
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-          a AS (SELECT vec_id AS aid, vec AS av FROM v
-                WHERE vec_id % greatest(61, (SELECT count(*) FROM v) // 4096) = 7),
-          asn AS (SELECT vec_id, aid FROM (
-              SELECT v.vec_id, a.aid,
-                row_number() OVER (PARTITION BY v.vec_id
-                  ORDER BY list_cosine_similarity(v.vec, a.av) DESC, a.aid) AS rn
-              FROM v CROSS JOIN a) WHERE rn = 1),
-          cb AS (SELECT CAST(vec_id // greatest(2, (SELECT count(*) FROM v) // 256) AS INT) AS j, vec
-                 FROM v WHERE vec_id % greatest(2, (SELECT count(*) FROM v) // 256)
-                              = 7 % greatest(2, (SELECT count(*) FROM v) // 256)),
-          xd AS (SELECT v.vec_id, m.m, c.j,
-                   list_sum([ (v.vec[m.m*8+i] - c.vec[m.m*8+i])
-                              * (v.vec[m.m*8+i] - c.vec[m.m*8+i])
-                              for i in generate_series(1,8) ]) AS dd
-                 FROM v CROSS JOIN generate_series(0,7) m(m) CROSS JOIN cb c),
-          codes AS (SELECT vec_id, m, j FROM (
-                      SELECT vec_id, m, j,
-                        row_number() OVER (PARTITION BY vec_id, m
-                          ORDER BY dd ASC, j ASC) AS rn
-                      FROM xd) WHERE rn = 1)
-        SELECT c.vec_id, s.aid, CAST(c.m AS INT) AS m, c.j
-        FROM codes c JOIN asn s USING (vec_id)
-        ORDER BY c.vec_id, c.m""")),
+      Some(oneShotCodesOracleSql)),
 
     // ---- ss14: IVFADC PROBE — serve from the STORED index only. The     ----
     // ---- deployment's steady state: the corpus is never re-encoded; the ----
@@ -1489,6 +1497,30 @@ object Similarity {
     // ---- oracle re-derives anchors + codebook from ids < n/2 ONLY, so a ----
     // ---- lazy implementation that re-trains on the full corpus (or      ----
     // ---- re-encodes history) hash-mismatches.                           ----
+    // ---- ss19: the RETRAIN trigger's rebuild, driver-gated — the ACTION  ----
+    // ---- half of the measured-recall loop. ss18 measures the drifted     ----
+    // ---- log's recall; retrainIfBelow acts on it. This row forces the    ----
+    // ---- decision branch deterministically (minRecall > 1 — the number   ----
+    // ---- itself is ss18's row) and outputs the FRESH log's committed     ----
+    // ---- codes: artifacts re-derived from the CURRENT corpus, the whole  ----
+    // ---- corpus re-encoded as batch 0 through the same append API. The   ----
+    // ---- oracle is ss13's one-shot build SQL VERBATIM (shared val), so   ----
+    // ---- a trigger that rebuilt against stale artifacts, skipped the     ----
+    // ---- rebuild, or reused the drifted log's codes hash-mismatches.     ----
+    // ---- The serving pointer-flip + grace-guarded vacuum of the old log  ----
+    // ---- is IvfAppendSpec's scenario (a destructive step no registry     ----
+    // ---- row should replay against the shared driver log).              ----
+    Q("ss19_retrain_rebuild",
+      (s, d) => {
+        val dir = AnnIndex.ensureRetrainedLog(s, d)
+        AnnIndex.codes(s, dir)
+          .select(col("vec_id"), col("aid"),
+            posexplode(col("code")).as(Seq("m", "j")))
+          .select(col("vec_id"), col("aid"), col("m").cast("int").as("m"), col("j"))
+          .orderBy(col("vec_id"), col("m"))
+      },
+      Some(oneShotCodesOracleSql)),
+
     Q("ss16_incremental_index",
       (s, d) => {
         val dir = AnnIndex.ensureDriverLog(s, d)

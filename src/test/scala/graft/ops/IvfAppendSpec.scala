@@ -187,5 +187,34 @@ class IvfAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is a valid harness number over the same bounded query set
     val fresh = AnnIndex.measuredRecall(sp, d, newDir)
     assert(fresh > 0.0 && fresh <= 1.0, s"implausible fresh recall $fresh")
+
+    // ---- the full POINTER FLIP: serve from the new log, then retire ----
+    // ---- the old one behind the reader grace window ----
+    import sp.implicits._
+    val n2 = Tables.rowCount(sp, d, "embeddings")
+    val qIds = Seq(0L, n2 / 2, n2 - 1).distinct.toDF("q_id")
+    // the flipped pointer serves the one-shot full-corpus answers (the
+    // new log IS a fresh full-corpus index — same artifacts derivations)
+    val servedNew = serveRows(AnnIndex.serveFromLog(sp, d, newDir, qIds))
+    val servedRef = serveRows(Similarity.ivfAdcServeWith(sp, d,
+      Similarity.ivfEncodeWith(pv, fullAgg, Similarity.pqCodebook(pv, n)),
+      qIds, AnnIndex.anchors(sp, newDir), AnnIndex.codebookAgg(sp, newDir)))
+    assert(servedNew.nonEmpty && servedNew == servedRef,
+      "post-flip serve from the retrained log diverges from the one-shot serve")
+    // retirement is refused without a flip marker, and inside the grace
+    // window — a reader that resolved the OLD log's view just before the
+    // flip must still find its files
+    assert(!AnnIndex.retire(sp, dir), "retire must refuse an unmarked log")
+    AnnIndex.markRetired(sp, dir)
+    assert(!AnnIndex.retire(sp, dir, graceMs = 60L * 60L * 1000L),
+      "retire must refuse inside the grace window")
+    assert(AnnIndex.artifactsReady(sp, dir), "refused retire must leave the log intact")
+    assert(serveRows(AnnIndex.serveFromLog(sp, d, dir, qIds)).nonEmpty,
+      "the old log must still serve inside the grace window")
+    // past the window the old log goes away wholesale; the new one serves on
+    assert(AnnIndex.retire(sp, dir, graceMs = 0L))
+    assert(!AnnIndex.artifactsReady(sp, dir), "retired log must be deleted")
+    assert(serveRows(AnnIndex.serveFromLog(sp, d, newDir, qIds)) == servedRef,
+      "the retained log must be untouched by the old one's retirement")
   }
 }
