@@ -402,9 +402,24 @@ object Ingest {
     if (!AnnIndex.view(s, indexDir).isCommitted(batchId)) {
       val ids = admittedIds(s, corpusDir, batchId,
         batch.select(col("doc_id").cast("long").as("doc_id")))
-      val pv = Similarity.pqVecsOf(batch.select(
+      val pv0 = Similarity.pqVecsOf(batch.select(
           col("doc_id").cast("long").as("vec_id"), col("embedding")))
         .join(ids.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      // Replay-after-compaction guard: once this batch's admitted slice
+      // was folded, [[admittedIds]] ATTRIBUTES by candidate-set
+      // intersection — if an at-least-once source ever delivered a doc_id
+      // in two batches (rejected here, admitted later), a delayed replay
+      // of the crash-between-commits window would re-append the OTHER
+      // batch's doc under this batch id, silently duplicating its vec_id.
+      // Anti-joining against vec_ids already indexed closes that: the
+      // index itself is the authority on what it holds. Costs one
+      // column-pruned scan of the index's vec_id column, and ONLY on the
+      // compacted-fallback path — the normal tail-batch replay (and every
+      // first-time append) skips it.
+      val pv =
+        if (storeView(s, corpusDir).tail.contains(batchId)) pv0
+        else pv0.join(AnnIndex.codes(s, indexDir).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
       AnnIndex.appendBatch(s, indexDir, pv, batchId)
     }
   }

@@ -715,6 +715,29 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(servedStreamed == serveRows(refLog),
       "probe answers diverge between streamed and one-shot logs")
 
+    // (3b) the STREAMING probe serves from the index the STREAM built —
+    // the full composed loop (stream ingest+index → stream probe): query
+    // ids stream in micro-batches through StreamingAnnProbe against the
+    // composed log, and the union of per-batch answers equals the batch
+    // serve over exactly the admitted corpus (the ss14 equality, closed
+    // end-to-end for the composition the way IvfAppendSpec closed it for
+    // the standalone log)
+    val probeIn = MemoryStream[Long]
+    val probeAnswers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val probeQuery = graft.streaming.StreamingAnnProbe.probeStreamWith(
+      probeIn.toDF().toDF("q_id"),
+      (res, _) => probeAnswers ++= res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4))),
+      (s2, ids) => AnnIndex.serveFromLog(s2, embDir, indexDir, ids))
+    try {
+      probeIn.addData(admittedIds.min)
+      probeQuery.processAllAvailable()
+      probeIn.addData(admittedIds.max)
+      probeQuery.processAllAvailable()
+    } finally probeQuery.stop()
+    assert(probeAnswers.toSet == servedStreamed,
+      "streamed probe answers over the composed log diverge from the batch serve")
+
     // (4) crash BETWEEN the two commits: batch 3's admission commits but
     // the codes append never runs; the composed replay no-ops admission,
     // re-derives the admitted set FROM THE STORE, and commits the codes
@@ -731,6 +754,60 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full replay of a fully-committed batch: both stores no-op
     graft.ops.Ingest.ingestAndIndexBatch(spark, corpusDir, indexDir, b3df, 3L)
     assert(codeSet(indexDir).map(_._1) == admittedIds + 50L)
+  }
+
+  test("delayed replay after compaction cannot duplicate a re-delivered doc's index entry") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{AnnIndex, Similarity}
+
+    // The at-least-once anomaly admittedIds' compacted fallback attributes
+    // by candidate-set intersection: doc 2 is DELIVERED in batch 0 but
+    // rejected there (bad quality), then re-delivered fixed in batch 1 and
+    // admitted. After compaction folds both admitted slices, a delayed
+    // replay of batch 0's crash-between-commits window derives its
+    // admitted set as (view admitted ∩ batch-0 candidates) = {1, 2} —
+    // doc 2 wrongly attributed — and without the index-membership
+    // anti-join would append doc 2's codes a second time.
+    def embCol = transform(sequence(lit(0), lit(63)), i =>
+      pmod(col("doc_id") * lit(37) + i * lit(101), lit(97)).cast("double")
+        / lit(97.0) + lit(0.01))
+    val r0 = Seq((1L, "web", enDoc(ownBody(1))), (2L, "web", badQuality))
+    val r1 = Seq((2L, "web", enDoc(ownBody(2))), (3L, "web", enDoc(ownBody(3))))
+    def df(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("doc_id", "source", "text").withColumn("embedding", embCol)
+    val allIds = Seq(1L, 2L, 3L)
+    val initPv = Similarity.pqVecsOf((r0 ++ r1).distinct.toDF("doc_id", "source", "text")
+      .select(col("doc_id").as("vec_id"), embCol.as("embedding")).distinct())
+    val corpusDir = tmpDir("replay_corpus")
+    val indexDir = tmpDir("replay_idx")
+    AnnIndex.ensureArtifacts(spark, indexDir, initPv, allIds.size.toLong)
+
+    // batch 0 crashes BETWEEN the commits: admission lands, codes never run
+    Ingest.ingestBatch(spark, corpusDir, df(r0), 0L)
+    assert(!AnnIndex.view(spark, indexDir).isCommitted(0L))
+    // batch 1 runs composed and commits doc 2 + 3's codes under id 1
+    Ingest.ingestAndIndexBatch(spark, corpusDir, indexDir, df(r1), 1L)
+    // compaction folds BOTH admitted slices before the replay arrives
+    assert(Ingest.compact(spark, corpusDir).contains(0L))
+    assert(Ingest.vacuum(spark, corpusDir, graceMs = 0L))
+
+    // the delayed replay of batch 0: admission no-ops, the index append
+    // derives {1, 2} from the store but must anti-join doc 2 back out
+    Ingest.ingestAndIndexBatch(spark, corpusDir, indexDir, df(r0), 0L)
+    assert(AnnIndex.view(spark, indexDir).isCommitted(0L))
+    val perVec = AnnIndex.codes(spark, indexDir)
+      .groupBy(col("vec_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVec.keySet == Set(1L, 2L, 3L),
+      s"index must hold exactly the admitted docs: ${perVec.keySet}")
+    assert(perVec.values.forall(_ == 1L),
+      s"replay duplicated an index entry: $perVec")
+    // and doc 2's slice attribution stayed with the batch that ADMITTED it
+    assert(spark.read.parquet(s"$indexDir/codes/batch_id=0")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet == Set(1L),
+      "batch 0's replayed slice must hold only its own admitted doc")
   }
 
   test("compaction folds batches into a committed generation: answers preserved under load, across a crash mid-compaction, and after vacuum") {
