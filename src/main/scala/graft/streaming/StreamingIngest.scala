@@ -100,4 +100,30 @@ object StreamingIngest {
   def classifierGate(minScore: Double = 0.0): graft.ops.Ingest.ModelGate =
     docs => docs.filter(graft.ops.TextOps.clfScoreCol >= minScore)
       .select(org.apache.spark.sql.functions.col("doc_id"))
+
+  /** Decontamination gate (dc01's eval-leakage criterion as an admission
+    * stage): drop every doc sharing ANY word-trigram shingle with the
+    * frozen benchmark suite — the gate real pretraining ingest runs next
+    * to dedup, so eval contamination never REACHES the corpus instead of
+    * being scrubbed after the fact (dc01/dc02 remain the batch audit over
+    * an already-built corpus). `benchHashes` is a (h: BIGINT) relation of
+    * the suite's distinct shingle hashes — a frozen stored artifact like
+    * the DSIR/perplexity/classifier models (eval suites are bounded:
+    * thousands of docs, ~1e6 shingles — broadcast-sized; a giant suite
+    * falls back to a shuffle join on the shingle hash, still one pass).
+    * Unlike the map-only gates this one joins, which the ModelGate
+    * contract already allows ("map-only or broadcast-join scorer against
+    * frozen artifacts" — Ingest.ingestBatch). Shingles come from the SAME
+    * fused kernel dc01 uses, so gate and audit can never disagree on what
+    * a shingle is. */
+  def decontaminationGate(benchHashes: DataFrame): graft.ops.Ingest.ModelGate =
+    docs => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val contaminated = docs
+        .select(col("doc_id"),
+          explode(graft.spark.SketchExpressions.shingleHashes(col("text"))).as("h"))
+        .join(benchHashes.select(col("h")), Seq("h"), "left_semi")
+      docs.select(col("doc_id"))
+        .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
 }

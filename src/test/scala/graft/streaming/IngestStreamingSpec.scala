@@ -756,6 +756,58 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codeSet(indexDir).map(_._1) == admittedIds + 50L)
   }
 
+  test("decontamination gate: docs sharing a shingle with the frozen benchmark suite die at admission; stream equals the sequential reference") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    // the frozen benchmark suite: one doc reusing sharedBody("A"), so the
+    // fixture docs built on it (1, 6, 8) are contaminated while everything
+    // else — including the sharedBody("B") family — stays clean. No enDoc
+    // prefix: that prefix is common to EVERY fixture doc and would
+    // contaminate the whole corpus.
+    val benchDocs = Seq("eval suite intro " + sharedBody("A"),
+      "held out benchmark " + ownBody(99L))
+    val benchHashes = benchDocs.toDF("text")
+      .select(explode(graft.spark.SketchExpressions.shingleHashes(col("text"))).as("h"))
+      .distinct()
+
+    // hash-independent reference: lowercase word-trigram STRING sets (the
+    // same injectivity stance as dc01's string-join oracle vs the engine's
+    // xxh64 shingles)
+    def trigrams(t: String): Set[String] =
+      t.toLowerCase.split(" ", -1).toSeq.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val benchTris = benchDocs.flatMap(trigrams).toSet
+    val contaminated = batches.flatten.collect {
+      case (id, _, text) if trigrams(text).intersect(benchTris).nonEmpty => id
+    }.toSet
+    assert(contaminated == Set(1L, 6L, 8L), s"fixture drift: $contaminated")
+
+    // non-vacuity: the gate must cut a doc every OTHER stage admits (doc 1
+    // is admitted by the ungated reference; 6/8 already die as near-dups)
+    val (ungated, _) = runRef(batches)
+    assert(ungated.map(_._1).exists(contaminated),
+      "decontamination gate would be inert on this fixture")
+    val (refAdmitted, refStats) = runRef(batches,
+      modelKeep = id => !contaminated(id))
+    assert(refAdmitted.map(_._1).intersect(contaminated).isEmpty)
+
+    val dir = tmpDir("decon")
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
+      StreamingIngest.decontaminationGate(benchHashes)))
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      assert(storeAdmitted(dir) == refAdmitted,
+        s"gated stream diverges:\n  stream=${storeAdmitted(dir)}\n  ref=$refAdmitted")
+      assert(storeStats(dir) == refStats,
+        s"attrition diverges:\n  stream=${storeStats(dir)}\n  ref=$refStats")
+    } finally query.stop()
+  }
+
   test("delayed replay after compaction cannot duplicate a re-delivered doc's index entry") {
     val sp = spark
     import sp.implicits._
