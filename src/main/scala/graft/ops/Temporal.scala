@@ -225,12 +225,19 @@ object Temporal {
   }
 
   private[ops] def funnelLatencyStats(s: org.apache.spark.sql.SparkSession,
-                                      d: String, approx: Boolean = false): DataFrame = {
+                                      d: String, approx: Boolean = false): DataFrame =
+    funnelLatencyStatsOf(funnelLatencies(s, d), approx)
+
+  /** The stats aggregate over a given latency relation — so ev08 can feed
+    * ONE persisted relation to both the sketch and its band audit instead
+    * of paying the funnel derivation twice. */
+  private[ops] def funnelLatencyStatsOf(lats: DataFrame,
+                                        approx: Boolean): DataFrame = {
     val ps =
       if (approx) expr("approx_percentile(lat, array(0.5D, 0.9D), " +
         s"${Sampling.ApproxAccuracy})")
       else expr("percentile(lat, array(0.5D, 0.9D))")
-    funnelLatencies(s, d)
+    lats
       .groupBy(col("step"))
       .agg(count(lit(1)).as("n_users"),
         ps.as("ps"),
@@ -631,17 +638,17 @@ object Temporal {
     // band check cannot measure different latencies), and emit each
     // percentile's ±1/accuracy rank-band boolean. The oracle replays
     // ev04's latency CTEs for the per-transition counts plus literal
-    // TRUEs. The latency relation is rebuilt for the stats pass (one
-    // extra events scan — the band check is an AUDIT query, not the
-    // serving path, and at 100 TB an audit pass over events is the cost
-    // of certifying the sketch).
+    // TRUEs. ONE persisted latency relation feeds both the sketch and the
+    // band audit (funnelLatencyStatsOf), so the funnel derivation — the
+    // expensive half — runs once; Verify/Bench clear cache per query.
     Q("ev08_latency_band",
       (s, d) => {
-        val ap = funnelLatencyStats(s, d, approx = true)
+        val lats = funnelLatencies(s, d).persist()
+        val ap = funnelLatencyStatsOf(lats, approx = true)
           .select(col("step"), col("transition"), col("p50"), col("p90"))
         val (lt50, le50) = Sampling.rankStats(col("lat"), col("p50"))
         val (lt90, le90) = Sampling.rankStats(col("lat"), col("p90"))
-        funnelLatencies(s, d).join(broadcast(ap), Seq("step"))
+        lats.join(broadcast(ap), Seq("step"))
           .groupBy(col("step"), col("transition"))
           .agg(count(lit(1)).as("n_users"),
             lt50.as("lt50"), le50.as("le50"),
