@@ -757,6 +757,64 @@ object Dedup {
           CAST(n_shared AS BIGINT) AS n_shared
         FROM r WHERE rank <= 3 ORDER BY bench_doc, rank""")),
 
+    // ---- dc03: decontaminated clean corpus — the composed BATCH twin of ----
+    // ---- StreamingIngest.decontaminationGate ----
+    // pp01's cleaning pipeline with the eval-leakage gate in its admission
+    // slot (quality -> language -> DECONTAMINATE -> exact dedup keep-first):
+    // dc01 audits the criterion in isolation; this row drives the composed
+    // ORDER through the DuckDB gate — decontamination must act on the
+    // quality/lang survivors BEFORE dedup's keep-first pick, because a
+    // contaminated doc that would have won keep-first must not shadow its
+    // clean duplicate (a post-dedup scrub would drop the fingerprint
+    // entirely; pinned by construction here). Scale shape: pp01's map-only
+    // flags + one fused-kernel shingle pass, the bench set distinct
+    // (bounded: the eval split), one semi + one anti join on the shingle
+    // hash, then pp01's single fingerprint window.
+    Q("dc03_decontaminated_corpus",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
+        val base = withShingles(Tables.spread(t(s, d, "documents")), "sh",
+            col("doc_id"), col("text"),
+            Sampling.hashBucket(col("doc_id")).as("bk"))
+          .cache() // bench + train branches share the shingle kernel pass
+        val bench = base.filter(col("bk") >= 95)
+          .select(explode(col("sh")).as("h")).distinct()
+        val contaminated = base.filter(col("bk") < 95)
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(bench, Seq("h"), "left_semi")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        base.filter(col("bk") < 95)
+          .select(col("doc_id"), col("text"), nWords.as("n_words"),
+            TextOps.qualityCol.as("quality"), TextOps.predLangCol.as("pred_lang"))
+          .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+          .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("n_words"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sh0 AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, len(w)-2)]) AS sh,
+              ${Sampling.hashBucketSql("doc_id")} AS bk
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+          ex AS (SELECT doc_id, unnest(sh) AS g, bk FROM sh0),
+          bench AS (SELECT DISTINCT g FROM ex WHERE bk >= 95),
+          cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bench USING (g) WHERE bk < 95),
+          q AS (SELECT d.doc_id, d.text,
+              len(string_split_regex(trim(d.text), '\\s+')) AS n_words,
+              ${TextOps.qualitySql} AS quality, ${TextOps.predLangSql} AS pred_lang
+            FROM documents d JOIN sh0 USING (doc_id) WHERE sh0.bk < 95),
+          f AS (SELECT doc_id, n_words, quality, md5(lower(trim(text))) AS fp
+                FROM q WHERE quality >= 0.5 AND pred_lang = 'en'
+                  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          k AS (SELECT doc_id, n_words, quality,
+                  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality
+        FROM k WHERE rn = 1 ORDER BY doc_id""")),
+
     // ---- dd08: passage-level duplicate-span fraction (Rabin-Karp style) ----
     // The exact-substring dedup SIGNAL (Lee et al. "Deduplicating Training
     // Data..."): what fraction of a document's 8-token windows also appear in
