@@ -290,6 +290,54 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("withinRankBand == the literal sorted-index band scan on 400 random groups") {
+    // the q23/ev08/sp19 rows stand on this helper: its rank-stat
+    // formulation (lt/le conditional sums) must equal literally scanning
+    // the sorted band [lo, hi] for the value — including the corners the
+    // algebra can get wrong (value absent from the group, value present
+    // only OUTSIDE the band, band clamped at 0 / n-1, duplicated values
+    // straddling the band edge)
+    val sp = spark
+    import sp.implicits._
+    val r = new scala.util.Random(7191L)
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val groups = (0 until 400).map { gid =>
+      val n = 1 + r.nextInt(40)
+      val sc = Array.fill(n)(r.nextInt(12).toDouble).sorted // dense ties
+      val v =
+        if (r.nextBoolean()) sc(r.nextInt(n)) // present somewhere
+        else r.nextInt(15).toDouble + 0.5 // absent (half-integral)
+      (gid, sc.toSeq, qs(gid % 4), v)
+    }
+    val eps = 1.0 / Sampling.ApproxAccuracy
+    val expected = groups.map { case (gid, sc, q, v) =>
+      val n = sc.length
+      val lo = math.max(0, math.floor((q - eps) * n).toInt - 1)
+      val hi = math.min(n - 1, math.ceil((q + eps) * n).toInt)
+      gid -> (lo to hi).exists(i => sc(i) == v)
+    }.toMap
+    // engine side: per-q aggregate over the exploded groups (q is a scala
+    // literal in withinRankBand, so one job per distinct q)
+    val rows = groups.flatMap { case (gid, sc, q, v) =>
+      sc.map(x => (gid, x, q, v)) }.toDF("gid", "x", "q", "v")
+    val got = qs.flatMap { q =>
+      val (lt, le) = Sampling.rankStats(col("x"), col("v"))
+      rows.filter(col("q") === q)
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n"), lt.as("lt"), le.as("le"))
+        .select(col("gid"),
+          Sampling.withinRankBand(q, col("lt"), col("le"), col("n")).as("wb"))
+        .collect().map(r2 => r2.getInt(0) -> r2.getBoolean(1))
+    }.toMap
+    assert(got.size == groups.size)
+    groups.foreach { case (gid, sc, q, v) =>
+      assert(got(gid) == expected(gid),
+        s"gid=$gid q=$q v=$v n=${sc.length}: engine=${got(gid)} scan=${expected(gid)} sc=$sc")
+    }
+    // both outcomes must occur, or the property is vacuous
+    assert(expected.values.exists(identity) && expected.values.exists(!_))
+  }
+
   test("sp15 approx thresholds sit within the pinned rank band of the exact path") {
     // the 100 TB flag: approx_percentile's contract at accuracy A is a rank
     // error of at most n/A — each returned threshold is an ACTUAL score
