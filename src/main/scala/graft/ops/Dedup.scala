@@ -73,6 +73,18 @@ object Dedup {
   /** Word-hash column for [[spansFromWh]] callers outside this object. */
   private[graft] def wordHashCol(text: Column): Column = wordHashes(text)
 
+  /** Window length of the DECONTAMINATION criterion (dc03 and
+    * StreamingIngest.decontaminationGate): contaminated = sharing an
+    * 8-token window with the benchmark suite — dd08's span length, the
+    * Lee-et-al./PaLM-style substring test. Deliberately NOT dc01's 3-gram
+    * statistic: ANY-3-gram overlap is an audit SIGNAL, but as a DROP
+    * criterion it approaches total corpus kill on templated text
+    * (measured on the fixture: 4739 of 4739 sf0.1 training docs share
+    * some trigram with the 5% eval split — a gate on it keeps 0 docs —
+    * while the 8-token window marks 16, and real leakage IS a long shared
+    * span, not one common phrase). */
+  private[graft] val DeconSpanK = 8
+
   /** Shingle hashes from a word-hash ARRAY column/expression. The guard is a
     * zero-length slice, NOT a when() branch: conditional branches block
     * codegen subexpression elimination, so a when() here re-evaluated the
@@ -761,27 +773,33 @@ object Dedup {
     // ---- StreamingIngest.decontaminationGate ----
     // pp01's cleaning pipeline with the eval-leakage gate in its admission
     // slot (quality -> language -> DECONTAMINATE -> exact dedup keep-first):
-    // dc01 audits the criterion in isolation; this row drives the composed
-    // ORDER through the DuckDB gate — decontamination must act on the
+    // dc01 audits overlap in isolation; this row drives the composed ORDER
+    // through the DuckDB gate — decontamination must act on the
     // quality/lang survivors BEFORE dedup's keep-first pick, because a
     // contaminated doc that would have won keep-first must not shadow its
     // clean duplicate (a post-dedup scrub would drop the fingerprint
-    // entirely; pinned by construction here). Scale shape: pp01's map-only
-    // flags + one fused-kernel shingle pass, the bench set distinct
-    // (bounded: the eval split), one semi + one anti join on the shingle
+    // entirely; pinned by construction here). The criterion is the GATE's:
+    // an 8-token shared window ([[DeconSpanK]] — see its scaladoc for the
+    // measured rationale vs dc01's 3-gram audit statistic). Scale shape:
+    // pp01's map-only flags + one fused span-kernel pass (word hashes in
+    // their own projection, the dd08 lesson), the bench set distinct
+    // (bounded: the eval split), one semi + one anti join on the window
     // hash, then pp01's single fingerprint window.
     Q("dc03_decontaminated_corpus",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
-        val base = withShingles(Tables.spread(t(s, d, "documents")), "sh",
-            col("doc_id"), col("text"),
-            Sampling.hashBucket(col("doc_id")).as("bk"))
-          .cache() // bench + train branches share the shingle kernel pass
+        val base = Tables.spread(t(s, d, "documents"))
+          .withColumn("graft_wh", wordHashes(col("text")))
+          .select(col("doc_id"), col("text"),
+            Sampling.hashBucket(col("doc_id")).as("bk"),
+            array_distinct(spansFromWh(col("graft_wh"), DeconSpanK)).as("sp"))
+          .cache() // bench + train branches share the span kernel pass
         val bench = base.filter(col("bk") >= 95)
-          .select(explode(col("sh")).as("h")).distinct()
+          .select(explode_outer(col("sp")).as("h"))
+          .filter(col("h").isNotNull).distinct()
         val contaminated = base.filter(col("bk") < 95)
-          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .select(col("doc_id"), explode_outer(col("sp")).as("h"))
           .join(bench, Seq("h"), "left_semi")
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
         base.filter(col("bk") < 95)
@@ -795,18 +813,18 @@ object Dedup {
           .select(col("doc_id"), col("n_words"), col("quality"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH sh0 AS (SELECT doc_id,
-              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                             for i in generate_series(1, len(w)-2)]) AS sh,
+      Some(s"""WITH sp0 AS (SELECT doc_id,
+              list_distinct([array_to_string(w[i:i+${DeconSpanK - 1}], ' ')
+                             for i in generate_series(1, len(w)-${DeconSpanK - 1})]) AS sp,
               ${Sampling.hashBucketSql("doc_id")} AS bk
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
-          ex AS (SELECT doc_id, unnest(sh) AS g, bk FROM sh0),
+          ex AS (SELECT doc_id, unnest(sp) AS g, bk FROM sp0),
           bench AS (SELECT DISTINCT g FROM ex WHERE bk >= 95),
           cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bench USING (g) WHERE bk < 95),
           q AS (SELECT d.doc_id, d.text,
               len(string_split_regex(trim(d.text), '\\s+')) AS n_words,
               ${TextOps.qualitySql} AS quality, ${TextOps.predLangSql} AS pred_lang
-            FROM documents d JOIN sh0 USING (doc_id) WHERE sh0.bk < 95),
+            FROM documents d JOIN sp0 USING (doc_id) WHERE sp0.bk < 95),
           f AS (SELECT doc_id, n_words, quality, md5(lower(trim(text))) AS fp
                 FROM q WHERE quality >= 0.5 AND pred_lang = 'en'
                   AND doc_id NOT IN (SELECT doc_id FROM cont)),

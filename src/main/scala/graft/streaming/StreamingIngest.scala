@@ -101,29 +101,45 @@ object StreamingIngest {
     docs => docs.filter(graft.ops.TextOps.clfScoreCol >= minScore)
       .select(org.apache.spark.sql.functions.col("doc_id"))
 
-  /** Decontamination gate (dc01's eval-leakage criterion as an admission
-    * stage): drop every doc sharing ANY word-trigram shingle with the
-    * frozen benchmark suite — the gate real pretraining ingest runs next
-    * to dedup, so eval contamination never REACHES the corpus instead of
-    * being scrubbed after the fact (dc01/dc02 remain the batch audit over
-    * an already-built corpus). `benchHashes` is a (h: BIGINT) relation of
-    * the suite's distinct shingle hashes — a frozen stored artifact like
-    * the DSIR/perplexity/classifier models (eval suites are bounded:
-    * thousands of docs, ~1e6 shingles — broadcast-sized; a giant suite
-    * falls back to a shuffle join on the shingle hash, still one pass).
-    * Unlike the map-only gates this one joins, which the ModelGate
-    * contract already allows ("map-only or broadcast-join scorer against
-    * frozen artifacts" — Ingest.ingestBatch). Shingles come from the SAME
-    * fused kernel dc01 uses, so gate and audit can never disagree on what
-    * a shingle is. */
+  /** Decontamination gate: drop every doc sharing an 8-TOKEN WINDOW
+    * ([[graft.ops.Dedup.DeconSpanK]] — the Lee-et-al./PaLM-style span
+    * criterion, dd08's window kernel; see DeconSpanK's scaladoc for the
+    * measured why-not-3-grams) with the frozen benchmark suite — the gate
+    * real pretraining ingest runs next to dedup, so eval contamination
+    * never REACHES the corpus instead of being scrubbed after the fact
+    * (dc01/dc02 remain the batch audit; dc03 is this gate's composed
+    * batch twin). `benchHashes` is a (h: BIGINT) relation of the suite's
+    * distinct window hashes (build it with [[benchmarkSpans]]) — a frozen
+    * stored artifact like the DSIR/perplexity/classifier models (eval
+    * suites are bounded: thousands of docs — broadcast-sized; a giant
+    * suite falls back to a shuffle join on the window hash, still one
+    * pass). Unlike the map-only gates this one joins, which the
+    * ModelGate contract already allows ("map-only or broadcast-join
+    * scorer against frozen artifacts" — Ingest.ingestBatch). The
+    * word-hash array materializes in its own projection and the generator
+    * is explode_outer — both the dd08 inlining lessons. */
   def decontaminationGate(benchHashes: DataFrame): graft.ops.Ingest.ModelGate =
     docs => {
-      import org.apache.spark.sql.functions.{col, explode}
+      import org.apache.spark.sql.functions.{col, explode_outer}
       val contaminated = docs
-        .select(col("doc_id"),
-          explode(graft.spark.SketchExpressions.shingleHashes(col("text"))).as("h"))
+        .select(col("doc_id"), graft.ops.Dedup.wordHashCol(col("text")).as("graft_wh"))
+        .select(col("doc_id"), explode_outer(
+          graft.ops.Dedup.spansFromWh(col("graft_wh"), graft.ops.Dedup.DeconSpanK)).as("h"))
         .join(benchHashes.select(col("h")), Seq("h"), "left_semi")
       docs.select(col("doc_id"))
         .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
     }
+
+  /** The frozen artifact builder for [[decontaminationGate]]: the suite's
+    * distinct decontamination-window hashes from its (text) relation —
+    * same kernel, same window length, so the artifact and the gate can
+    * never disagree on what a window is. */
+  def benchmarkSpans(suite: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode_outer}
+    suite.select(graft.ops.Dedup.wordHashCol(col("text")).as("graft_wh"))
+      .select(explode_outer(
+        graft.ops.Dedup.spansFromWh(col("graft_wh"), graft.ops.Dedup.DeconSpanK)).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+  }
 }

@@ -756,32 +756,31 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codeSet(indexDir).map(_._1) == admittedIds + 50L)
   }
 
-  test("decontamination gate: docs sharing a shingle with the frozen benchmark suite die at admission; stream equals the sequential reference") {
+  test("decontamination gate: docs sharing an 8-token window with the frozen benchmark suite die at admission; stream equals the sequential reference") {
     val sp = spark
     import sp.implicits._
-    import org.apache.spark.sql.functions.{col, explode}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
 
-    // the frozen benchmark suite: one doc reusing sharedBody("A"), so the
-    // fixture docs built on it (1, 6, 8) are contaminated while everything
-    // else — including the sharedBody("B") family — stays clean. No enDoc
-    // prefix: that prefix is common to EVERY fixture doc and would
-    // contaminate the whole corpus.
+    // the frozen benchmark suite: one doc reusing sharedBody("A")'s 40-word
+    // run, so the fixture docs built on it (1, 6, 8) share 8-token windows
+    // with the suite while everything else — including the sharedBody("B")
+    // family — stays clean. The criterion is the gate's DeconSpanK=8
+    // window (not dc01's 3-gram audit statistic — see DeconSpanK's
+    // scaladoc), so the common enDoc prefix alone contaminates nothing.
     val benchDocs = Seq("eval suite intro " + sharedBody("A"),
       "held out benchmark " + ownBody(99L))
-    val benchHashes = benchDocs.toDF("text")
-      .select(explode(graft.spark.SketchExpressions.shingleHashes(col("text"))).as("h"))
-      .distinct()
+    val benchHashes = StreamingIngest.benchmarkSpans(benchDocs.toDF("text"))
 
-    // hash-independent reference: lowercase word-trigram STRING sets (the
-    // same injectivity stance as dc01's string-join oracle vs the engine's
-    // xxh64 shingles)
-    def trigrams(t: String): Set[String] =
-      t.toLowerCase.split(" ", -1).toSeq.sliding(3).filter(_.length == 3)
+    // hash-independent reference: lowercase 8-token-window STRING sets
+    // (the same injectivity stance as dd08's string-join oracle vs the
+    // engine's xxh64 span hashes)
+    val k = graft.ops.Dedup.DeconSpanK
+    def grams(t: String): Set[String] =
+      t.toLowerCase.split(" ", -1).toSeq.sliding(k).filter(_.length == k)
         .map(_.mkString(" ")).toSet
-    val benchTris = benchDocs.flatMap(trigrams).toSet
+    val benchGrams = benchDocs.flatMap(grams).toSet
     val contaminated = batches.flatten.collect {
-      case (id, _, text) if trigrams(text).intersect(benchTris).nonEmpty => id
+      case (id, _, text) if grams(text).intersect(benchGrams).nonEmpty => id
     }.toSet
     assert(contaminated == Set(1L, 6L, 8L), s"fixture drift: $contaminated")
 
