@@ -72,8 +72,25 @@ object Bench {
     // The driver's bench artifact keeps only the last ~2 KB of stdout, which
     // truncated 24 of 96 per-query entries in round 7 — persist the complete
     // line beside the sources so the full table always survives the run.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] persist failed: ${e.getMessage}") }
+    // Resolve both persisted records against an explicit root rather than
+    // the bare process CWD: a driver launched from outside the repo would
+    // otherwise silently write the authoritative copies elsewhere while
+    // the committed files go stale — the exact parsed:null failure the
+    // sidecar exists to fix. SPARK_GRAFT_BENCH_DIR (or the system
+    // property) overrides; default stays user.dir, and the absolute path
+    // actually written is logged either way.
+    val benchRoot = java.nio.file.Paths.get(
+      sys.props.get("graft.bench.dir")
+        .orElse(sys.env.get("SPARK_GRAFT_BENCH_DIR"))
+        .getOrElse(System.getProperty("user.dir"))).toAbsolutePath
+    def persist(name: String, content: String): Unit =
+      try {
+        val p = benchRoot.resolve(name)
+        java.nio.file.Files.writeString(p, content + "\n")
+        System.err.println(s"[bench] wrote $p")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] persist of $name failed: ${e.getMessage}") }
+    persist("BENCH_FULL.json", line)
     // The full per-query line outgrew the driver's stdout tail window (153
     // queries ≈ 4.6 KB), so the tail starts MID-LINE and nothing in the
     // artifact parses. Emit a compact, complete JSON record LAST: whatever
@@ -85,8 +102,7 @@ object Bench {
     // evidently does not strip sbt's "[info] " stdout prefix. A bare-JSON
     // SIDECAR is prefix-free by construction: anything that can read a
     // file gets the authoritative compact record here.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_TOTAL.json"), compact + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] sidecar persist failed: ${e.getMessage}") }
+    persist("BENCH_TOTAL.json", compact)
     org.apache.logging.log4j.core.config.Configurator.setLevel(windowLogger, priorWindowLevel)
     spark.stop()
   }

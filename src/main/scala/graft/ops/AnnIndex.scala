@@ -224,8 +224,18 @@ object AnnIndex {
     * is the watermark [[retire]] measures its reader grace against. */
   def markRetired(s: SparkSession, dir: String): Unit = {
     val fs = BatchLog.fsOf(s, dir)
-    val out = fs.create(new Path(s"$dir/_RETIRED"), true)
+    // Stamp via temp-file + rename so a crash mid-write can never leave a
+    // zero-length `_RETIRED` on the canonical path: a truncated marker
+    // would make every later [[retire]] throw on readLong instead of
+    // refusing, stranding the log un-retirable inside a vacuum loop.
+    // Rename on the same filesystem is the one atomic primitive the
+    // BatchLog protocol already relies on for its commit markers.
+    val tmp = new Path(s"$dir/._RETIRED.tmp")
+    val out = fs.create(tmp, true)
     try out.writeLong(System.currentTimeMillis()) finally out.close()
+    val marker = new Path(s"$dir/_RETIRED")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
   }
 
   /** Delete a RETIRED log wholesale after the reader grace window — the
@@ -240,8 +250,16 @@ object AnnIndex {
     val marker = new Path(s"$dir/_RETIRED")
     if (!fs.exists(marker)) false
     else {
-      val in = fs.open(marker)
-      val flippedAt = try in.readLong() finally in.close()
+      // A short/unreadable marker (e.g. a pre-rename-era crash artifact)
+      // reads as REFUSE, not throw: retirement is an optimization, and a
+      // vacuum loop must never be wedged by one bad 8-byte file. The
+      // operator re-stamps via [[markRetired]] to make it retirable.
+      val flippedAt = try {
+        val in = fs.open(marker)
+        try in.readLong() finally in.close()
+      } catch { case _: java.io.EOFException | _: java.io.IOException =>
+        return false
+      }
       if (System.currentTimeMillis() - flippedAt < graceMs) false
       else { fs.delete(new Path(dir), true); true }
     }

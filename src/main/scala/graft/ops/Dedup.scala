@@ -802,7 +802,7 @@ object Dedup {
           .select(col("doc_id"), explode_outer(col("sp")).as("h"))
           .join(bench, Seq("h"), "left_semi")
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-        base.filter(col("bk") < 95)
+        val out = base.filter(col("bk") < 95)
           .select(col("doc_id"), col("text"), nWords.as("n_words"),
             TextOps.qualityCol.as("quality"), TextOps.predLangCol.as("pred_lang"))
           .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
@@ -812,6 +812,12 @@ object Dedup {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("n_words"), col("quality"))
           .orderBy(col("doc_id"))
+          // eager checkpoint (pp04's convention) so the shared span-kernel
+          // cache can be RELEASED here instead of leaking to session end —
+          // the checkpoint holds only the small survivor projection
+          .localCheckpoint()
+        base.unpersist(false)
+        out
       },
       Some(s"""WITH sp0 AS (SELECT doc_id,
               list_distinct([array_to_string(w[i:i+${DeconSpanK - 1}], ' ')

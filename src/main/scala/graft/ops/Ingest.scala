@@ -416,6 +416,20 @@ object Ingest {
       // column-pruned scan of the index's vec_id column, and ONLY on the
       // compacted-fallback path — the normal tail-batch replay (and every
       // first-time append) skips it.
+      //
+      // REMAINING WINDOW (accepted, at-least-once payload provenance): if
+      // BOTH the rejecting and the admitting delivery of the same doc_id
+      // crashed between their corpus and index commits AND both were then
+      // compacted, an out-of-order replay of the REJECTING batch reaches
+      // this fallback first and indexes the doc using that delivery's
+      // embedding payload under that batch id. Membership and vec_id
+      // uniqueness stay correct (the anti-join still holds); only WHICH
+      // delivery's bytes were encoded can differ, and only when an
+      // at-least-once source redelivers a doc_id with different payloads.
+      // Sources with deterministic payloads (ours) are unaffected; a
+      // deployment where redelivery payloads drift should additionally
+      // restrict compacted-fallback attribution to doc_ids whose admitted
+      // slice predates this batch's candidate set.
       val pv =
         if (storeView(s, corpusDir).tail.contains(batchId)) pv0
         else pv0.join(AnnIndex.codes(s, indexDir).select(col("vec_id")),

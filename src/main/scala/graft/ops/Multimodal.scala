@@ -60,7 +60,6 @@ object Multimodal {
   private def phashVectors(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
-    val Cap = 4096L
     val media = mediaTable(s, d).as[(Long, Array[Byte])]
     // levels are consumed 2-3x downstream (banding + the consumer's doc
     // expansion/census); persisting the tiny doc_id+8-longs frame stops the
@@ -72,6 +71,15 @@ object Multimodal {
         transform(col("features"),
           x => floor(x.cast("long") * 9 / 997).cast("long")).as("levels"))
       .persist()
+    (lv, vecPairsFrom(lv))
+  }
+
+  /** The banded hamming-≤1 DISTINCT-VECTOR pair relation over any
+    * `(doc_id, levels)` frame — mm06/mm08's candidate machinery factored so
+    * compositions (mm10's survivor-scoped dedup, the streaming twin) band
+    * whatever level population they own instead of the whole corpus. */
+  private[ops] def vecPairsFrom(lv: DataFrame): DataFrame = {
+    val Cap = 4096L
     val bands = lv.select(col("doc_id"), col("levels"),
       posexplode(transform(sequence(lit(0), lit(1)), b =>
         get(col("levels"), b * 4) * 729 + get(col("levels"), b * 4 + 1) * 81 +
@@ -92,7 +100,7 @@ object Multimodal {
       .dropDuplicates("ka", "kb") // a pair can qualify via both bands
       .withColumn("hamming", ham).filter(col("hamming") <= 1)
       .select(col("ka"), col("kb"), col("hamming"))
-    (lv, vecPairs)
+    vecPairs
   }
 
   val entries: Seq[Q] = Seq(
@@ -481,6 +489,198 @@ object Multimodal {
         SELECT m.doc_id, coalesce(n_frames, 0) AS n_frames,
           coalesce(n_shots, 0) AS n_shots, coalesce(max_delta, 0) AS max_delta
         FROM documents m LEFT JOIN agg USING (doc_id)
-        ORDER BY m.doc_id"""))
+        ORDER BY m.doc_id""")),
+
+    // ---- mm10: the MULTIMODAL pipeline capstone — pp04's flagged-single- ----
+    // ---- pass composition for the media family ----
+    // Every other mm row is single-purpose; this is the end-to-end curation
+    // pass a multimodal training pipeline runs, composed from the family's
+    // own proven stages with per-SOURCE attrition accounting:
+    //
+    //   raw → framed (decode yields ≥1 full 64-sample frame)
+    //       → energy gate (mm07's VAD signal: ≥ half the frames voiced)
+    //       → shot gate (mm09's boundary signal: max |Δenergy| ≤ 12000 —
+    //         "corrupt/cut-heavy media"; ≈ fixture p95)
+    //       → exact pHash dedup (mm08's canonical rule: min doc of each
+    //         identical level-vector group survives, survivors-first)
+    //       → near-dup keep-first (mm06/mm08's banded hamming-1 vector
+    //         relation over the SURVIVOR population, greedy drop of the
+    //         larger canonical doc of every pair)
+    //
+    // pp04's discipline throughout: ONE corpus pass computes every per-doc
+    // gate input (payload decode via the mm02 kernel slot + the fused
+    // FrameEnergies kernel in the same projection), stage flags are
+    // conditional columns on that persisted relation, the near-dup drop set
+    // is id-only/broadcast-sized, and no stage re-scans the corpus. The
+    // thresholds are integer/exact (voiced*2 >= n_frames, not a float
+    // fraction) so the DuckDB replay is bit-exact. Scale: the banding is
+    // vecPairsFrom's census-capped vector-level relation (∝ diversity², and
+    // over the gate SURVIVORS only — strictly smaller than mm06's corpus
+    // population); output is n_sources × 6 rows at any corpus size.
+    Q("mm10_multimodal_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spark = s
+        import spark.implicits._
+        val F = 64
+        val VoiceT = 57000L // mm07's frame-energy threshold
+        val DeltaCap = 12000L // shot gate: ≈ p95 consecutive-frame delta
+        // the ONE corpus pass: FrameEnergies rides the scan projection, the
+        // typed decode kernel (mm02's slot — a real codec swaps in here)
+        // maps the payload to the stub features, quantized to pHash levels
+        val decoded = Tables.spread(t(s, d, "documents"))
+          .select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("payload"),
+            graft.spark.FrameEnergies.column(col("text"), F, 96).as("es"))
+          .as[(Long, String, Array[Byte], Array[Long])]
+          .mapPartitions { it => it.map { case (id, src, bytes, es) =>
+            val m = FakeDecoder.decode(id, bytes)
+            (id, src, m.byte_len, m.features.map(f => f.toLong * 9 / 997), es)
+          }}
+          .toDF("doc_id", "source", "byte_len", "levels", "es")
+        val nFrames = size(col("es"))
+        val voiced = size(filter(col("es"), e => e >= VoiceT))
+        val shifted = (off: Int) =>
+          slice(col("es"), lit(off), greatest(size(col("es")) - 1, lit(0)))
+        val maxDelta = coalesce(
+          array_max(zip_with(shifted(2), shifted(1), (a, b) => abs(a - b))), lit(0L))
+        val flagged = decoded
+          .withColumn("dec_ok", nFrames >= 1)
+          .withColumn("en_ok", col("dec_ok") && voiced * 2 >= nFrames)
+          .withColumn("sh_ok", col("en_ok") && maxDelta <= DeltaCap)
+          .withColumn("vk", concat_ws(",", col("levels")))
+          .persist() // read by the window, the banded relation, and the agg
+        // exact pHash dedup: pp02/pp04's survivors-first fingerprint window
+        val wVk = Window.partitionBy(col("vk"))
+          .orderBy(col("sh_ok").desc, col("doc_id"))
+        val ph = flagged
+          .withColumn("ph_ok", col("sh_ok") && row_number().over(wVk) === 1)
+        // near-dup keep-first: band the SURVIVOR levels (not the corpus —
+        // membership is a function of the pipeline, and the census cap must
+        // see the population the dedup actually runs on), expand hamming-1
+        // vector pairs over their canonical docs, drop the larger
+        val near1 = vecPairsFrom(
+            flagged.filter(col("sh_ok")).select(col("doc_id"), col("levels")))
+          .filter(col("hamming") === 1)
+        val canon = ph.filter(col("ph_ok")).select(col("vk"), col("doc_id"))
+        val ndDrop = near1
+          .join(canon.select(col("vk").as("ka"), col("doc_id").as("da")), "ka")
+          .join(canon.select(col("vk").as("kb"), col("doc_id").as("db")), "kb")
+          .select(greatest(col("da"), col("db")).as("doc_id")).distinct()
+          .withColumn("nd_hit", lit(1))
+        val fin = ph.join(ndDrop, Seq("doc_id"), "left")
+          .withColumn("nd_ok", col("ph_ok") && col("nd_hit").isNull)
+        // per-source attrition: ONE conditional aggregation (six stages ×
+        // n_sources rows), stage rows exploded from the combined row
+        def bIf(c: org.apache.spark.sql.Column) =
+          coalesce(sum(when(c, col("byte_len")).otherwise(0L)), lit(0L))
+        val g = fin.groupBy(col("source")).agg(
+          count(lit(1)).as("c0"), coalesce(sum(col("byte_len")), lit(0L)).as("b0"),
+          count_if(col("dec_ok")).as("c1"), bIf(col("dec_ok")).as("b1"),
+          count_if(col("en_ok")).as("c2"), bIf(col("en_ok")).as("b2"),
+          count_if(col("sh_ok")).as("c3"), bIf(col("sh_ok")).as("b3"),
+          count_if(col("ph_ok")).as("c4"), bIf(col("ph_ok")).as("b4"),
+          count_if(col("nd_ok")).as("c5"), bIf(col("nd_ok")).as("b5"))
+        val stages = Seq("raw", "framed", "energy", "shots",
+          "exact_phash", "near_dedup")
+        val out = g
+          .select(col("source"), explode(array(stages.zipWithIndex.map {
+            case (nm, i) =>
+              struct(lit(i.toLong).as("stage_ord"), lit(nm).as("stage"),
+                col(s"c$i").cast("bigint").as("n_docs"),
+                col(s"b$i").cast("bigint").as("n_bytes"))
+          }: _*)).as("r"))
+          .select(col("source"), col("r.stage_ord").as("stage_ord"),
+            col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+            col("r.n_bytes").as("n_bytes"))
+          .orderBy(col("source"), col("stage_ord"))
+          // eager checkpoint (dc03/pp04's convention) so the corpus-pass
+          // cache releases here — the checkpoint holds 6 × n_sources rows
+          .localCheckpoint()
+        flagged.unpersist(false)
+        out
+      },
+      // The oracle replays every stage with the family's own SQL fragments:
+      // mm07/mm09's frame-energy CTE, mm02's stub-decode arithmetic,
+      // mm08's level/banding/census CTEs (cap mirrored), the pp02 window,
+      // and the greedy greatest-doc drop rule.
+      Some("""WITH m AS (SELECT doc_id, source, text,
+              octet_length(encode(text)) AS n FROM documents),
+          f0 AS (SELECT doc_id,
+              unnest(list_transform(range(length(text)//64), j ->
+                {'frame': j, 'e': list_sum(list_transform(range(64), i ->
+                  CAST((ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) *
+                       (ascii(substr(text, CAST(j*64+i+1 AS INTEGER), 1)) - 96) AS BIGINT)))})) AS u
+            FROM m),
+          fr AS (SELECT doc_id, u.frame AS frame, u.e AS e FROM f0),
+          de AS (SELECT doc_id,
+                   abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY frame)) AS d
+                 FROM fr),
+          fs AS (SELECT doc_id, count(*) AS nf,
+                   sum(CASE WHEN e >= 57000 THEN 1 ELSE 0 END) AS nv
+                 FROM fr GROUP BY doc_id),
+          md AS (SELECT doc_id, coalesce(max(d), 0) AS mdl FROM de GROUP BY doc_id),
+          flg AS (SELECT m.doc_id, m.source, m.n,
+                    coalesce(nf, 0) >= 1 AS dec_ok,
+                    (coalesce(nf, 0) >= 1 AND coalesce(nv, 0)*2 >= nf) AS en_ok,
+                    (coalesce(nf, 0) >= 1 AND coalesce(nv, 0)*2 >= nf
+                       AND coalesce(mdl, 0) <= 12000) AS sh_ok
+                  FROM m LEFT JOIN fs USING (doc_id) LEFT JOIN md USING (doc_id)),
+          fz AS (SELECT m.doc_id, i,
+                   (n*(i+3) + ascii(substring(text, ((i*31) % n) + 1, 1))) % 997 AS v
+                 FROM m, generate_series(0, 7) AS t(i)),
+          lv AS (SELECT doc_id, i, (v*9)//997 AS l FROM fz),
+          vkt AS (SELECT doc_id, string_agg(l, ',' ORDER BY i) AS vk
+                  FROM lv GROUP BY doc_id),
+          e2 AS (SELECT flg.*, vkt.vk,
+                   flg.sh_ok AND row_number() OVER (PARTITION BY vk
+                     ORDER BY sh_ok DESC, flg.doc_id) = 1 AS ph_ok
+                 FROM flg JOIN vkt USING (doc_id)),
+          bd AS (SELECT lv.doc_id, i//4 AS b,
+                   CAST(sum(l * CASE i%4 WHEN 0 THEN 729 WHEN 1 THEN 81
+                                         WHEN 2 THEN 9 ELSE 1 END) AS BIGINT) AS bv
+                 FROM lv JOIN e2 USING (doc_id) WHERE e2.sh_ok
+                 GROUP BY lv.doc_id, i//4),
+          keptb AS (SELECT b, bv FROM bd GROUP BY b, bv HAVING count(*) <= 4096),
+          bkv AS (SELECT DISTINCT b, bv, vk
+                  FROM bd JOIN keptb USING (b, bv) JOIN vkt USING (doc_id)),
+          lvv AS (SELECT DISTINCT vkt.vk AS vk, i, l
+                  FROM lv JOIN vkt USING (doc_id) JOIN e2 USING (doc_id)
+                  WHERE e2.sh_ok),
+          vp AS (SELECT DISTINCT x.vk AS ka, y.vk AS kb
+                 FROM bkv x JOIN bkv y ON x.b = y.b AND x.bv = y.bv AND x.vk < y.vk),
+          vham AS (SELECT ka, kb, CAST(sum(abs(a.l - b.l)) AS BIGINT) AS h
+                   FROM vp JOIN lvv a ON a.vk = vp.ka
+                   JOIN lvv b ON b.vk = vp.kb AND b.i = a.i
+                   GROUP BY ka, kb),
+          near1 AS (SELECT ka, kb FROM vham WHERE h = 1),
+          canon AS (SELECT vk, doc_id FROM e2 WHERE ph_ok),
+          nddrop AS (SELECT DISTINCT greatest(ca.doc_id, cb.doc_id) AS doc_id
+                     FROM near1 JOIN canon ca ON ca.vk = near1.ka
+                     JOIN canon cb ON cb.vk = near1.kb),
+          fin AS (SELECT e2.*, e2.ph_ok AND nd.doc_id IS NULL AS nd_ok
+                  FROM e2 LEFT JOIN nddrop nd ON nd.doc_id = e2.doc_id),
+          g AS (SELECT source,
+              count(*) AS c0, CAST(coalesce(sum(n), 0) AS BIGINT) AS b0,
+              count(*) FILTER (dec_ok) AS c1,
+              CAST(coalesce(sum(n) FILTER (dec_ok), 0) AS BIGINT) AS b1,
+              count(*) FILTER (en_ok) AS c2,
+              CAST(coalesce(sum(n) FILTER (en_ok), 0) AS BIGINT) AS b2,
+              count(*) FILTER (sh_ok) AS c3,
+              CAST(coalesce(sum(n) FILTER (sh_ok), 0) AS BIGINT) AS b3,
+              count(*) FILTER (ph_ok) AS c4,
+              CAST(coalesce(sum(n) FILTER (ph_ok), 0) AS BIGINT) AS b4,
+              count(*) FILTER (nd_ok) AS c5,
+              CAST(coalesce(sum(n) FILTER (nd_ok), 0) AS BIGINT) AS b5
+            FROM fin GROUP BY source)
+        SELECT source, stage_ord, stage, n_docs, n_bytes FROM (
+          SELECT source, CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+                 c0 AS n_docs, b0 AS n_bytes FROM g
+          UNION ALL SELECT source, 1, 'framed', c1, b1 FROM g
+          UNION ALL SELECT source, 2, 'energy', c2, b2 FROM g
+          UNION ALL SELECT source, 3, 'shots', c3, b3 FROM g
+          UNION ALL SELECT source, 4, 'exact_phash', c4, b4 FROM g
+          UNION ALL SELECT source, 5, 'near_dedup', c5, b5 FROM g)
+        ORDER BY source, stage_ord"""))
   )
 }
