@@ -67,9 +67,7 @@ object Multimodal {
     // between queries; at 100 TB this is exactly the intermediate worth
     // caching — ~100 bytes/doc, independent of payload size)
     val lv = decodeBatch(media)
-      .select(col("doc_id"),
-        transform(col("features"),
-          x => floor(x.cast("long") * 9 / 997).cast("long")).as("levels"))
+      .select(col("doc_id"), levelsCol(col("features")).as("levels"))
       .persist()
     (lv, vecPairsFrom(lv))
   }
@@ -78,13 +76,27 @@ object Multimodal {
     * `(doc_id, levels)` frame — mm06/mm08's candidate machinery factored so
     * compositions (mm10's survivor-scoped dedup, the streaming twin) band
     * whatever level population they own instead of the whole corpus. */
+  /** pHash band geometry: 2 bands × 4 level dims, band value = the base-9
+    * packed slice (injective — unlike the MinHash xxhash64 band keys, a
+    * key collision IS a slice match). One definition for the batch
+    * relation and [[graft.streaming.StreamingPhashNearDup]]'s buckets. */
+  private[graft] val PhashBands = 2
+  private[graft] val PhashBandWidth = 4
+
+  /** The 2-element band-code array for a levels column. */
+  private[graft] def phashBandsCol(levels: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(PhashBands - 1)), b =>
+      get(levels, b * 4) * 729 + get(levels, b * 4 + 1) * 81 +
+        get(levels, b * 4 + 2) * 9 + get(levels, b * 4 + 3))
+
+  /** FakeDecoder feature → thermometer level quantization (9 levels). */
+  private[graft] def levelsCol(features: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(features, x => floor(x.cast("long") * 9 / 997).cast("long"))
+
   private[ops] def vecPairsFrom(lv: DataFrame): DataFrame = {
     val Cap = 4096L
     val bands = lv.select(col("doc_id"), col("levels"),
-      posexplode(transform(sequence(lit(0), lit(1)), b =>
-        get(col("levels"), b * 4) * 729 + get(col("levels"), b * 4 + 1) * 81 +
-          get(col("levels"), b * 4 + 2) * 9 + get(col("levels"), b * 4 + 3)))
-        .as(Seq("b", "bv")))
+      posexplode(phashBandsCol(col("levels"))).as(Seq("b", "bv")))
     val census = bands.groupBy(col("b"), col("bv")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= Cap).select(col("b"), col("bv"))
     val kept = bands.join(broadcast(census), Seq("b", "bv"))

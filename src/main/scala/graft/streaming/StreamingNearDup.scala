@@ -89,12 +89,61 @@ object StreamingNearDup {
       .as[BandRow]
   }
 
+  /** Collision scoring contract for [[BucketProcessor]]: both stored
+    * vectors are in hand at collision time, so a family plugs in its own
+    * verify — the processor (state, timers, once-per-pair ownership) is
+    * family-agnostic. Implementations must be small immutable case
+    * classes: they serialize into the stateful operator. */
+  sealed trait PairScorer extends Serializable {
+    def score(a: Seq[Long], b: Seq[Long]): Double
+    def keep(s: Double): Boolean
+  }
+
+  /** dd04's MinHash signature-agreement estimate (fraction of the 64
+    * components that agree — the unbiased Jaccard estimate banding
+    * implies); keep at `minEst` or above. */
+  final case class SigAgreement(minEst: Double) extends PairScorer {
+    def score(a: Seq[Long], b: Seq[Long]): Double = {
+      var i = 0; var n = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / graft.ops.Dedup.P
+    }
+    def keep(s: Double): Boolean = s >= minEst
+  }
+
+  /** mm06/mm08's exact level-Hamming verify (sum of absolute level
+    * differences); keep at `max` or below. Unlike the MinHash estimate
+    * this is EXACT — the stored vector IS the full pHash level vector,
+    * so the streaming operator gives the batch relation's answer, not an
+    * estimate (the score emitted is the distance itself). */
+  final case class HammingAtMost(max: Long) extends PairScorer {
+    def score(a: Seq[Long], b: Seq[Long]): Double = {
+      var i = 0; var s = 0L
+      val len = math.min(a.length, b.length)
+      while (i < len) { s += math.abs(a(i) - b(i)); i += 1 }
+      s.toDouble
+    }
+    def keep(s: Double): Boolean = s <= max
+  }
+
   /** Per-band collision events against the stored horizon. The input must
     * carry a watermark on its event-time column before [[bandRows]]. */
   def candidates(bands: Dataset[BandRow], horizonMs: Long, bucketCap: Int,
                  minEst: Double): Dataset[CandPair] =
+    candidatesWith(bands, horizonMs, bucketCap, SigAgreement(minEst),
+      Bands, BandWidth)
+
+  /** [[candidates]] generalized over the band geometry and the collision
+    * verify — the pHash twin ([[StreamingPhashNearDup]]) runs the SAME
+    * processor with 2×4 level bands and the exact Hamming scorer instead
+    * of duplicating the state machinery. */
+  def candidatesWith(bands: Dataset[BandRow], horizonMs: Long, bucketCap: Int,
+                     scorer: PairScorer, nBands: Int,
+                     bandWidth: Int): Dataset[CandPair] =
     bands.groupByKey(b => BKey(b.band, b.bkey))(Encoders.product[BKey])
-      .transformWithState(new BucketProcessor(horizonMs, bucketCap, minEst),
+      .transformWithState(
+        new BucketProcessor(horizonMs, bucketCap, scorer, nBands, bandWidth),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.product[CandPair])
 
   /** End-to-end: signatures → bands → watermark → bucket collisions (already
@@ -115,7 +164,8 @@ object StreamingNearDup {
 
   private final case class Entry(ts: Long, doc_id: Long, sig: Seq[Long])
 
-  private final class BucketProcessor(horizonMs: Long, bucketCap: Int, minEst: Double)
+  private final class BucketProcessor(horizonMs: Long, bucketCap: Int,
+                                      scorer: PairScorer, nBands: Int, bandWidth: Int)
     extends StatefulProcessor[BKey, BandRow, CandPair] {
 
     @transient private var stored: ListState[Entry] = _
@@ -123,23 +173,17 @@ object StreamingNearDup {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       stored = getHandle.getListState[Entry]("stored", Encoders.product[Entry], TTLConfig.NONE)
 
-    private def agree(a: Seq[Long], b: Seq[Long]): Double = {
-      var i = 0; var n = 0
-      val len = math.min(a.length, b.length)
-      while (i < len) { if (a(i) == b(i)) n += 1; i += 1 }
-      n.toDouble / graft.ops.Dedup.P
-    }
-
-    /** Smallest band whose 4-component slices are equal, or -1. Slice
-      * equality implies band-hash equality, so the owning bucket is
-      * guaranteed to also see the collision; a pure xxhash64 collision
-      * (hash-equal, slice-unequal) is never emitted by any bucket — correct,
-      * since such a pair shares no actual band. */
+    /** Smallest band whose width-sized slices are equal, or -1. Slice
+      * equality implies band-key equality, so the owning bucket is
+      * guaranteed to also see the collision; a pure band-key collision
+      * (key-equal, slice-unequal — possible for the xxhash64 MinHash keys,
+      * impossible for pHash's injective packed keys) is never emitted by
+      * any bucket — correct, since such a pair shares no actual band. */
     private def firstSharedBand(a: Seq[Long], b: Seq[Long]): Int = {
       var bnd = 0
-      while (bnd < Bands) {
-        var i = bnd * BandWidth; var eq = true
-        val end = (bnd + 1) * BandWidth
+      while (bnd < nBands) {
+        var i = bnd * bandWidth; var eq = true
+        val end = (bnd + 1) * bandWidth
         while (i < end && eq) { if (a(i) != b(i)) eq = false; i += 1 }
         if (eq) return bnd
         bnd += 1
@@ -161,8 +205,8 @@ object StreamingNearDup {
           // emit only from the smallest shared band's bucket (class doc):
           // exactly-once per pair with no downstream dedup operator
           if (e.doc_id != r.doc_id && firstSharedBand(e.sig, r.sig) == key.band) {
-            val est = agree(e.sig, r.sig)
-            if (est >= minEst)
+            val est = scorer.score(e.sig, r.sig)
+            if (scorer.keep(est))
               out += CandPair(math.min(e.doc_id, r.doc_id), math.max(e.doc_id, r.doc_id),
                 est, math.max(e.ts, r.ts))
           }

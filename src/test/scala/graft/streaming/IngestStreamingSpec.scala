@@ -637,6 +637,182 @@ class IngestStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capstone tie: the decontamination gate joins the chain — FOUR-gate batch composition equals StreamingIngest, and the gate cuts a doc every other stage admits") {
+    // Extends the three-gate capstone tie to the round-15 decontamination
+    // gate: dc03 pins the BATCH stage order (decon before keep-first);
+    // this pins that StreamingIngest's composed gate+dedup admission
+    // equals the same declarative four-gate batch composition on one
+    // micro-batch. The dedup-stage non-vacuity lives in the three-gate
+    // tie; the REQUIRED non-vacuity here is the decon gate's own: the
+    // frozen suite is seeded with a window from a doc the OTHER three
+    // gates AND both dedup screens provably admit (the sequential
+    // reference's sans-decon admission), so the gate must cut a doc that
+    // would otherwise land in the corpus.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val corpus = batches.flatten
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+
+    // ---- frozen model artifacts (the three-gate tie's recipe) ----
+    val predLang = Ingest.flaggedBatch(corpusDf)
+      .select(col("doc_id"), col("pred_lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langed = corpus.map { case (id, src, txt) => (id, src, txt, predLang(id)) }
+      .toDF("doc_id", "source", "text", "lang")
+    val (wmap, dflt) = graft.ops.Dsir.loadModel(
+      graft.ops.Dsir.bucketCounts(langed.select(col("lang"), col("text"))))
+    val scores = langed.select(col("doc_id"),
+        graft.ops.Dsir.scoreCol(wmap, dflt).as("s"))
+      .collect().map(_.getDouble(1)).sorted
+    // QUARTILE operating points (the three-gate tie uses medians): the
+    // base fixture has exactly one doc passing all three median gates, so
+    // cutting it by decontamination would leave the four-gate admission
+    // empty and the tie vacuous. At the quartiles every model gate still
+    // cuts docs on this fixture (dsir drops the es doc; clf drops three;
+    // the perplexity band is model-fixed) while THREE docs survive all
+    // three — room for the decon gate to cut one and still admit.
+    val minScore = scores(scores.length / 4)
+    val corpusDir = tmpDir("tie4_corpus")
+    langed.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    PerplexityStore.build(spark, corpusDir, s"$corpusDir/lm")
+    val m = PerplexityStore.load(spark, s"$corpusDir/lm")
+    val clfSorted = corpusDf.select(graft.ops.TextOps.clfScoreCol.as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    val clfThr = clfSorted(clfSorted.length / 4)
+
+    // ---- the sans-decon admission (sequential reference, three model
+    // gates): every doc in it passed quality, language, all three model
+    // gates, AND both dedup screens — the population the decon gate must
+    // provably cut from ----
+    val dsirIds = corpusDf.filter(graft.ops.Dsir.scoreCol(wmap, dflt) >= minScore)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ppxIds = PerplexityStore.score(corpusDf, m).filter(col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clfIds = corpusDf.filter(graft.ops.TextOps.clfScoreCol >= clfThr)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val threeKeep = (id: Long) => dsirIds(id) && ppxIds(id) && clfIds(id)
+    val (admitted3, _) = runRef(Seq(corpus), modelKeep = threeKeep)
+    val admitted3Ids = admitted3.map(_._1)
+    // decon pivot: unique-fingerprint (so cutting it cannot resurrect an
+    // exact twin into the admitted set) and long enough to own a window
+    val fpCount = features(corpus).groupBy(_.fp).map { case (fp, ds) => fp -> ds.size }
+    val fpOf = features(corpus).map(d => d.id -> d.fp).toMap
+    val textOf = corpus.map { case (id, _, txt) => id -> txt }.toMap
+    val deconPivot = admitted3Ids.toSeq.sorted.find { id =>
+      fpCount(fpOf(id)) == 1 &&
+        textOf(id).trim.split("\\s+").length >= graft.ops.Dedup.DeconSpanK
+    }
+    assert(deconPivot.isDefined,
+      s"no unique-fp sans-decon admitted doc to seed the suite: $admitted3Ids")
+    val pid = deconPivot.get
+    // the frozen suite: ONE window — the pivot's last DeconSpanK tokens
+    // (inside its unique body, so the artifact targets exactly that doc)
+    val suiteText = textOf(pid).trim.split("\\s+")
+      .takeRight(graft.ops.Dedup.DeconSpanK).mkString(" ")
+    val benchHashes = StreamingIngest.benchmarkSpans(Seq(suiteText).toDF("text"))
+      .persist()
+    assert(benchHashes.count() >= 1, "frozen suite artifact is empty")
+
+    // ---- the BATCH four-gate composition: the three-gate tie's shape
+    // with the decon flag in the gate conjunction — decon BEFORE the
+    // keep-first window, dc03's pinned order ----
+    val dsirOk = corpusDf.select(col("doc_id"),
+      (graft.ops.Dsir.scoreCol(wmap, dflt) >= minScore).as("dsir_ok"))
+    val ppxOk = PerplexityStore.score(corpusDf, m)
+      .select(col("doc_id"), col("keep").as("ppx_ok"))
+    val clfOk = corpusDf.select(col("doc_id"),
+      (graft.ops.TextOps.clfScoreCol >= clfThr).as("clf_ok"))
+    val contamIds = corpusDf
+      .select(col("doc_id"), graft.ops.Dedup.wordHashCol(col("text")).as("graft_wh"))
+      .select(col("doc_id"), explode_outer(graft.ops.Dedup.spansFromWh(
+        col("graft_wh"), graft.ops.Dedup.DeconSpanK)).as("h"))
+      .join(benchHashes.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("dc_hit", lit(1))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("gate_ok").desc, col("doc_id"))
+    val flagged = Ingest.flaggedBatch(corpusDf)
+      .join(dsirOk, Seq("doc_id")).join(ppxOk, Seq("doc_id"))
+      .join(clfOk, Seq("doc_id"))
+      .join(contamIds, Seq("doc_id"), "left")
+      .withColumn("dc_ok", col("dc_hit").isNull)
+      .withColumn("gate_ok", col("lang_ok") && col("dsir_ok") &&
+        col("ppx_ok") && col("clf_ok") && col("dc_ok"))
+      .withColumn("uniq", col("gate_ok") && row_number().over(wFp) === 1)
+      .persist()
+    val bandRows = flagged.filter(col("uniq"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(graft.ops.Dedup.bandKeysCol(col("sig"))).as(Seq("band", "bkey")))
+      .persist()
+    val maxBucket = bandRows.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bc")).agg(max(col("bc"))).collect()(0).getLong(0)
+    assert(maxBucket <= 1024L, s"fixture breaches the census cap: $maxBucket")
+    def estCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / graft.ops.Dedup.P
+    val ndDrop = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ia"), col("y.doc_id").as("doc_id"),
+        col("x.sig").as("sa"), col("y.sig").as("sb")).distinct()
+      .filter(estCol(col("sa"), col("sb")) >= 0.5)
+      .select(col("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1))
+    val admitted = flagged.join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("admit", col("uniq") && col("nd_hit").isNull)
+      .persist()
+    val batchSet = admitted.filter(col("admit"))
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchStats = admitted.agg(
+      count(lit(1)).as("n_raw"), count_if(col("q_ok")).as("n_quality"),
+      count_if(col("lang_ok")).as("n_lang"), count_if(col("uniq")).as("n_exact"),
+      count_if(col("admit")).as("n_admitted")).collect()(0)
+
+    // ---- the decon gate's non-vacuity: the pivot passes every OTHER
+    // gate, fails ONLY decon, and was admitted sans-decon — so the gate
+    // cuts a doc every other stage admits ----
+    val pRow = admitted.filter(col("doc_id") === pid).collect()(0)
+    assert(pRow.getAs[Boolean]("lang_ok") && pRow.getAs[Boolean]("dsir_ok") &&
+      pRow.getAs[Boolean]("ppx_ok") && pRow.getAs[Boolean]("clf_ok"),
+      s"decon pivot $pid no longer passes the other gates")
+    assert(!pRow.getAs[Boolean]("dc_ok"),
+      s"decon pivot $pid not cut by the gate — suite window missed")
+    assert(admitted3Ids.contains(pid) && !batchSet.map(_._1).contains(pid),
+      s"decon gate did not remove $pid from the admitted set")
+    assert(batchSet.nonEmpty, "four-gate tie is vacuous: nothing admitted")
+
+    // ---- the STREAMING capstone with all FOUR gates, one micro-batch ----
+    val dir = tmpDir("tie4")
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val query = StreamingIngest.ingestStream(docs, dir, modelGates = Seq(
+      StreamingIngest.dsirGate(wmap, dflt, minScore),
+      StreamingIngest.perplexityGate(m),
+      StreamingIngest.classifierGate(clfThr),
+      StreamingIngest.decontaminationGate(benchHashes)))
+    try {
+      input.addData(corpus: _*)
+      query.processAllAvailable()
+      assert(storeAdmitted(dir) == batchSet,
+        s"capstones diverge:\n  stream=${storeAdmitted(dir)}\n  batch=$batchSet")
+      val st = storeStats(dir)
+      assert(st.size == 1)
+      assert((st.head.nRaw, st.head.nQuality, st.head.nLang, st.head.nExact,
+        st.head.nAdmitted) ==
+        (batchStats.getLong(0), batchStats.getLong(1), batchStats.getLong(2),
+          batchStats.getLong(3), batchStats.getLong(4)),
+        s"attrition diverges:\n  stream=${st.head}\n  batch=$batchStats")
+    } finally {
+      query.stop()
+      Seq(benchHashes, flagged, bandRows, admitted).foreach(_.unpersist(false))
+    }
+  }
+
   test("ingest→index composition: admission batches land as index slices under the same batch id; a crash between the two commits replays cleanly") {
     val sp = spark
     import sp.implicits._
