@@ -52,6 +52,62 @@ object Prep {
         PhoneRe, "[PHONE]"),
       SsnRe, "[SSN]")
 
+  /** ch02/ch03's shared builder: greedy first-fit chunk packing over
+    * per-word subword counts under `merges` — the packing state is a
+    * (chunk, run) struct folded over the counts array, per-document,
+    * inside whole-stage codegen, zero shuffle at any scale. Per-word BPE
+    * counts are additive across a chunk because merges never cross
+    * whitespace (the BpeCount contract). Parameterized on the merge table
+    * so the 28-rank sequential path (ch02) and the 80-rank heap path
+    * (ch03) budget through ONE fold. */
+  private def tokenChunksBuild(merges: Seq[(Char, Char)])
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => {
+      val counts = transform(split(trim(col("text")), "\\s+"),
+        x => graft.spark.BpeExpressions.bpeCount(x, merges))
+      val c = col("c")
+      val zero = struct(lit(0L).as("chunk"), lit(0L).as("run"))
+      val packed = aggregate(c, zero, (a, x) => {
+        val roll = a.getField("run") > 0 && (a.getField("run") + x) > TokenBudget
+        struct(
+          when(roll, a.getField("chunk") + 1).otherwise(a.getField("chunk")).as("chunk"),
+          when(roll, x).otherwise(a.getField("run") + x).as("run"))
+      })
+      Tables.spread(t(s, d, "documents"))
+        .select(col("doc_id"), explode(array(counts)).as("c"))
+        .select(col("doc_id"), size(c).cast("bigint").as("n_words"),
+          aggregate(c, lit(0L), (a, x) => a + x).as("subwords"),
+          (packed.getField("chunk") + 1).as("n_chunks"))
+        .select(col("doc_id"), col("n_words"), col("subwords"), col("n_chunks"),
+          (col("subwords").cast("double") / col("n_chunks")).as("avg_fill"))
+        .orderBy(col("doc_id"))
+    }
+
+  /** The matching oracle, parameterized on the per-word replace chain. */
+  private def tokenChunksSql(chain: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+          cs AS (SELECT doc_id, len(w) AS n_words,
+                  list_transform(w, x -> length($chain)) AS c
+                FROM t),
+          -- the fold state is chunk*1e9 + run in ONE BIGINT, not a struct:
+          -- DuckDB's vectorized CASE over struct-typed lambda accumulators
+          -- mis-executes under multi-row batching (full-relation runs gave
+          -- different chunk counts than the same fold filtered to one row);
+          -- scalar-BIGINT CASE folds are deterministic. run < 1e9 always
+          -- (bounded by max(budget, longest word)).
+          p AS (SELECT doc_id, n_words,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS subwords,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT), c),
+                    (a, x) -> CASE WHEN a % 1000000000 > 0 AND a % 1000000000 + x > $TokenBudget
+                              THEN (a // 1000000000 + 1) * 1000000000 + x
+                              ELSE a + x END) AS st
+                FROM cs)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, subwords,
+          st // 1000000000 + 1 AS n_chunks,
+          subwords::DOUBLE / (st // 1000000000 + 1) AS avg_fill
+        FROM p ORDER BY doc_id"""
+
   val entries: Seq[Q] = Seq(
     // ---- ch01: overlapping token-window chunking ----
     // Each doc becomes ceil((n-size)/stride)+1 chunks of <=32 whitespace
@@ -105,48 +161,25 @@ object Prep {
     // across a chunk because merges never cross whitespace (the BpeCount
     // contract), so chunk subword sizes are exactly the fold's run values.
     Q("ch02_token_chunks",
-      (s, d) => {
-        val counts = transform(split(trim(col("text")), "\\s+"),
-          x => graft.spark.BpeExpressions.bpeCount(x, TextOps.BpeMerges))
-        val c = col("c")
-        val zero = struct(lit(0L).as("chunk"), lit(0L).as("run"))
-        val packed = aggregate(c, zero, (a, x) => {
-          val roll = a.getField("run") > 0 && (a.getField("run") + x) > TokenBudget
-          struct(
-            when(roll, a.getField("chunk") + 1).otherwise(a.getField("chunk")).as("chunk"),
-            when(roll, x).otherwise(a.getField("run") + x).as("run"))
-        })
-        Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), explode(array(counts)).as("c"))
-          .select(col("doc_id"), size(c).cast("bigint").as("n_words"),
-            aggregate(c, lit(0L), (a, x) => a + x).as("subwords"),
-            (packed.getField("chunk") + 1).as("n_chunks"))
-          .select(col("doc_id"), col("n_words"), col("subwords"), col("n_chunks"),
-            (col("subwords").cast("double") / col("n_chunks")).as("avg_fill"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-              FROM documents),
-          cs AS (SELECT doc_id, len(w) AS n_words,
-                  list_transform(w, x -> length(${TextOps.bpeReplaceChainSql("x")})) AS c
-                FROM t),
-          -- the fold state is chunk*1e9 + run in ONE BIGINT, not a struct:
-          -- DuckDB's vectorized CASE over struct-typed lambda accumulators
-          -- mis-executes under multi-row batching (full-relation runs gave
-          -- different chunk counts than the same fold filtered to one row);
-          -- scalar-BIGINT CASE folds are deterministic. run < 1e9 always
-          -- (bounded by max(budget, longest word)).
-          p AS (SELECT doc_id, n_words,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS subwords,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT), c),
-                    (a, x) -> CASE WHEN a % 1000000000 > 0 AND a % 1000000000 + x > $TokenBudget
-                              THEN (a // 1000000000 + 1) * 1000000000 + x
-                              ELSE a + x END) AS st
-                FROM cs)
-        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, subwords,
-          st // 1000000000 + 1 AS n_chunks,
-          subwords::DOUBLE / (st // 1000000000 + 1) AS avg_fill
-        FROM p ORDER BY doc_id""")),
+      tokenChunksBuild(TextOps.BpeMerges),
+      Some(tokenChunksSql(TextOps.bpeReplaceChainSql("x")))),
+
+    // ---- ch03: the SAME packing under the production-width heap table ----
+    // ch02 budgets under the 28-rank sequential merge table; tx14 gates the
+    // heap merger (80-rank BpeMergesWide, the path a real 50k-vocab
+    // tokenizer lands on) in a counting aggregation. This row closes the
+    // remaining gap: the heap path's PER-WORD outputs FEED downstream
+    // arithmetic — the greedy fold's running prefix sums decide chunk
+    // boundaries, so any per-word miscount under the heap merger shifts
+    // n_chunks/avg_fill, not just a corpus total. Same geometry and budget
+    // as ch02, so the two rows differ exactly where the wide table changes
+    // counts (the spec pins that it DOES on the fixture — otherwise this
+    // row would re-prove ch02). Oracle: the width-agnostic replace-chain
+    // builder composed with ch02's fold CTEs, verbatim.
+    Q("ch03_wide_token_chunks",
+      tokenChunksBuild(TextOps.BpeMergesWide),
+      Some(tokenChunksSql(
+        TextOps.bpeReplaceChainSqlFor(TextOps.BpeMergesWide, "x")))),
 
     // ---- pii01: PII detection + redaction ----
     // Counts each PII class, then rewrites them to typed placeholders; the

@@ -49,14 +49,16 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** The oracle's per-word count: Java replace chain in rank order
     * (left-to-right non-overlapping), NOT the kernel's int-buffer loop. */
-  private def refWordCount(w: String): Long = {
+  private def refWordCountFor(merges: Seq[(Char, Char)])(w: String): Long = {
     var s = w
-    TextOps.BpeMerges.zipWithIndex.foreach { case ((l, r), k) =>
+    merges.zipWithIndex.foreach { case ((l, r), k) =>
       s = s.replace("" + l + r,
         (graft.spark.BpeCount.PlaceholderBase + k).toChar.toString)
     }
     s.length.toLong
   }
+
+  private def refWordCount(w: String): Long = refWordCountFor(TextOps.BpeMerges)(w)
 
   /** Greedy first-fit fold: (chunkIdx, run) after packing `cs` at `budget`. */
   private def refPack(cs: Seq[Long], budget: Long = 48L): (Long, Long) =
@@ -219,6 +221,35 @@ class ClfChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cs = t.trim.split("\\s+", -1).toSeq.map(refWordCount)
       assert(r.getSeq[Long](2) == cs, s"per-word counts diverge on '$t'")
     }
+  }
+
+  test("ch03 packing equals the WIDE-table replace-chain reference and differs from ch02") {
+    // the heap-path twin of checkCh02: per-word counts under the 80-rank
+    // BpeMergesWide feed the same greedy fold, so a heap-merger miscount
+    // would shift chunk boundaries, not just totals
+    val byDoc = texts(sfDir)
+    val wide = refWordCountFor(TextOps.BpeMergesWide) _
+    val rows = graft.SparkEntry.queries("ch03_wide_token_chunks")(spark, sfDir).collect()
+    assert(rows.length == byDoc.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cs = byDoc(id).trim.split("\\s+", -1).toSeq.map(wide)
+      val (ch, _) = refPack(cs)
+      assert(r.getAs[Long]("subwords") == cs.sum, s"doc $id subwords")
+      assert(r.getAs[Long]("n_chunks") == ch + 1, s"doc $id n_chunks")
+    }
+    // non-vacuity: the wide table must CHANGE the packing vs ch02 on the
+    // fixture (fewer subwords => different boundaries for some doc), or
+    // the row silently re-proves the sequential path
+    val ch2 = graft.SparkEntry.queries("ch02_token_chunks")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("subwords"), r.getAs[Long]("n_chunks"))).toMap
+    val diffSub = rows.count(r =>
+      ch2(r.getAs[Long]("doc_id"))._1 != r.getAs[Long]("subwords"))
+    val diffChunks = rows.count(r =>
+      ch2(r.getAs[Long]("doc_id"))._2 != r.getAs[Long]("n_chunks"))
+    assert(diffSub > 0, "wide table never changed a doc's subword count")
+    assert(diffChunks > 0, "wide table never moved a chunk boundary")
   }
 
   test("ch02 crafted adversaries: oversized word, exact-fit boundary, multi-level merges") {
