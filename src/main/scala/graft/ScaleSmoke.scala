@@ -88,6 +88,7 @@ object ScaleSmoke {
       "mm07", // per-doc windows + the fused energy kernel (frame-count scaling)
       "mm08", // the banded per-doc summary over the same vector relation
       "mm09", // shot deltas: per-row frame HOF cost scales with doc length
+      "mm10", // the composed curation capstone (gates + survivor banding)
       "q21", "q22") // window-frame + pivot shapes over the sf1 orders slice
     // local iteration: SPARK_GRAFT_ONLY=name-prefix filter, SPARK_GRAFT_EXPLAIN=1
     // prints each query's formatted plan before running it
