@@ -123,7 +123,7 @@ object Ingest {
   /** Above this many distinct keys, a batch skips the driver-side collect
     * and the stored-log reads lose only their row-group IN-filters — the
     * semi/anti joins below are the correctness path either way. */
-  private val MaxPushdownKeys = 100000
+  private[ops] val MaxPushdownKeys = 100000
 
   /** The data stores a batch (or generation) directory holds. */
   private val Stores = Seq("fp", "bands", "sigs", "admitted", "stats")
@@ -211,12 +211,12 @@ object Ingest {
   /** The batch's distinct key set when it is small enough to push down
     * (collected via limit(max+1), so an oversized batch costs one bounded
     * collect, not a full materialization). */
-  private def keySetUpTo(df: DataFrame, max: Int): Option[Array[Any]] = {
+  private[ops] def keySetUpTo(df: DataFrame, max: Int): Option[Array[Any]] = {
     val rows = df.distinct().limit(max + 1).collect()
     if (rows.length > max) None else Some(rows.map(_.get(0)))
   }
-  private def keyFiltered(stored: DataFrame, keyCol: String,
-                          keys: Option[Array[Any]]): DataFrame =
+  private[ops] def keyFiltered(stored: DataFrame, keyCol: String,
+                               keys: Option[Array[Any]]): DataFrame =
     keys.fold(stored)(ks =>
       stored.filter(col(keyCol).isin(ks.toIndexedSeq: _*)))
 

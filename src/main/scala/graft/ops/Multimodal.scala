@@ -72,6 +72,99 @@ object Multimodal {
     (lv, vecPairsFrom(lv))
   }
 
+  /** mm10's gate thresholds, shared with the streaming twin
+    * ([[graft.streaming.StreamingMmCurate]] → [[MmIngest]]). */
+  private[ops] val CurFrame = 64
+  private[ops] val CurVoiceT = 57000L // mm07's frame-energy threshold
+  private[ops] val CurDeltaCap = 12000L // shot gate: ≈ fixture p95 delta
+
+  /** mm10's ONE-corpus-pass gate stage over a (doc_id, source, text)
+    * relation: FrameEnergies rides the scan projection, the typed decode
+    * kernel (mm02's slot — a real codec swaps in here) maps the payload to
+    * the stub features, quantized to pHash levels. Output columns:
+    * doc_id, source, byte_len, levels, es, dec_ok, en_ok, sh_ok, vk.
+    * Factored so the batch capstone and [[MmIngest.curateBatch]]'s
+    * micro-batches run the IDENTICAL gate pass. */
+  private[graft] def curationFlags(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decoded = docs
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"),
+        graft.spark.FrameEnergies.column(col("text"), CurFrame, 96).as("es"))
+      .as[(Long, String, Array[Byte], Array[Long])]
+      .mapPartitions { it => it.map { case (id, src, bytes, es) =>
+        val m = FakeDecoder.decode(id, bytes)
+        (id, src, m.byte_len, m.features.map(f => f.toLong * 9 / 997), es)
+      }}
+      .toDF("doc_id", "source", "byte_len", "levels", "es")
+    val nFrames = size(col("es"))
+    val voiced = size(filter(col("es"), e => e >= CurVoiceT))
+    val shifted = (off: Int) =>
+      slice(col("es"), lit(off), greatest(size(col("es")) - 1, lit(0)))
+    val maxDelta = coalesce(
+      array_max(zip_with(shifted(2), shifted(1), (a, b) => abs(a - b))), lit(0L))
+    decoded
+      .withColumn("dec_ok", nFrames >= 1)
+      .withColumn("en_ok", col("dec_ok") && voiced * 2 >= nFrames)
+      .withColumn("sh_ok", col("en_ok") && maxDelta <= CurDeltaCap)
+      .withColumn("vk", concat_ws(",", col("levels")))
+  }
+
+  /** mm10's full per-doc verdict relation: gates + exact-pHash canonical
+    * window + the greedy hamming-1 near-dup drop. Returns (flagged, fin):
+    * `flagged` is the PERSISTED single-corpus-pass gate relation (the
+    * caller unpersists once `fin`'s consumers have materialized), `fin`
+    * adds ph_ok / nd_ok. Factored so the streaming-twin tie spec can pin
+    * [[MmIngest]]'s admitted DOC SET (not just the attrition counts)
+    * against the batch composition. */
+  private[graft] def curationVerdicts(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = curationFlags(docs)
+      .persist() // read by the window, the banded relation, and the agg
+    // exact pHash dedup: pp02/pp04's survivors-first fingerprint window
+    val wVk = Window.partitionBy(col("vk"))
+      .orderBy(col("sh_ok").desc, col("doc_id"))
+    val ph = flagged
+      .withColumn("ph_ok", col("sh_ok") && row_number().over(wVk) === 1)
+    // near-dup keep-first: band the SURVIVOR levels (not the corpus —
+    // membership is a function of the pipeline, and the census cap must
+    // see the population the dedup actually runs on), expand hamming-1
+    // vector pairs over their canonical docs, drop the larger
+    val near1 = vecPairsFrom(
+        flagged.filter(col("sh_ok")).select(col("doc_id"), col("levels")))
+      .filter(col("hamming") === 1)
+    val canon = ph.filter(col("ph_ok")).select(col("vk"), col("doc_id"))
+    val ndDrop = near1
+      .join(canon.select(col("vk").as("ka"), col("doc_id").as("da")), "ka")
+      .join(canon.select(col("vk").as("kb"), col("doc_id").as("db")), "kb")
+      .select(greatest(col("da"), col("db")).as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(1))
+    val fin = ph.join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("nd_ok", col("ph_ok") && col("nd_hit").isNull)
+    (flagged, fin)
+  }
+
+  /** mm10's stage names, in pipeline order (index = stage_ord). */
+  private[graft] val CurationStages = Seq("raw", "framed", "energy", "shots",
+    "exact_phash", "near_dedup")
+
+  /** Explode a per-source (c0..c5, b0..b5) count frame into mm10's output
+    * shape (source, stage_ord, stage, n_docs, n_bytes), ordered — shared
+    * with [[MmIngest.attrition]] so the streamed store reports attrition in
+    * the batch capstone's exact schema. */
+  private[graft] def attritionRows(g: DataFrame): DataFrame = g
+    .select(col("source"), explode(array(CurationStages.zipWithIndex.map {
+      case (nm, i) =>
+        struct(lit(i.toLong).as("stage_ord"), lit(nm).as("stage"),
+          col(s"c$i").cast("bigint").as("n_docs"),
+          col(s"b$i").cast("bigint").as("n_bytes"))
+    }: _*)).as("r"))
+    .select(col("source"), col("r.stage_ord").as("stage_ord"),
+      col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+      col("r.n_bytes").as("n_bytes"))
+    .orderBy(col("source"), col("stage_ord"))
+
   /** The banded hamming-≤1 DISTINCT-VECTOR pair relation over any
     * `(doc_id, levels)` frame — mm06/mm08's candidate machinery factored so
     * compositions (mm10's survivor-scoped dedup, the streaming twin) band
@@ -531,57 +624,10 @@ object Multimodal {
     // population); output is n_sources × 6 rows at any corpus size.
     Q("mm10_multimodal_pipeline",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val spark = s
-        import spark.implicits._
-        val F = 64
-        val VoiceT = 57000L // mm07's frame-energy threshold
-        val DeltaCap = 12000L // shot gate: ≈ p95 consecutive-frame delta
-        // the ONE corpus pass: FrameEnergies rides the scan projection, the
-        // typed decode kernel (mm02's slot — a real codec swaps in here)
-        // maps the payload to the stub features, quantized to pHash levels
-        val decoded = Tables.spread(t(s, d, "documents"))
-          .select(col("doc_id"), col("source"),
-            encode(col("text"), "UTF-8").as("payload"),
-            graft.spark.FrameEnergies.column(col("text"), F, 96).as("es"))
-          .as[(Long, String, Array[Byte], Array[Long])]
-          .mapPartitions { it => it.map { case (id, src, bytes, es) =>
-            val m = FakeDecoder.decode(id, bytes)
-            (id, src, m.byte_len, m.features.map(f => f.toLong * 9 / 997), es)
-          }}
-          .toDF("doc_id", "source", "byte_len", "levels", "es")
-        val nFrames = size(col("es"))
-        val voiced = size(filter(col("es"), e => e >= VoiceT))
-        val shifted = (off: Int) =>
-          slice(col("es"), lit(off), greatest(size(col("es")) - 1, lit(0)))
-        val maxDelta = coalesce(
-          array_max(zip_with(shifted(2), shifted(1), (a, b) => abs(a - b))), lit(0L))
-        val flagged = decoded
-          .withColumn("dec_ok", nFrames >= 1)
-          .withColumn("en_ok", col("dec_ok") && voiced * 2 >= nFrames)
-          .withColumn("sh_ok", col("en_ok") && maxDelta <= DeltaCap)
-          .withColumn("vk", concat_ws(",", col("levels")))
-          .persist() // read by the window, the banded relation, and the agg
-        // exact pHash dedup: pp02/pp04's survivors-first fingerprint window
-        val wVk = Window.partitionBy(col("vk"))
-          .orderBy(col("sh_ok").desc, col("doc_id"))
-        val ph = flagged
-          .withColumn("ph_ok", col("sh_ok") && row_number().over(wVk) === 1)
-        // near-dup keep-first: band the SURVIVOR levels (not the corpus —
-        // membership is a function of the pipeline, and the census cap must
-        // see the population the dedup actually runs on), expand hamming-1
-        // vector pairs over their canonical docs, drop the larger
-        val near1 = vecPairsFrom(
-            flagged.filter(col("sh_ok")).select(col("doc_id"), col("levels")))
-          .filter(col("hamming") === 1)
-        val canon = ph.filter(col("ph_ok")).select(col("vk"), col("doc_id"))
-        val ndDrop = near1
-          .join(canon.select(col("vk").as("ka"), col("doc_id").as("da")), "ka")
-          .join(canon.select(col("vk").as("kb"), col("doc_id").as("db")), "kb")
-          .select(greatest(col("da"), col("db")).as("doc_id")).distinct()
-          .withColumn("nd_hit", lit(1))
-        val fin = ph.join(ndDrop, Seq("doc_id"), "left")
-          .withColumn("nd_ok", col("ph_ok") && col("nd_hit").isNull)
+        // the shared single-corpus-pass gate + verdict composition (the
+        // streaming twin MmIngest runs the same factored stages per
+        // micro-batch; the tie is spec-pinned in MmCurateStreamingSpec)
+        val (flagged, fin) = curationVerdicts(Tables.spread(t(s, d, "documents")))
         // per-source attrition: ONE conditional aggregation (six stages ×
         // n_sources rows), stage rows exploded from the combined row
         def bIf(c: org.apache.spark.sql.Column) =
@@ -593,19 +639,7 @@ object Multimodal {
           count_if(col("sh_ok")).as("c3"), bIf(col("sh_ok")).as("b3"),
           count_if(col("ph_ok")).as("c4"), bIf(col("ph_ok")).as("b4"),
           count_if(col("nd_ok")).as("c5"), bIf(col("nd_ok")).as("b5"))
-        val stages = Seq("raw", "framed", "energy", "shots",
-          "exact_phash", "near_dedup")
-        val out = g
-          .select(col("source"), explode(array(stages.zipWithIndex.map {
-            case (nm, i) =>
-              struct(lit(i.toLong).as("stage_ord"), lit(nm).as("stage"),
-                col(s"c$i").cast("bigint").as("n_docs"),
-                col(s"b$i").cast("bigint").as("n_bytes"))
-          }: _*)).as("r"))
-          .select(col("source"), col("r.stage_ord").as("stage_ord"),
-            col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
-            col("r.n_bytes").as("n_bytes"))
-          .orderBy(col("source"), col("stage_ord"))
+        val out = attritionRows(g)
           // eager checkpoint (dc03/pp04's convention) so the corpus-pass
           // cache releases here — the checkpoint holds 6 × n_sources rows
           .localCheckpoint()
