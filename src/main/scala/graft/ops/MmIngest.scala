@@ -39,14 +39,18 @@ import org.apache.spark.sql.functions._
   * census-capped on both sides, canonical state is ~100 bytes/vector
   * independent of payload size, and nothing driver-side exceeds the
   * bounded key collect. The tail-batch directory list is the same
-  * generation-foldable layout as [[Ingest]]'s; a deployment compacts it
-  * with the shared [[BatchLog.foldablePrefix]] machinery (policy, not
-  * correctness — readers are correct over any committed view).
+  * generation-foldable layout as [[Ingest]]'s, with the same [[compact]] /
+  * [[vacuum]] pair over the shared [[BatchLog]] machinery (when to run
+  * them is deployment policy, not correctness — readers are correct over
+  * any committed view).
   */
 object MmIngest {
 
   /** Default per-(band,bkey) bucket cap — mm06/mm08's census-cap role. */
   private val BucketCap = 4096L
+
+  /** The data stores a batch (or generation) directory holds. */
+  private val Stores = Seq("levels", "bands", "admitted", "stats")
 
   private val LevelsDdl = "vk STRING, doc_id BIGINT, levels ARRAY<BIGINT>"
   private val BandsDdl = "band INT, bkey BIGINT, doc_id BIGINT"
@@ -202,4 +206,40 @@ object MmIngest {
 
     Seq(flagged, exact, bandRows, candIds, admit).foreach(_.unpersist(false))
   }
+
+  /** Fold the contiguous committed batch tail into a new generation — the
+    * shared [[BatchLog]] protocol ([[Ingest.compact]]'s anchoring and
+    * gap rules verbatim; manifest commit LAST). Stats rows are carried
+    * VERBATIM: they are per-batch deltas, so [[attrition]]'s sums are
+    * invariant across any compaction point. The levels store range-sorts
+    * on vk (the exact-dedup probe key); the doc_id-keyed near-dup read
+    * keeps row-group IN-filters, just against a vk-ordered layout. */
+  def compact(s: SparkSession, dir: String): Option[Long] = {
+    val view = storeView(s, dir)
+    val prefix = BatchLog.foldablePrefix(dir, view)
+    if (prefix.isEmpty) None
+    else {
+      val folded = view.copy(tail = prefix)
+      val gen = view.gen.getOrElse(-1L) + 1
+      def rewrite(store: String, ddl: String, key: String): Unit =
+        readStore(s, dir, store, folded, ddl)
+          .repartitionByRange(col(key)).sortWithinPartitions(col(key))
+          .write.mode(SaveMode.Overwrite).parquet(BatchLog.gdir(dir, gen, store))
+      rewrite("levels", LevelsDdl, "vk")
+      rewrite("bands", BandsDdl, "bkey")
+      rewrite("admitted", AdmittedDdl, "doc_id")
+      readStore(s, dir, "stats", folded, StatsDdl).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(BatchLog.gdir(dir, gen, "stats"))
+      BatchLog.commitManifest(s, dir, gen, prefix.last)
+      Some(gen)
+    }
+  }
+
+  /** Remove batch directories the newest committed generation supersedes —
+    * [[BatchLog.vacuum]]'s mechanically grace-guarded deletion (a no-op
+    * refusal inside the grace window; see Ingest.vacuum's reader
+    * rationale). Returns true iff superseded paths were deleted. */
+  def vacuum(s: SparkSession, dir: String,
+             graceMs: Long = BatchLog.DefaultVacuumGraceMs): Boolean =
+    BatchLog.vacuum(s, dir, Stores, graceMs)
 }

@@ -21,6 +21,9 @@ import graft.ops.{MmIngest, Multimodal}
   *  (2) replaying a COMMITTED batch is a no-op (the commit-marker
   *      protocol — the full crash-replay matrix is BatchLog's, pinned in
   *      IngestStreamingSpec/ReplayRecoverySpec over the same machinery);
+  *      compaction folds the tail with reader-invariant results, replays
+  *      of folded batches stay no-ops, later batches dedup against the
+  *      generation slice, and vacuum is grace-guarded;
   *  (3) arrival-order INVARIANTS under out-of-order delivery (where
   *      equality with the batch greedy rule is documented not to hold):
   *      gate/exact-stage totals are order-independent, and the admitted
@@ -150,6 +153,45 @@ class MmCurateStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     MmIngest.curateBatch(spark, dir, b0, 0L)
     assert((storeAdmitted(dir), MmIngest.canonicals(spark, dir).count()) == before,
       "replaying a committed batch changed the store")
+  }
+
+  test("compaction: readers invariant across the fold; post-compaction batches dedup against the generation; vacuum is grace-guarded") {
+    val rows = docRows
+    val batches = thirds(rows)
+    def asDf(b: Seq[(Long, String, String)]) =
+      spark.createDataFrame(b).toDF("doc_id", "source", "text")
+    val dir = tmpDir("compact")
+    runStream(batches.take(2), dir)
+
+    val mid = (storeAdmitted(dir), attritionRows(MmIngest.attrition(spark, dir)))
+    assert(MmIngest.compact(spark, dir).contains(0L))
+    assert((storeAdmitted(dir), attritionRows(MmIngest.attrition(spark, dir))) == mid,
+      "compaction changed the readers")
+    // replaying a batch the generation folded is still a no-op
+    MmIngest.curateBatch(spark, dir, asDf(batches.head), 0L)
+    assert((storeAdmitted(dir), attritionRows(MmIngest.attrition(spark, dir))) == mid,
+      "replaying a compacted batch changed the store")
+
+    // the third batch dedups against the GENERATION slice (no tail left):
+    // final state must equal the full 3-batch run, i.e. the batch capstone
+    MmIngest.curateBatch(spark, dir, asDf(batches(2)), 2L)
+    val (flagged, fin) = batchVerdicts()
+    val expectedAdmitted = fin.filter(col("nd_ok")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val expectedAttrition = attritionRows(batchAttrition(fin))
+    flagged.unpersist(false)
+    assert(storeAdmitted(dir) == expectedAdmitted,
+      "post-compaction admission diverges from the batch capstone")
+    assert(attritionRows(MmIngest.attrition(spark, dir)) == expectedAttrition,
+      "post-compaction attrition diverges from the batch capstone")
+
+    // vacuum refuses inside the default grace window, deletes at grace 0,
+    // and the readers resolve identically over gen + surviving tail
+    assert(!MmIngest.vacuum(spark, dir), "vacuum ignored the grace window")
+    assert(MmIngest.vacuum(spark, dir, graceMs = 0L))
+    assert(storeAdmitted(dir) == expectedAdmitted &&
+      attritionRows(MmIngest.attrition(spark, dir)) == expectedAttrition,
+      "vacuum broke the committed view")
   }
 
   test("out-of-order arrival: order-independent stage totals; admitted set has no shared vk and no hamming-1 canonical pair") {
