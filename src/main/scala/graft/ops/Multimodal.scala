@@ -280,7 +280,7 @@ object Multimodal {
     // into the same slot as FakeDecoder does for mm02.
     Q("mm04_resize",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = Tables.spread(t(s, d, "documents"))
         val n = length(col("text")).cast("bigint") // ASCII corpus: chars == bytes
         val w = n % 640
         val h = (n * 7) % 480

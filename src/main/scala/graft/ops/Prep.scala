@@ -187,7 +187,7 @@ object Prep {
     Q("pii01_redact",
       (s, d) => {
         val a = col("a")
-        t(s, d, "documents")
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), explode(array(augmented)).as("a"))
           .select(col("doc_id"),
             size(regexp_extract_all(a, lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
@@ -226,7 +226,7 @@ object Prep {
         val folded = aggregate(phs,
           aggregate(ems, a, (acc, e) => replace(acc, e, pseudo(e, "id-"))),
           (acc, p) => replace(acc, p, pseudo(p, "tel-")))
-        t(s, d, "documents")
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), explode(array(augmented)).as("a"))
           .select(col("doc_id"),
             size(ems).cast("bigint").as("n_pseudo_email"),

@@ -766,7 +766,7 @@ object Sampling {
     // rolling fingerprint.
     Q("sp13_span_corruption",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = Tables.spread(t(s, d, "documents"))
         val toks = size(split(trim(col("text")), "\\s+"))
         val idx = sequence(lit(0), col("n") - 1)
         def startFlag(i: Column): Column =

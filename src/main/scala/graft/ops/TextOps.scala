@@ -312,7 +312,14 @@ object TextOps {
   private[graft] final case class LmRelations(
       base: org.apache.spark.sql.DataFrame, ex: org.apache.spark.sql.DataFrame,
       c1: org.apache.spark.sql.DataFrame, c12: org.apache.spark.sql.DataFrame,
-      vocab: Long)
+      vocabDf: org.apache.spark.sql.DataFrame) {
+    /** Materialized vocabulary size — only for consumers that FREEZE the
+      * model to disk (PerplexityStore.build). Query paths cross-join
+      * [[vocabDf]] instead, so the distinct count rides the main job as one
+      * more stage rather than a separate up-front action + corpus pass
+      * (optimization guide §1.2: remove unnecessary passes). */
+    lazy val vocab: Long = vocabDf.collect()(0).getLong(0)
+  }
 
   private[graft] def lmRelations(s: org.apache.spark.sql.SparkSession,
       d: String): LmRelations = {
@@ -324,15 +331,20 @@ object TextOps {
     val train = ex.filter(col("bk") < 80)
     val c12 = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = base.filter(col("bk") < 80)
-      .select(explode(col("wh")).as("word")).distinct().count()
-    LmRelations(base, ex, c1, c12, vocab)
+    // 1-row lazy relation; count_distinct over the exploded train words is
+    // value-identical to the eager .distinct().count() it replaces (no
+    // NULL word hashes; empty input folds to a single 0 row either way)
+    val vocabDf = base.filter(col("bk") < 80)
+      .select(explode(col("wh")).as("word"))
+      .agg(count_distinct(col("word")).as("graft_vocab"))
+    LmRelations(base, ex, c1, c12, vocabDf)
   }
 
   /** Per-pair smoothed negative log-likelihood under (c1, c12, vocab). */
-  private[graft] def nllCol(vocab: Long): Column =
+  private[graft] def nllColOf(vocab: Column): Column =
     -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
       (coalesce(col("c1"), lit(0L)) + vocab))
+  private[graft] def nllCol(vocab: Long): Column = nllColOf(lit(vocab))
 
   private[ops] def nllScores(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = nllScoresOf(lmRelations(s, d))
@@ -341,13 +353,17 @@ object TextOps {
     * both the count relations and the scores (the stored-model build)
     * trains the LM once and owns the persist lifecycle of `m.base`. */
   private[graft] def nllScoresOf(m: LmRelations): org.apache.spark.sql.DataFrame = {
+    // the 1-row vocab aggregate attaches by broadcast cross-join so its
+    // distinct count runs as a stage of THIS job (overlapped with the count
+    // joins) instead of a separate driver action scanning the corpus first
     val scored = m.ex
       .join(m.c12, Seq("bg"), "left")
       .join(m.c1, Seq("w1"), "left")
+      .crossJoin(broadcast(m.vocabDf))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"),
-        avg(nllCol(m.vocab)).as("nll"))
+        avg(nllColOf(col("graft_vocab"))).as("nll"))
     m.base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -487,7 +503,7 @@ object TextOps {
         // scale-and-round), while the raw doubles are bit-identical — the
         // driver's comparator normalizes BOTH sides with the same rounding, so
         // raw values can never flip. Same reasoning in tx02/q20/ss*/dd* below.
-        t(s, d, "documents")
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), pred.as("pred_lang"), best.as("score"))
           .orderBy(col("doc_id"))
       },
@@ -511,7 +527,7 @@ object TextOps {
         val score = qualityCol
         // raw ratios/score (see tx01 note): engine-side round() flipped one
         // sf0.1 row (quality 0.84025-boundary: Spark .8402, DuckDB .8403)
-        t(s, d, "documents").select(col("doc_id"),
+        Tables.spread(t(s, d, "documents")).select(col("doc_id"),
             nWords.as("n_words"), punct.as("n_punct"),
             punctRatio.as("punct_ratio"),
             stopRatio.as("stop_ratio"),
@@ -648,7 +664,7 @@ object TextOps {
             g => struct(lit(k).as("k"), g.as("g")))
         val wh = col("wh")
         def kd(k: Int, c: Column): Column = when(col("k") === k, c)
-        t(s, d, "documents")
+        Tables.spread(t(s, d, "documents"))
           // explode(array(..)) = Generate barrier: the token array is
           // computed once per row before the gram explode
           .select(col("doc_id"), explode(array(vocabTokens)).as("w"))
@@ -697,7 +713,8 @@ object TextOps {
     // language-quality pipelines gate on. Shapes that survive 100 TB: the
     // model is two partial-aggregated count relations keyed by bigram/history
     // (shuffle-joined at scale, broadcast when the vocab is small), the
-    // vocabulary size is ONE driver scalar (constant-folds into the score),
+    // vocabulary size is ONE broadcast row (its distinct count runs as a
+    // stage of the same job — no separate up-front corpus pass),
     // and scoring is an equi-join + per-doc aggregate — no window, no
     // cartesian, nothing quadratic. Raw double score (see the tx01 note):
     // identical integer counts → identical IEEE divisions; ln is 1-ulp on
@@ -932,7 +949,7 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val nWords = size(split(trim(col("text")), "\\s+")).cast("bigint")
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-        t(s, d, "documents")
+        Tables.spread(t(s, d, "documents"))
           .select(col("doc_id"), col("text"), nWords.as("n_words"),
             qualityCol.as("quality"), predLangCol.as("pred_lang"))
           .filter(col("quality") >= 0.5 && col("pred_lang") === "en")

@@ -82,8 +82,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("tx02 quality: map-only (no shuffle before the final sort)") {
     val p = plan("tx02_quality")
-    // a per-document metric needs exactly the one exchange introduced by orderBy
-    assert(p.split("Exchange").length - 1 <= 1, p.take(2000))
+    // a per-document metric needs only the spread repartition (unsplittable
+    // single-row-group inputs must not serialize the regex scoring on one
+    // core — guide §2.5 input skew) plus the orderBy exchange
+    assert(p.split("Exchange").length - 1 <= 2, p.take(2000))
   }
 
   test("dd01 exact dedup: partial aggregation on the hash key") {
