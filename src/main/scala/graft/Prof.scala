@@ -53,14 +53,40 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     val l = new SumListener
     spark.sparkContext.addSparkListener(l)
-    // SPARK_GRAFT_STAGES=1: per-stage attribution (taskSec + callsite)
+    // SPARK_GRAFT_STAGES=1: per-stage attribution (taskSec + callsite), plus
+    // per-JOB wall/taskMs keyed by the job description (setJobDescription)
     if (sys.env.get("SPARK_GRAFT_STAGES").contains("1"))
       spark.sparkContext.addSparkListener(new SparkListener {
         private val agg = new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+        private val stage2job = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+        private val jobTask = new java.util.concurrent.ConcurrentHashMap[Int, LongAdder]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          jobStart.put(e.jobId, (desc, e.time))
+          e.stageIds.foreach(sid => stage2job.put(sid, s"job${e.jobId}"))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobStart.remove(e.jobId) match {
+            case null =>
+            case (desc, t0) =>
+              val ts = Option(jobTask.remove(e.jobId)).map(_.sum).getOrElse(0L)
+              System.err.println(
+                f"[prof-job] id=${e.jobId}%4d wallMs=${e.time - t0}%6d taskMs=$ts%7d $desc")
+          }
+        }
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) agg.computeIfAbsent(s"stage${e.stageId}", _ => new LongAdder)
-            .add(m.executorRunTime)
+          if (m != null) {
+            agg.computeIfAbsent(s"stage${e.stageId}", _ => new LongAdder)
+              .add(m.executorRunTime)
+            Option(stage2job.get(e.stageId)).foreach { j =>
+              if (j.startsWith("job")) jobTask
+                .computeIfAbsent(j.drop(3).toInt, _ => new LongAdder)
+                .add(m.executorRunTime)
+            }
+          }
         }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -69,7 +95,7 @@ object Prof {
           val ts = Option(agg.get(s"stage${i.stageId}")).map(_.sum).getOrElse(0L)
           if (ms >= 100 || ts >= 500) System.err.println(
             f"[prof-stage] id=${i.stageId}%4d tasks=${i.numTasks}%3d wallMs=$ms%6d " +
-              f"taskMs=$ts%7d ${i.name}")
+              f"taskMs=$ts%7d ${i.name.take(60)}")
         }
       })
     val names = SparkEntry.queries.keys.toSeq.sorted

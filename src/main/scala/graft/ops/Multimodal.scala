@@ -109,6 +109,11 @@ object Multimodal {
       .withColumn("en_ok", col("dec_ok") && voiced * 2 >= nFrames)
       .withColumn("sh_ok", col("en_ok") && maxDelta <= CurDeltaCap)
       .withColumn("vk", concat_ws(",", col("levels")))
+      // the energies array is consumed entirely by the three flags above —
+      // dropping it here keeps it out of the persisted gate relation, the
+      // pHash window shuffle, and the streamed store writes (guide §2.3:
+      // project before the exchange; ~frames×8 bytes/doc saved everywhere)
+      .drop("es")
   }
 
   /** mm10's full per-doc verdict relation: gates + exact-pHash canonical

@@ -161,12 +161,26 @@ object Pipeline {
         // that tree dominates the runtime — the dd06 lesson (persist alone
         // does not truncate the logical plan). Measured at sf0.1: 34 s
         // single lazy action → ~7 s staged.
-        ndDrop.count()
-        semDrop.count()
-        contam.count()
-        val dc = sem.join(contam, Seq("doc_id"), "left")
+        // labeled so the UI / stage profiles attribute the barrier chain
+        // (guide §1.5); descriptions are thread-local and cleared after
+        def staged[T](label: String)(body: => T): T = {
+          s.sparkContext.setJobDescription(s"pp04: $label")
+          try body finally s.sparkContext.setJobDescription(null)
+        }
+        staged("ndDrop (LSH verify)")(ndDrop.count())
+        staged("semDrop (pair mining)")(semDrop.count())
+        staged("contam (bench probe)")(contam.count())
+        val dc = staged("dc checkpoint")(sem.join(contam, Seq("doc_id"), "left")
           .withColumn("dc_ok", col("sem_ok") && col("dc_hit").isNull)
-          .localCheckpoint() // eager; every later stage reads a LEAF plan
+          // project to the columns the attrition/mixture/packing stages
+          // actually read BEFORE materializing: the per-doc shingle arrays
+          // (the widest column, ~tokens×8 bytes/doc) and the gate inputs
+          // are dead past this point, so serializing them into the
+          // checkpoint blocks was pure write+read+GC cost (guide §2.3)
+          .select(col("doc_id"), col("source"), col("tokens"), col("train"),
+            col("q_ok"), col("en_ok"), col("uniq"), col("nd_ok"),
+            col("sem_ok"), col("dc_ok"))
+          .localCheckpoint()) // eager; every later stage reads a LEAF plan
         // the checkpoint holds everything downstream needs — release the
         // stage caches instead of leaving them to LRU eviction
         Seq(flagged, survBase, sv, ndDrop, semDrop, contam)

@@ -618,6 +618,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ss17_ann_recall",          // exact arm: query sample (vec_id % 100) broadcast vs corpus (the ss01 shape)
       "ss18_incremental_recall",  // same exact arm over the log-backed serve; query set BOUNDED by recallQueryMod (≤ ~4096 at any corpus size)
       "sp14_dsir_resample",       // one-row totals attach in Dsir.weights
+      "tx08_perplexity",          // one-row LM-vocab aggregate attach (round-16: the
+      "sp15_perplexity_band",     //   distinct count rides the scoring job as a
+      "sp19_ppx_band_approx",     //   broadcast cross-join instead of an eager action)
       "sp16_cluster_coverage",    // footer-stride coverage anchors broadcast
       "dd15_semdedup_sweep",      // bounded anchor set per semdedup region
       "pp04_pretraining_pipeline" // composes the sp14/sp16 attaches above
