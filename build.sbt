@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes to sbt's own stdout/stderr UNDECORATED instead of
+// through the logger: the logger prefixes every stdout line with "[info] ",
+// which is exactly what has kept the driver's bench parser from reading
+// Bench's one-line JSON since round 10 (BENCH_r10..r16 all `parsed: null`).
+// The bench harness itself is unchanged — this only restores the documented
+// "prints ONE JSON line" contract for anything that consumes raw stdout.
+run / outputStrategy := Some(StdoutOutput)

@@ -15,6 +15,9 @@ object PlanDump {
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Seq.empty[String])
       case Array(a, b, f) => (a, b, f.split(',').toSeq)
+      case _ =>
+        System.err.println("usage: runMain graft.PlanDump <sfDir> <outDir> [namePrefix,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

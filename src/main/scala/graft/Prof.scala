@@ -100,9 +100,10 @@ object Prof {
       })
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.exists(n.startsWith))
-    // warmup (JIT + codegen) at the smallest scale, same as Bench
+    // warmup (JIT + codegen) at the smallest scale, same as Bench;
+    // SPARK_GRAFT_WARM_DIR overrides for hosts without the default path
     locally {
-      val warmDir = "/root/testdata/sf0.001"
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       names.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[prof] warmup $n: ${e.getMessage}") }
@@ -112,21 +113,34 @@ object Prof {
     names.foreach { n =>
       var bestWall = Double.MaxValue
       var best: Seq[Long] = null
+      var failures = 0
       (1 to reps).foreach { _ =>
         val before = l.snapshot()
         val t0 = System.nanoTime()
+        var ok = true
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[prof] $n failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          ok = false; failures += 1
+          System.err.println(s"[prof] $n failed: ${e.getMessage}")
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         org.apache.spark.sql.graftshim.Shims.drainListenerBus(spark)
         val after = l.snapshot()
-        if (wall < bestWall) { bestWall = wall; best = after.zip(before).map { case (a, b) => a - b } }
+        // a failed rep's near-zero wall must not latch the min — it would
+        // silently report the failure's (near-empty) metric deltas as the
+        // query's best profile
+        if (ok && wall < bestWall) { bestWall = wall; best = after.zip(before).map { case (a, b) => a - b } }
       }
-      println(f"[prof] $n%-32s wall=$bestWall%7.2f taskSec=${best(0) / 1e3}%8.2f " +
-        f"cpuSec=${best(1) / 1e9}%8.2f gcSec=${best(5) / 1e3}%6.2f " +
-        f"fetchSec=${best(6) / 1e3}%6.2f shReadMB=${best(2) / 1e6}%8.1f " +
-        f"shWriteMB=${best(3) / 1e6}%8.1f spillMB=${best(4) / 1e6}%6.1f")
+      if (best == null)
+        println(f"[prof] $n%-32s FAILED all $reps reps")
+      else {
+        val tag = if (failures > 0) s"  (failedReps=$failures)" else ""
+        println(f"[prof] $n%-32s wall=$bestWall%7.2f taskSec=${best(0) / 1e3}%8.2f " +
+          f"cpuSec=${best(1) / 1e9}%8.2f gcSec=${best(5) / 1e3}%6.2f " +
+          f"fetchSec=${best(6) / 1e3}%6.2f shReadMB=${best(2) / 1e6}%8.1f " +
+          f"shWriteMB=${best(3) / 1e6}%8.1f spillMB=${best(4) / 1e6}%6.1f" + tag)
+      }
     }
     spark.stop()
   }

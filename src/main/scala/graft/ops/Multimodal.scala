@@ -82,9 +82,12 @@ object Multimodal {
     * relation: FrameEnergies rides the scan projection, the typed decode
     * kernel (mm02's slot — a real codec swaps in here) maps the payload to
     * the stub features, quantized to pHash levels. Output columns:
-    * doc_id, source, byte_len, levels, es, dec_ok, en_ok, sh_ok, vk.
-    * Factored so the batch capstone and [[MmIngest.curateBatch]]'s
-    * micro-batches run the IDENTICAL gate pass. */
+    * doc_id, source, byte_len, levels, dec_ok, en_ok, sh_ok, vk — the
+    * frame-energies array (`es`) is consumed by the three flags and
+    * DROPPED before return (guide §2.3), a contract shared with
+    * [[MmIngest]]/StreamingMmCurate. Factored so the batch capstone and
+    * [[MmIngest.curateBatch]]'s micro-batches run the IDENTICAL gate
+    * pass. */
   private[graft] def curationFlags(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -21,7 +21,10 @@ import org.apache.spark.sql.expressions.Window
   *     ([[Dedup.verifiedPairsFrom]]) over the exact-dedup survivors — the
   *     greedy keep-first rule (drop the larger id of every verified pair),
   *   - semantic dedup: dd11's adaptive-K assignment ([[Similarity]]) with
-  *     the ClusterCap census, pair mining restricted to live survivors,
+  *     the ClusterCap census; pairs are mined over the exact-dedup
+  *     survivors and the near-dup restriction is re-applied as an id-only
+  *     anti-join (output-identical — see the inline note — which is what
+  *     lets the mining run concurrently with the LSH verify),
   *   - decontamination: dc01's distinct benchmark-shingle join (the bench
   *     split bk ≥ 95 is excluded from training by the FIRST stage, so the
   *     pipeline never trains on its own eval set),
@@ -94,6 +97,12 @@ object Pipeline {
           .withColumn("q_ok", col("train") && col("quality") >= 0.5)
           .withColumn("en_ok", col("q_ok") && col("pred_lang") === "en")
           .withColumn("uniq", col("en_ok") && row_number().over(wFp) === 1)
+          // quality/pred_lang/fp are SPENT once the flags exist — no later
+          // stage reads them, so persisting them (a double, a string, a
+          // 32-char md5 per doc) was dead cache bytes + GC (guide §2.3, the
+          // same narrowing the r16 round applied to the dc checkpoint)
+          .select(col("doc_id"), col("source"), col("tokens"), col("bk"),
+            col("sh"), col("train"), col("q_ok"), col("en_ok"), col("uniq"))
           .persist() // read by every later stage: gates, LSH base, bench
                      // shingles, contamination probe, final aggregation
 
@@ -116,34 +125,59 @@ object Pipeline {
         // ---- semantic dedup among the near-dup survivors: dd11's
         // adaptive-K assignment over the FULL embedding table (the cluster
         // map is survivorship-independent, exactly like dd11), ClusterCap
-        // census on the full assignment, pair mining only between live
-        // survivors (vec_id == doc_id in the fixtures) ----
+        // census on the full assignment. Pair MINING runs over the exact-
+        // dedup (`uniq`) survivors rather than the near-dup (`nd_ok`) ones
+        // so it no longer depends on the LSH-verify barrier (guide §2.6 —
+        // the two heaviest subtrees become concurrent); the nd_ok
+        // restriction is re-applied afterwards as an id-only anti-join on
+        // the KEEPER endpoint. Output-identical by construction:
+        //   - a pair (ia < ib) with BOTH ends nd_ok appears in both
+        //     formulations (uniq ⊇ nd_ok, the census is survivorship-
+        //     independent, and the anti-join keeps ia when it is nd_ok);
+        //   - a pair whose ia is nd-dropped is removed by the anti-join
+        //     exactly as it never formed in the nd_ok-basis join;
+        //   - a pair whose ib is nd-dropped may add ib to the drop set,
+        //     but sem_ok := nd_ok && sem_hit IS NULL is already false for
+        //     such ib, so no flag any later stage reads can change.
         val K = math.max(8L, Tables.rowCount(s, d, "embeddings") / 1024L).toInt
         val assigned = Similarity.semdedupAssign(
           Similarity.vecs(s, d).select(col("vec_id"), col("vec"), col("nrm")), K)
+          .persist() // census + pair-join side, both inside the mining job
         val minable = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("occ"))
           .filter(col("occ") <= ClusterCap).select(col("cluster"))
         val sv = assigned.join(broadcast(minable), Seq("cluster"))
-          .join(nd.filter(col("nd_ok")).select(col("doc_id").as("vec_id")), Seq("vec_id"))
+          .join(flagged.filter(col("uniq")).select(col("doc_id").as("vec_id")), Seq("vec_id"))
           .select(col("cluster"), col("vec_id"), col("vec"), col("nrm"))
           .persist() // both sides of the within-cluster pair join
-        val semDrop = sv.select(col("cluster"), col("vec_id").as("ia"),
+        val semPairs = sv.select(col("cluster"), col("vec_id").as("ia"),
             col("vec").as("va"), col("nrm").as("na"))
           .join(sv.select(col("cluster"), col("vec_id").as("ib"),
             col("vec").as("vb"), col("nrm").as("nb")), Seq("cluster"))
           .filter(col("ia") < col("ib"))
           .filter(Similarity.cosine(col("va"), col("vb"), col("na"), col("nb")) >= Tau)
+          .select(col("ia"), col("ib"))
+          .persist() // the pair join must run once; semDrop re-reads it
+        val semDrop = semPairs
+          .join(ndDrop.select(col("doc_id").as("ia")), Seq("ia"), "left_anti")
           .select(col("ib").as("doc_id")).distinct()
           .withColumn("sem_hit", lit(1))
-          .persist() // same reasoning as ndDrop: the pair join must run once
+          .persist() // id-only; read by the dc checkpoint
         val sem = nd.join(semDrop, Seq("doc_id"), "left")
           .withColumn("sem_ok", col("nd_ok") && col("sem_hit").isNull)
 
         // ---- decontamination: dc01's distinct benchmark-shingle join —
-        // the bench split's shingles come from the SAME cached corpus pass ----
+        // the bench split's shingles come from the SAME cached corpus pass.
+        // The probe runs over the `uniq` survivors (not sem_ok), removing
+        // its dependency on BOTH dedup barriers so it can run concurrently
+        // with them (guide §2.6). Output-identical: contamination
+        // membership is computed PER DOC (each doc's own shingles vs the
+        // bench set — no cross-doc term), so widening the probed set can
+        // only add rows for docs with sem_ok = false, and the flag every
+        // later stage reads is dc_ok := sem_ok && dc_hit IS NULL — already
+        // false for exactly those docs. ----
         val bench = flagged.filter(col("bk") >= 95)
           .select(explode(col("sh")).as("h")).distinct()
-        val contam = sem.filter(col("sem_ok"))
+        val contam = flagged.filter(col("uniq"))
           .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("h"))
           .join(bench, Seq("h"))
           .groupBy(col("doc_id"), col("nsh")).agg(count(lit(1)).as("n_shared"))
@@ -152,24 +186,43 @@ object Pipeline {
           .withColumn("dc_hit", lit(1))
           .persist() // id-only; keeps the bench probe single-execution
 
-        // Materialize the drop sets in dependency order (one bounded action
-        // apiece — each is a small id list whose cache the next stage
-        // reads), then SEVER the lineage at the fully-flagged corpus with a
-        // localCheckpoint. Left lazy, the final ten-row plan embeds the
-        // whole LSH + semantic + contamination tree THREE times (gate /
-        // mixture / packing aggregates), and driver-side AQE re-planning of
-        // that tree dominates the runtime — the dd06 lesson (persist alone
-        // does not truncate the logical plan). Measured at sf0.1: 34 s
-        // single lazy action → ~7 s staged.
-        // labeled so the UI / stage profiles attribute the barrier chain
-        // (guide §1.5); descriptions are thread-local and cleared after
+        // Materialize the drop sets (one bounded action apiece — each is a
+        // small id list whose cache the next stage reads), then SEVER the
+        // lineage at the fully-flagged corpus with a localCheckpoint. Left
+        // lazy, the final ten-row plan embeds the whole LSH + semantic +
+        // contamination tree THREE times (gate / mixture / packing
+        // aggregates), and driver-side AQE re-planning of that tree
+        // dominates the runtime — the dd06 lesson (persist alone does not
+        // truncate the logical plan). Measured at sf0.1: 34 s single lazy
+        // action → ~7 s staged.
+        // The three heavy subtrees — LSH verify, within-cluster pair
+        // mining, bench-shingle probe — are now DATA-INDEPENDENT (the
+        // basis-widening notes above), so their materializing actions are
+        // submitted from a small thread pool instead of sequentially
+        // (guide §2.6: actions are only sequential because the driver
+        // calls them sequentially); each job's tasks back-fill the cores
+        // the others' stage tails leave idle. Job descriptions are
+        // thread-local, so each future labels its own jobs (guide §1.5).
+        // semDrop stays a (cheap, id-only anti-join) barrier after
+        // ndDrop + semPairs.
         def staged[T](label: String)(body: => T): T = {
           s.sparkContext.setJobDescription(s"pp04: $label")
           try body finally s.sparkContext.setJobDescription(null)
         }
-        staged("ndDrop (LSH verify)")(ndDrop.count())
-        staged("semDrop (pair mining)")(semDrop.count())
-        staged("contam (bench probe)")(contam.count())
+        locally {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try {
+            val barriers = Seq(
+              Future(staged("ndDrop (LSH verify)")(ndDrop.count())),
+              Future(staged("semPairs (pair mining)")(semPairs.count())),
+              Future(staged("contam (bench probe)")(contam.count())))
+            barriers.foreach(Await.result(_, Duration.Inf))
+          } finally pool.shutdown()
+        }
+        staged("semDrop (nd filter)")(semDrop.count())
         val dc = staged("dc checkpoint")(sem.join(contam, Seq("doc_id"), "left")
           .withColumn("dc_ok", col("sem_ok") && col("dc_hit").isNull)
           // project to the columns the attrition/mixture/packing stages
@@ -183,7 +236,7 @@ object Pipeline {
           .localCheckpoint()) // eager; every later stage reads a LEAF plan
         // the checkpoint holds everything downstream needs — release the
         // stage caches instead of leaving them to LRU eviction
-        Seq(flagged, survBase, sv, ndDrop, semDrop, contam)
+        Seq(flagged, survBase, assigned, sv, semPairs, ndDrop, semDrop, contam)
           .foreach(_.unpersist(false))
 
         // ---- mixture: sp05's deterministic per-source token budget over

@@ -207,12 +207,24 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .persist() // read 2N times (pair counts + token curve), vocab-sized
+      .persist() // read N+1 times (pair counts + final curve point), vocab-sized
     val picked = Seq.newBuilder[(String, String, Long)] // (l, r, pair_count)
-    val wcols = Seq.newBuilder[Column] // dictionary after rank k's merge
+    // Σ(pair counts) of each round — rides the argmax job for free and
+    // telescopes into the token curve (see below), replacing what used to
+    // be a separate end-of-training job evaluating all N replace-chain
+    // prefixes (N(N+1)/2 replace evaluations over the dictionary).
+    val sigmaC = Seq.newBuilder[Long]
     var wcol: Column = col("word")
     var k = 0
     while (k < nMerges) {
+      // ONE aggregation for the round via GROUPING SETS ((l,r), ()): the
+      // per-pair counts AND their grand total Σc = Σ cnt·(len(w)−1). With
+      // W = Σ cnt (invariant — merges shrink words, never drop them), the
+      // post-merge token count is exactly T(w_k) = Σc_k + W in the same
+      // integer arithmetic the one-job curve computed (guide §1.2: don't
+      // re-scan for a number an existing pass already determines). The
+      // total row sorts first deterministically (gid 3 > 0 — not by its
+      // count, which ties the best pair's when one group exists).
       val pairs = base.select(col("cnt"), wcol.as("w"))
         .filter(length(col("w")) >= 2) // sequence(1, 0) would DESCEND
         .select(col("cnt"), explode(transform(
@@ -220,26 +232,36 @@ object TextOps {
           i => struct(col("w").substr(i, lit(1)).as("l"),
             col("w").substr(i + 1, lit(1)).as("r")))).as("p"))
         .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
-        .groupBy(col("l"), col("r"))
-        .agg(sum(col("cnt")).as("c"))
-      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()(0)
+        .groupingSets(Seq(Seq(col("l"), col("r")), Seq.empty), col("l"), col("r"))
+        .agg(sum(col("cnt")).as("c"), grouping_id().cast("int").as("gid"))
+      val top = pairs.orderBy(col("gid").desc, col("c").desc, col("l"), col("r"))
+        .limit(2).collect()
+      require(top.length == 2 && top(0).getInt(3) == 3 && top(1).getInt(3) == 0,
+        s"bpeTrain round $k: expected one grand-total row and one best pair, " +
+          s"got ${top.mkString("; ")}")
+      val best = top(1)
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      sigmaC += top(0).getLong(2)
       val merged = (graft.spark.BpeCount.PlaceholderBase + k).toChar.toString
       wcol = replace(wcol, lit(l + r), lit(merged))
       picked += ((l, r, c))
-      wcols += wcol
       k += 1
     }
-    // the token-count CURVE in ONE job: N weighted lengths over the cached
-    // dictionary (each re-evaluates its prefix of replaces — map-only)
-    val curveRow = base.agg(
-      sum(col("cnt") * length(wcols.result().head)).as("t0"),
-      wcols.result().tail.zipWithIndex.map { case (w, i) =>
-        sum(col("cnt") * length(w)).as(s"t${i + 1}") }: _*).collect()(0)
+    // Final curve point + the invariant word count W in one job: only the
+    // LAST dictionary's weighted length is evaluated directly (one replace
+    // chain); every earlier curve point is Σc of the FOLLOWING round's
+    // pair job, already collected above.
+    val lastRow = base.agg(sum(col("cnt") * length(wcol)).as("tLast"),
+      sum(col("cnt")).as("w")).collect()(0)
+    val w = lastRow.getLong(1)
+    val sigma = sigmaC.result()
+    val curve = (0 until nMerges).map { kk =>
+      if (kk == nMerges - 1) lastRow.getLong(0) else sigma(kk + 1) + w
+    }
     base.unpersist(false)
     picked.result().zipWithIndex.map { case ((l, r, c), kk) =>
       (kk.toLong, l.codePointAt(0).toLong, r.codePointAt(0).toLong,
-        (graft.spark.BpeCount.PlaceholderBase + kk).toLong, c, curveRow.getLong(kk))
+        (graft.spark.BpeCount.PlaceholderBase + kk).toLong, c, curve(kk))
     }
   }
 
